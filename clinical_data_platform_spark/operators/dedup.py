@@ -1,0 +1,200 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers, cheapest first — all pure DataFrame ops, designed so each stage
+is shuffle-bounded by the number of *candidate pairs*, never O(n^2):
+
+1. exact_dedup          — md5 fingerprint of normalized text, hash groupBy.
+2. ngram_jaccard_pairs  — word n-gram shingles, shingle-inverted-index
+                          self-join, exact Jaccard on candidate pairs.
+3. minhash_signatures / minhash_lsh_candidates — k seeded xxhash64 min-
+                          hashes, banded LSH bucketing; candidate pairs come
+                          from band-bucket joins (near-dup at 100 TB scale).
+4. simhash64            — 64-bit simhash per doc; near-dups share simhash
+                          up to a small Hamming distance.
+
+The reference has no dedup surface (batch clinical data); these are the
+north-star extensions (BASELINE.json) built Spark-first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import fingerprint, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-identity dedup: canonical fingerprint -> keep min id.
+
+    Returns (fingerprint, keep_id, n_copies). Hash groupBy: one shuffle on
+    the 128-bit fingerprint, perfectly parallel, no skew (hash keys)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) inverted-index input. Distinct shingles per
+    doc so Jaccard math is set-based."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(toks, n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, via inverted index.
+
+    Shuffle cost is bounded by sum over shingles of df(shingle)^2; the
+    ``max_shingle_docs`` guard drops degenerate ultra-common shingles
+    (stopword-only n-grams) that would otherwise quadratically blow up a
+    100 TB run — same role as minhash banding's implicit frequency cap.
+    """
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    if max_shingle_docs is not None:
+        common = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_docs)
+            .select("shingle")
+        )
+        sh = sh.join(common, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jacc = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, array<long> signature): k seeded xxhash64 min-hashes over the
+    shingle set. One explode + one groupBy; signature width is a constant."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b, band) — docs that agree on
+    all rows of at least one band. The band hash groupBy keeps the join
+    local to tiny buckets; this is the scale path for fuzzy dedup."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.element_at("signature", b * rows + r + 1).cast(
+                                        "string"
+                                    )
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    Explode tokens -> per (doc, bit) signed contribution -> sign vector ->
+    packed long. Two shuffles total (token groupBy, doc groupBy); the 64-way
+    bit expansion happens as an array, not 64 jobs."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    contrib = tok.select(
+        "doc_id",
+        F.array(
+            *[
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
+                .otherwise(-1)
+                .alias(f"b{i}")
+                for i in range(63)
+            ]
+        ).alias("bits"),
+    )
+    summed = contrib.groupBy("doc_id").agg(
+        *[F.sum(F.element_at("bits", i + 1)).alias(f"s{i}") for i in range(63)]
+    )
+    packed = summed.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(63)
+            ],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+    return packed

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k for one query vector. The scan is
+  embarrassingly parallel; top-k is TakeOrdered (no global sort).
+- knn_join: exact top-k for a (small, broadcastable) set of query vectors —
+  broadcast-nested-loop + per-query window top-k.
+- random_hyperplane_buckets / lsh_topk: LSH scale path — sign-of-projection
+  bit buckets (random hyperplanes from a seeded deterministic generator),
+  so candidate generation is an equi-join on bucket id instead of a cross
+  join. At 100 TB, brute force is O(n·q); LSH cuts the candidate set by
+  ~2^bits with recall traded via multiple hash tables.
+
+All vector math is zip_with/aggregate (JVM); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.vectors import cosine_similarity, dot
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_similarity(F.col(vec_col), q)
+    return (
+        embeddings.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact k-NN for each query row (queries must be broadcast-sized)."""
+    joined = embeddings.crossJoin(F.broadcast(queries))
+    cos = cosine_similarity(F.col(vec_col), F.col(query_vec))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.select(query_id, F.col(id_col), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _seeded_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG + Box-Muller);
+    no numpy dependency at plan-build time, stable across runs."""
+    state = seed & 0x7FFFFFFF
+
+    def nxt() -> float:
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return state / float(1 << 31)
+
+    planes = []
+    for _ in range(bits):
+        v = []
+        while len(v) < dim:
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if len(v) < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        planes.append(v[:dim])
+    return planes
+
+
+def random_hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append an LSH bucket id: sign bits of projections onto ``bits``
+    seeded hyperplanes, packed into a long."""
+    planes = _seeded_hyperplanes(dim, bits, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return embeddings.withColumn("lsh_bucket", bucket.cast("long"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only the query's LSH bucket is scanned.
+
+    Recall < 1 by construction; for production multiply hash tables or probe
+    neighboring buckets. The point is the shape: candidate generation is a
+    partition-prunable equi-filter, not a full scan."""
+    planes = _seeded_hyperplanes(dim, bits, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qbucket |= 1 << i
+    bucketed = random_hyperplane_buckets(embeddings, dim, bits, seed, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.filter(F.col("lsh_bucket") == qbucket)
+        .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,132 @@
+"""Event-table plan coverage: time windows, sessionization, keep-latest
+dedup, JSON extraction — the batch twins of the streaming operators.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table as T
+from ..operators.sessionize import session_summary
+from .registry import query
+
+
+@query(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=["window", "streaming-batch-twin"],
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via Spark's window() operator (epoch-aligned,
+    so window.start == date_trunc('hour') in the oracle). Same groupBy runs
+    unchanged under readStream + watermark (see streaming/)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@query(
+    "user_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           cast(max(n_events) AS BIGINT) AS max_session_events,
+           round(avg(n_events), 6) AS avg_session_events
+    FROM per_sess GROUP BY user_id
+    """,
+    tags=["window", "sessionization"],
+)
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization (lag + cumulative flag sum reusing one
+    user_id partitioning) -> per-user session stats."""
+    return session_summary(T(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query(
+    "latest_event_per_user_type",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=["dedup", "W2"],
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup per (user, event_type): window row_number with a
+    fully deterministic order (ts DESC, event_id DESC tie-break)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "event_props_json",
+    oracle="""
+    SELECT event_type,
+           round(avg(cast(json_extract_string(props, '$.k') AS INTEGER)), 6)
+               AS avg_k,
+           cast(min(cast(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS min_k,
+           cast(max(cast(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["F8", "json"],
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (get_json_object) + aggregate — the
+    semi-structured column path (props is a JSON string)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        T(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

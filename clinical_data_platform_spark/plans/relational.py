@@ -1,0 +1,954 @@
+"""Relational operator coverage: scans, filters, joins, aggregations,
+windows, sorts, set ops, scalar functions.
+
+Each query re-expresses an operator family from SURVEY.md §2 (citations in
+each docstring point into /root/reference) on the driver's TPC-H-ish corpus.
+Spark side uses the DataFrame API exclusively (Catalyst does pushdown /
+pruning / join selection); the oracle is ANSI SQL for DuckDB.
+
+Scale notes are inline: every join states its intended physical strategy at
+100 TB (broadcast vs shuffle), every aggregate is partial-final by
+construction (Spark hash aggregate).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table as T
+from .registry import query
+
+def _revenue():
+    # Revenue expression used by several queries (TPC-H convention).
+    # (Built lazily: Column construction needs an active SparkContext.)
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                              AS sum_qty,
+           round(sum(l_extendedprice), 2)                         AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2)    AS sum_disc_price,
+           round(avg(l_quantity), 6)                              AS avg_qty,
+           round(avg(l_extendedprice), 6)                         AS avg_price,
+           round(avg(l_discount), 6)                              AS avg_disc,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=["A1", "A3", "A12", "tpch"],
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter -> multi-agg groupBy (partial/final hash agg).
+
+    Mirrors the reference's multi-stat aggregates (analytics/queries.py:58-67)
+    at corpus scale. Filter is pushed to the parquet scan; the groupBy keys
+    are low-cardinality so the shuffle is tiny regardless of input size.
+    """
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filtered_rate_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END), 6)
+               AS return_rate,
+           count(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=["A2", "J1"],
+)
+def filtered_rate_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-aggregation rate, the reference's core analytics shape
+    (ae_rates_by_arm, analytics/queries.py:24-29): AVG(CASE WHEN ...).
+
+    Join is fact-to-fact on l_orderkey; at 100 TB this is a shuffle join on
+    the natural key — both sides would be bucketed by orderkey to avoid it.
+    """
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)), 6
+            ).alias("return_rate"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "multi_stat_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_quantity), 6)    AS avg_qty,
+           round(stddev(l_quantity), 6) AS std_qty,
+           count(l_quantity)            AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=["A3"],
+)
+def multi_stat_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG/STDDEV/COUNT battery (analytics/queries.py:58-67). DuckDB STDDEV
+    is the sample stddev == Spark ``stddev`` (SURVEY §7.4 item 3)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.stddev("l_quantity"), 6).alias("std_qty"),
+            F.count("l_quantity").alias("n"),
+        )
+    )
+
+
+@query(
+    "conditional_sum_battery",
+    oracle="""
+    SELECT o_orderstatus,
+           cast(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_big_orders,
+           max(CASE o_orderpriority
+                   WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+                   WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
+                   ELSE 1 END) AS max_priority_rank,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=["A4", "A5", "F1"],
+)
+def conditional_sum_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum battery + severity-rank max + COUNT(DISTINCT), the
+    int_subject_summary.sql:11-52 shape."""
+    rank = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 5)
+        .when(F.col("o_orderpriority") == "2-HIGH", 4)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 2)
+        .otherwise(1)
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias(
+                "n_big_orders"
+            ),
+            F.max(rank).alias("max_priority_rank"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "distinct_counts_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=["A5"],
+)
+def distinct_counts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) (int_subject_summary.sql:27-38). Spark expands
+    multi-distinct into an expand+two-phase agg; at 100 TB prefer
+    approx_count_distinct (provided as ``approx_distinct_parts``)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "median_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=["A6"],
+)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (dim_study_overview.sql:28 uses
+    approx_quantile; we compute the exact percentile so the oracle comparison
+    is well-defined — SURVEY §7.4 item 8. At 100 TB switch to
+    percentile_approx; the exact version shuffles all values per group)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        )
+    )
+
+
+@query(
+    "acctbal_stats_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(avg(c_acctbal), 1) AS avg_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=["A7"],
+)
+def acctbal_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round(avg)/min/max (dim_study_overview.sql:26-29)."""
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("c_acctbal"), 1).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "brands_by_type_string_agg",
+    oracle="""
+    SELECT p_type,
+           string_agg(DISTINCT p_brand, ', ' ORDER BY p_brand) AS brands,
+           count(DISTINCT p_brand) AS n_brands
+    FROM part
+    GROUP BY p_type
+    """,
+    tags=["A8"],
+)
+def brands_by_type_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct string aggregation, canonicalized by sorting on BOTH engines
+    (int_subject_summary.sql:50; SURVEY §7.4 item 2: DuckDB's default
+    string_agg order is unspecified, so we pin ORDER BY in the oracle and
+    sort_array in Spark)."""
+    return (
+        T(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("p_brand")), ", ").alias("brands"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+@query(
+    "region_overview_rollup",
+    oracle="""
+    SELECT r.r_name,
+           count(DISTINCT n.n_nationkey)  AS n_nations,
+           count(*)                       AS n_customers,
+           round(avg(c.c_acctbal), 4)     AS avg_bal,
+           round(sum(c.c_acctbal), 2)     AS total_bal,
+           cast(sum(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_debtors,
+           round(avg(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END), 6)
+               AS building_share
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=["A9", "J1", "J6"],
+)
+def region_overview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus rollup to one row per region (dim_study_overview.sql
+    shape) through two broadcast dim joins — region/nation are tiny, so the
+    plan is scan(customer) + two BroadcastHashJoins + hash agg, no shuffle
+    until the final 5-group agg."""
+    c = T(spark, sf_dir, "customer")
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    r = F.broadcast(T(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_debtors"),
+            F.round(
+                F.avg(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)), 6
+            ).alias("building_share"),
+        )
+    )
+
+
+@query(
+    "event_type_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=["A10"],
+)
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts() shape (ui/dashboard.py:223-268)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "price_bucket_counts",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                WHEN o_totalprice < 300000 THEN 'high'
+                ELSE 'vhigh' END AS bucket,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=["A11", "F1"],
+)
+def price_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binning + count (pd.cut shape, ui/dashboard.py:262-268) as a when()
+    ladder — stays inside whole-stage codegen, unlike a Bucketizer UDF."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .when(F.col("o_totalprice") < 300000, "high")
+        .otherwise("vhigh")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "pivot_user_event_values",
+    oracle="""
+    SELECT user_id,
+           round(avg(value) FILTER (event_type = 'click'), 6)    AS click,
+           round(avg(value) FILTER (event_type = 'error'), 6)    AS error,
+           round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+           round(avg(value) FILTER (event_type = 'signup'), 6)   AS signup,
+           round(avg(value) FILTER (event_type = 'view'), 6)     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=["A10", "pivot"],
+)
+def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab (df.stat.crosstab shape, analytics/stats_utils.py:26-41)
+    with explicit pivot values (avoids the extra distinct-values job)."""
+    piv = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.avg("value"))
+    )
+    return piv.select(
+        "user_id",
+        *[F.round(F.col(c), 6).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_unshipped_revenue_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=["J1", "O1", "O3", "tpch"],
+)
+def q3_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
+    orderBy().limit() compiles to TakeOrderedAndProject (true top-k, no full
+    sort). Customer side is broadcast after the segment filter; the
+    lineitem/orders join shuffles on orderkey (bucket both at 100 TB)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=["J1", "J2", "J6", "tpch"],
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a compound join condition
+    (supplier nation == customer nation). All dims broadcast; the only
+    shuffle is lineitem⋈orders on orderkey plus the final tiny agg."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = T(spark, sf_dir, "lineitem")
+    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    r = F.broadcast(T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "customer_order_fanin",
+    oracle="""
+    WITH ord AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ), li AS (
+      SELECT o.o_custkey, count(*) AS n_lines
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           cast(coalesce(ord.n_orders, 0) AS BIGINT)   AS n_orders,
+           round(coalesce(ord.total_spend, 0.0), 2)    AS total_spend,
+           cast(coalesce(li.n_lines, 0) AS BIGINT)     AS n_lines
+    FROM customer c
+    LEFT JOIN ord ON ord.o_custkey = c.c_custkey
+    LEFT JOIN li  ON li.o_custkey  = c.c_custkey
+    """,
+    tags=["J3", "J4", "F2", "M3"],
+)
+def customer_order_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-join fan-in of aggregated facts onto a dim with coalesce-to-zero
+    defaults — the int_subject_summary.sql:118-122 / feature_eng.py:38-41
+    shape (dim ← N aggregated fact summaries). NULL-vs-NaN parity trap
+    (SURVEY §7.4 item 5) handled with coalesce on both engines."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    ord_agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    li_agg = (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return (
+        c.join(ord_agg, c.c_custkey == ord_agg.o_custkey, "left")
+        .drop("o_custkey")
+        .join(li_agg, c.c_custkey == li_agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("total_spend"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "orphan_orders_anti_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    tags=["J5", "V8"],
+)
+def orphan_orders_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity probe as a left-anti join (dbt relationships
+    test shape, sources.yml). Expected empty; the anti join IS the violation
+    set. Parent side broadcast when it fits."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "left_anti").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "active_customers_semi_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=["J5"],
+)
+def active_customers_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (FK containment probe, test_public_cdm_smoke.py:101-103)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "running_event_count",
+    oracle="""
+    SELECT event_id, user_id,
+           cast(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running_cnt
+    FROM events
+    """,
+    tags=["W1"],
+)
+def running_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative count per entity (sql/performance_examples.sql:8-11).
+    Deterministic tie-break on event_id added on both engines — the
+    reference's ORDER BY ae_start alone is nondeterministic under ties."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.count(F.lit(1)).over(w).alias("running_cnt"))
+    )
+
+
+@query(
+    "customer_surrogate_keys",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY c_custkey) AS customer_sk,
+           c_custkey, c_name
+    FROM customer
+    """,
+    tags=["W2"],
+)
+def customer_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER surrogate key with an imposed deterministic order —
+    the reference's `ROW_NUMBER() OVER ()` (warehouse/loaders.py:31) is
+    nondeterministic by spec (SURVEY §7.4 item 1). Global window is
+    acceptable for dim-sized inputs only; use hash_surrogate_keys for facts.
+    """
+    w = Window.orderBy("c_custkey")
+    return (
+        T(spark, sf_dir, "customer")
+        .select(F.row_number().over(w).alias("customer_sk"), "c_custkey", "c_name")
+    )
+
+
+@query(
+    "segment_nation_share",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS n,
+           round(count(*) * 100.0 /
+                 sum(count(*)) OVER (PARTITION BY c_mktsegment), 6) AS pct_of_segment
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+    tags=["W3"],
+)
+def segment_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-group: window over an aggregate (warehouse_ddl.sql:247)."""
+    w = Window.partitionBy("c_mktsegment")
+    grouped = (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grouped.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 6).alias("pct_of_segment"),
+    )
+
+
+@query(
+    "hash_surrogate_keys",
+    oracle="""
+    SELECT c_custkey,
+           md5(concat_ws('-', coalesce(c_name, '_null_'),
+                              coalesce(cast(c_nationkey AS VARCHAR), '_null_')))
+               AS customer_hk
+    FROM customer
+    """,
+    tags=["W4", "F6"],
+)
+def hash_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash surrogate key (dbt_utils.generate_surrogate_key,
+    fact_subject_outcomes.sql:19) — the scale-safe alternative to W2: no
+    global window, embarrassingly parallel."""
+    return (
+        T(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.coalesce(F.col("c_name"), F.lit("_null_")),
+                    F.coalesce(F.col("c_nationkey").cast("string"), F.lit("_null_")),
+                )
+            ).alias("customer_hk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / distinct / set ops (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "priority_custom_sort",
+    oracle="""
+    SELECT o_orderpriority,
+           CASE o_orderpriority
+                WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                WHEN '3-MEDIUM' THEN 3 ELSE 4 END AS sort_rank,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY sort_rank
+    """,
+    tags=["O1", "O2", "F1"],
+)
+def priority_custom_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-rank custom sort key (quality-tier ordering, warehouse_ddl.sql:262-268)."""
+    rank = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .otherwise(4)
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("o_orderpriority", rank.alias("sort_rank"), "n")
+        .orderBy("sort_rank")
+    )
+
+
+@query(
+    "distinct_segment_nation",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=["O4"],
+)
+def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (stg_subjects.sql:5-11)."""
+    return T(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "union_all_flag_slices",
+    oracle="""
+    SELECT slice, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+    FROM (
+      SELECT 'returned' AS slice, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'accepted' AS slice, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    )
+    GROUP BY slice
+    """,
+    tags=["O5"],
+)
+def union_all_flag_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered slices then aggregate (chunk-concat shape,
+    ingest_csv.py:109). unionByName keeps the plan schema-safe."""
+    l = T(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select(
+        F.lit("returned").alias("slice"), "l_quantity"
+    )
+    accepted = l.filter(F.col("l_returnflag") == "A").select(
+        F.lit("accepted").alias("slice"), "l_quantity"
+    )
+    return (
+        returned.unionByName(accepted)
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "orders_page_2",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders ORDER BY o_orderkey OFFSET 100 LIMIT 50
+    """,
+    tags=["P6", "O3"],
+)
+def orders_page_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset+limit pagination over a deterministic order (api/endpoints.py:
+    372-390). Spark ≥3.4 has a native offset operator."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "acctbal_tier_ladder",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'DEBT'
+                WHEN c_acctbal < 2000 THEN 'LOW'
+                WHEN c_acctbal < 6000 THEN 'MID'
+                ELSE 'HIGH' END AS tier,
+           count(*) AS n,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY 1
+    """,
+    tags=["F1"],
+)
+def acctbal_tier_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN ladder (age_group, stg_demographics.sql:19-24)."""
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "DEBT")
+        .when(F.col("c_acctbal") < 2000, "LOW")
+        .when(F.col("c_acctbal") < 6000, "MID")
+        .otherwise("HIGH")
+    )
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "part_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                        AS name_upper,
+           lower(p_brand)                                       AS brand_lower,
+           (p_type LIKE '%IUM%')                                AS is_ium,
+           regexp_matches(p_name, '^[a-z]+ ')                   AS starts_with_word,
+           concat_ws('/', p_brand, p_type)                      AS brand_type,
+           'PART-' || lpad(cast(p_partkey AS VARCHAR), 8, '0')  AS part_code,
+           length(p_name)                                       AS name_len,
+           substr(p_name, 1, 5)                                 AS name_prefix
+    FROM part
+    """,
+    tags=["F3", "P7"],
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery: upper/lower/LIKE/rlike/concat_ws/lpad/
+    length/substr (stg_laboratory.sql:14, stg_exposure.sql:33-34,
+    pandera_schemas.py:24)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.col("p_type").like("%IUM%").alias("is_ium"),
+        F.col("p_name").rlike("^[a-z]+ ").alias("starts_with_word"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.concat(
+            F.lit("PART-"), F.lpad(F.col("p_partkey").cast("string"), 8, "0")
+        ).alias("part_code"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+    )
+
+
+@query(
+    "order_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           cast(year(o_orderdate)  AS INTEGER)  AS order_year,
+           cast(month(o_orderdate) AS INTEGER)  AS order_month,
+           cast(day(o_orderdate)   AS INTEGER)  AS order_dom,
+           cast(date_diff('day', DATE '1995-01-01', cast(o_orderdate AS DATE))
+                AS INTEGER)                      AS days_since_epoch_start,
+           strftime(cast(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+    tags=["F4"],
+)
+def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date battery: year/month/day-of-month extraction, date_diff,
+    date arithmetic. NB DATE_PART('day', ts) in the reference
+    (analytics/queries.py:21) is day-of-month — dayofmonth here, not
+    epoch-days (SURVEY §7.4 item 7)."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since_epoch_start"),
+        # DATE surfaces as pandas object vs DuckDB's datetime64 — emit the
+        # ISO string on both engines for a type-stable comparison.
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+        .alias("due_date"),
+    )
+
+
+@query(
+    "customer_risk_score",
+    oracle="""
+    SELECT c_custkey,
+           round(1.0 / (1.0 + exp(-((c_acctbal - 5000.0) / 1000.0))), 6) AS risk,
+           CASE WHEN 1.0 / (1.0 + exp(-((c_acctbal - 5000.0) / 1000.0))) >= 0.7
+                     THEN 'high'
+                WHEN 1.0 / (1.0 + exp(-((c_acctbal - 5000.0) / 1000.0))) >= 0.3
+                     THEN 'medium'
+                ELSE 'low' END AS confidence,
+           round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+           round(pow(c_acctbal / 1000.0, 2), 6) AS bal_sq
+    FROM customer
+    """,
+    tags=["F5", "M6"],
+)
+def customer_risk_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form logistic scoring with confidence tiers (api/main.py:171-195)
+    plus math battery (exp/sqrt/abs/pow)."""
+    z = (F.col("c_acctbal") - 5000.0) / 1000.0
+    risk = 1.0 / (1.0 + F.exp(-z))
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(risk, 6).alias("risk"),
+        F.when(risk >= 0.7, "high")
+        .when(risk >= 0.3, "medium")
+        .otherwise("low")
+        .alias("confidence"),
+        F.round(F.sqrt(F.abs(F.col("c_acctbal"))), 6).alias("bal_sqrt"),
+        F.round(F.pow(F.col("c_acctbal") / 1000.0, 2), 6).alias("bal_sq"),
+    )
+
+
+@query(
+    "customer_tokenization",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                        AS name_md5,
+           sha256('pepper-' || c_name)        AS name_sha256_salted
+    FROM customer
+    """,
+    tags=["F6"],
+)
+def customer_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash PII tokenization (security/phi_redaction.py:10-15):
+    sha2(salt||value) + md5 — both JVM builtins, no UDF."""
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.concat(F.lit("pepper-"), F.col("c_name")), 256).alias(
+            "name_sha256_salted"
+        ),
+    )

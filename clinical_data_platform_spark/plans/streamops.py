@@ -1,0 +1,52 @@
+"""Structured Streaming plan entries — real readStream pipelines executed
+to completion with availableNow, returned as batch DataFrames.
+
+hourly counts and dedup-keys have exact SQL oracles (complete-mode windowed
+aggregation over a bounded source equals the batch aggregate; the dedup key
+SET equals DISTINCT). Session windows are rows-only (interval semantics are
+not first-class in the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune_session
+from ..streaming import events_stream as S
+from .registry import query
+
+
+@query(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=["streaming", "window"],
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts (watermark + window + availableNow):
+    over a bounded source in complete mode this must equal the batch
+    aggregate — which is exactly what the oracle asserts."""
+    tune_session(spark)
+    return S.hourly_counts(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_user_type_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=["streaming", "dedup"],
+)
+def stream_dedup_user_type_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark keys: the set of surviving keys equals
+    DISTINCT over the bounded source (single availableNow batch)."""
+    tune_session(spark)
+    return S.dedup_user_type(spark, sf_dir)
+
+
+@query("stream_session_windows", tags=["streaming", "sessionization"])
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (rows-only check)."""
+    tune_session(spark)
+    return S.session_windows(spark, sf_dir)

@@ -1,0 +1,210 @@
+"""Text-analysis and dedup plan coverage over the documents table
+(north-star training-data-pipeline operators; BASELINE.json).
+
+Language-ID, quality scoring, token counting, fingerprinting, exact dedup
+and n-gram-Jaccard near-dup all have exact SQL oracles; MinHash-LSH and
+SimHash (xxhash64-based) are Spark-only and validated in pytest against the
+exact Jaccard instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table as T
+from ..functions.text import (
+    STOPWORDS,
+    fingerprint,
+    normalize_ws,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .registry import query
+
+_STOP_EN_SQL = "['" + "', '".join(STOPWORDS["en"]) + "']"
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_chars_nospace
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(len(ws) AS BIGINT) AS n_tokens,
+           cast(n_chars_nospace AS BIGINT) AS n_chars_nospace,
+           round(n_chars_nospace / greatest(len(ws), 1), 6) AS avg_token_len,
+           round(len(list_filter(list_transform(ws, x -> lower(x)),
+                                 x -> list_contains({_STOP_EN_SQL}, x)))
+                 / greatest(len(ws), 1), 6) AS stop_ratio_en
+    FROM t
+    """,
+    tags=["text", "quality"],
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, characters, average token
+    length, stopword ratio — the text-quality scoring battery, all JVM
+    builtins (split/length/filter), one narrow projection, no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    nospace = F.length(F.regexp_replace("text", r"\s", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(F.transform(toks, lambda t: F.lower(t)),
+                 lambda t: F.array_contains(sw, t))
+    )
+    denom = F.greatest(n_tokens, F.lit(1))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        nospace.cast("long").alias("n_chars_nospace"),
+        F.round(nospace / denom, 6).alias("avg_token_len"),
+        F.round(stop_hits / denom, 6).alias("stop_ratio_en"),
+    )
+
+
+@query(
+    "lang_token_summary",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 6)
+               AS avg_tokens,
+           round(avg(n_chars), 6) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=["text", "A1"],
+)
+def lang_token_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language (language-ID downstream shape)."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(tokens(F.col("text")))), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    tags=["text", "F6", "dedup"],
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over whitespace-normalized,
+    lowercased text (document-fingerprinting operator)."""
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=["dedup"],
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on the canonical fingerprint,
+    keep the minimum doc_id (deterministic winner)."""
+    return exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "near_dup_jaccard_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.05
+    """,
+    tags=["dedup", "J1"],
+)
+def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shingle inverted-index
+    self-join. The frequency guard is disabled here for oracle parity; at
+    100 TB run MinHash-LSH first and this only on candidate pairs."""
+    return ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.05,
+        max_shingle_docs=None,
+    )
+
+
+@query(
+    "doc_redaction",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '[0-9]+', '[NUM]', 'g'),
+                          '\\b(key|value)\\b', '[REDACTED]', 'g') AS redacted
+    FROM documents
+    """,
+    tags=["F7"],
+)
+def doc_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained regex redaction (PHI-scrub shape,
+    compliance/phi_redaction.py:14-44): numbers then term denylist.
+    Spark regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    red = F.regexp_replace(
+        F.regexp_replace("text", "[0-9]+", "[NUM]"),
+        r"\b(key|value)\b",
+        "[REDACTED]",
+    )
+    return T(spark, sf_dir, "documents").select("doc_id", red.alias("redacted"))
+
+
+@query("minhash_lsh_candidate_pairs", tags=["dedup", "lsh"])
+def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands) — the scale path for
+    fuzzy dedup. xxhash64 signatures have no DuckDB equivalent, so this is a
+    rows-only check; pytest validates recall against exact Jaccard."""
+    return minhash_lsh_candidates(
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=32, bands=8
+    )
+
+
+@query("simhash_signatures", tags=["dedup", "simhash"])
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash per document (rows-only: xxhash64-based)."""
+    return simhash64(T(spark, sf_dir, "documents"), "doc_id", "text")

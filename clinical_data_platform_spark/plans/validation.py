@@ -1,0 +1,159 @@
+"""Data-quality plan coverage (SURVEY §2.9 V1-V11): the declarative check
+engine compiled to single-pass aggregations, run over the corpus tables.
+
+The oracle SQL spells out the exact aggregate each rule compiles to, so the
+driver's gate verifies the COMPILER, not just one query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table as T
+from ..operators import checks as C
+from .registry import query
+
+LINEITEM_RULES = [
+    C.not_null("l_orderkey"),
+    C.not_null("l_quantity"),
+    C.in_range("l_quantity", lo=0, hi=100),
+    C.accepted_values("l_returnflag", ["A", "N", "R"]),
+    C.regex("l_linestatus", "^[FO]$"),
+    C.cross_column("discount_fraction", "l_discount >= 0 AND l_discount <= 1"),
+    C.composite_unique(["l_orderkey", "l_linenumber"]),
+]
+
+ORDERS_RULES = [
+    C.not_null("o_orderkey"),
+    C.unique("o_orderkey"),
+    C.accepted_values("o_orderstatus", ["F", "O", "P"]),
+    C.in_range("o_totalprice", lo=0),
+    C.str_length("o_orderpriority", 1, 20),
+]
+
+
+@query(
+    "dq_lineitem_battery",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS not_null__l_orderkey,
+           cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS not_null__l_quantity,
+           cast(sum(CASE WHEN l_quantity IS NOT NULL
+                          AND (l_quantity < 0 OR l_quantity > 100)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS in_range__l_quantity,
+           cast(sum(CASE WHEN l_returnflag IS NOT NULL
+                          AND l_returnflag NOT IN ('A','N','R')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS accepted_values__l_returnflag,
+           cast(sum(CASE WHEN l_linestatus IS NOT NULL
+                          AND NOT regexp_matches(l_linestatus, '^[FO]$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS regex__l_linestatus,
+           cast(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 1, TRUE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS cross_column__discount_fraction,
+           cast(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+               AS composite_unique__l_orderkey_l_linenumber
+    FROM lineitem
+    """,
+    tags=["V1", "V3", "V4", "V5", "V7", "V10"],
+)
+def dq_lineitem_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven rules -> ONE aggregation pass over lineitem (one scan at any
+    scale). Mirrors pandera/GE/dbt-test semantics (validator.py:147-218)."""
+    return C.run_checks(T(spark, sf_dir, "lineitem"), LINEITEM_RULES)
+
+
+@query(
+    "dq_orders_report",
+    oracle="""
+    WITH wide AS (
+      SELECT count(*) AS n_rows,
+             cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS v_not_null,
+             cast(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+                 AS v_unique,
+             cast(sum(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F','O','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_accepted,
+             cast(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             cast(sum(CASE WHEN o_orderpriority IS NOT NULL
+                            AND (length(o_orderpriority) < 1
+                                 OR length(o_orderpriority) > 20)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_len
+      FROM orders
+    )
+    SELECT rule, violations, violations = 0 AS passed, n_rows FROM (
+      SELECT 'not_null__o_orderkey' AS rule, v_not_null AS violations, n_rows FROM wide
+      UNION ALL SELECT 'unique__o_orderkey', v_unique, n_rows FROM wide
+      UNION ALL SELECT 'accepted_values__o_orderstatus', v_accepted, n_rows FROM wide
+      UNION ALL SELECT 'in_range__o_totalprice', v_range, n_rows FROM wide
+      UNION ALL SELECT 'str_length__o_orderpriority', v_len, n_rows FROM wide
+    )
+    """,
+    tags=["V1", "V2", "V3", "V4", "V6", "V12"],
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format rule report {rule, violations, passed, n_rows} — the
+    validator.py:63-77 report shape, via one wide pass + stack unpivot."""
+    return C.check_report(T(spark, sf_dir, "orders"), ORDERS_RULES)
+
+
+@query(
+    "dq_lineitem_fk_containment",
+    oracle="""
+    SELECT count(*) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    tags=["V8", "J5"],
+)
+def dq_lineitem_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity lineitem.l_orderkey -> orders (dbt
+    relationships test shape) as anti-join + count."""
+    orphans = C.referential_violations(
+        T(spark, sf_dir, "lineitem"),
+        T(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+@query(
+    "dq_events_freshness",
+    oracle="""
+    SELECT max(ts) AS max_ts,
+           round(date_diff('second', max(ts), TIMESTAMP '2024-01-31 12:00:00')
+                 / 60.0, 4) AS lag_minutes,
+           CASE
+             WHEN date_diff('second', max(ts), TIMESTAMP '2024-01-31 12:00:00')
+                  / 60.0 <= 720 THEN 'ok'
+             WHEN date_diff('second', max(ts), TIMESTAMP '2024-01-31 12:00:00')
+                  / 60.0 <= 900 THEN 'warning'
+             ELSE 'breach'
+           END AS status
+    FROM events
+    """,
+    tags=["V11"],
+)
+def dq_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLI with ok/warning(1.25x)/breach ladder
+    (src/common/freshness.py:15,52-57). The "now" instant is injected as a
+    literal so the check is deterministic and oracle-comparable."""
+    # whole-second lag (cast long) == DuckDB date_diff('second', ...) — the
+    # fractional-seconds double cast would NOT match (SURVEY §7.4 item 9).
+    now = F.lit("2024-01-31 12:00:00").cast("timestamp")
+    lag_min = (now.cast("long") - F.max("ts").cast("long")) / 60.0
+    return (
+        T(spark, sf_dir, "events")
+        .agg(
+            F.max("ts").alias("max_ts"),
+            F.round(lag_min, 4).alias("lag_minutes"),
+            F.when(lag_min <= 720, "ok")
+            .when(lag_min <= 900, "warning")
+            .otherwise("breach")
+            .alias("status"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Similarity-search plan coverage over the embeddings table
+(array<float> column; north-star ANN operators).
+
+Brute-force cosine has an exact SQL oracle (double-cast element products on
+both engines, rounded); the LSH variant is Spark-only (rows-only check) and
+its recall is asserted in pytest against the brute-force result.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table as T
+from ..functions.vectors import cosine_similarity, l2_norm
+from ..operators.similarity import lsh_topk
+from .registry import query
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@query(
+    "embedding_norms_by_label",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n,
+           round(avg({_NORM_SQL.format(a='embedding')}), 5) AS avg_norm,
+           round(min({_NORM_SQL.format(a='embedding')}), 5) AS min_norm,
+           round(max({_NORM_SQL.format(a='embedding')}), 5) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=["vector", "A7"],
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm statistics per label — array math via aggregate() higher-order
+    function (JVM), grouped agg on a tiny key space."""
+    e = T(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm), 5).alias("avg_norm"),
+        F.round(F.min(norm), 5).alias("min_norm"),
+        F.round(F.max(norm), 5).alias("max_norm"),
+    )
+
+
+@query(
+    "cosine_topk_vec0",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             {_DOT_SQL.format(a='e.embedding', b='q.qe')}
+               / ({_NORM_SQL.format(a='e.embedding')}
+                  * {_NORM_SQL.format(a='q.qe')}) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(cos, 5) AS cosine
+    FROM sims ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    tags=["vector", "ann"],
+)
+def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 neighbors of vec_id=0.
+
+    The query vector arrives via a broadcast single-row cross join (not a
+    collected literal) so the same plan shape works when the query set is a
+    table. Top-k compiles to TakeOrderedAndProject."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cosine", 5).alias("cosine"))
+    )
+
+
+@query("lsh_ann_topk_vec0", tags=["vector", "ann", "lsh"])
+def lsh_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH bucket filter then exact
+    cosine within the bucket (rows-only check; recall vs brute force is
+    asserted in pytest). At 100 TB the bucket id is a partition key."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return lsh_topk(
+        e.filter(F.col("vec_id") != 0), qvec, dim=len(qvec), k=10, bits=6
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Defaults are tuned for the local[32] test harness but every setting is the
+one you'd want on a real cluster too: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), UTC session timezone (parity with naive
+parquet timestamps and the DuckDB oracle), Arrow enabled for the few
+pandas-UDF paths, snappy parquet.
+
+At 100 TB the only knobs that change are ``spark.sql.shuffle.partitions``
+(set to ~2-3x total cores) and executor memory sizing; nothing in this
+package hardcodes partition counts — operators use the session defaults.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "clinical-data-platform-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable parity settings to an externally-created session.
+
+    The driver may hand us a session we didn't build; these confs are
+    runtime-settable and required for oracle parity (timezone) and sane local
+    shuffle fan-out.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark

@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full evaluation of
+every output column, no driver collect cost). One JVM warmup pass on a
+small query precedes timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_unshipped_revenue_topk",
+    "q5_revenue_by_nation",
+    "filtered_rate_by_priority",
+    "customer_order_fanin",
+    "region_overview_rollup",
+    "distinct_counts_by_flag",
+    "median_price_by_priority",
+    # windows / events
+    "running_event_count",
+    "hourly_event_rollup",
+    "user_session_stats",
+    "latest_event_per_user_type",
+    # validation engine
+    "dq_lineitem_battery",
+    # text / dedup / similarity (north-star)
+    "doc_token_stats",
+    "exact_dedup_docs",
+    "near_dup_jaccard_pairs",
+    "minhash_lsh_candidate_pairs",
+    "cosine_topk_vec0",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from clinical_data_platform_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    # warmup: JVM/codegen/parquet-footer caches
+    qs["event_type_counts"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

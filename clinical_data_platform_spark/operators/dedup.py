@@ -41,11 +41,22 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Exploded (id, shingle) inverted-index input. Distinct shingles per
-    doc so Jaccard math is set-based."""
-    toks = tokens(F.lower(F.col(text_col)))
-    return df.select(
+    doc so Jaccard math is set-based.
+
+    The token array is materialized as its own projection first — if the
+    split() expression is inlined into the shingle lambda, Catalyst
+    re-evaluates it per element access (O(len^2) regex splits per doc).
+    Also repartitions to the session's shuffle parallelism: a small file
+    arrives as one partition, and shingling is CPU-bound, so fan out before
+    the heavy expression rather than after."""
+    parallelism = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tok = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(toks, n)).alias("shingle"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).repartition(parallelism)
+    return tok.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("__toks"), n)).alias("shingle"),
     )
 
 

@@ -118,8 +118,14 @@ def _violation_agg(rule: Rule) -> Column:
         # a NULL predicate is not a violation (3-valued logic, pandera parity)
         return F.sum(F.when(~F.coalesce(pred, F.lit(True)), 1).otherwise(0))
     if k == "composite_unique":
+        # distinct over a STRUCT: multi-column countDistinct would silently
+        # skip rows where any key is NULL (SQL semantics); wrapping in a
+        # struct keeps NULL-bearing keys countable (dbt
+        # unique_combination_of_columns / DuckDB count(distinct (a,b)))
         cols = rule.params["columns"]
-        return F.count(F.lit(1)) - F.countDistinct(*[F.col(x) for x in cols])
+        return F.count(F.lit(1)) - F.countDistinct(
+            F.struct(*[F.col(x) for x in cols])
+        )
     if k == "freshness":
         # long casts (whole seconds) match DuckDB date_diff('second', ...)
         now = F.lit(rule.params["now"]).cast("timestamp")

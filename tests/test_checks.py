@@ -1,0 +1,89 @@
+"""Check-engine tests: each rule kind on crafted frames, plus the
+reference's good/bad polarity pair (the visits cost<500 suite,
+great_expectations/expectations/visits_suite.json, README.md:63-78)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clinical_data_platform_spark.operators import checks as C
+
+
+def _visits(spark, bad: bool):
+    rows = [
+        (100, 1, 10, 120.5),
+        (101, 2, 11, 560.0 if bad else 260.0),
+        (102, 3, 10, 75.0),
+    ]
+    return spark.createDataFrame(
+        rows, "visit_id BIGINT, patient_id BIGINT, provider_id BIGINT, cost DOUBLE"
+    )
+
+
+VISIT_RULES = [
+    C.not_null("visit_id"),
+    C.unique("visit_id"),
+    C.in_range("cost", lo=0, hi=500, strict_hi=True),
+]
+
+
+def test_visits_bad_fails_good_passes(spark):
+    bad_report = C.check_report(_visits(spark, bad=True), VISIT_RULES).toPandas()
+    good_report = C.check_report(_visits(spark, bad=False), VISIT_RULES).toPandas()
+    bad = bad_report.set_index("rule")
+    assert not bad.loc["in_range__cost", "passed"]
+    assert bad.loc["in_range__cost", "violations"] == 1
+    assert good_report["passed"].all()
+
+
+def test_rule_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            ("A1", "M", 25, "AB", 10.0, 20.0),
+            ("A2", "F", 200, "ABCDEFGHIJK", 30.0, 20.0),   # age out of range, len>10, lo>hi
+            ("A1", "X", None, None, None, None),            # dup id, bad sex
+            (None, "M", 40, "xy", 5.0, 6.0),                # null id, regex fail (lowercase)
+        ],
+        "sid STRING, sex STRING, age INT, code STRING, lo DOUBLE, hi DOUBLE",
+    )
+    rules = [
+        C.not_null("sid"),
+        C.unique("sid"),
+        C.accepted_values("sex", ["M", "F"]),
+        C.in_range("age", 0, 150),
+        C.regex("code", "^[A-Z]+$"),
+        C.str_length("code", 1, 10),
+        C.cross_column("lo_le_hi", "lo <= hi"),
+        C.composite_unique(["sid", "sex"]),
+    ]
+    wide = C.run_checks(df, rules).collect()[0].asDict()
+    assert wide["n_rows"] == 4
+    assert wide["not_null__sid"] == 1
+    assert wide["unique__sid"] == 1          # A1 duplicated among non-nulls
+    assert wide["accepted_values__sex"] == 1  # X
+    assert wide["in_range__age"] == 1         # 200
+    assert wide["regex__code"] == 1           # xy
+    assert wide["str_length__code"] == 1      # 11 chars
+    assert wide["cross_column__lo_le_hi"] == 1  # 30 > 20; NULLs not violations
+    assert wide["composite_unique__sid_sex"] == 0  # (A1,M),(A1,X) distinct
+
+
+def test_referential_violations(spark):
+    child = spark.createDataFrame([(1,), (2,), (99,)], "fk BIGINT")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk BIGINT")
+    orphans = C.referential_violations(child, parent, "fk", "pk")
+    assert [r.fk for r in orphans.collect()] == [99]
+
+
+def test_freshness_rule(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "ts_s STRING"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    fresh = C.run_checks(
+        df, [C.freshness("ts", "2024-01-01 01:00:00", 120, 150)]
+    ).collect()[0]
+    stale = C.run_checks(
+        df, [C.freshness("ts", "2024-01-01 04:00:00", 120, 150)]
+    ).collect()[0]
+    assert fresh["freshness__ts"] == 0
+    assert stale["freshness__ts"] == 1

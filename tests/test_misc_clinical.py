@@ -1,0 +1,105 @@
+"""Standardize / ingest / redaction / ML tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from clinical_data_platform_spark.clinical import standardize as STD
+from clinical_data_platform_spark.clinical.features import subject_level_features
+from clinical_data_platform_spark.clinical.ingest import (
+    infer_dtypes,
+    land_to_bronze,
+    read_csv_normalized,
+)
+from clinical_data_platform_spark.clinical.ml import closed_form_risk, score, train
+from clinical_data_platform_spark.clinical.redaction import (
+    detokenize_value,
+    redact_columns,
+    shift_dates,
+    tokenize_column,
+)
+
+
+def test_mapper_drops_extras_and_coerces(spark):
+    df = spark.createDataFrame(
+        [("STUDY001", "S1", "ACTIVE", "M", "55.5", "EXTRA")],
+        "STUDYID STRING, SUBJID STRING, ARM STRING, SEX STRING, AGE STRING, JUNK STRING",
+    )
+    out = STD.map_dm(df)
+    assert out.columns == ["STUDYID", "SUBJID", "ARM", "SEX", "AGE"]  # JUNK dropped
+    assert isinstance(out.schema["AGE"].dataType, T.DoubleType)
+    assert out.first()["AGE"] == 55.5
+
+
+def test_mapper_null_on_error(spark):
+    df = spark.createDataFrame(
+        [("STUDY001", "S1", "not-a-date", None, "MILD", None, None)],
+        "STUDYID STRING, SUBJID STRING, AESTDTC STRING, AEENDTC STRING, "
+        "AESEV STRING, AESER STRING, AEOUT STRING",
+    )
+    row = STD.map_ae(df).first()
+    assert row["AESTDTC"] is None  # coerce semantics: bad input -> NULL
+
+
+def test_ingest_roundtrip(spark, silver, tmp_path):
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    dm_pdf = silver["DM"].toPandas()
+    dm_csv = csv_dir / "DM.csv"
+    dm_pdf.to_csv(dm_csv, index=False)
+
+    bronze = str(tmp_path / "bronze")
+    land_to_bronze(spark, {"DM": str(dm_csv)}, bronze)
+    back = spark.read.parquet(f"{bronze}/study_id=STUDY001/domain=DM")
+    assert back.count() == len(dm_pdf)
+
+    dtypes = infer_dtypes(read_csv_normalized(spark, str(dm_csv)))
+    assert dtypes["AGE"] == "float64" and dtypes["SUBJID"] == "string"
+
+
+def test_redaction_battery(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ssn 123-45-6789 phone (555) 123-4567 mail a.b@x.co dob 2001-02-03"),
+            (2, "patient=John Smith; plain text stays"),
+        ],
+        "id BIGINT, note STRING",
+    )
+    out = {r.id: r.note for r in redact_columns(df, ["note"]).collect()}
+    assert "123-45-6789" not in out[1] and "a.b@x.co" not in out[1]
+    assert "2001-02-03" not in out[1]
+    assert "John Smith" not in out[2]
+    assert "plain text stays" in out[2]
+
+
+def test_tokenize_roundtrip(spark):
+    df = spark.createDataFrame([("SUBJ0001",), ("SUBJ0002",)], "SUBJID STRING")
+    tok = tokenize_column(df, "SUBJID", key="k3y").collect()
+    values = {detokenize_value(r.SUBJID, "k3y") for r in tok}
+    assert values == {"SUBJ0001", "SUBJ0002"}
+    assert detokenize_value(tok[0].SUBJID, "wrong") is None
+
+
+def test_shift_dates(spark):
+    df = spark.createDataFrame([("2024-01-01",)], "d STRING").select(
+        F.col("d").cast("date").alias("d")
+    )
+    assert str(shift_dates(df, "d", 30).first()["d"]) == "2024-01-31"
+
+
+def test_ml_train_and_score(spark, silver):
+    feats = subject_level_features(silver["DM"], silver["AE"])
+    model, auc, ap = train(feats, seed=42)
+    assert 0.65 <= auc <= 1.0 and 0.60 <= ap <= 1.0
+    scored = score(model, feats)
+    risks = scored.agg(F.min("RISK"), F.max("RISK")).first()
+    assert 0.0 <= risks[0] and risks[1] <= 1.0
+    assert scored.count() == silver["DM"].count()
+
+
+def test_closed_form_risk(spark, silver):
+    feats = subject_level_features(silver["DM"], silver["AE"]).na.fill({"AGE": 0})
+    out = closed_form_risk(feats).toPandas()
+    assert out.risk.between(0, 1).all()
+    assert set(out.confidence) <= {"low", "medium", "high"}

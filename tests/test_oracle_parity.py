@@ -1,0 +1,40 @@
+"""Driver-gate replica inside pytest: every registered plan query vs its
+DuckDB oracle at sf0.001 (fast). The standalone tools/oracle_check.py does
+the same at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from clinical_data_platform_spark.catalog import TABLES
+from clinical_data_platform_spark.plans import all_oracles, all_queries
+
+from .helpers import assert_frames_match
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+_QUERIES = sorted(all_queries())
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_query_matches_oracle(name, spark, corpus_duck):
+    q = all_queries()[name]
+    sdf = q(spark, SF_DIR)
+    oracle = all_oracles().get(name)
+    if oracle is None:
+        assert sdf.count() >= 0  # rows-only contract
+        return
+    odf = corpus_duck.execute(oracle).fetchdf()
+    assert_frames_match(sdf, odf, float_dp=6, context=name)

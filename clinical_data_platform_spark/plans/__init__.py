@@ -21,3 +21,4 @@ from . import textops  # noqa: E402,F401
 from . import vectorops  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import streamops  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401

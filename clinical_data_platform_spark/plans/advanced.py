@@ -1,0 +1,368 @@
+"""Advanced operator coverage beyond the reference's own surface: as-of
+join, rollup/cube, set ops, full-outer join, skew-salted aggregation,
+top-k per group, multimodal payload plumbing, BPE-ish tokenization,
+language-ID. Each has an exact DuckDB oracle unless inherently
+non-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table as T
+from ..functions.text import STOPWORDS, tokens
+from ..operators.asof import asof_join_backward
+from ..operators.multimodal import attach_payload, extract_meta, featurize_payload
+from ..operators.skew import salted_aggregate
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — Spark lacks a native one)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_event_hourly_rate",
+    oracle="""
+    WITH rates AS (
+      SELECT user_id, date_trunc('hour', ts) AS rate_ts,
+             round(avg(value), 6) AS rate
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, r.rate
+    FROM events e
+    ASOF JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.rate_ts
+    """,
+    tags=["asof", "custom-operator"],
+)
+def asof_event_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the most recent hourly rate at
+    or before its timestamp. Union-merge implementation (operators/asof.py)
+    — one shuffle on user_id; oracle is DuckDB's native ASOF JOIN."""
+    ev = T(spark, sf_dir, "events")
+    rates = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("rate_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("rate"))
+    joined = asof_join_backward(
+        ev.select("event_id", "user_id", "ts"),
+        rates,
+        key="user_id",
+        left_ts="ts",
+        right_ts="rate_ts",
+        value_cols=["rate"],
+    )
+    return joined.select("event_id", "user_id", "rate")
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube (grouping sets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS total_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=["rollup"],
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal rows carry NULL keys) — consolidates
+    the reference's separate per-arm and per-study views into one pass."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "cube_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=["cube"],
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority (all 4 grouping sets in one shuffle)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / outer joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "building_buyers_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+    tags=["setop"],
+)
+def building_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics on both engines)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big)
+
+
+@query(
+    "customers_without_orders_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    tags=["setop"],
+)
+def customers_without_orders_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference — DataFrame.subtract)."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@query(
+    "nation_trade_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1
+    ), supp AS (
+      SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           cast(coalesce(c.n_customers, 0) AS BIGINT) AS n_customers,
+           cast(coalesce(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
+    FROM cust c FULL OUTER JOIN supp s ON c.nk = s.nk
+    """,
+    tags=["join-full-outer"],
+)
+def nation_trade_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with coalesced keys/defaults."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew / top-k / approx
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_event_rollup",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=["skew", "A1"],
+)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for hot keys (operators/skew.py) — must
+    produce EXACTLY the plain groupBy result, which the oracle asserts."""
+    out = salted_aggregate(
+        T(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={"n": ("count", F.lit(1)), "total_value": ("sum", F.col("value"))},
+    )
+    return out.select("event_type", "n", F.round("total_value", 2).alias("total_value"))
+
+
+@query(
+    "top3_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=["topk", "W1"],
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: window row_number with deterministic tie-break."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query("approx_distinct_parts", tags=["approx", "A5"])
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct + approximate percentile — the
+    100 TB substitutes for exact COUNT(DISTINCT)/percentile. Sketches are
+    engine-specific, so this is a rows-only check; the exact twins
+    (distinct_counts_by_flag, median_price_by_priority) carry the oracle."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal payload plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           cast(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    tags=["multimodal", "mapInPandas"],
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the real mapInPandas
+    plumbing (Arrow batches of BINARY) — the decode step itself is stubbed
+    per environment, but byte length + sha256 are verifiable against the
+    oracle's utf-8 encoding."""
+    payloads = attach_payload(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return extract_meta(payloads)
+
+
+@query("multimodal_features", tags=["multimodal", "mapInPandas"])
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake featurizer over binary payloads (embedding-model
+    stand-in; rows-only — array<double> output)."""
+    payloads = attach_payload(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return featurize_payload(payloads, dim=8)
+
+
+# ---------------------------------------------------------------------------
+# Text: BPE-ish tokenization + language-ID
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens,
+           cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=["text", "tokenize"],
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex (letter runs
+    / digit runs / single punctuation) — both pure JVM regex."""
+    d = T(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def _stop_score_sql(lang: str) -> str:
+    arr = "['" + "', '".join(STOPWORDS[lang]) + "']"
+    return (
+        f"(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"x -> list_contains({arr}, x))) "
+        f"/ greatest(len(string_split_regex(trim(text), '\\s+')), 1))"
+    )
+
+
+@query(
+    "lang_id_prediction",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_stop_score_sql('en')} AS s_en,
+             {_stop_score_sql('de')} AS s_de,
+             {_stop_score_sql('es')} AS s_es,
+             {_stop_score_sql('fr')} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           round(greatest(s_en, s_de, s_es, s_fr), 6) AS top_score
+    FROM scored
+    """,
+    tags=["text", "lang-id"],
+)
+def lang_id_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: stopword hit-rate per language,
+    argmax with a fixed tie-break order (mirrored exactly in the oracle).
+    The corpus text is synthetic, so accuracy is meaningless — determinism
+    and the operator shape are what's under test."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.trim(F.col("text"))))
+    denom = F.greatest(F.size(tokens(F.col("text"))), F.lit(1))
+
+    def score(lang: str):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / denom
+
+    scored = d.select(
+        "doc_id", "lang",
+        score("en").alias("s_en"), score("de").alias("s_de"),
+        score("es").alias("s_es"), score("fr").alias("s_fr"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+        F.round(F.greatest("s_en", "s_de", "s_es", "s_fr"), 6).alias("top_score"),
+    )

@@ -952,3 +952,141 @@ def customer_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_sha256_salted"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage (round 1, wave 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=["tpch", "A12"],
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the pushdown showcase
+    (all four predicates reach the parquet reader; no shuffle at all)."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "corr_quantity_price",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=["A3", "stats"],
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per group (both engines use
+    sample semantics for corr/covar_samp)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_cov"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "event_lag_lead_rank",
+    oracle="""
+    SELECT event_id, user_id,
+           round(lag(value)  OVER w, 6) AS prev_value,
+           round(lead(value) OVER w, 6) AS next_value,
+           cast(rank()       OVER v AS BIGINT) AS value_rank,
+           cast(ntile(4)     OVER w AS INTEGER) AS time_quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           v AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    tags=["window", "lag-lead"],
+)
+def event_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank/ntile battery (beyond the reference's window usage;
+    all orderings carry an event_id tie-break for determinism)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(w), 6).alias("prev_value"),
+        F.round(F.lead("value").over(w), 6).alias("next_value"),
+        F.rank().over(v).cast("long").alias("value_rank"),
+        F.ntile(4).over(w).alias("time_quartile"),
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, cast(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+    tags=["unpivot"],
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide metrics to long form — Spark's native unpivot
+    operator; the oracle spells it as UNION ALL."""
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query(
+    "sql_api_status_summary",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=["sql-api"],
+)
+def sql_api_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface over registered temp views (SURVEY §3.2:
+    Catalyst parse->analyze->optimize->execute on a SQL string)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus
+        """
+    )

@@ -50,3 +50,24 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation (rows-only check)."""
     tune_session(spark)
     return S.session_windows(spark, sf_dir)
+
+
+@query(
+    "stream_user_running_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           floor(round(sum(value), 2) / count(*) * 1e6) / 1e6 AS mean_value
+    FROM events GROUP BY user_id
+    """,
+    tags=["streaming", "stateful", "applyInPandasWithState"],
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running count/sum/mean held in the state store. Over the bounded corpus
+    the final state equals the batch aggregate — asserted by the oracle."""
+    from ..streaming.stateful import running_user_totals
+
+    tune_session(spark)
+    return running_user_totals(spark, sf_dir)

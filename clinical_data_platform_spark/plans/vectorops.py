@@ -100,3 +100,58 @@ def lsh_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         e.filter(F.col("vec_id") != 0), qvec, dim=len(qvec), k=10, bits=6
     )
+
+
+@query(
+    "knn_join_top5",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 3),
+    sims AS (
+      SELECT q.query_id, e.vec_id,
+             {_DOT_SQL.format(a='e.embedding', b='q.qe')}
+               / ({_NORM_SQL.format(a='e.embedding')}
+                  * {_NORM_SQL.format(a='q.qe')}) AS cos
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, vec_id, round(cos, 5) AS cosine, cast(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=["vector", "ann", "knn-join"],
+)
+def knn_join_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN for a broadcastable query set (3 query vectors):
+    broadcast-nested-loop + per-query window top-k
+    (operators/similarity.knn_join)."""
+    from ..operators.similarity import knn_join
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(e, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
+@query("ivf_ann_topk_vec0", tags=["vector", "ann", "ivf"])
+def ivf_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: KMeans-bucketed corpus, probe the 4 nearest
+    centroids, exact cosine within (operators/ivf.py). Rows-only check —
+    KMeans assignments are engine-specific; pytest asserts recall vs brute
+    force."""
+    from ..operators.ivf import build_ivf_index
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    index = build_ivf_index(e.filter(F.col("vec_id") != 0), k_clusters=8)
+    return index.search(qvec, k=10, nprobe=4)

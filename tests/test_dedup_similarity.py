@@ -92,3 +92,19 @@ def test_knn_join(spark):
     # each query's own vector ranks first (cosine 1 with itself)
     top1 = out[out["rank"] == 1]
     assert all(top1.query_id == top1.vec_id)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from clinical_data_platform_spark.operators.ivf import build_ivf_index
+
+    emb = _embeddings(spark, n=300, dim=16)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    others = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in brute_force_topk(others, q, k=10).collect()]
+    index = build_ivf_index(others, k_clusters=8)
+    # probing ALL clusters must recover the exact result (sanity)
+    full = [r.vec_id for r in index.search(q, k=10, nprobe=8).collect()]
+    assert full == exact
+    # probing half the clusters keeps decent recall
+    half = [r.vec_id for r in index.search(q, k=10, nprobe=4).collect()]
+    assert len(set(half) & set(exact)) >= 5

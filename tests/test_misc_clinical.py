@@ -103,3 +103,23 @@ def test_closed_form_risk(spark, silver):
     out = closed_form_risk(feats).toPandas()
     assert out.risk.between(0, 1).all()
     assert set(out.confidence) <= {"low", "medium", "high"}
+
+
+def test_stateful_stream_totals_match_batch(spark):
+    from clinical_data_platform_spark.streaming.stateful import running_user_totals
+    from clinical_data_platform_spark.catalog import table as T
+
+    sf = "/root/testdata/sf0.001"
+    out = running_user_totals(spark, sf).toPandas().set_index("user_id")
+    batch = (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert out["n_events"].sort_index().equals(batch["n_events"].sort_index())
+    assert out["total_value"].sort_index().equals(batch["total_value"].sort_index())

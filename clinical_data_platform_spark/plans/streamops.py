@@ -71,3 +71,26 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     return running_user_totals(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                 AS win_start,
+             event_type
+      FROM events
+    )
+    SELECT win_start, event_type, count(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+    tags=["streaming", "window", "sliding"],
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window / 30m slide): every event lands in
+    exactly two epoch-aligned windows, which the oracle expands explicitly
+    via unnest."""
+    out = S.sliding_counts(spark, sf_dir)
+    return out.select("win_start", "event_type", "n")

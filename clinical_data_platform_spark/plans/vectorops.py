@@ -155,3 +155,51 @@ def ivf_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     index = build_ivf_index(e.filter(F.col("vec_id") != 0), k_clusters=8)
     return index.search(qvec, k=10, nprobe=4)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (a.nrm * b.nrm), 5) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+          / (a.nrm * b.nrm) > 0.45
+    """,
+    tags=["vector", "dedup", "near-dup"],
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos > 0.45). Exhaustive
+    self-join here (corpus is 500 vectors at every sf); the 100 TB path is
+    the same predicate applied within LSH/IVF buckets
+    (operators/similarity.py, operators/ivf.py) so candidate pairs stay
+    bucket-local."""
+    e = T(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    from ..functions.vectors import dot
+
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") > 0.45)
+        .select("id_a", "id_b", F.round("cosine_raw", 5).alias("cosine"))
+    )

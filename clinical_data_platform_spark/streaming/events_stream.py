@@ -145,3 +145,39 @@ def session_windows(
         F.col("w.end").alias("sess_end"),
         "n_events",
     )
+
+
+def stream_to_parquet_batches(
+    spark: SparkSession, sf_dir: str, out_dir: str, watermark: str = "2 hours"
+) -> int:
+    """foreachBatch sink pattern: per-micro-batch custom write (here:
+    hourly aggregates appended as parquet, batch id stamped). This is the
+    production sink shape for non-streaming-native targets (JDBC, MERGE
+    INTO, multi-table writes); availableNow bounds it for tests.
+
+    Returns the number of micro-batches processed."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+    n_batches = {"n": 0}
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        n_batches["n"] += 1
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -123,3 +123,18 @@ def test_stateful_stream_totals_match_batch(spark):
     )
     assert out["n_events"].sort_index().equals(batch["n_events"].sort_index())
     assert out["total_value"].sort_index().equals(batch["total_value"].sort_index())
+
+
+def test_stream_foreachbatch_sink(spark, tmp_path):
+    from clinical_data_platform_spark.streaming.events_stream import (
+        stream_to_parquet_batches,
+    )
+    from clinical_data_platform_spark.catalog import table as T
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "hourly")
+    n_batches = stream_to_parquet_batches(spark, sf, out)
+    assert n_batches >= 1
+    written = spark.read.parquet(out)
+    total = written.agg(F.sum("n")).first()[0]
+    assert total == T(spark, sf, "events").count()

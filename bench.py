@@ -21,11 +21,20 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_unshipped_revenue_topk",
     "q5_revenue_by_nation",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q10_returned_items",
     "filtered_rate_by_priority",
     "customer_order_fanin",
     "region_overview_rollup",
     "distinct_counts_by_flag",
     "median_price_by_priority",
+    "rollup_revenue",
+    # custom operators
+    "asof_event_hourly_rate",
+    "salted_event_rollup",
+    "knn_join_top5",
+    "embedding_near_dup_pairs",
     # windows / events
     "running_event_count",
     "hourly_event_rollup",

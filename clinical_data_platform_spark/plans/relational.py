@@ -1090,3 +1090,101 @@ def sql_api_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             cast(year(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1.0 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+         OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=["tpch", "J1", "J2"],
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year — disjunctive
+    cross-nation predicate over a 6-way join, dims broadcast."""
+    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = F.broadcast(T(spark, sf_dir, "customer"))
+    n1 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=["tpch", "J1", "O1", "O3"],
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking — selective fact
+    filters, 4-way join, grouped agg, top-20 (TakeOrderedAndProject)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name", "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -180,26 +180,31 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same predicate applied within LSH/IVF buckets
     (operators/similarity.py, operators/ivf.py) so candidate pairs stay
     bucket-local."""
+    # Higher-order vector expressions are interpreted (no codegen), so the
+    # cost model is "lambda ops per pair": pre-normalize to unit vectors
+    # ONCE per row (O(n·d)), compute only the dot per pair (O(n²·d) with the
+    # smallest possible constant), and fan the pair loop across cores (the
+    # single parquet file otherwise arrives as one partition).
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = T(spark, sf_dir, "embeddings")
-    n = e.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    unit = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / l2_norm(F.col("embedding")),
+        ).alias("unit"),
     )
-    a = n.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
+    a = unit.select(
+        F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a")
+    ).repartition(parallelism)
+    b = unit.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b"))
     from ..functions.vectors import dot
 
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos = dot(F.col("unit_a"), F.col("unit_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_raw", cos)
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine_raw"))
         .filter(F.col("cosine_raw") > 0.45)
         .select("id_a", "id_b", F.round("cosine_raw", 5).alias("cosine"))
     )

@@ -1188,3 +1188,62 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=["tpch", "J3", "A10"],
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join preserving zero-order customers,
+    then a histogram of per-customer counts (two-level aggregation)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    SELECT l_partkey, l_suppkey, round(l_extendedprice, 2) AS best_price
+    FROM (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice, l_suppkey,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    tags=["tpch", "argmin", "W2"],
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's argmin shape: the row achieving the per-group minimum
+    (window row_number with a full deterministic tie-break — the engine-
+    portable form of min_by)."""
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        T(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+    )

@@ -87,3 +87,39 @@ def test_freshness_rule(spark):
     ).collect()[0]
     assert fresh["freshness__ts"] == 0
     assert stale["freshness__ts"] == 1
+
+
+def test_scd2_merge(spark):
+    from clinical_data_platform_spark.operators.scd import apply_scd2, init_scd2
+
+    snap = spark.createDataFrame(
+        [(1, "A", "x"), (2, "B", "y")], "id BIGINT, name STRING, attr STRING"
+    )
+    dim = init_scd2(snap, "id", "2024-01-01 00:00:00")
+    # batch 1: id=1 changes attr, id=3 is new, id=2 unchanged
+    upd1 = spark.createDataFrame(
+        [(1, "A", "z"), (2, "B", "y"), (3, "C", "w")],
+        "id BIGINT, name STRING, attr STRING",
+    )
+    dim = apply_scd2(dim, upd1, "id", ["name", "attr"], "2024-02-01 00:00:00")
+    # batch 2: id=3 changes name
+    upd2 = spark.createDataFrame([(3, "C2", "w")], "id BIGINT, name STRING, attr STRING")
+    dim = apply_scd2(dim, upd2, "id", ["name", "attr"], "2024-03-01 00:00:00").cache()
+
+    pdf = dim.toPandas().sort_values(["id", "valid_from"]).reset_index(drop=True)
+    # one current row per key
+    cur = pdf[pdf.is_current]
+    assert sorted(cur.id) == [1, 2, 3]
+    assert cur.set_index("id").loc[1, "attr"] == "z"
+    assert cur.set_index("id").loc[3, "name"] == "C2"
+    # id=1 history: closed original with valid_to = batch-1 ts
+    h1 = pdf[(pdf.id == 1) & (~pdf.is_current)]
+    assert len(h1) == 1 and str(h1.iloc[0].valid_to) == "2024-02-01 00:00:00"
+    assert h1.iloc[0].attr == "x"
+    # id=2 never versioned
+    assert len(pdf[pdf.id == 2]) == 1
+    # intervals are contiguous and non-overlapping per key
+    for key, grp in pdf.groupby("id"):
+        grp = grp.sort_values("valid_from")
+        for a, b in zip(grp.valid_to[:-1], grp.valid_from[1:]):
+            assert a == b

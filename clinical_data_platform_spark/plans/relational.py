@@ -1247,3 +1247,36 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 2).alias("best_price"),
         )
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < p.half_avg_qty
+    """,
+    tags=["tpch", "subquery"],
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + self-join — exactly the
+    rewrite Catalyst performs for the SQL form; expressed directly so the
+    plan is explicit (one shuffle on partkey)."""
+    l = T(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        l.join(part_avg, l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

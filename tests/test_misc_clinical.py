@@ -138,3 +138,69 @@ def test_stream_foreachbatch_sink(spark, tmp_path):
     written = spark.read.parquet(out)
     total = written.agg(F.sum("n")).first()[0]
     assert total == T(spark, sf, "events").count()
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg over two micro-batches: an event arriving
+    after the watermark passed its window must be DROPPED (late-data
+    policy), and on-time windows must emit exactly once."""
+    import time
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        import glob, shutil
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: events in hours 0 and 3 -> watermark advances to 3:00 - 1h = 2:00
+    write_file("b1", [(1, t0, 1.0), (2, t0.replace(hour=3), 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("h"), "n")
+    )
+    name = "late_test_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(4)
+        # batch 2: one LATE event (hour 0, before watermark 2:00) and one
+        # on-time event (hour 4)
+        write_file("b2", [(3, t0.replace(minute=30), 9.0), (4, t0.replace(hour=4), 1.0)])
+        time.sleep(5)
+        # batch 3: push watermark far forward so hour-3/4 windows close
+        write_file("b3", [(5, t0.replace(hour=8), 1.0)])
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = {str(r.h): r.n for r in spark.table(name).collect()}
+            if "2024-01-01 03:00:00" in rows and "2024-01-01 04:00:00" in rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = {str(r.h): r.n for r in spark.table(name).collect()}
+    # hour-0 window closed with ONLY the on-time event: the late one dropped
+    assert rows.get("2024-01-01 00:00:00") == 1, rows
+    assert rows.get("2024-01-01 03:00:00") == 1, rows
+    assert rows.get("2024-01-01 04:00:00") == 1, rows

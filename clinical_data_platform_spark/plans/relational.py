@@ -1280,3 +1280,73 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1.0 - l.l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    tags=["tpch", "A2"],
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio over a broadcast dim join."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = F.broadcast(T(spark, sf_dir, "part"))
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 5 AND l.l_quantity <= 40)
+       OR (p.p_type = 'ECONOMY' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 10 AND l.l_quantity <= 50)
+    """,
+    tags=["tpch", "P3", "P4"],
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three-way disjunctive compound predicate across
+    both join sides — Catalyst extracts the common l_partkey equi-condition
+    and keeps the disjunction as a post-join filter."""
+    l = T(spark, sf_dir, "lineitem")
+    p = F.broadcast(T(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 30))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 25) & q.between(5, 40))
+        | ((F.col("p_type") == "ECONOMY") & sz.between(1, 35) & q.between(10, 50))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

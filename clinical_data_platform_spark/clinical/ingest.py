@@ -80,6 +80,9 @@ def land_to_bronze(
             df.withColumn("study_id", F.lit(study_id))
             .withColumn("domain", F.lit(domain))
             .write.mode("overwrite")
+            # dynamic: replace only the partitions being written — static
+            # overwrite would wipe the other domains from bronze_root
+            .option("partitionOverwriteMode", "dynamic")
             .option("compression", "snappy")
             .partitionBy("study_id", "domain")
             .parquet(bronze_root)

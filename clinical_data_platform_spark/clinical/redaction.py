@@ -87,3 +87,17 @@ def detokenize_value(token: str, key: str) -> str | None:
 def shift_dates(df: DataFrame, column: str, days: int) -> DataFrame:
     """Date-shift de-identification (phi_redaction.py:40-41)."""
     return df.withColumn(column, F.date_add(F.col(column), days))
+
+
+def redact_text_str(value: str) -> str:
+    """Driver-side string redaction (log/error scrubbing — the non-column
+    twin of redact_text, compliance/phi_redaction.py:26-44). Java and
+    Python regex dialects agree for this battery."""
+    import re
+
+    if not isinstance(value, str):
+        return value
+    out = value
+    for pat in PHI_PATTERNS:
+        out = re.sub(pat, REDACTION_TOKEN, out)
+    return out

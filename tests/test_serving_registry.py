@@ -1,0 +1,104 @@
+"""Serving API + model-registry governance tests (reference parity:
+api tests test_api.py / test_auth_required.py / test_readonly_middleware.py
+and registry governance registry.py:217-308)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from clinical_data_platform_spark.clinical.registry import ModelRegistry
+from clinical_data_platform_spark.serving.app import closed_form_score, create_app
+
+TOKEN = "test-token-123"
+
+
+@pytest.fixture()
+def client(monkeypatch, tmp_path, spark, silver):
+    from clinical_data_platform_spark.clinical import marts as M
+
+    mart_path = str(tmp_path / "outcomes.parquet")
+    M.build_marts(silver)["fact_subject_outcomes"].toPandas().to_parquet(mart_path)
+    monkeypatch.setenv("CLINICAL_API_TOKEN", TOKEN)
+    monkeypatch.delenv("READ_ONLY_MODE", raising=False)
+    app = create_app(mart_path)
+    app.testing = True
+    return app.test_client()
+
+
+def _auth():
+    return {"Authorization": f"Bearer {TOKEN}"}
+
+
+def test_health_open(client):
+    r = client.get("/health")
+    assert r.status_code == 200 and r.get_json()["status"] == "ok"
+
+
+def test_score_requires_auth(client):
+    assert client.post("/score", json={"age": 50, "ae_count": 1, "severe_ae_count": 0}).status_code == 401
+
+
+def test_score_bounds_and_validation(client):
+    ok = client.post("/score", json={"age": 50, "ae_count": 2, "severe_ae_count": 1}, headers=_auth())
+    assert ok.status_code == 200
+    body = ok.get_json()
+    assert 0.0 <= body["risk"] <= 1.0 and body["confidence"] in {"low", "medium", "high"}
+    # cross-field: severe > total rejected (api/main.py:90-100)
+    bad = client.post("/score", json={"age": 50, "ae_count": 1, "severe_ae_count": 3}, headers=_auth())
+    assert bad.status_code == 422
+    assert client.post("/score", json={"age": 200, "ae_count": 0, "severe_ae_count": 0}, headers=_auth()).status_code == 422
+
+
+def test_score_matches_spark_closed_form(spark, silver, client):
+    from clinical_data_platform_spark.clinical.features import subject_level_features
+    from clinical_data_platform_spark.clinical.ml import closed_form_risk
+
+    feats = subject_level_features(silver["DM"], silver["AE"]).na.fill({"AGE": 0})
+    row = feats.orderBy("SUBJID").first()
+    spark_risk = closed_form_risk(feats).filter(f"SUBJID = '{row['SUBJID']}'").first()["risk"]
+    api = closed_form_score(row["AGE"] or 0, row["AE_COUNT"], row["SEVERE_AE_COUNT"])
+    assert abs(api["risk"] - spark_risk) < 1e-9
+
+
+def test_subject_lookup_and_regex(client):
+    assert client.get("/subjects/SUBJ0001", headers=_auth()).status_code == 200
+    assert client.get("/subjects/bad id!", headers=_auth()).status_code in (400, 404)
+    assert client.get("/subjects/NOPE999", headers=_auth()).status_code == 404
+    assert client.get("/studies", headers=_auth()).get_json()["studies"] == ["STUDY001"]
+
+
+def test_read_only_middleware(client, monkeypatch):
+    monkeypatch.setenv("READ_ONLY_MODE", "1")
+    # score stays allowed; other mutations blocked
+    assert client.post("/score", json={"age": 40, "ae_count": 0, "severe_ae_count": 0}, headers=_auth()).status_code == 200
+    assert client.post("/studies", headers=_auth()).status_code == 403
+
+
+def test_registry_governance(tmp_path):
+    reg = ModelRegistry(str(tmp_path / "registry.json"))
+    mv = reg.register("risk_model", metrics={"auc": 0.9, "ap": 0.8})
+    assert mv.version == 1 and mv.stage == "None"
+    # production promotion blocked without governance tags
+    with pytest.raises(PermissionError):
+        reg.promote("risk_model", 1, "Production")
+    reg.set_tags("risk_model", 1, {
+        "clinical_use": "risk-screening",
+        "validation_status": "approved",
+        "performance_gate": "passed",
+    })
+    assert reg.validate_governance("risk_model", 1)["compliant"]
+    reg.promote("risk_model", 1, "Production")
+    assert reg.get_production_version("risk_model").version == 1
+    # new version promotion archives the incumbent
+    reg.register("risk_model", metrics={"auc": 0.92, "ap": 0.82}, tags={
+        "clinical_use": "risk-screening",
+        "validation_status": "approved",
+        "performance_gate": "passed",
+    })
+    reg.promote("risk_model", 2, "Production")
+    versions = {v.version: v.stage for v in reg._versions("risk_model")}
+    assert versions == {1: "Archived", 2: "Production"}
+    with pytest.raises(ValueError):
+        reg.promote("risk_model", 2, "SuperProd")

@@ -356,3 +356,42 @@ def test_subject_features_oracle(silver, duck):
         "SUBJID", "AE_COUNT", "SEVERE_AE_COUNT"
     )
     assert_frames_match(sdf, odf, context="subject_level_features")
+
+
+def test_utility_views_oracle(silver, duck):
+    marts = M.build_marts(silver)
+    sql = _SUMMARY_SQL + """
+    SELECT treatment_arm,
+           count(*) AS subject_count,
+           cast(sum(total_adverse_events) AS BIGINT) AS total_aes,
+           cast(sum(serious_adverse_events) AS BIGINT) AS total_serious_aes,
+           round(avg(total_adverse_events), 2) AS avg_aes_per_subject,
+           round(cast(sum(serious_adverse_events) AS DOUBLE) / count(*) * 100, 1)
+               AS serious_ae_rate_percent,
+           count(CASE WHEN safety_risk_category = 'HIGH_RISK' THEN 1 END)
+               AS high_risk_subjects,
+           count(CASE WHEN has_serious_adverse_event THEN 1 END)
+               AS subjects_with_serious_aes
+    FROM summary GROUP BY treatment_arm
+    """
+    odf = duck.execute(sql).fetchdf()
+    assert_frames_match(
+        marts["v_safety_summary"], odf, context="v_safety_summary"
+    )
+
+    sql2 = _SUMMARY_SQL + """
+    , g AS (
+      SELECT treatment_arm, sex_desc, age_group, count(*) AS subject_count,
+             round(avg(age), 1) AS mean_age,
+             min(age) AS min_age, max(age) AS max_age
+      FROM summary GROUP BY 1, 2, 3
+    )
+    SELECT *, round(cast(subject_count AS DOUBLE)
+                    / sum(subject_count) OVER (PARTITION BY treatment_arm) * 100, 1)
+               AS percentage_in_arm
+    FROM g
+    """
+    odf2 = duck.execute(sql2).fetchdf()
+    assert_frames_match(
+        marts["v_demographics_summary"], odf2, context="v_demographics_summary"
+    )

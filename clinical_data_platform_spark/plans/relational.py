@@ -1350,3 +1350,46 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "sql_api_window_cte",
+    oracle="""
+    WITH cust_orders AS (
+      SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_top_orders,
+           round(sum(o_totalprice), 2) AS top_order_value,
+           round(avg(o_totalprice), 4) AS avg_top_order
+    FROM cust_orders WHERE rn <= 2
+    GROUP BY c_mktsegment
+    """,
+    tags=["sql-api", "W1", "cte"],
+)
+def sql_api_window_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SQL surface: CTE + window + join + agg through spark.sql —
+    Catalyst's parser/analyzer path on a nontrivial statement (the same
+    string runs verbatim on DuckDB as its own oracle)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+          SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY c.c_custkey
+                                    ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_top_orders,
+               round(sum(o_totalprice), 2) AS top_order_value,
+               round(avg(o_totalprice), 4) AS avg_top_order
+        FROM cust_orders WHERE rn <= 2
+        GROUP BY c_mktsegment
+        """
+    )

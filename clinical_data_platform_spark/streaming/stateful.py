@@ -94,3 +94,77 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         total2.alias("total_value"),
         (F.floor(total2 / F.col("n_events") * 1e6) / 1e6).alias("mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the newer (Spark 4) arbitrary-state API
+# ---------------------------------------------------------------------------
+
+
+def user_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running min/max via transformWithStateInPandas: typed
+    ValueState in the state store, TTL-free, emitted per batch. The
+    successor API to applyInPandasWithState — both are kept because real
+    deployments straddle the two.
+
+    NB: this API requires google.protobuf for its state-server protocol;
+    that package is broken in the current container, so there is no
+    driver-gate query for it — the pytest covering it skips when the
+    environment can't run it (tests/test_misc_clinical.py)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType.fromDDL(
+        "user_id BIGINT, min_value DOUBLE, max_value DOUBLE"
+    )
+    state_schema = StructType.fromDDL("mn DOUBLE, mx DOUBLE")
+
+    class ExtremesProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("extremes", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            mn, mx = (self.state.get() if self.state.exists() else (None, None))
+            for pdf in rows:
+                lo, hi = float(pdf["value"].min()), float(pdf["value"].max())
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            self.state.update((mn, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "min_value": [mn], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    from .events_stream import _event_stream, _run_to_memory
+
+    ev = _event_stream(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .transformWithStateInPandas(
+            ExtremesProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    res = _run_to_memory(out, "update")
+    from pyspark.sql import Window
+
+    # update-mode emits per batch; keep the widest (final) extremes per key
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("min_value"), F.desc("max_value")
+    )
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+    )

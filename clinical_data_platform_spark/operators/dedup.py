@@ -209,3 +209,52 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("simhash"),
     )
     return packed
+
+
+def ngram_jaccard_pairs_inverted(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = 1000,
+) -> DataFrame:
+    """Same semantics as ngram_jaccard_pairs, different physical plan:
+    instead of a shingle self-JOIN (two shuffles of the exploded table),
+    build the inverted index (groupBy shingle -> sorted doc list) and
+    expand each posting list's pairs with a higher-order function. One
+    shuffle to build postings + one to count pairs; pair-expansion work is
+    bounded by sum(df_s^2) exactly like the join, with no join hash table.
+    Postings lists longer than max_shingle_docs are dropped (ultra-common
+    shingles), which is also the quadratic-blowup guard at scale."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    postings = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
+    postings = postings.filter(F.size("docs") >= 2)
+    if max_shingle_docs is not None:
+        postings = postings.filter(F.size("docs") <= max_shingle_docs)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", "n_common", F.round(jacc, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

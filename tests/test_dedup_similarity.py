@@ -108,3 +108,21 @@ def test_ivf_recall_vs_brute_force(spark):
     # probing half the clusters keeps decent recall
     half = [r.vec_id for r in index.search(q, k=10, nprobe=4).collect()]
     assert len(set(half) & set(exact)) >= 5
+
+
+def test_jaccard_inverted_equals_join_impl(spark):
+    from clinical_data_platform_spark.operators.dedup import (
+        ngram_jaccard_pairs_inverted,
+    )
+
+    docs = _docs(spark)
+    a = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs_inverted(docs, "doc_id", "text", threshold=0.1).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

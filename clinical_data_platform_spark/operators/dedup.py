@@ -258,3 +258,57 @@ def ngram_jaccard_pairs_inverted(
         .select("id_a", "id_b", "n_common", F.round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup clusters: connected components over candidate pairs by
+    iterative min-label propagation (the alternating large/small-star idea
+    in its simplest form). Converges in O(component diameter) rounds; each
+    round is one join + one groupBy. Lineage is truncated per round with
+    localCheckpoint so the plan doesn't grow with iterations.
+
+    Returns (node, component) where component = min node id reachable —
+    the canonical "keep" document per near-duplicate cluster.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels

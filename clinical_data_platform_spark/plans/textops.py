@@ -212,3 +212,54 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document (rows-only: xxhash64-based)."""
     return simhash64(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "near_dup_clusters",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.05
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), closure AS (
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM reach
+    )
+    SELECT src AS node, least(min(dst), src) AS component
+    FROM closure GROUP BY src
+    """,
+    tags=["dedup", "graph", "iterative"],
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: candidate pairs -> connected components via
+    iterative min-label propagation (genuinely iterative distributed
+    algorithm; the oracle uses a recursive-CTE transitive closure).
+    component = min doc_id of the cluster = the canonical keeper."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs_inverted
+
+    pairs = ngram_jaccard_pairs_inverted(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.05, max_shingle_docs=None,
+    )
+    return connected_components(pairs)

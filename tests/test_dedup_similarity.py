@@ -126,3 +126,17 @@ def test_jaccard_inverted_equals_join_impl(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_connected_components_shapes(spark):
+    from clinical_data_platform_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, star 10-(11,12,13), singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4)} == {1}
+    assert {comp[i] for i in (10, 11, 12, 13)} == {10}
+    assert comp[20] == comp[21] == 20

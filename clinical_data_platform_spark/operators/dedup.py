@@ -235,6 +235,12 @@ def ngram_jaccard_pairs_inverted(
     postings = postings.filter(F.size("docs") >= 2)
     if max_shingle_docs is not None:
         postings = postings.filter(F.size("docs") <= max_shingle_docs)
+    # pair expansion is CPU-bound but byte-light: AQE's size-based coalesce
+    # would squeeze it onto one task, so pin the fan-out explicitly
+    parallelism = int(
+        postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    postings = postings.repartition(parallelism)
     pair_structs = F.flatten(
         F.transform(
             F.col("docs"),

@@ -130,3 +130,70 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "rolling_hour_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY cast(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h_value,
+           cast(count(*) OVER (
+             PARTITION BY user_id ORDER BY cast(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_1h_n
+    FROM events
+    """,
+    tags=["window", "range-frame"],
+)
+def rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: rolling 1-hour sum/count per user keyed on
+    event TIME, not row position (a physical ordering-independent frame —
+    ties in ts share the same frame on both engines, unlike ROWS). Both
+    engines frame on floor()ed whole seconds: DuckDB's epoch() keeps
+    microseconds while Spark's long cast truncates, and a fractional
+    boundary would disagree on membership."""
+    ts_s = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
+    )
+
+
+@query(
+    "event_rank_distribution",
+    oracle="""
+    SELECT event_id, user_id,
+           round(percent_rank() OVER v, 6) AS value_pct_rank,
+           round(cume_dist()    OVER v, 6) AS value_cume_dist,
+           round(first_value(value) OVER w, 6) AS first_session_value,
+           round(last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+               AS final_value
+    FROM events
+    WINDOW v AS (PARTITION BY user_id ORDER BY value, event_id),
+           w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=["window", "rank"],
+)
+def event_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / last_value battery with
+    deterministic orderings (last_value over the full unbounded frame)."""
+    v = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(v), 6).alias("value_pct_rank"),
+        F.round(F.cume_dist().over(v), 6).alias("value_cume_dist"),
+        F.round(F.first("value").over(w), 6).alias("first_session_value"),
+        F.round(F.last("value").over(wfull), 6).alias("final_value"),
+    )

@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..functions import macros as MAC
 from ..functions.scalars import surrogate_key
 
 # --------------------------------------------------------------------------
@@ -41,15 +42,8 @@ def stg_demographics(dm: DataFrame, study_id: str = "STUDY001") -> DataFrame:
         F.coalesce(F.col("ARM"), F.lit("UNKNOWN")).alias("treatment_arm"),
         F.upper(F.coalesce(F.col("SEX"), F.lit("U"))).alias("sex"),
         age.alias("age"),
-        F.when(age < 18, "PEDIATRIC")
-        .when((age >= 18) & (age < 65), "ADULT")
-        .when(age >= 65, "ELDERLY")
-        .otherwise("UNKNOWN")
-        .alias("age_group"),
-        F.when(F.col("SEX") == "M", "MALE")
-        .when(F.col("SEX") == "F", "FEMALE")
-        .otherwise("UNKNOWN")
-        .alias("sex_desc"),
+        MAC.age_group(age).alias("age_group"),
+        MAC.sex_desc(F.col("SEX")).alias("sex_desc"),
         F.lit(study_id).alias("dbt_study_id"),
     )
 
@@ -72,11 +66,7 @@ def stg_adverse_events(ae: DataFrame, study_id: str = "STUDY001") -> DataFrame:
         F.when(end.isNull() & (F.col("AEOUT") != "FATAL"), F.lit(True))
         .otherwise(F.lit(False))
         .alias("is_ongoing"),
-        F.when(F.col("AESEV") == "MILD", 1)
-        .when(F.col("AESEV") == "MODERATE", 2)
-        .when(F.col("AESEV") == "SEVERE", 3)
-        .otherwise(0)
-        .alias("severity_rank"),
+        MAC.severity_rank(F.col("AESEV")).alias("severity_rank"),
         F.lit(study_id).alias("dbt_study_id"),
     )
 
@@ -91,22 +81,11 @@ def stg_laboratory(lb: DataFrame, study_id: str = "STUDY001") -> DataFrame:
         F.upper(F.coalesce(F.col("LBORRESU"), F.lit("UNKNOWN"))).alias("result_unit"),
         lo.alias("normal_low"),
         hi.alias("normal_high"),
-        F.when(v.isNull(), "MISSING")
-        .when(lo.isNotNull() & (v < lo), "LOW")
-        .when(hi.isNotNull() & (v > hi), "HIGH")
-        .when(lo.isNotNull() & hi.isNotNull() & (v >= lo) & (v <= hi), "NORMAL")
-        .otherwise("UNKNOWN")
-        .alias("result_flag"),
+        MAC.lab_result_flag(v, lo, hi).alias("result_flag"),
         F.when(lo.isNotNull() & hi.isNotNull() & v.isNotNull(), (v - lo) / (hi - lo)).alias(
             "normalized_result"
         ),
-        F.when(F.col("LBTESTCD").isin("ALT", "AST", "BILI", "ALP"), "LIVER_FUNCTION")
-        .when(F.col("LBTESTCD").isin("CREAT", "BUN", "UREA"), "KIDNEY_FUNCTION")
-        .when(F.col("LBTESTCD").isin("HGB", "HCT", "RBC", "WBC", "PLT"), "HEMATOLOGY")
-        .when(F.col("LBTESTCD").isin("GLUC", "HBA1C"), "GLUCOSE_METABOLISM")
-        .when(F.col("LBTESTCD").isin("CHOL", "LDL", "HDL", "TRIG"), "LIPID_PANEL")
-        .otherwise("OTHER")
-        .alias("test_category"),
+        MAC.lab_test_category(F.col("LBTESTCD")).alias("test_category"),
         F.lit(study_id).alias("dbt_study_id"),
     )
 
@@ -181,18 +160,8 @@ def stg_exposure(ex: DataFrame, study_id: str = "STUDY001") -> DataFrame:
             F.datediff(end.cast("date"), start.cast("date")) + 1,
         ).alias("treatment_duration_days"),
         F.when(end.isNull(), F.lit(True)).otherwise(F.lit(False)).alias("is_ongoing_treatment"),
-        F.when(F.lower(trt).like("%placebo%"), "PLACEBO")
-        .when(F.lower(trt).like("%active%") | F.lower(trt).like("%drug%"), "ACTIVE_TREATMENT")
-        .when(trt.isNull(), "UNKNOWN")
-        .otherwise("OTHER")
-        .alias("treatment_category"),
-        F.when(dose.isNull(), "UNKNOWN")
-        .when(dose == 0, "ZERO_DOSE")
-        .when((dose > 0) & (dose <= 10), "LOW_DOSE")
-        .when((dose > 10) & (dose <= 100), "MEDIUM_DOSE")
-        .when(dose > 100, "HIGH_DOSE")
-        .otherwise("UNKNOWN")
-        .alias("dose_category"),
+        MAC.treatment_category(trt).alias("treatment_category"),
+        MAC.dose_category(dose).alias("dose_category"),
         F.when(start.isNotNull() & end.isNotNull(), "COMPLETED")
         .when(start.isNotNull() & end.isNull(), "ONGOING")
         .when(start.isNull(), "NOT_STARTED")
@@ -298,11 +267,9 @@ def int_subject_summary(
         F.coalesce("max_treatment_duration", F.lit(0)).alias("max_treatment_duration"),
         F.coalesce("ongoing_treatments", F.lit(0)).alias("ongoing_treatments"),
         F.coalesce("treatment_categories", F.lit("NONE")).alias("treatment_categories"),
-        F.when((F.col("serious_aes") > 0) | (F.col("severe_aes") > 0), "HIGH_RISK")
-        .when(F.col("total_aes") > 5, "MEDIUM_RISK")
-        .when(F.col("total_aes") > 0, "LOW_RISK")
-        .otherwise("NO_EVENTS")
-        .alias("safety_risk_category"),
+        MAC.safety_risk_category(
+            F.col("serious_aes"), F.col("severe_aes"), F.col("total_aes")
+        ).alias("safety_risk_category"),
         F.when(F.col("total_aes") > 0, 1).otherwise(0).alias("has_ae_data"),
         F.when(F.col("total_lab_tests") > 0, 1).otherwise(0).alias("has_lab_data"),
         F.when(F.col("total_vital_measurements") > 0, 1).otherwise(0).alias("has_vital_data"),

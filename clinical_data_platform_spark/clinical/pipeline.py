@@ -150,3 +150,19 @@ def run_demo(
     with open(os.path.join(workdir, "run_report.json"), "w") as f:
         json.dump(report, f, indent=2)
     return report
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from ..session import get_spark
+
+    parser = argparse.ArgumentParser(description="Run the demo pipeline")
+    parser.add_argument("--workdir", default="/tmp/cdp_demo")
+    parser.add_argument("--subjects", type=int, default=500)
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+    rep = run_demo(get_spark("demo"), args.workdir, args.subjects, args.seed)
+    import json as _json
+
+    print(_json.dumps(rep, indent=2))

@@ -173,3 +173,40 @@ def referential_violations(
         child[child_key] == F.col("__pk"),
         "left_anti",
     )
+
+
+def freshness_sli(
+    df: DataFrame,
+    ts_col: str,
+    now: str,
+    slo_minutes: int = 120,
+    warn_factor: float = 1.25,
+) -> dict:
+    """Freshness SLI report (src/common/freshness.py:15,52-57 parity):
+    minutes since the newest row vs an SLO; status ok / warning (<= SLO *
+    warn_factor) / breach. ``now`` is injected for determinism; pass
+    datetime.utcnow().isoformat() in production. Returns the JSON-able
+    dict the reference writes to freshness_sli.json."""
+    row = df.agg(F.max(ts_col).alias("max_ts")).collect()[0]
+    max_ts = row["max_ts"]
+    now_s = F.lit(now).cast("timestamp")
+    lag_row = (
+        df.agg(
+            ((now_s.cast("long") - F.max(ts_col).cast("long")) / 60.0).alias("lag_min")
+        ).collect()[0]
+    )
+    lag_min = float(lag_row["lag_min"])
+    if lag_min <= slo_minutes:
+        status = "ok"
+    elif lag_min <= slo_minutes * warn_factor:
+        status = "warning"
+    else:
+        status = "breach"
+    return {
+        "max_timestamp": str(max_ts),
+        "as_of": now,
+        "lag_minutes": round(lag_min, 2),
+        "slo_minutes": slo_minutes,
+        "warn_threshold_minutes": round(slo_minutes * warn_factor, 1),
+        "status": status,
+    }

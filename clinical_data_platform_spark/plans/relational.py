@@ -1393,3 +1393,72 @@ def sql_api_window_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=["tpch", "J5"],
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated inequality — expressed as a
+    left-semi join carrying the non-equi condition (Spark plans the equi
+    part as the join key and the inequality as the join filter)."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_shipmode",
+    oracle="""
+    SELECT l.l_linestatus,
+           cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           cast(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    tags=["tpch", "A4"],
+)
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-bucketed conditional counts over a date
+    slice of the fact join."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

@@ -123,3 +123,16 @@ def test_scd2_merge(spark):
         grp = grp.sort_values("valid_from")
         for a, b in zip(grp.valid_to[:-1], grp.valid_from[1:]):
             assert a == b
+
+
+def test_freshness_sli_statuses(spark):
+    from clinical_data_platform_spark.operators.checks import freshness_sli
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "s STRING").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    ok = freshness_sli(df, "ts", "2024-01-01 01:00:00", slo_minutes=120)
+    warn = freshness_sli(df, "ts", "2024-01-01 02:20:00", slo_minutes=120)
+    breach = freshness_sli(df, "ts", "2024-01-01 03:00:00", slo_minutes=120)
+    assert (ok["status"], warn["status"], breach["status"]) == ("ok", "warning", "breach")
+    assert ok["lag_minutes"] == 60.0 and breach["lag_minutes"] == 180.0

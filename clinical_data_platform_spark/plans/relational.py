@@ -1462,3 +1462,81 @@ def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=["tpch", "scalar-subquery"],
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: compare each group against a GLOBAL aggregate of
+    the same derived table (scalar subquery -> broadcast single-row cross
+    join; rounding the revenue on both sides keeps the equality exact)."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH positive AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, positive p
+    WHERE c.c_acctbal > p.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c.c_nationkey
+    """,
+    tags=["tpch", "J5", "scalar-subquery"],
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (above-average balance)
+    AND a conditional anti-join (no BIG order — every customer in this
+    corpus has some order, so the plain NOT EXISTS would be empty) feeding
+    a grouped rollup."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

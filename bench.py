@@ -30,6 +30,11 @@ HEADLINE = [
     "distinct_counts_by_flag",
     "median_price_by_priority",
     "rollup_revenue",
+    # deep TPC-H (correlated subqueries, semi/anti decorrelation)
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "q21_blocked_suppliers",
     # custom operators
     "asof_event_hourly_rate",
     "salted_event_rollup",

@@ -1,0 +1,115 @@
+"""Physical-plan shape assertions for the deep TPC-H queries.
+
+Correctness is the oracle gate's job; these tests pin the SCALE
+properties — that each query compiles to the plan we designed for 100 TB:
+dims broadcast (hints survive even when statistics would say otherwise),
+correlated subqueries decorrelate to semi/anti joins instead of per-row
+recompute, filters reach the parquet scan, and column pruning keeps
+unreferenced fact columns out of the read schema.
+
+autoBroadcastJoinThreshold is forced to -1 while planning so the tiny
+test files cannot make every join a broadcast by accident — what remains
+broadcast is exactly what the query hinted, and the fact-fact join shows
+the sort-merge shape it would have at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clinical_data_platform_spark.plans import tpch_deep
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df, mode: str) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def fmt_plan(df) -> str:
+    """Formatted explain: has per-scan PushedFilters/ReadSchema details."""
+    return _explain(df, "formatted")
+
+
+def simple_plan(df) -> str:
+    """Simple explain: each physical node appears exactly once, so
+    node-type counts are meaningful."""
+    return _explain(df, "simple")
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def scan_section(plan: str, table: str) -> str:
+    """The formatted-explain detail block for the given table's scan."""
+    blocks = [b for b in plan.split("\n\n") if f"{table}.parquet" in b and "Scan parquet" in b]
+    assert blocks, f"no parquet scan of {table} in plan:\n{plan[:3000]}"
+    return "\n".join(blocks)
+
+
+def test_q8_broadcasts_all_dims_shuffles_one_join(no_auto_broadcast):
+    spark = no_auto_broadcast
+    plan = simple_plan(tpch_deep.q8_market_share(spark, SF))
+    # six hinted dims -> six broadcast joins even with stats disabled
+    assert plan.count("BroadcastHashJoin") >= 6, plan[:3000]
+    # the single fact-fact join (lineitem<->orders) is the only shuffle join
+    assert plan.count("SortMergeJoin") == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_profit_broadcasts_dims(no_auto_broadcast):
+    spark = no_auto_broadcast
+    plan = simple_plan(tpch_deep.q9_profit_by_nation_year(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert plan.count("SortMergeJoin") == 1, plan[:3000]
+
+
+def test_q21_decorrelates_to_semi_and_anti(no_auto_broadcast):
+    spark = no_auto_broadcast
+    plan = simple_plan(tpch_deep.q21_blocked_suppliers(spark, SF))
+    # EXISTS twice (orders status + other-supplier line) and NOT EXISTS once
+    assert plan.count("LeftSemi") >= 2, plan[:3000]
+    assert plan.count("LeftAnti") >= 1, plan[:3000]
+    # never a nested-loop over the fact table for the <> residual
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_pushes_date_filter_and_prunes_columns(spark):
+    plan = fmt_plan(tpch_deep.q20_heavy_shippers(spark, SF))
+    li = scan_section(plan, "lineitem")
+    assert "GreaterThanOrEqual(l_shipdate" in li, li
+    # only suppkey/partkey/quantity/shipdate are referenced
+    assert "l_extendedprice" not in li, li
+    assert "l_returnflag" not in li, li
+
+
+def test_q18_prunes_lineitem_for_having_subquery(spark):
+    plan = fmt_plan(tpch_deep.q18_large_volume_customers(spark, SF))
+    li = scan_section(plan, "lineitem")
+    # the qualifying-orders aggregate needs only orderkey+quantity
+    assert "l_quantity" in li
+    assert "l_extendedprice" not in li, li
+    assert "l_partkey" not in li, li
+
+
+def test_q16_not_in_is_broadcast_anti(no_auto_broadcast):
+    spark = no_auto_broadcast
+    plan = simple_plan(tpch_deep.q16_supplier_part_counts(spark, SF))
+    assert "LeftAnti" in plan, plan[:3000]
+    # the exclusion list is hinted broadcast: anti join must not shuffle
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q2_min_is_window_not_per_row_subquery(no_auto_broadcast):
+    spark = no_auto_broadcast
+    plan = simple_plan(tpch_deep.q2_min_cost_supplier(spark, SF))
+    assert "Window" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,190 @@
+"""Training-data preparation operators for an LLM-scale corpus pipeline:
+deterministic splits, class-balanced sampling, sequence packing, and
+weighted corpus mixing.
+
+The reference stops at tabular ML feature prep
+(src/clinical_platform/analytics/feature_eng.py,
+src/clinical_platform/ml/train.py:1-140 — assemble/split/train on a
+subject table); a 100 TB text corpus needs the same decisions made
+deterministically INSIDE the engine, with no driver-side randomness.
+Every operator here keys its "randomness" on md5 of a stable id — both
+engines produce identical lowercase hex, so each query is exactly
+reproducible and exactly oracle-checkable, and re-running on a grown
+corpus never reshuffles previously-assigned rows (hash-stability is what
+makes incremental training-data builds possible).
+
+Scale notes (100 TB): md5 is a map-side expression — split assignment,
+sampling, and mixture filters are all embarrassingly parallel with zero
+shuffle. Sequence packing is the only stateful step; it partitions the
+corpus into independent hex shards first (a window over the FULL corpus
+would serialize on one task), so each shard packs locally and the
+parallelism is the shard count — turn the 1-hex-char shard key into 2-3
+chars (256/4096 shards) for a real cluster.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table as T
+from .registry import query
+
+
+def _h():
+    # md5 over the stringified doc id: both engines emit lowercase hex.
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+@query(
+    "train_val_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train'
+                  WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           cast(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+    tags=["trainprep", "split"],
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by the first hex
+    nibble of md5(doc_id): 0-b train, c-d val, e-f test. Pure map-side
+    expression — no shuffle, no RNG state, stable under corpus growth
+    (a document never migrates between splits when new data lands)."""
+    d = T(spark, sf_dir, "documents")
+    nib = F.substring(_h(), 1, 1)
+    split = (
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "balanced_class_sample",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    WHERE rk <= 50
+    """,
+    tags=["trainprep", "sampling"],
+)
+def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: exactly 50 documents per language,
+    chosen by md5 rank — a deterministic stand-in for per-class uniform
+    sampling. One shuffle on the class key; within a class the window
+    only needs a top-k (Spark pushes a rank limit into the sort at
+    scale). Classes smaller than k keep every row."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_h().asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+@query(
+    "packed_sequence_bins",
+    oracle="""
+    WITH ordered AS (
+      SELECT substr(md5(cast(doc_id AS VARCHAR)), 1, 1) AS shard,
+             md5(cast(doc_id AS VARCHAR)) AS h,
+             doc_id, n_chars
+      FROM documents
+    ), packed AS (
+      SELECT shard, n_chars,
+             cast(floor((sum(n_chars) OVER (PARTITION BY shard
+                                            ORDER BY h, doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)
+                         - n_chars) / 4000.0) AS BIGINT) AS bin
+      FROM ordered
+    )
+    SELECT shard, bin,
+           count(*) AS n_docs,
+           cast(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM packed
+    GROUP BY 1, 2
+    """,
+    tags=["trainprep", "packing"],
+)
+def packed_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in deterministic
+    md5-shuffled order) into ~4000-char training bins. bin id =
+    floor(preceding-cumulative-chars / budget) via a running-sum window.
+
+    The window is PARTITIONED BY a hash shard, never global — a global
+    ORDER BY window serializes the corpus through one task; sharding
+    first bounds state per task and scales linearly with shard count. A
+    bin never spans shards, which is exactly what a distributed packer
+    wants (shards are the unit of file-level parallelism downstream)."""
+    d = T(spark, sf_dir, "documents")
+    h = _h()
+    o = d.select(
+        F.substring(h, 1, 1).alias("shard"),
+        h.alias("h"),
+        "doc_id",
+        "n_chars",
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    binned = o.select(
+        "shard",
+        "n_chars",
+        F.floor((cum - F.col("n_chars")) / F.lit(4000.0)).cast("long").alias("bin"),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_total,
+           cast(sum(CASE WHEN lang = 'en'
+                          OR substr(md5(cast(doc_id AS VARCHAR)), 1, 1) < '4'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=["trainprep", "mixture"],
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: keep English at 100% and every other
+    language at a deterministic 25% (md5 nibble < '4'). This is the
+    mixture-reweighting step of a pretraining data recipe as a pure
+    map-side filter — rates are audited here by counting kept vs total
+    per language in one pass."""
+    d = T(spark, sf_dir, "documents")
+    keep = (F.col("lang") == "en") | (F.substring(_h(), 1, 1) < "4")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+    )

@@ -1,0 +1,48 @@
+"""Round-trip every built-in lake format with schema preservation."""
+
+from __future__ import annotations
+
+import pytest
+
+from clinical_data_platform_spark.catalog import table as T
+from clinical_data_platform_spark.sources.formats import (
+    avro_available,
+    read_dataset,
+    write_dataset,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip_preserves_schema_and_values(spark, tmp_path, fmt):
+    src = T(spark, SF, "orders")  # mixed types incl. timestamp
+    path = str(tmp_path / fmt)
+    write_dataset(src, path, fmt=fmt)
+    back = read_dataset(spark, path, fmt=fmt)
+    assert dict(back.dtypes) == dict(src.dtypes)
+    assert canon(back) == canon(src)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_partitioned_roundtrip(spark, tmp_path, fmt):
+    src = T(spark, SF, "orders")
+    path = str(tmp_path / f"part_{fmt}")
+    write_dataset(src, path, fmt=fmt, partition_by=["o_orderstatus"])
+    back = read_dataset(spark, path, fmt=fmt)
+    assert sorted(back.columns) == sorted(src.columns)
+    assert canon(back) == canon(src)
+    # partition pruning: a status filter must prune to a subset of files
+    pruned = back.filter(back.o_orderstatus == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() < src.count()
+
+
+def test_avro_gated_not_assumed(spark):
+    # container has no spark-avro package; the gate must say so, not raise
+    assert avro_available(spark) in (True, False)

@@ -50,10 +50,17 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     arrives as one partition, and shingling is CPU-bound, so fan out before
     the heavy expression rather than after."""
     parallelism = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("__toks"),
-    ).repartition(parallelism)
+    # repartition the RAW text, then tokenize: a projection does not move
+    # across the exchange, so tokenizing before the repartition would run
+    # the regex split serially on the single input partition
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .repartition(parallelism)
+        .select(
+            "doc_id",
+            tokens(F.lower(F.col("__text"))).alias("__toks"),
+        )
+    )
     return tok.select(
         "doc_id",
         F.explode(word_shingles(F.col("__toks"), n)).alias("shingle"),

@@ -218,6 +218,62 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return packed
 
 
+def minhash_md5_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded MinHash-LSH whose hash family is md5(i || '|' || shingle) —
+    slower per byte than the xxhash64 family in minhash_lsh_candidates,
+    but portable: DuckDB computes the identical lowercase hex, so this
+    variant is EXACTLY oracle-checkable end-to-end (signatures, banding,
+    and the candidate pair set), not just rows-only.
+
+    Plan shape is identical to the fast path: explode shingles x hash
+    indices, partial-final MIN per (doc, hash), band signatures by
+    string-concat, then an equi self-join on (band, signature) — candidate
+    generation stays bucket-local at any scale."""
+    rows = num_hashes // bands
+    sh = shingle_table(df, id_col, text_col, n)
+    h = (
+        sh.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+    sig = (
+        h.withColumn("band", F.floor(F.col("i") / F.lit(float(rows))).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"],
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    a = sig.select(F.col("doc_id").alias("id_a"), "band", "sig")
+    b = sig.select(F.col("doc_id").alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs_inverted(
     df: DataFrame,
     id_col: str,

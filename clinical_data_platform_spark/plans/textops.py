@@ -198,6 +198,43 @@ def doc_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T(spark, sf_dir, "documents").select("doc_id", red.alias("redacted"))
 
 
+@query(
+    "minhash_lsh_pairs_md5",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), h AS (
+      SELECT doc_id, i,
+             min(md5(cast(i AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh, unnest(generate_series(0, 15)) AS u(i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, cast(floor(i / 4.0) AS BIGINT) AS band,
+             string_agg(mh, ',' ORDER BY i) AS sig
+      FROM h GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    """,
+    tags=["dedup", "lsh"],
+)
+def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with an md5 hash family (16 hashes, 4
+    bands) — the fully-oracled twin of minhash_lsh_candidate_pairs: DuckDB
+    reproduces the identical signatures, so the entire LSH pipeline
+    (min-hashing, banding, bucket join) is hash-compared, not rows-only."""
+    from ..operators.dedup import minhash_md5_candidates
+
+    return minhash_md5_candidates(
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=16, bands=4
+    )
+
+
 @query("minhash_lsh_candidate_pairs", tags=["dedup", "lsh"])
 def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (32 hashes, 8 bands) — the scale path for

@@ -218,6 +218,47 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return packed
 
 
+def simhash_md5_16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash whose bit source is md5 — the oracle-checkable twin
+    of simhash64 (DuckDB reproduces the identical hex, so bit extraction,
+    signed sums, and packing are value-verified; the 64-bit xxhash64
+    variant stays the production path).
+
+    Bit j of a token = bit (3 - j%4) of hex digit (1 + j//4) of
+    md5(token). Documents with no tokens drop out (explode of an empty
+    array) in both engines. Same two-shuffle plan as simhash64."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    digit = [
+        F.conv(F.substring("h", 1 + j // 4, 1), 16, 10).cast("int")
+        for j in range(16)
+    ]
+    contrib = tok.select(
+        "doc_id",
+        *[
+            F.when(
+                F.shiftright(digit[j], 3 - j % 4).bitwiseAND(F.lit(1)) == 1, 1
+            )
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(16)
+        ],
+    )
+    summed = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(16)]
+    )
+    packed = sum(
+        [
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(16)
+        ],
+        F.lit(0),
+    )
+    return summed.select("doc_id", packed.cast("long").alias("simhash16"))
+
+
 def minhash_md5_candidates(
     df: DataFrame,
     id_col: str,

@@ -245,6 +245,40 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "simhash_md5_16bit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), b AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(md5(tok), 1 + j // 4, 1)) - 1)
+                            >> (3 - j % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM t, unnest(generate_series(0, 15)) AS u(j)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           cast(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+             AS simhash16
+    FROM b GROUP BY doc_id
+    """,
+    tags=["dedup", "simhash"],
+)
+def simhash_md5_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit md5-based SimHash — full oracle parity for the SimHash
+    pipeline (bit extraction from the digest, signed frequency sums, sign
+    packing); the 64-bit xxhash64 simhash_signatures stays the production
+    path and keeps its Hamming-distance pytest coverage."""
+    from ..operators.dedup import simhash_md5_16
+
+    return simhash_md5_16(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @query("simhash_signatures", tags=["dedup", "simhash"])
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document (rows-only: xxhash64-based)."""

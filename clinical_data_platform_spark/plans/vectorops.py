@@ -208,3 +208,90 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") > 0.45)
         .select("id_a", "id_b", F.round("cosine_raw", 5).alias("cosine"))
     )
+
+
+# --- md5-derived sign-projection LSH (fully oracled ANN) ---------------------
+
+_SLSH_DIM = 64
+_SLSH_PLANES = 4
+
+
+def _slsh_signs() -> list[list[float]]:
+    """Deterministic random-sign matrix: sign(j,k) = LSB of the first hex
+    digit of md5("j|k"). hashlib, Spark md5(), and DuckDB md5() all agree
+    on the digest, so the SAME matrix can be embedded as literals in both
+    the Spark plan and the oracle SQL. Sign projections are a valid LSH
+    family for cosine similarity (random-hyperplane LSH with Rademacher
+    components)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}|{k}".encode()).hexdigest()[0], 16) & 1
+            else -1.0
+            for k in range(_SLSH_DIM)
+        ]
+        for j in range(_SLSH_PLANES)
+    ]
+
+
+def _slsh_bucket_sql() -> str:
+    terms = []
+    for j, plane in enumerate(_slsh_signs()):
+        lit = "[" + ", ".join(str(s) for s in plane) + "]"
+        proj = _DOT_SQL.format(a="embedding", b=lit)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "sign_lsh_ann_topk_vec0",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_slsh_bucket_sql()} AS bucket
+      FROM embeddings
+    ), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+    sims AS (
+      SELECT b.vec_id,
+             {_DOT_SQL.format(a='b.embedding', b='q.qe')}
+               / ({_NORM_SQL.format(a='b.embedding')}
+                  * {_NORM_SQL.format(a='q.qe')}) AS cos
+      FROM b, q
+      WHERE b.vec_id <> 0 AND b.bucket = q.qb
+    )
+    SELECT vec_id, round(cos, 5) AS cosine
+    FROM sims ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    tags=["vector", "ann", "lsh"],
+)
+def sign_lsh_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via md5-derived sign-projection LSH, exactly oracle-checked:
+    bucket = sign bits of 4 Rademacher projections, candidates = the query
+    vector's bucket, then exact cosine top-10 within it. Unlike
+    lsh_ann_topk_vec0 (seeded Gaussian hyperplanes, rows-only check), the
+    whole pipeline — projections, bucketing, candidate filter, ranking —
+    is value-verified against DuckDB. At scale the bucket id is the
+    partition key and the per-bucket top-k is a local TakeOrdered."""
+    from ..functions.vectors import dot
+
+    e = T(spark, sf_dir, "embeddings")
+    bucket = None
+    for j, plane in enumerate(_slsh_signs()):
+        proj = dot(F.col("embedding"), F.array(*[F.lit(s) for s in plane]))
+        term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qb"))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cosine", 5).alias("cosine"))
+    )

@@ -197,3 +197,69 @@ def event_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("value").over(w), 6).alias("first_session_value"),
         F.round(F.last("value").over(wfull), 6).alias("final_value"),
     )
+
+
+@query(
+    "hourly_gap_fill_locf",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT min(date_trunc('hour', ts)) AS mn,
+             max(date_trunc('hour', ts)) AS mx
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.hour_start
+      FROM (SELECT DISTINCT event_type FROM events) t, b,
+           unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR))
+             AS g(hour_start)
+    ), j AS (
+      SELECT grid.event_type, grid.hour_start, h.total
+      FROM grid LEFT JOIN h USING (event_type, hour_start)
+    )
+    SELECT event_type, hour_start, total,
+           last_value(total IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+    FROM j
+    """,
+    tags=["timeseries", "gap-fill", "window"],
+)
+def hourly_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF (last observation carried forward):
+    densify each event type onto the full hourly grid (sequence + explode
+    of a single-row bounds aggregate — the grid is generated, never
+    shuffled), left-join the observed hourly totals, then forward-fill
+    with last(ignoreNulls) over a per-type cumulative window.
+
+    Scale: the grid is |types| x |hours| (tiny relative to events); the
+    only big shuffle is the hourly pre-aggregation, and the LOCF window
+    partitions by type so no global sort exists."""
+    ev = T(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("hour_start"), F.col("event_type")).agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("mn"), F.max(hour).alias("mx")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    j = grid.join(hourly, ["event_type", "hour_start"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hour_start",
+        "total",
+        F.last("total", ignorenulls=True).over(w).alias("filled"),
+    )

@@ -1540,3 +1540,41 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+    tags=["sql-api", "A9", "grouping-sets"],
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube — the three
+    marts the reference materializes separately in
+    analytics/dbt/models/warehouse/*.sql collapse into ONE scan + ONE
+    partial-final aggregation). grouping() disambiguates the NULL that
+    marks 'aggregated over' from a NULL data value — required for exact
+    oracle parity on the superaggregate rows."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )

@@ -263,3 +263,50 @@ def hourly_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.last("total", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@query(
+    "interval_join_error_windows",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts AS ws, ts + INTERVAL 10 MINUTE AS we
+      FROM events WHERE event_type = 'error'
+    ), p AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type IN ('click', 'view')
+    )
+    SELECT p.user_id, count(*) AS n_in_window
+    FROM p
+    WHERE EXISTS (SELECT 1 FROM w
+                  WHERE w.user_id = p.user_id
+                    AND p.ts >= w.ws AND p.ts < w.we)
+    GROUP BY 1
+    """,
+    tags=["interval-join", "range-join"],
+)
+def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: count each user's click/view events that fall inside
+    any 10-minute window opened by one of their error events.
+
+    The oracle states it as a correlated EXISTS over a non-equi predicate;
+    the Spark plan is operators/rangejoin.py's bucketed interval semi-join
+    — intervals explode onto 10-min buckets, the join is EQUI on
+    (user_id, bucket) with the exact range predicate as a residual, and
+    LEFT SEMI dedupes overlapping windows for free. Never a nested-loop
+    join, bounded fan-out, shuffle keyed like any other big join."""
+    from ..operators.rangejoin import interval_semi_join
+
+    ev = T(spark, sf_dir, "events")
+    w = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("we"),
+    )
+    p = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", "ts"
+    )
+    hits = interval_semi_join(
+        p, w, key="user_id", ts_col="ts", start_col="ws", end_col="we",
+        bucket_seconds=600,
+    )
+    return hits.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_in_window"))

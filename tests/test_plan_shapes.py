@@ -113,3 +113,14 @@ def test_q2_min_is_window_not_per_row_subquery(no_auto_broadcast):
     plan = simple_plan(tpch_deep.q2_min_cost_supplier(spark, SF))
     assert "Window" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(no_auto_broadcast):
+    spark = no_auto_broadcast
+    from clinical_data_platform_spark.plans import events as events_plans
+
+    plan = simple_plan(events_plans.interval_join_error_windows(spark, SF))
+    # bucketization turns the range predicate into an equi join + residual
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "LeftSemi" in plan, plan[:3000]

@@ -9,6 +9,7 @@ not first-class in the oracle).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..session import tune_session
@@ -94,3 +95,31 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     via unnest."""
     out = S.sliding_counts(spark, sf_dir)
     return out.select("win_start", "event_type", "n")
+
+
+@query(
+    "stream_error_click_pairs",
+    oracle="""
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts AS err_ts FROM events
+          WHERE event_type = 'error') e
+      ON e.user_id = c.user_id
+     AND c.ts >= e.err_ts AND c.ts < e.err_ts + INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+    tags=["streaming", "stream-stream-join"],
+)
+def stream_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, EXACTLY oracle-checked: the streaming
+    inner join (two watermarked sources, time-bounded condition) must emit
+    precisely the pairs the equivalent batch non-equi join produces —
+    DuckDB computes that batch join. Pair counts are aggregated batch-side
+    after the memory sink so the streaming operator under test is the join
+    itself."""
+    from ..streaming.events_stream import stream_stream_error_click_join
+
+    pairs = stream_stream_error_click_join(spark, sf_dir)
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

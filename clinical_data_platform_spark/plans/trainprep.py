@@ -188,3 +188,67 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(keep.cast("int")).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "chunked_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), c AS (
+      SELECT doc_id, len(ws) AS n_tokens,
+             unnest(generate_series(
+               0,
+               cast(floor((greatest(len(ws) - 64, 0) + 47) / 48.0) AS BIGINT)
+             )) AS chunk_id,
+             ws
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           cast(least(64, n_tokens - chunk_id * 48) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(
+                 list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                 ' ')) AS chunk_md5
+    FROM c
+    """,
+    tags=["trainprep", "chunking"],
+)
+def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window text chunking (64-token chunks, stride 48 = 16-token
+    overlap) — the context-window preparation step of an LLM pipeline as
+    pure JVM array expressions: tokenize once, explode a chunk-index
+    sequence, slice per chunk. No UDF, no shuffle (chunking is per-row);
+    the verified output is each chunk's md5 so the oracle checks exact
+    chunk CONTENT without hauling the full text through the comparator.
+
+    ceil((n-64)/48) is computed as floor((max(n-64,0)+47)/48.0) in both
+    engines (small-int double division is exact)."""
+    from ..functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
+    ).filter(F.size("ws") > 0)
+    n = F.size("ws")
+    last_chunk = F.floor(
+        (F.greatest(n - 64, F.lit(0)) + 47) / F.lit(48.0)
+    ).cast("long")
+    c = tok.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0).cast("long"), last_chunk)).alias("chunk_id"),
+        "ws",
+    )
+    start = (F.col("chunk_id") * 48 + 1).cast("int")
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.lit(64), F.col("n_tokens") - F.col("chunk_id") * 48)
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.md5(F.array_join(F.slice("ws", start, 64), " ")).alias("chunk_md5"),
+    )

@@ -181,3 +181,46 @@ def stream_to_parquet_batches(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def stream_stream_error_click_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: click events joined to error
+    events of the same user within [err_ts, err_ts + window).
+
+    Both sides carry watermarks and the join condition is time-bounded,
+    which is exactly what lets Spark expire join state: an error row can
+    be dropped once the click watermark passes err_ts + window. Returns
+    the joined pair rows (append mode); callers aggregate batch-side."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            f"c_user = e_user AND click_ts >= err_ts "
+            f"AND click_ts < err_ts + interval {window}"
+        ),
+    )
+    return _run_to_memory(joined, "append")

@@ -83,3 +83,45 @@ def featurize_payload(payloads: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return payloads.mapInPandas(_feat, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_bytes BINARY, frame_sha STRING"
+
+
+def sample_frames(
+    payloads: DataFrame, frame_bytes: int = 100, stride: int = 4
+) -> DataFrame:
+    """Frame sampling over a video-like payload: the payload is treated as
+    a sequence of fixed-size frames (a deterministic stand-in for a real
+    container format — no codec libs in this environment) and every
+    ``stride``-th frame is emitted as its own row.
+
+    This is the 1->N mapInPandas shape a real frame sampler uses: one
+    Arrow batch of payloads in, a frame-level DataFrame out, with the
+    binary column sliced INSIDE the batch (no per-row Python calls into
+    Spark). Downstream per-frame decode/featurize then runs on a table
+    whose parallelism is frames, not videos — at scale, repartition the
+    output so one hot video cannot pin a task."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, shas = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b)
+                n_frames = max(1, len(data) // frame_bytes)
+                for i in range(0, n_frames, stride):
+                    chunk = data[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(chunk)
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": blobs,
+                    "frame_sha": shas,
+                }
+            )
+
+    return payloads.mapInPandas(_frames, FRAME_SCHEMA)

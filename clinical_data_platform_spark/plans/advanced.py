@@ -366,3 +366,41 @@ def lang_id_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("predicted_lang"),
         F.round(F.greatest("s_en", "s_de", "s_es", "s_fr"), 6).alias("top_score"),
     )
+
+
+@query(
+    "multimodal_frame_samples",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             greatest(octet_length(encode(text)) // 100, 1) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, i AS frame_idx,
+           cast(least(100, octet_length(encode(text)) - i * 100) AS BIGINT)
+             AS n_bytes,
+           sha256(substring(text, cast(i * 100 + 1 AS BIGINT), 100))
+             AS frame_sha
+    FROM t, unnest(generate_series(0, cast(n_frames - 1 AS BIGINT), 4))
+           AS u(i)
+    """,
+    tags=["multimodal", "mapInPandas", "frame-sample"],
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real 1->N mapInPandas plumbing: payloads
+    sliced into 100-byte 'frames', every 4th frame emitted with its
+    sha256. The oracle reproduces the slicing on DuckDB VARCHARs — valid
+    because the corpus is pure ASCII (byte slice == char slice; asserted
+    by the octet_length==length identity the meta query already checks),
+    so the Arrow batch boundaries, slice math, and per-frame hashing are
+    all value-verified."""
+    from ..operators.multimodal import attach_payload, sample_frames
+
+    payloads = attach_payload(T(spark, sf_dir, "documents"), "doc_id", "text")
+    frames = sample_frames(payloads, frame_bytes=100, stride=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        "frame_sha",
+    )

@@ -35,6 +35,12 @@ HEADLINE = [
     "q9_profit_by_nation_year",
     "q18_large_volume_customers",
     "q21_blocked_suppliers",
+    # training-data prep + time series
+    "train_val_test_split",
+    "packed_sequence_bins",
+    "chunked_documents",
+    "hourly_gap_fill_locf",
+    "interval_join_error_windows",
     # custom operators
     "asof_event_hourly_rate",
     "salted_event_rollup",

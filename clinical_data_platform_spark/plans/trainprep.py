@@ -227,15 +227,23 @@ def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ceil((n-64)/48) is computed as floor((max(n-64,0)+47)/48.0) in both
     engines (small-int double division is exact)."""
+    return chunk_documents_frame(T(spark, sf_dir, "documents"))
+
+
+def chunk_documents_frame(
+    d: DataFrame, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Frame-level chunker used by the query above and the scale probe:
+    any DataFrame with (doc_id, text) in, (doc_id, chunk_id, chunk_tokens,
+    chunk_md5) out."""
     from ..functions.text import tokens
 
-    d = T(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
     ).filter(F.size("ws") > 0)
     n = F.size("ws")
     last_chunk = F.floor(
-        (F.greatest(n - 64, F.lit(0)) + 47) / F.lit(48.0)
+        (F.greatest(n - size, F.lit(0)) + (stride - 1)) / F.lit(float(stride))
     ).cast("long")
     c = tok.select(
         "doc_id",
@@ -243,12 +251,12 @@ def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0).cast("long"), last_chunk)).alias("chunk_id"),
         "ws",
     )
-    start = (F.col("chunk_id") * 48 + 1).cast("int")
+    start = (F.col("chunk_id") * stride + 1).cast("int")
     return c.select(
         "doc_id",
         "chunk_id",
-        F.least(F.lit(64), F.col("n_tokens") - F.col("chunk_id") * 48)
+        F.least(F.lit(size), F.col("n_tokens") - F.col("chunk_id") * stride)
         .cast("long")
         .alias("chunk_tokens"),
-        F.md5(F.array_join(F.slice("ws", start, 64), " ")).alias("chunk_md5"),
+        F.md5(F.array_join(F.slice("ws", start, size), " ")).alias("chunk_md5"),
     )

@@ -121,6 +121,50 @@ def main() -> None:
         minhash_lsh_candidates(documents, "doc_id", "text", num_hashes=32, bands=8),
     )
 
+    # ---- wave-3 operators ----
+    from clinical_data_platform_spark.operators.rangejoin import interval_semi_join
+    from clinical_data_platform_spark.plans.trainprep import chunk_documents_frame
+
+    err_windows = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("we"),
+    )
+    clicks = events.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", "ts"
+    )
+    run(
+        "interval_join",
+        interval_semi_join(
+            clicks, err_windows, key="user_id", ts_col="ts",
+            start_col="ws", end_col="we", bucket_seconds=600,
+        ).groupBy("user_id").count(),
+    )
+    run("chunking", chunk_documents_frame(documents))
+    docs_sized = documents.select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    o = docs_sized.select(
+        F.substring(h, 1, 2).alias("shard"), h.alias("h"), "doc_id", "n_chars"
+    )
+    ww = (
+        W.partitionBy("shard").orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run(
+        "packing_256shards",
+        o.select(
+            "shard",
+            "n_chars",
+            F.floor((F.sum("n_chars").over(ww) - F.col("n_chars")) / F.lit(4000.0))
+            .cast("long")
+            .alias("bin"),
+        ).groupBy("shard", "bin").agg(F.count(F.lit(1)).alias("n")),
+    )
+
     print(
         json.dumps(
             {

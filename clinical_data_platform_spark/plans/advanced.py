@@ -7,6 +7,7 @@ non-SQL-expressible.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -403,4 +404,48 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.length("frame_bytes").cast("long").alias("n_bytes"),
         "frame_sha",
+    )
+
+
+@query(
+    "geomean_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean,
+           count(*) AS n
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+    tags=["udaf", "pandas-udf", "A3"],
+)
+def geomean_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via a grouped-agg pandas_udf (Arrow batch
+    in, scalar out) — the UDAF surface the reference never needs but a
+    full engine must offer. Geometric mean = exp(mean(ln x)): numpy
+    computes per group; the oracle states the same identity in SQL.
+    np.log/exp and the JVM's agree to the ulp on float64, and the mean is
+    rounded to 4dp, so the comparison is stable. Grouped-agg UDFs get the
+    same partial-shuffle plan as builtin aggregates ONLY per group — the
+    group's values all pass through one Arrow batch, so this path is for
+    skew-free keys; prefer builtin expressions (the oracle's form) in the
+    hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg, so
+        # the count rides the same Arrow path
+        return len(v)
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geo_mean("o_totalprice"), 4).alias("geo_mean"),
+        n_rows("o_totalprice").alias("n"),
     )

@@ -65,3 +65,35 @@ def surrogate_key(*cols: Column | str, null_token: str = "_null_") -> Column:
         for c in cols
     ]
     return F.md5(F.concat_ws("-", *parts))
+
+
+def _spread_bits_31(x: Column) -> Column:
+    """Spread the low 31 bits of x so bit i lands at position 2i
+    (interleave-by-binary-magic-numbers, 5 mask steps — a fixed-depth
+    JVM expression tree, fully codegen'd; no UDF, no loop at runtime).
+    31 bits per dimension keeps the interleaved key below 2^62: a 32nd
+    bit would reach the sign bit of the long and invert the sort order
+    right where clustering needs it monotonic."""
+    x = x.bitwiseAND(F.lit(0x7FFFFFFF))
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """62-bit Morton (Z-order) key interleaving two 31-bit dimensions:
+    bit i of ``a`` -> bit 2i, bit i of ``b`` -> bit 2i+1. Rows sorted by
+    this key cluster in BOTH dimensions simultaneously, so parquet
+    row-group min/max statistics can skip on either column — the
+    clustering lever behind OPTIMIZE ... ZORDER, as a pure column
+    expression usable with sortWithinPartitions before any write
+    (sources/maintenance.py::compact_dataset sort_cols)."""
+    return _spread_bits_31(a.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits_31(b.cast("long")), 1)
+    )

@@ -73,3 +73,42 @@ def test_analyze_table_records_statistics(spark, tmp_path):
         assert "rows" in stats["Statistics"]
     finally:
         spark.sql("DROP TABLE IF EXISTS maint_orders")
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from clinical_data_platform_spark.functions.scalars import zorder_key
+
+    def py_morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(31):  # 31 bits/dim keeps the key positive
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(0, 0), (1, 0), (0, 1), (3, 5), (12345, 67890),
+            (0x7FFFFFFF, 0), (0, 0x7FFFFFFF), (2**30, 2**31 - 1)]
+    df = spark.createDataFrame(vals, "a long, b long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == py_morton(r.a & 0x7FFFFFFF, r.b & 0x7FFFFFFF), (r.a, r.b)
+        assert r.z >= 0
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    from clinical_data_platform_spark.functions.scalars import zorder_key
+
+    # a 64x64 grid sorted by z-key: any contiguous quarter of the rows
+    # spans at most half the range of EACH dimension (locality in both),
+    # which a single-column sort cannot achieve for the second column
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    rows = (
+        grid.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    quarter = rows[: len(rows) // 4]
+    assert max(r.x for r in quarter) - min(r.x for r in quarter) <= 32
+    assert max(r.y for r in quarter) - min(r.y for r in quarter) <= 32

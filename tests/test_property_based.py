@@ -92,3 +92,89 @@ def test_asof_join_matches_merge_asof(spark, left, right):
     got_vals = [None if pd.isna(v) else round(v, 9) for v in got["val"]]
     exp_vals = [None if pd.isna(v) else round(v, 9) for v in exp["val"]]
     assert got_vals == exp_vals
+
+
+# --- interval join vs brute force -------------------------------------------
+
+iv_probe = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 2000)), min_size=1, max_size=25
+)
+iv_windows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 2000), st.integers(1, 900)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(probe=iv_probe, windows=iv_windows)
+def test_interval_join_matches_bruteforce(spark, probe, windows):
+    """Bucketed interval semi-join == brute-force membership, for every
+    generated key/timestamp layout (windows straddling bucket borders,
+    duplicates, overlapping windows)."""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.operators.rangejoin import interval_semi_join
+
+    p = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(probe)], "k INT, rid INT, t LONG"
+    ).select("k", "rid", F.timestamp_seconds("t").alias("t"))
+    w = spark.createDataFrame(
+        [(k, s, s + d) for k, s, d in windows], "k INT, ws LONG, we LONG"
+    ).select(
+        "k",
+        F.timestamp_seconds("ws").alias("ws"),
+        F.timestamp_seconds("we").alias("we"),
+    )
+    got = sorted(
+        r.rid
+        for r in interval_semi_join(
+            p, w, key="k", ts_col="t", start_col="ws", end_col="we",
+            bucket_seconds=600,
+        ).collect()
+    )
+    want = sorted(
+        i
+        for i, (k, t) in enumerate(probe)
+        if any(k == wk and ws <= t < ws + d for wk, ws, d in windows)
+    )
+    assert got == want
+
+
+# --- chunking vs python reference -------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=200), min_size=1, max_size=10
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=texts)
+def test_chunking_matches_python_reference(spark, docs):
+    import hashlib
+
+    from clinical_data_platform_spark.plans.trainprep import chunk_documents_frame
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_tokens, r.chunk_md5)
+        for r in chunk_documents_frame(df, size=8, stride=5).collect()
+    }
+    want = {}
+    for i, t in enumerate(docs):
+        toks = t.lower().strip().split()
+        if not toks:
+            continue
+        n = len(toks)
+        n_chunks = 1 + -(-max(n - 8, 0) // 5)
+        for c in range(n_chunks):
+            sl = toks[c * 5 : c * 5 + 8]
+            want[(i, c)] = (
+                len(sl),
+                hashlib.md5(" ".join(sl).encode()).hexdigest(),
+            )
+    assert got == want

@@ -310,3 +310,85 @@ def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_seconds=600,
     )
     return hits.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_in_window"))
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=["funnel", "analytics"],
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose earliest view precedes a
+    click precedes a purchase. Each stage is a keyed MIN aggregate joined
+    to the previous stage with a strict time inequality — three shuffles
+    on user_id (AQE reuses the partitioning), never a per-user sort or
+    collect. The single-row stage counts cross-join at the end."""
+    ev = T(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_t: str, t: str):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    v = stage("view", None, "", "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "daily_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS d0
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    )
+    SELECT f.d0 AS cohort_day,
+           date_diff('day', f.d0, a.d) AS day_offset,
+           count(*) AS n_active
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=["retention", "analytics"],
+)
+def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    active at each later day offset. Two aggregations over the same
+    user_id partitioning plus one join — the cohort dim (users x first
+    day) is the only state, so the shape scales with |users| not
+    |events|."""
+    ev = T(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    act = ev.select("user_id", day.alias("d")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("d0").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("d0")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -1578,3 +1578,48 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), (o_orderpriority))
         """
     )
+
+
+@query(
+    "iqr_outliers_by_priority",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           cast(sum(CASE WHEN o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY 1
+    """,
+    tags=["stats", "A6", "outliers"],
+)
+def iqr_outliers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counting per group: exact interpolated quartiles
+    (one aggregation), broadcast back onto the fact (the quartile table is
+    |groups|-sized at any scale), then a conditional count in a second
+    pass. Both engines compute type-7 interpolated quantiles on identical
+    doubles, so the fences are bit-equal and the strict comparisons cannot
+    straddle."""
+    o = T(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(out.cast("int")).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

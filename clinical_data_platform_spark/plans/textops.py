@@ -10,7 +10,7 @@ exact Jaccard instead.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table as T
 from ..functions.text import (
@@ -334,3 +334,62 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, threshold=0.05, max_shingle_docs=None,
     )
     return connected_components(pairs)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2
+    ), idf AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM t
+    ), s AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(n.n_docs / idf.df), 6) AS tfidf
+      FROM tf JOIN idf USING (tok), n
+    )
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT s.*, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok) AS rk
+      FROM s)
+    WHERE rk <= 3
+    """,
+    tags=["text", "tfidf"],
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Term frequency and document
+    frequency are two aggregations over the exploded token table (the
+    token explode is computed once and reused); n_docs broadcasts as a
+    single-row cross join; rank ties break on the rounded score then the
+    token, so the top-k is deterministic cross-engine. At 100 TB the
+    df table is the only global state and it's |vocab|-sized."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    idf = t.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = t.agg(F.countDistinct("doc_id").alias("n_docs"))
+    s = (
+        tf.join(idf, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )

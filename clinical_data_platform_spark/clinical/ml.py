@@ -84,7 +84,8 @@ def score(model: PipelineModel, features_df: DataFrame) -> DataFrame:
 
 def closed_form_risk(features_df: DataFrame) -> DataFrame:
     """The API's closed-form scorer (api/main.py:171-195):
-    z = .02*AGE + .3*AE_COUNT + .6*SEVERE_AE_COUNT - 2, sigmoid, tiers."""
+    z = .02*AGE + .3*AE_COUNT + .6*SEVERE_AE_COUNT - 2, sigmoid,
+    confidence tiers on |z| (>1 high, >0.5 medium — api/main.py:180)."""
     z = (
         0.02 * F.col("AGE")
         + 0.3 * F.col("AE_COUNT")
@@ -96,7 +97,8 @@ def closed_form_risk(features_df: DataFrame) -> DataFrame:
         "STUDYID",
         "SUBJID",
         F.round(risk, 6).alias("risk"),
-        F.when(risk >= 0.7, "high").when(risk >= 0.3, "medium").otherwise("low").alias(
-            "confidence"
-        ),
+        F.when(F.abs(z) > 1.0, "high")
+        .when(F.abs(z) > 0.5, "medium")
+        .otherwise("low")
+        .alias("confidence"),
     )

@@ -20,6 +20,7 @@ REDACTION_TOKEN = "[REDACTED]"
 PHI_PATTERNS = [
     r"\b\d{3}-\d{2}-\d{4}\b",                                   # SSN
     r"\b\d{9}\b",                                               # bare 9-digit id
+    r"(?i)\b[a-z0-9]{6,12}\b(?=.*\bmrn\b)",                     # MRN (lookahead)
     r"\b(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4}\b",   # phone
     r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",      # email
     r"\b\d{4}-\d{2}-\d{2}\b",                                   # ISO date

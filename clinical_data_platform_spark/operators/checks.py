@@ -134,6 +134,24 @@ def _violation_agg(rule: Rule) -> Column:
     raise ValueError(f"unknown rule kind {k!r}")
 
 
+def _warn_agg(rule: Rule) -> Column | None:
+    """Secondary warn-level aggregate for rules with a warning tier.
+
+    Freshness has two thresholds (src/common/freshness.py:52-57): the
+    breach count is the rule's violation column; this emits the companion
+    ``<name>__warn`` column — 1 when staleness exceeds warn_minutes but
+    not breach_minutes."""
+    if rule.kind != "freshness":
+        return None
+    c = F.col(rule.column)
+    now = F.lit(rule.params["now"]).cast("timestamp")
+    lag_min = (now.cast("long") - F.max(c).cast("long")) / 60.0
+    warn = (lag_min > rule.params["warn_minutes"]) & (
+        lag_min <= rule.params["breach_minutes"]
+    )
+    return F.when(warn, 1).otherwise(0)
+
+
 def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Compile ALL rules into one aggregation pass.
 
@@ -144,6 +162,9 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for r in rules:
         aggs.append(_violation_agg(r).cast("long").alias(r.name))
+        warn = _warn_agg(r)
+        if warn is not None:
+            aggs.append(warn.cast("long").alias(f"{r.name}__warn"))
     return df.agg(*aggs)
 
 
@@ -151,7 +172,7 @@ def check_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Long-format report {rule, violations, passed} via one wide pass +
     an unpivot (stack) — still one scan of the data."""
     wide = run_checks(df, rules)
-    names = [r.name for r in rules]
+    names = [c for c in wide.columns if c != "n_rows"]
     stack_expr = "stack({n}, {args}) as (rule, violations)".format(
         n=len(names), args=", ".join(f"'{n}', `{n}`" for n in names)
     )

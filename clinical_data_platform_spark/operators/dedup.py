@@ -182,11 +182,17 @@ def minhash_lsh_candidates(
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document from token hashes.
+    """SimHash per document from token hashes, packed into a long.
+
+    NOTE: the signature is effectively 63 bits wide — bit 63 (the sign
+    bit) is intentionally left unused so the packed value stays a
+    non-negative BIGINT on both Spark and DuckDB. Hamming-distance
+    comparisons are self-consistent, but signatures are NOT
+    interchangeable with true 64-bit simhash implementations.
 
     Explode tokens -> per (doc, bit) signed contribution -> sign vector ->
-    packed long. Two shuffles total (token groupBy, doc groupBy); the 64-way
-    bit expansion happens as an array, not 64 jobs."""
+    packed long. Two shuffles total (token groupBy, doc groupBy); the 63-way
+    bit expansion happens as an array, not 63 jobs."""
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),

@@ -88,7 +88,9 @@ def chi_square_test(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         (F.col("chi2") / dof) ** (1.0 / 3.0)
         - (1.0 - 2.0 / (9.0 * dof))
     ) / F.sqrt(2.0 / (9.0 * dof))
-    p = normal_sf(z) / 2.0  # one-sided upper tail
+    # analytics/stats_utils.py:40: p = 2*(1 - 0.5*(1+erf(|z|/sqrt(2))))
+    # = 1 - erf(|z|/sqrt(2)) = normal_sf(z) exactly.
+    p = normal_sf(z)
     return agg.select(
         F.round("chi2", 6).alias("chi2"),
         dof.cast("long").alias("dof"),

@@ -904,10 +904,8 @@ def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            round(1.0 / (1.0 + exp(-((c_acctbal - 5000.0) / 1000.0))), 6) AS risk,
-           CASE WHEN 1.0 / (1.0 + exp(-((c_acctbal - 5000.0) / 1000.0))) >= 0.7
-                     THEN 'high'
-                WHEN 1.0 / (1.0 + exp(-((c_acctbal - 5000.0) / 1000.0))) >= 0.3
-                     THEN 'medium'
+           CASE WHEN abs((c_acctbal - 5000.0) / 1000.0) > 1.0 THEN 'high'
+                WHEN abs((c_acctbal - 5000.0) / 1000.0) > 0.5 THEN 'medium'
                 ELSE 'low' END AS confidence,
            round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
            round(pow(c_acctbal / 1000.0, 2), 6) AS bal_sq
@@ -916,15 +914,15 @@ def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["F5", "M6"],
 )
 def customer_risk_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed-form logistic scoring with confidence tiers (api/main.py:171-195)
-    plus math battery (exp/sqrt/abs/pow)."""
+    """Closed-form logistic scoring with confidence tiers on |z|
+    (api/main.py:176-180) plus math battery (exp/sqrt/abs/pow)."""
     z = (F.col("c_acctbal") - 5000.0) / 1000.0
     risk = 1.0 / (1.0 + F.exp(-z))
     return T(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(risk, 6).alias("risk"),
-        F.when(risk >= 0.7, "high")
-        .when(risk >= 0.3, "medium")
+        F.when(F.abs(z) > 1.0, "high")
+        .when(F.abs(z) > 0.5, "medium")
         .otherwise("low")
         .alias("confidence"),
         F.round(F.sqrt(F.abs(F.col("c_acctbal"))), 6).alias("bal_sqrt"),

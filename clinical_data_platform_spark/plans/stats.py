@@ -62,7 +62,7 @@ WITH cells AS (
 )
 SELECT round(chi2, 6) AS chi2, dof,
        round(z_raw, 6) AS z_wh,
-       round(({p_sql}) / 2.0, 6) AS p_value
+       round({p_sql}, 6) AS p_value
 FROM z
 """.format(p_sql=NORMAL_SF_SQL.format(z="z_raw"))
 

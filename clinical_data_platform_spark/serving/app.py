@@ -40,10 +40,10 @@ def _authorized(req) -> bool:
 
 def closed_form_score(age: float, ae_count: int, severe_ae_count: int) -> dict:
     """z = .02*AGE + .3*AE + .6*SEVERE - 2 -> sigmoid -> confidence tiers
-    (api/main.py:171-195; must equal clinical/ml.closed_form_risk)."""
+    on |z| (api/main.py:176-180; must equal clinical/ml.closed_form_risk)."""
     z = 0.02 * age + 0.3 * ae_count + 0.6 * severe_ae_count - 2.0
     risk = 1.0 / (1.0 + math.exp(-z))
-    tier = "high" if risk >= 0.7 else ("medium" if risk >= 0.3 else "low")
+    tier = "high" if abs(z) > 1.0 else ("medium" if abs(z) > 0.5 else "low")
     return {"risk": round(risk, 6), "confidence": tier}
 
 

@@ -73,6 +73,23 @@ def test_redaction_battery(spark):
     assert "plain text stays" in out[2]
 
 
+def test_redaction_mrn_lookahead(spark):
+    """MRN ids are caught when 'mrn' appears later in the text — the
+    lookahead pattern from compliance/phi_redaction.py:17 (round-1 ADVICE:
+    it was missing from PHI_PATTERNS)."""
+    from clinical_data_platform_spark.clinical.redaction import redact_text_str
+
+    df = spark.createDataFrame(
+        [(1, "id ABC12345 recorded under mrn yesterday"), (2, "short a1 mrn")],
+        "id BIGINT, note STRING",
+    )
+    out = {r.id: r.note for r in redact_columns(df, ["note"]).collect()}
+    assert "ABC12345" not in out[1]
+    assert "a1" in out[2]  # <6 chars: not MRN-shaped
+    # driver-side twin (serving error scrubber path) agrees
+    assert "ABC12345" not in redact_text_str("id ABC12345 recorded under mrn")
+
+
 def test_tokenize_roundtrip(spark):
     df = spark.createDataFrame([("SUBJ0001",), ("SUBJ0002",)], "SUBJID STRING")
     tok = tokenize_column(df, "SUBJID", key="k3y").collect()

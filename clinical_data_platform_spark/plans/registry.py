@@ -40,12 +40,91 @@ def query(name: str, oracle: str | None = None, tags: list[str] | None = None):
     return deco
 
 
+# The driver's correctness gate samples the FIRST 50 registered queries.
+# Registration order is module-grouped, so without curation one or two
+# modules would consume the whole window (round 1: 49 relational + 1
+# validation — every other module went driver-unverified). This list pins
+# the window to a cross-section of every plan module, prioritizing the
+# queries the driver has not yet value-checked; the remainder keep their
+# registration order after it. q1 stays first (entry() flagship).
+PRIORITY_ORDER = [
+    "q1_pricing_summary",
+    # validation (3 unverified rows of the check engine)
+    "dq_orders_report",
+    "dq_lineitem_fk_containment",
+    "dq_events_freshness",
+    # stats
+    "welch_ttest_totalprice",
+    "chi_square_event_value",
+    # tpch_deep (all 8)
+    "q18_large_volume_customers",
+    "q21_blocked_suppliers",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_heavy_shippers",
+    # trainprep (all 5)
+    "train_val_test_split",
+    "balanced_class_sample",
+    "packed_sequence_bins",
+    "corpus_mixture_sample",
+    "chunked_documents",
+    # textops (all 10 oracled)
+    "doc_token_stats",
+    "lang_token_summary",
+    "doc_fingerprints",
+    "exact_dedup_docs",
+    "near_dup_jaccard_pairs",
+    "doc_redaction",
+    "minhash_lsh_pairs_md5",
+    "simhash_md5_16bit",
+    "near_dup_clusters",
+    "tfidf_top_terms",
+    # vectorops (all 5 oracled)
+    "embedding_norms_by_label",
+    "cosine_topk_vec0",
+    "knn_join_top5",
+    "embedding_near_dup_pairs",
+    "sign_lsh_ann_topk_vec0",
+    # streamops (all 5 oracled)
+    "stream_hourly_counts",
+    "stream_dedup_user_type_keys",
+    "stream_user_running_totals",
+    "stream_sliding_counts",
+    "stream_error_click_pairs",
+    # events (6 most novel; the window/rank shapes resemble driver-green
+    # relational queries and rotate in next round)
+    "hourly_event_rollup",
+    "event_props_json",
+    "hourly_gap_fill_locf",
+    "interval_join_error_windows",
+    "funnel_view_click_purchase",
+    "daily_cohort_retention",
+    # advanced (5 most novel execution paths)
+    "asof_event_hourly_rate",
+    "multimodal_payload_meta",
+    "multimodal_frame_samples",
+    "lang_id_prediction",
+    "geomean_price_by_priority",
+]
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in PRIORITY_ORDER if n not in QUERIES]
+    if missing:
+        raise ValueError(f"PRIORITY_ORDER names not registered: {missing}")
+    rest = [n for n in QUERIES if n not in set(PRIORITY_ORDER)]
+    return PRIORITY_ORDER + rest
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}
 
 
 def describe() -> list[dict[str, Any]]:

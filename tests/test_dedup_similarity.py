@@ -140,3 +140,29 @@ def test_connected_components_shapes(spark):
     assert {comp[i] for i in (1, 2, 3, 4)} == {1}
     assert {comp[i] for i in (10, 11, 12, 13)} == {10}
     assert comp[20] == comp[21] == 20
+
+
+def test_banded_near_dup_recall_vs_exhaustive(spark):
+    """The registered embedding_near_dup_pairs plan is banded sign-LSH
+    (equi-join on (band, bucket)); the exhaustive crossJoin is demoted to
+    this recall oracle. Candidates must be a subset of the true pairs
+    (precision 1 — the cosine filter is exact) with recall >= 0.9, and on
+    the shipped testdata the strongest pairs (cos > 0.6) must all survive."""
+    from clinical_data_platform_spark.plans.vectorops import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exhaustive,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_exhaustive(spark, sf).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(spark, sf).collect()
+    }
+    assert set(banded) <= set(exact)  # precision 1.0
+    assert len(banded) >= 0.9 * len(exact)  # recall floor
+    strong = {p for p, c in exact.items() if c > 0.6}
+    assert strong <= set(banded)

@@ -24,7 +24,7 @@ from . import marts as M
 from . import star as S
 from .features import subject_level_features
 from .ingest import land_to_bronze
-from .ml import closed_form_risk, score, train
+from .ml import closed_form_risk, export_artifacts, score, train_with_report
 from .standardize import DOMAIN_MAPPERS, standardize_bronze_to_sdtm
 from .synthetic import generate_all
 
@@ -135,15 +135,23 @@ def run_demo(
         report["analytics"][name] = df.count()
     stage("analytics")
 
-    # 8. ML train + batch score -> RISK parquet (+ closed-form parity col)
+    # 8. ML train + 5-fold CV + artifact export + batch score -> RISK parquet
     feats = subject_level_features(silver["DM"], silver["AE"])
-    model, auc, ap = train(feats, seed)
+    model, ml_report, scored_test = train_with_report(feats, seed)
+    if not ml_report["performance_gate"]["passed"]:
+        raise RuntimeError(f"performance gates failed: {ml_report['performance_gate']}")
+    export_artifacts(os.path.join(workdir, "model_artifacts"), ml_report, scored_test)
     risks = score(model, feats)
     risks.write.mode("overwrite").parquet(os.path.join(workdir, "predictions"))
     closed_form_risk(feats.na.fill({"AGE": 0})).write.mode("overwrite").parquet(
         os.path.join(workdir, "predictions_closed_form")
     )
-    report["ml"] = {"auc": round(auc, 4), "ap": round(ap, 4), "n_scored": risks.count()}
+    report["ml"] = {
+        "auc": round(ml_report["validation_metrics"]["auc"], 4),
+        "ap": round(ml_report["validation_metrics"]["average_precision"], 4),
+        "cv_auc": round(ml_report["cross_validation"]["mean_cv_auc"], 4),
+        "n_scored": risks.count(),
+    }
     stage("ml")
 
     report["wall_s"] = round(time.time() - t0, 2)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
@@ -113,6 +115,66 @@ def test_ml_train_and_score(spark, silver):
     risks = scored.agg(F.min("RISK"), F.max("RISK")).first()
     assert 0.0 <= risks[0] and risks[1] <= 1.0
     assert scored.count() == silver["DM"].count()
+
+
+def test_cross_validate_cv_auc(spark, silver):
+    """5-fold CV parity with ml/train.py:135 cross_val_score(cv=5):
+    mean/std/per-fold scores, deterministic stratified folds."""
+    from clinical_data_platform_spark.clinical.ml import AUC_GATE, cross_validate
+
+    feats = subject_level_features(silver["DM"], silver["AE"])
+    cv = cross_validate(feats, folds=5, seed=42)
+    assert 0.0 <= cv["mean_cv_auc"] <= 1.0
+    assert cv["mean_cv_auc"] >= AUC_GATE
+    assert len(cv["cv_scores"]) == 5
+    assert all(0.0 <= s <= 1.0 for s in cv["cv_scores"])
+    # avgMetrics IS the mean of the per-fold scores we re-derive from
+    # the collected sub-models
+    assert abs(cv["mean_cv_auc"] - sum(cv["cv_scores"]) / 5) < 1e-9
+    assert cv["std_cv_auc"] >= 0.0
+
+
+def test_train_with_report_and_artifacts(spark, silver, tmp_path):
+    """Artifact set parity with ml/train.py:300-359: ROC/PR points,
+    confusion matrix at 0.5, performance report, gate verdict — and the
+    exported ROC points must integrate (trapezoid) back to the AUC."""
+    from clinical_data_platform_spark.clinical.ml import (
+        export_artifacts,
+        train_with_report,
+    )
+
+    feats = subject_level_features(silver["DM"], silver["AE"])
+    model, report, scored = train_with_report(feats, seed=42)
+    assert report["performance_gate"]["passed"]
+    cm = report["confusion_matrix"]
+    assert sum(cm.values()) == report["data_summary"]["n_val"]
+    vm = report["validation_metrics"]
+    assert all(0.0 <= vm[k] <= 1.0 for k in vm)
+    assert set(report["feature_importance"]) == {"AGE", "AE_COUNT", "SEVERE_AE_COUNT"}
+
+    out = tmp_path / "model_artifacts"
+    written = export_artifacts(str(out), report, scored)
+    for name in (
+        "roc_curve.json",
+        "precision_recall_curve.json",
+        "confusion_matrix.json",
+        "performance_report.json",
+        "gate_report.json",
+    ):
+        assert (out / name).exists(), name
+    assert len(written) == 5
+
+    with open(out / "roc_curve.json") as f:
+        roc = json.load(f)
+    assert roc[0] == {"threshold": 1.0, "fpr": 0.0, "tpr": 0.0}
+    assert roc[-1]["fpr"] == 1.0 and roc[-1]["tpr"] == 1.0
+    trapezoid = sum(
+        (b["fpr"] - a["fpr"]) * (a["tpr"] + b["tpr"]) / 2
+        for a, b in zip(roc, roc[1:])
+    )
+    assert abs(trapezoid - vm["auc"]) < 1e-3
+    with open(out / "gate_report.json") as f:
+        assert json.load(f)["passed"] is True
 
 
 def test_closed_form_risk(spark, silver):

@@ -29,11 +29,17 @@ def test_run_demo_end_to_end(spark, tmp_path):
         "marts/fact_subject_outcomes",
         "predictions",
         "run_report.json",
+        "model_artifacts/roc_curve.json",
+        "model_artifacts/precision_recall_curve.json",
+        "model_artifacts/confusion_matrix.json",
+        "model_artifacts/performance_report.json",
+        "model_artifacts/gate_report.json",
     ]:
         assert os.path.exists(tmp_path / p), p
-    # analytics produced rows; ML passed its gates
+    # analytics produced rows; ML passed its gates (holdout + 5-fold CV)
     assert all(n > 0 for n in report["analytics"].values())
     assert report["ml"]["auc"] >= 0.65 and report["ml"]["ap"] >= 0.60
+    assert 0.0 <= report["ml"]["cv_auc"] <= 1.0
     assert report["ml"]["n_scored"] == 120
     # report round-trips as JSON
     with open(tmp_path / "run_report.json") as f:

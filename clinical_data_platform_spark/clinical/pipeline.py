@@ -24,6 +24,7 @@ from . import marts as M
 from . import star as S
 from .features import subject_level_features
 from .ingest import land_to_bronze
+from .adam import write_adsl
 from .ml import closed_form_risk, export_artifacts, score, train_with_report
 from .standardize import DOMAIN_MAPPERS, standardize_bronze_to_sdtm
 from .synthetic import generate_all
@@ -99,6 +100,9 @@ def run_demo(
         d: DOMAIN_MAPPERS[d](spark.read.parquet(f"{silver_dir}/{d}.parquet"))
         for d in DOMAIN_RULES
     }
+    # ADaM deliverable lives beside the silver SDTM domains
+    # (standards/adam/build_adsl.py writes <standardized>/ADSL.parquet)
+    write_adsl(silver["DM"], silver["AE"], silver_dir)
     stage("silver")
 
     # 5. star schema

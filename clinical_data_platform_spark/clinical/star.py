@@ -23,8 +23,25 @@ def build_dim_study(spark) -> DataFrame:
     return spark.createDataFrame([(1, STUDY_ID)], "study_sk INT, study_id STRING")
 
 
-def build_dim_subject(dm: DataFrame) -> DataFrame:
+DIM_ROW_NUMBER_CAP = 5_000_000
+
+
+def _assert_dim_sized(df: DataFrame, what: str, cap: int) -> None:
+    """ROW_NUMBER over a global Window funnels every row through ONE task —
+    correct for dims, a scale trap for facts. Refuse beyond `cap` rows and
+    point at the md5 hash key (functions/scalars.surrogate_key, W4), which
+    is shuffle-free at any size."""
+    if df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{what} has more than {cap} rows; a global row_number surrogate "
+            "key would serialize through one task. Use the md5 hash key "
+            "(functions/scalars.surrogate_key) for fact-sized tables."
+        )
+
+
+def build_dim_subject(dm: DataFrame, max_rows: int = DIM_ROW_NUMBER_CAP) -> DataFrame:
     """Deterministic surrogate key ordered by natural key."""
+    _assert_dim_sized(dm, "dim_subject input", max_rows)
     w = Window.orderBy("SUBJID")
     return dm.select(
         F.row_number().over(w).alias("subject_sk"),

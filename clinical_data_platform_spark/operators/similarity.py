@@ -48,8 +48,23 @@ def knn_join(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
-    """Exact k-NN for each query row (queries must be broadcast-sized)."""
+    """Exact k-NN for each query row (queries must be broadcast-sized).
+
+    Scale guard: the plan is a broadcast-nested-loop — cost is
+    O(|embeddings| * |queries|) and the query side is materialized on every
+    executor. Beyond ``max_query_rows`` that silently becomes a cartesian
+    blow-up, so the operator refuses and points at the LSH/IVF paths
+    (lsh_topk, operators/ivf.py), which shuffle on bucket ids instead."""
+    n_queries = queries.limit(max_query_rows + 1).count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"knn_join query side has >{max_query_rows} rows; a broadcast-"
+            "nested-loop would cartesian at this size. Use the LSH bucket "
+            "join (lsh_topk) or IVF index (operators/ivf.py), or raise "
+            "max_query_rows explicitly if the cluster can broadcast it."
+        )
     joined = embeddings.crossJoin(F.broadcast(queries))
     cos = cosine_similarity(F.col(vec_col), F.col(query_vec))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))

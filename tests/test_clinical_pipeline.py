@@ -50,6 +50,21 @@ def test_fk_containment(silver):
 # ---------------------------------------------------------------------------
 
 
+def test_dim_surrogate_key_refuses_fact_sized_input(spark):
+    """Scale guard: global row_number surrogate keys serialize through one
+    task; beyond the cap build_dim_subject must raise and point at the md5
+    hash key (W4)."""
+    import pytest
+
+    big = spark.range(25).select(
+        F.concat(F.lit("SUBJ"), F.col("id")).alias("SUBJID"),
+        F.lit("A").alias("ARM"), F.lit("F").alias("SEX"), F.lit(40).alias("AGE"),
+    )
+    with pytest.raises(ValueError, match="md5 hash key"):
+        S.build_dim_subject(big, max_rows=10)
+    assert S.build_dim_subject(big, max_rows=25).count() == 25
+
+
 def test_star_schema(spark, silver, duck):
     star = S.build_star(spark, silver)
     dim = star["dim_subject"].toPandas()
@@ -356,6 +371,40 @@ def test_subject_features_oracle(silver, duck):
         "SUBJID", "AE_COUNT", "SEVERE_AE_COUNT"
     )
     assert_frames_match(sdf, odf, context="subject_level_features")
+
+
+def test_build_adsl_oracle(silver, duck, tmp_path):
+    """ADSL parity with standards/adam/build_adsl.py:10-26: DM + AE counts
+    + DROPOUT_RISK=(SEVERE_AE_COUNT>0)::int, written as a named parquet."""
+    from clinical_data_platform_spark.clinical.adam import build_adsl, write_adsl
+
+    odf = duck.execute(
+        """
+        WITH c AS (SELECT STUDYID, SUBJID, count(*) AS AE_COUNT FROM ae GROUP BY 1,2),
+        s AS (SELECT STUDYID, SUBJID, count(*) AS SEVERE_AE_COUNT FROM ae
+              WHERE AESEV IN ('SEVERE','SERIOUS') GROUP BY 1,2)
+        SELECT d.SUBJID, d.ARM, d.SEX,
+               cast(coalesce(c.AE_COUNT, 0) AS INTEGER) AS AE_COUNT,
+               cast(coalesce(s.SEVERE_AE_COUNT, 0) AS INTEGER) AS SEVERE_AE_COUNT,
+               cast(coalesce(s.SEVERE_AE_COUNT, 0) > 0 AS INTEGER) AS DROPOUT_RISK
+        FROM dm d
+        LEFT JOIN c ON c.STUDYID = d.STUDYID AND c.SUBJID = d.SUBJID
+        LEFT JOIN s ON s.STUDYID = d.STUDYID AND s.SUBJID = d.SUBJID
+        """
+    ).fetchdf()
+    adsl = build_adsl(silver["DM"], silver["AE"])
+    assert_frames_match(
+        adsl.select("SUBJID", "ARM", "SEX", "AE_COUNT", "SEVERE_AE_COUNT", "DROPOUT_RISK"),
+        odf,
+        context="build_adsl",
+    )
+    # named deliverable round-trips
+    import os
+
+    path = write_adsl(silver["DM"], silver["AE"], str(tmp_path))
+    assert path.endswith("ADSL.parquet") and os.path.exists(path)
+    spark = silver["DM"].sparkSession
+    assert spark.read.parquet(path).count() == silver["DM"].count()
 
 
 def test_utility_views_oracle(silver, duck):

@@ -94,6 +94,21 @@ def test_knn_join(spark):
     assert all(top1.query_id == top1.vec_id)
 
 
+def test_knn_join_refuses_unbroadcastable_queries(spark):
+    """Scale guard: beyond max_query_rows the broadcast-nested-loop would
+    silently cartesian, so knn_join must raise and point at LSH/IVF."""
+    import pytest
+
+    emb = _embeddings(spark, n=60)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="LSH"):
+        knn_join(emb, queries, k=5, max_query_rows=10)
+    # at exactly the cap it still runs
+    assert knn_join(emb, queries.limit(10), k=1, max_query_rows=10).count() == 10
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from clinical_data_platform_spark.operators.ivf import build_ivf_index
 

@@ -76,8 +76,78 @@ def test_read_only_middleware(client, monkeypatch):
     assert client.post("/studies", headers=_auth()).status_code == 403
 
 
-def test_registry_governance(tmp_path):
-    reg = ModelRegistry(str(tmp_path / "registry.json"))
+class _FakeRawVersion:
+    """Shape of mlflow.entities.model_registry.ModelVersion as consumed by
+    the adapter (name/version/current_stage/tags/source/creation_timestamp)."""
+
+    def __init__(self, name, version, tags, source):
+        self.name = name
+        self.version = str(version)
+        self.current_stage = "None"
+        self.tags = dict(tags)
+        self.source = source
+        self.creation_timestamp = 1700000000000
+
+
+class FakeMlflowClient:
+    """Minimal MlflowClient double implementing exactly the five methods
+    MlflowModelRegistry drives, with MLflow's semantics (string versions,
+    per-tag writes, stage transitions)."""
+
+    def __init__(self):
+        self.models: dict[str, list[_FakeRawVersion]] = {}
+
+    def create_registered_model(self, name):
+        if name in self.models:
+            raise RuntimeError(f"RESOURCE_ALREADY_EXISTS: {name}")
+        self.models[name] = []
+
+    def create_model_version(self, name, source, tags=None):
+        versions = self.models.setdefault(name, [])
+        raw = _FakeRawVersion(name, len(versions) + 1, tags or {}, source)
+        versions.append(raw)
+        return raw
+
+    def search_model_versions(self, filter_string):
+        name = filter_string.split("'")[1]
+        return list(self.models.get(name, []))
+
+    def _get(self, name, version):
+        return next(v for v in self.models[name] if v.version == str(version))
+
+    def set_model_version_tag(self, name, version, key, value):
+        self._get(name, version).tags[key] = value
+
+    def transition_model_version_stage(self, name, version, stage):
+        self._get(name, version).current_stage = stage
+
+
+def _make_backends(tmp_path):
+    from clinical_data_platform_spark.clinical.registry import (
+        MlflowModelRegistry,
+        mlflow_available,
+    )
+
+    backends = [
+        ("json", ModelRegistry(str(tmp_path / "registry.json"))),
+        ("mlflow-contract", MlflowModelRegistry(client=FakeMlflowClient())),
+    ]
+    if mlflow_available():  # real client when mlflow is on the path
+        import mlflow
+
+        uri = f"sqlite:///{tmp_path}/mlflow.db"
+        backends.append(("mlflow-real", MlflowModelRegistry(tracking_uri=uri)))
+    return backends
+
+
+def test_registry_governance_all_backends(tmp_path):
+    """The governance contract must hold identically on every backend
+    (reference runs it on MLflow; the JSON store is the sandbox stand-in)."""
+    for label, reg in _make_backends(tmp_path):
+        _governance_scenario(reg, label)
+
+
+def _governance_scenario(reg, label="json"):
     mv = reg.register("risk_model", metrics={"auc": 0.9, "ap": 0.8})
     assert mv.version == 1 and mv.stage == "None"
     # production promotion blocked without governance tags
@@ -99,6 +169,11 @@ def test_registry_governance(tmp_path):
     })
     reg.promote("risk_model", 2, "Production")
     versions = {v.version: v.stage for v in reg._versions("risk_model")}
-    assert versions == {1: "Archived", 2: "Production"}
+    assert versions == {1: "Archived", 2: "Production"}, label
+    # metrics round-trip through the backend (mlflow stores them in a
+    # reserved tag that must NOT leak into governance tags)
+    v2 = next(v for v in reg._versions("risk_model") if v.version == 2)
+    assert v2.metrics == {"auc": 0.92, "ap": 0.82}, label
+    assert not any(k.startswith("_") for k in v2.tags), label
     with pytest.raises(ValueError):
         reg.promote("risk_model", 2, "SuperProd")

@@ -127,11 +127,16 @@ def _violation_agg(rule: Rule) -> Column:
             F.struct(*[F.col(x) for x in cols])
         )
     if k == "freshness":
-        # long casts (whole seconds) match DuckDB date_diff('second', ...)
-        now = F.lit(rule.params["now"]).cast("timestamp")
-        lag_min = (now.cast("long") - F.max(c).cast("long")) / 60.0
+        lag_min = _freshness_lag_min(rule)
         return F.when(lag_min > rule.params["breach_minutes"], 1).otherwise(0)
     raise ValueError(f"unknown rule kind {k!r}")
+
+
+def _freshness_lag_min(rule: Rule) -> Column:
+    """Staleness in minutes, shared by the breach and warn aggregates.
+    Long casts (whole seconds) match DuckDB date_diff('second', ...)."""
+    now = F.lit(rule.params["now"]).cast("timestamp")
+    return (now.cast("long") - F.max(F.col(rule.column)).cast("long")) / 60.0
 
 
 def _warn_agg(rule: Rule) -> Column | None:
@@ -143,9 +148,7 @@ def _warn_agg(rule: Rule) -> Column | None:
     not breach_minutes."""
     if rule.kind != "freshness":
         return None
-    c = F.col(rule.column)
-    now = F.lit(rule.params["now"]).cast("timestamp")
-    lag_min = (now.cast("long") - F.max(c).cast("long")) / 60.0
+    lag_min = _freshness_lag_min(rule)
     warn = (lag_min > rule.params["warn_minutes"]) & (
         lag_min <= rule.params["breach_minutes"]
     )
@@ -169,17 +172,26 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
 
 def check_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
-    """Long-format report {rule, violations, passed} via one wide pass +
-    an unpivot (stack) — still one scan of the data."""
+    """Long-format report {rule, violations, passed, severity} via one wide
+    pass + an unpivot (stack) — still one scan of the data.
+
+    Warning-tier rows (``<name>__warn``, freshness) carry
+    severity='warn' and passed=NULL: a warning is NOT a breach
+    (src/common/freshness.py:52-57 keeps the tiers distinct), so report
+    consumers scanning for passed=false see only true failures."""
     wide = run_checks(df, rules)
     names = [c for c in wide.columns if c != "n_rows"]
     stack_expr = "stack({n}, {args}) as (rule, violations)".format(
         n=len(names), args=", ".join(f"'{n}', `{n}`" for n in names)
     )
+    is_warn = F.col("rule").endswith("__warn")
     return wide.selectExpr("n_rows", stack_expr).select(
         "rule",
         "violations",
-        (F.col("violations") == 0).alias("passed"),
+        F.when(is_warn, F.lit(None).cast("boolean"))
+        .otherwise(F.col("violations") == 0)
+        .alias("passed"),
+        F.when(is_warn, "warn").otherwise("breach").alias("severity"),
         "n_rows",
     )
 

@@ -48,23 +48,29 @@ def query(name: str, oracle: str | None = None, tags: list[str] | None = None):
 # queries the driver has not yet value-checked; the remainder keep their
 # registration order after it. q1 stays first (entry() flagship).
 PRIORITY_ORDER = [
-    "q1_pricing_summary",
-    # validation (3 unverified rows of the check engine)
+    # r3 rotation: the 12 oracled queries never yet sampled by the driver's
+    # 50-row window (locally green both rounds). Swapped in for the
+    # twice-driver-verified rows (q1, the 8 tpch_deep, fk containment,
+    # welch, chi) so that after this round every oracled query has been
+    # driver-verified at least once.
+    "rollup_revenue",
+    "cube_order_counts",
+    "building_buyers_intersect",
+    "customers_without_orders_except",
+    "nation_trade_full_outer",
+    "top3_orders_per_priority",
+    "event_rank_distribution",
+    "rolling_hour_user_value",
+    "salted_event_rollup",
+    "user_session_stats",
+    "latest_event_per_user_type",
+    "bpe_token_counts",
+    # changed this round -> must re-verify: check_report grew a severity
+    # column (dq_orders_report), embedding_near_dup_pairs was re-planned
+    # onto banded LSH, knn_join grew a broadcast guard, the freshness lag
+    # expression was factored into a shared helper (dq_events_freshness)
     "dq_orders_report",
-    "dq_lineitem_fk_containment",
     "dq_events_freshness",
-    # stats
-    "welch_ttest_totalprice",
-    "chi_square_event_value",
-    # tpch_deep (all 8)
-    "q18_large_volume_customers",
-    "q21_blocked_suppliers",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "q20_heavy_shippers",
     # trainprep (all 5)
     "train_val_test_split",
     "balanced_class_sample",

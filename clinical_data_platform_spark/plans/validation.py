@@ -84,7 +84,8 @@ def dq_lineitem_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN 1 ELSE 0 END) AS BIGINT) AS v_len
       FROM orders
     )
-    SELECT rule, violations, violations = 0 AS passed, n_rows FROM (
+    SELECT rule, violations, violations = 0 AS passed,
+           'breach' AS severity, n_rows FROM (
       SELECT 'not_null__o_orderkey' AS rule, v_not_null AS violations, n_rows FROM wide
       UNION ALL SELECT 'unique__o_orderkey', v_unique, n_rows FROM wide
       UNION ALL SELECT 'accepted_values__o_orderstatus', v_accepted, n_rows FROM wide

@@ -9,6 +9,13 @@ here — fastapi is not in this container; the HTTP contract is identical):
 - read-only middleware: mutating methods are rejected when
   READ_ONLY_MODE=1 (compliance/read_only.py:14-20), /score exempt like the
   reference's scoring endpoint.
+- sliding-window rate limiting per client IP (X-Forwarded-For aware):
+  60 reads/min, 10 writes/min -> 429 (api/middleware.py:151-209).
+- CORS allowlist with preflight handling: localhost dev origins by
+  default, EMPTY in staging/prod unless configured; write methods
+  excluded from Allow-Methods in read-only mode
+  (api/middleware.py:213-233).
+- security headers on every response (api/middleware.py:123-139).
 
 The mart is loaded once from parquet into memory (it is subject-level,
 i.e. tiny relative to the facts Spark aggregates it from) — the serving
@@ -20,6 +27,8 @@ from __future__ import annotations
 import math
 import os
 import re
+import time
+from collections import defaultdict, deque
 
 import pandas as pd
 from flask import Flask, jsonify, request
@@ -28,6 +37,57 @@ from ..clinical.redaction import redact_text_str
 
 SUBJID_RE = re.compile(r"^[A-Z0-9\-]+$")
 API_TOKEN_ENV = "CLINICAL_API_TOKEN"
+WRITE_METHODS = {"POST", "PUT", "PATCH", "DELETE"}
+DEV_CORS_ORIGINS = ["http://localhost:3000", "http://localhost:8501"]
+CORS_ALLOW_HEADERS = "Authorization, Content-Type, X-Request-ID"
+CORS_EXPOSE_HEADERS = "X-Request-ID, X-Response-Time"
+
+
+class RateLimiter:
+    """Per-client sliding-window limiter (api/middleware.py:151-209):
+    separate read/write budgets over a 60 s window, client identified by
+    the first X-Forwarded-For hop when present."""
+
+    def __init__(self, calls_per_minute: int = 60, write_calls_per_minute: int = 10):
+        self.calls_per_minute = calls_per_minute
+        self.write_calls_per_minute = write_calls_per_minute
+        self._hits: dict[tuple[str, bool], deque] = defaultdict(deque)
+
+    @staticmethod
+    def client_ip(req) -> str:
+        fwd = req.headers.get("X-Forwarded-For")
+        if fwd:
+            return fwd.split(",")[0].strip()
+        return req.remote_addr or "unknown"
+
+    def is_limited(self, ip: str, is_write: bool, now: float | None = None) -> bool:
+        now = time.time() if now is None else now
+        q = self._hits[(ip, is_write)]
+        while q and q[0] < now - 60:
+            q.popleft()
+        limit = self.write_calls_per_minute if is_write else self.calls_per_minute
+        if len(q) >= limit:
+            return True
+        q.append(now)
+        return False
+
+
+def _cors_origins() -> list[str]:
+    """Dev origins by default; staging/prod must configure explicitly
+    (api/middleware.py:222-225). CORS_ALLOWED_ORIGINS is a comma list."""
+    configured = os.environ.get("CORS_ALLOWED_ORIGINS")
+    if configured is not None:
+        return [o.strip() for o in configured.split(",") if o.strip()]
+    if os.environ.get("APP_ENV") in ("staging", "prod"):
+        return []
+    return list(DEV_CORS_ORIGINS)
+
+
+def _cors_methods() -> str:
+    methods = ["GET", "HEAD", "OPTIONS"]
+    if os.environ.get("READ_ONLY_MODE") != "1":
+        methods.extend(sorted(WRITE_METHODS))
+    return ", ".join(methods)
 
 
 def _authorized(req) -> bool:
@@ -47,17 +107,60 @@ def closed_form_score(age: float, ae_count: int, severe_ae_count: int) -> dict:
     return {"risk": round(risk, 6), "confidence": tier}
 
 
-def create_app(mart_path: str | None = None) -> Flask:
+def create_app(
+    mart_path: str | None = None, rate_limiter: RateLimiter | None = None
+) -> Flask:
     app = Flask("clinical-data-platform-spark")
     mart: pd.DataFrame | None = None
     if mart_path and os.path.exists(mart_path):
         mart = pd.read_parquet(mart_path)
+    limiter = rate_limiter or RateLimiter()
+
+    @app.before_request
+    def cors_preflight():
+        if request.method == "OPTIONS":
+            resp = app.make_response(("", 204))
+            origin = request.headers.get("Origin")
+            if origin in _cors_origins():
+                resp.headers["Access-Control-Allow-Origin"] = origin
+                resp.headers["Access-Control-Allow-Methods"] = _cors_methods()
+                resp.headers["Access-Control-Allow-Headers"] = CORS_ALLOW_HEADERS
+                resp.headers["Access-Control-Allow-Credentials"] = "true"
+                resp.headers["Access-Control-Max-Age"] = "600"
+            return resp
+
+    @app.before_request
+    def rate_limit_guard():
+        is_write = request.method in WRITE_METHODS
+        if limiter.is_limited(RateLimiter.client_ip(request), is_write):
+            limit = (
+                limiter.write_calls_per_minute if is_write else limiter.calls_per_minute
+            )
+            resp = jsonify(
+                {"error": "rate limit exceeded", "limit_per_minute": limit}
+            )
+            resp.headers["Retry-After"] = "60"
+            return resp, 429
 
     @app.before_request
     def read_only_guard():
         if os.environ.get("READ_ONLY_MODE") == "1":
-            if request.method in ("POST", "PUT", "PATCH", "DELETE") and request.path != "/score":
+            if request.method in WRITE_METHODS and request.path != "/score":
                 return jsonify({"error": "read-only mode"}), 403
+
+    @app.after_request
+    def cors_and_security_headers(resp):
+        origin = request.headers.get("Origin")
+        if origin in _cors_origins():
+            resp.headers["Access-Control-Allow-Origin"] = origin
+            resp.headers["Access-Control-Allow-Credentials"] = "true"
+            resp.headers["Access-Control-Expose-Headers"] = CORS_EXPOSE_HEADERS
+            resp.headers["Vary"] = "Origin"
+        # security headers (api/middleware.py:123-139)
+        resp.headers["X-Content-Type-Options"] = "nosniff"
+        resp.headers["X-Frame-Options"] = "DENY"
+        resp.headers["Referrer-Policy"] = "strict-origin-when-cross-origin"
+        return resp
 
     @app.get("/health")
     def health():

@@ -89,6 +89,26 @@ def test_freshness_rule(spark):
     assert stale["freshness__ts"] == 1
 
 
+def test_check_report_warn_severity(spark):
+    """Warning-tier staleness must NOT read as a failure: the __warn row
+    carries severity='warn' with passed=NULL, so consumers scanning for
+    passed=false see only true breaches (ADVICE r2; freshness.py:52-57)."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "ts_s STRING"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    # lag = 135 min: warn (>120) but not breach (<=150)
+    rep = C.check_report(
+        df, [C.freshness("ts", "2024-01-01 02:15:00", 120, 150)]
+    ).toPandas().set_index("rule")
+    assert rep.loc["freshness__ts", "severity"] == "breach"
+    assert bool(rep.loc["freshness__ts", "passed"]) is True
+    assert rep.loc["freshness__ts__warn", "severity"] == "warn"
+    assert rep.loc["freshness__ts__warn", "violations"] == 1
+    assert rep.loc["freshness__ts__warn", "passed"] is None
+    # nothing is passed=false even though the warn tier fired
+    assert not (rep["passed"] == False).any()  # noqa: E712
+
+
 def test_scd2_merge(spark):
     from clinical_data_platform_spark.operators.scd import apply_scd2, init_scd2
 

@@ -87,6 +87,11 @@ def test_redaction_mrn_lookahead(spark):
     )
     out = {r.id: r.note for r in redact_columns(df, ["note"]).collect()}
     assert "ABC12345" not in out[1]
+    # Intentional over-redaction (r2 ADVICE, pinned deliberately): the
+    # reference lookahead redacts EVERY 6-12 char alphanumeric token that
+    # precedes a later 'mrn' — 'recorded' goes too. Parity-correct and
+    # errs on the safe side for PHI.
+    assert "recorded" not in out[1]
     assert "a1" in out[2]  # <6 chars: not MRN-shaped
     # driver-side twin (serving error scrubber path) agrees
     assert "ABC12345" not in redact_text_str("id ABC12345 recorded under mrn")

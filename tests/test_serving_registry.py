@@ -76,6 +76,72 @@ def test_read_only_middleware(client, monkeypatch):
     assert client.post("/studies", headers=_auth()).status_code == 403
 
 
+def test_rate_limit_429(monkeypatch, tmp_path):
+    """Write budget exhausts after write_calls_per_minute requests within
+    the window -> 429 with Retry-After; reads have the larger budget
+    (api/middleware.py:151-209)."""
+    from clinical_data_platform_spark.serving.app import RateLimiter, create_app
+
+    monkeypatch.setenv("CLINICAL_API_TOKEN", TOKEN)
+    monkeypatch.delenv("READ_ONLY_MODE", raising=False)
+    app = create_app(None, rate_limiter=RateLimiter(calls_per_minute=5, write_calls_per_minute=3))
+    app.testing = True
+    c = app.test_client()
+    body = {"age": 50, "ae_count": 1, "severe_ae_count": 0}
+    codes = [
+        c.post("/score", json=body, headers=_auth()).status_code for _ in range(4)
+    ]
+    assert codes == [200, 200, 200, 429]
+    r = c.post("/score", json=body, headers=_auth())
+    assert r.status_code == 429 and r.headers["Retry-After"] == "60"
+    # reads still within their own budget
+    assert c.get("/health").status_code == 200
+    # a different client ip has a fresh budget
+    ok = c.post(
+        "/score", json=body, headers={**_auth(), "X-Forwarded-For": "10.9.8.7"}
+    )
+    assert ok.status_code == 200
+
+
+def test_rate_limit_window_slides():
+    from clinical_data_platform_spark.serving.app import RateLimiter
+
+    rl = RateLimiter(calls_per_minute=2, write_calls_per_minute=1)
+    assert rl.is_limited("ip", False, now=1000.0) is False
+    assert rl.is_limited("ip", False, now=1001.0) is False
+    assert rl.is_limited("ip", False, now=1002.0) is True
+    # 61 s later the window has slid past the first hits
+    assert rl.is_limited("ip", False, now=1062.0) is False
+
+
+def test_cors_preflight_and_headers(client, monkeypatch):
+    # preflight from an allowed dev origin
+    r = client.options("/score", headers={"Origin": "http://localhost:3000"})
+    assert r.status_code == 204
+    assert r.headers["Access-Control-Allow-Origin"] == "http://localhost:3000"
+    assert "POST" in r.headers["Access-Control-Allow-Methods"]
+    assert "Authorization" in r.headers["Access-Control-Allow-Headers"]
+    # disallowed origin gets no CORS grant
+    r = client.options("/score", headers={"Origin": "http://evil.example"})
+    assert r.status_code == 204 and "Access-Control-Allow-Origin" not in r.headers
+    # actual response carries the origin grant + security headers
+    r = client.get("/health", headers={"Origin": "http://localhost:8501"})
+    assert r.headers["Access-Control-Allow-Origin"] == "http://localhost:8501"
+    assert r.headers["X-Content-Type-Options"] == "nosniff"
+    # read-only mode drops write methods from the preflight grant
+    monkeypatch.setenv("READ_ONLY_MODE", "1")
+    r = client.options("/score", headers={"Origin": "http://localhost:3000"})
+    assert "POST" not in r.headers["Access-Control-Allow-Methods"]
+    # staging/prod default to an EMPTY allowlist
+    monkeypatch.delenv("READ_ONLY_MODE", raising=False)
+    monkeypatch.setenv("APP_ENV", "prod")
+    r = client.get("/health", headers={"Origin": "http://localhost:3000"})
+    assert "Access-Control-Allow-Origin" not in r.headers
+    monkeypatch.setenv("CORS_ALLOWED_ORIGINS", "https://app.example.org")
+    r = client.get("/health", headers={"Origin": "https://app.example.org"})
+    assert r.headers["Access-Control-Allow-Origin"] == "https://app.example.org"
+
+
 class _FakeRawVersion:
     """Shape of mlflow.entities.model_registry.ModelVersion as consumed by
     the adapter (name/version/current_stage/tags/source/creation_timestamp)."""

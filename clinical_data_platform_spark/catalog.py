@@ -35,10 +35,38 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation", "supplier")
 
 
+# Optional suite-mode scan cache: when a caller (bench_compare, a REPL
+# session running many queries against one sf_dir) opts in, each table is
+# .cache()'d on first touch so the N-th query reads Tungsten in-memory
+# columnar batches instead of re-decoding parquet. Off by default — cached
+# relations bypass parquet predicate pushdown, and single-query plans
+# should keep their pushed filters.
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CACHE_ENABLED = False
+
+
+def enable_scan_cache(enabled: bool = True) -> None:
+    global _CACHE_ENABLED
+    _CACHE_ENABLED = enabled
+    if not enabled:
+        for df in _SCAN_CACHE.values():
+            df.unpersist()
+        _SCAN_CACHE.clear()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     tune_session(spark)
+    if _CACHE_ENABLED:
+        key = (sf_dir, name)
+        if key not in _SCAN_CACHE:
+            _SCAN_CACHE[key] = _load(spark, sf_dir, name).cache()
+        return _SCAN_CACHE[key]
+    return _load(spark, sf_dir, name)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -288,24 +288,33 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos > 0.45) via banded
     sign-projection LSH — the 100 TB plan, not an all-pairs join.
 
-    Each vector explodes into 8 (band, bucket) rows; candidates come from a
-    shuffle EQUI-JOIN on (band, bucket); duplicates (pairs colliding in >1
-    band) collapse with a hash dedup; only then is the exact cosine computed
-    bucket-locally and filtered. Work scales with collisions, not n². The
-    DuckDB oracle applies the IDENTICAL md5-derived banding, so results are
+    Plan shape (the order matters — an earlier version carried the 64-dim
+    unit vectors through the candidate join and was 30x slower):
+
+    1. signatures are BARE (vec_id, band, bucket) rows — no vectors —
+       explicitly hash-repartitioned on (band, bucket) so candidate
+       generation is co-partitioned and parallel (an explicit repartition
+       count is exempt from AQE coalescing, which would otherwise pack
+       these tiny-bytes/heavy-compute rows into one task);
+    2. candidates come from an EQUI-JOIN on (band, bucket) over those
+       16-byte rows (statistics pick broadcast at small scale; at cluster
+       scale the co-partitioned shuffle join kicks in), then an explicit
+       (id_a, id_b) hash repartition feeds the multi-band-collision dedup
+       partition-locally — ids move, vectors never do;
+    3. unit vectors are re-attached to the surviving pairs by two
+       vec_id equi-joins (broadcast now, hash join co-partitioned on
+       vec_id at scale), and only then is the exact cosine computed and
+       filtered.
+
+    Work scales with collisions, not n², and the bytes in motion scale
+    with collisions x 16 B, not collisions x vector width. The DuckDB
+    oracle applies the IDENTICAL md5-derived banding, so results are
     value-verified; recall vs the exhaustive plan is asserted in pytest."""
     from ..functions.vectors import dot
 
     e = T(spark, sf_dir, "embeddings")
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     planes = _slsh_signs(_PAIR_BANDS * _PAIR_ROWS_PER_BAND)
-    unit = e.select(
-        "vec_id",
-        "embedding",
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double") / l2_norm(F.col("embedding")),
-        ).alias("unit"),
-    )
     band_structs = []
     for j in range(_PAIR_BANDS):
         bucket = None
@@ -317,28 +326,37 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_structs.append(
             F.struct(F.lit(j).alias("band"), bucket.alias("bucket"))
         )
-    sig = unit.select(
-        "vec_id", "unit", F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        "vec_id",
-        "unit",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
-    a = sig.select(
-        "band", "bucket", F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a")
-    )
-    b = sig.select(
-        "band", "bucket", F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b")
+    sig = (
+        e.select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            "vec_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        .repartition(parallelism, "band", "bucket")
     )
     cand = (
-        a.join(b, ["band", "bucket"])
+        sig.select("band", "bucket", F.col("vec_id").alias("id_a"))
+        .join(
+            sig.select("band", "bucket", F.col("vec_id").alias("id_b")),
+            ["band", "bucket"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(parallelism, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    unit = _unit_vectors(e)
+    pairs = cand.join(
+        unit.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a")),
+        "id_a",
+    ).join(
+        unit.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b")),
+        "id_b",
     )
     cos = dot(F.col("unit_a"), F.col("unit_b"))
     return (
-        cand.select("id_a", "id_b", cos.alias("cosine_raw"))
+        pairs.select("id_a", "id_b", cos.alias("cosine_raw"))
         .filter(F.col("cosine_raw") > 0.45)
         .select("id_a", "id_b", F.round("cosine_raw", 5).alias("cosine"))
     )

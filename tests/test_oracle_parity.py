@@ -63,6 +63,16 @@ def test_driver_window_spans_all_modules():
         "sign_lsh_ann_topk_vec0", "chunked_documents",
         "stream_error_click_pairs", "welch_ttest_totalprice",
         "interval_join_error_windows",
+        # r3 rotation: the 12 queries never sampled in rounds 1-2
+        "rollup_revenue", "cube_order_counts", "building_buyers_intersect",
+        "customers_without_orders_except", "nation_trade_full_outer",
+        "top3_orders_per_priority", "event_rank_distribution",
+        "rolling_hour_user_value", "salted_event_rollup",
+        "user_session_stats", "latest_event_per_user_type",
+        "bpe_token_counts",
+        # changed in r3 -> must re-verify
+        "dq_orders_report", "embedding_near_dup_pairs", "knn_join_top5",
+        "dq_events_freshness",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

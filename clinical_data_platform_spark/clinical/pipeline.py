@@ -25,6 +25,7 @@ from . import star as S
 from .features import subject_level_features
 from .ingest import land_to_bronze
 from .adam import write_adsl
+from .dashboard import dashboard_payload
 from .ml import closed_form_risk, export_artifacts, score, train_with_report
 from .standardize import DOMAIN_MAPPERS, standardize_bronze_to_sdtm
 from .synthetic import generate_all
@@ -157,6 +158,13 @@ def run_demo(
         "n_scored": risks.count(),
     }
     stage("ml")
+
+    # 9. dashboard chart-data payload (ui/dashboard.py parity) — the
+    # serving layer exposes this JSON at /dashboard without touching Spark
+    payload = dashboard_payload(marts["fact_subject_outcomes"], feats)
+    with open(os.path.join(workdir, "dashboard.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    stage("dashboard")
 
     report["wall_s"] = round(time.time() - t0, 2)
     with open(os.path.join(workdir, "run_report.json"), "w") as f:

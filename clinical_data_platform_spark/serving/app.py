@@ -108,12 +108,20 @@ def closed_form_score(age: float, ae_count: int, severe_ae_count: int) -> dict:
 
 
 def create_app(
-    mart_path: str | None = None, rate_limiter: RateLimiter | None = None
+    mart_path: str | None = None,
+    rate_limiter: RateLimiter | None = None,
+    dashboard_path: str | None = None,
 ) -> Flask:
     app = Flask("clinical-data-platform-spark")
     mart: pd.DataFrame | None = None
     if mart_path and os.path.exists(mart_path):
         mart = pd.read_parquet(mart_path)
+    dashboard: dict | None = None
+    if dashboard_path and os.path.exists(dashboard_path):
+        import json as _json
+
+        with open(dashboard_path) as f:
+            dashboard = _json.load(f)
     limiter = rate_limiter or RateLimiter()
 
     @app.before_request
@@ -218,6 +226,40 @@ def create_app(
                 "data_completeness_score": float(r["data_completeness_score"]),
             }
         )
+
+    @app.get("/dashboard/data")
+    def dashboard_data():
+        """Chart-data payload precomputed by the Spark pipeline
+        (clinical/dashboard.py; ui/dashboard.py parity) — the serving path
+        stays Spark-free, like the mart endpoints."""
+        if not _authorized(request):
+            return jsonify({"error": "unauthorized"}), 401
+        if dashboard is None:
+            return jsonify({"error": "dashboard payload not loaded"}), 503
+        return jsonify(dashboard)
+
+    @app.get("/dashboard")
+    def dashboard_html():
+        """Minimal HTML table view of every chart payload (the Streamlit
+        front end in the reference is a pure client of /dashboard/data)."""
+        if not _authorized(request):
+            return jsonify({"error": "unauthorized"}), 401
+        if dashboard is None:
+            return jsonify({"error": "dashboard payload not loaded"}), 503
+        parts = ["<html><head><title>Clinical Data Platform</title></head><body>"]
+        parts.append("<h1>Study Overview Dashboard</h1>")
+        for chart, rows in dashboard.items():
+            parts.append(f"<h2>{chart}</h2><table border=1>")
+            if rows:
+                cols = list(rows[0])
+                parts.append("<tr>" + "".join(f"<th>{c}</th>" for c in cols) + "</tr>")
+                for r in rows:
+                    parts.append(
+                        "<tr>" + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+                    )
+            parts.append("</table>")
+        parts.append("</body></html>")
+        return "\n".join(parts), 200, {"Content-Type": "text/html; charset=utf-8"}
 
     @app.errorhandler(Exception)
     def on_error(exc):

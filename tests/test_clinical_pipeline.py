@@ -407,6 +407,94 @@ def test_build_adsl_oracle(silver, duck, tmp_path):
     assert spark.read.parquet(path).count() == silver["DM"].count()
 
 
+def test_dashboard_chart_queries_oracle(silver, duck):
+    """Every dashboard chart aggregation (clinical/dashboard.py,
+    ui/dashboard.py parity) against a DuckDB oracle over the same mart."""
+    from clinical_data_platform_spark.clinical import dashboard as D
+
+    outcomes = M.build_marts(silver)["fact_subject_outcomes"]
+    duck.register("pdf_outcomes", outcomes.toPandas())
+    duck.execute("CREATE OR REPLACE VIEW outcomes AS SELECT * FROM pdf_outcomes")
+
+    odf = duck.execute(
+        """
+        SELECT cast(count(*) AS BIGINT) AS total_subjects,
+               cast(sum(total_adverse_events) AS BIGINT) AS total_aes,
+               cast(sum(serious_adverse_events) AS BIGINT) AS serious_aes,
+               round(avg(age), 1) AS avg_age
+        FROM outcomes
+        """
+    ).fetchdf()
+    assert_frames_match(D.overview_metrics(outcomes), odf, context="overview")
+
+    odf = duck.execute(
+        """
+        SELECT safety_risk_category, cast(count(*) AS BIGINT) AS n
+        FROM outcomes GROUP BY 1 ORDER BY n DESC, safety_risk_category
+        """
+    ).fetchdf()
+    assert_frames_match(
+        D.safety_risk_breakdown(outcomes), odf, context="safety_breakdown"
+    )
+
+    odf = duck.execute(
+        """
+        SELECT treatment_arm,
+               cast(sum(total_adverse_events) AS BIGINT) AS ae_sum,
+               round(avg(total_adverse_events), 4) AS ae_mean,
+               cast(count(*) AS BIGINT) AS n_subjects
+        FROM outcomes GROUP BY 1 ORDER BY treatment_arm
+        """
+    ).fetchdf()
+    assert_frames_match(D.ae_by_arm(outcomes), odf, context="ae_by_arm")
+
+    odf = duck.execute(
+        """
+        SELECT treatment_arm, sex, cast(count(*) AS BIGINT) AS n
+        FROM outcomes GROUP BY 1,2 ORDER BY treatment_arm, sex
+        """
+    ).fetchdf()
+    assert_frames_match(
+        D.demographics_by_arm_sex(outcomes), odf, context="demographics"
+    )
+
+    # age histogram: bins cover all non-null ages, edges uniform
+    hist = D.age_histogram(outcomes, nbins=20).toPandas()
+    n_ages = outcomes.filter(F.col("age").isNotNull()).count()
+    assert hist["n"].sum() == n_ages
+    assert (hist["bin_hi"] - hist["bin_lo"]).round(3).nunique() == 1
+
+    # correlations: symmetric, unit diagonal, matches DuckDB corr
+    corr = D.feature_correlations(
+        subject_level_features(silver["DM"], silver["AE"])
+    ).toPandas()
+    mat = {(r.f1, r.f2): r.corr for r in corr.itertuples()}
+    assert all(mat[(f, f)] == 1.0 for f in D.NUMERIC_FEATURES)
+    assert mat[("AGE", "AE_COUNT")] == mat[("AE_COUNT", "AGE")]
+    oc = duck.execute(
+        """
+        WITH c AS (SELECT STUDYID, SUBJID, count(*) AS AE_COUNT FROM ae GROUP BY 1,2)
+        SELECT round(corr(coalesce(d.AGE, 0), coalesce(c.AE_COUNT, 0)), 6)
+        FROM dm d LEFT JOIN c ON c.STUDYID = d.STUDYID AND c.SUBJID = d.SUBJID
+        """
+    ).fetchone()[0]
+    # Spark prepare() coalesces nulls to 0 the same way inside features
+    from clinical_data_platform_spark.clinical.ml import prepare
+
+    corr2 = D.feature_correlations(
+        prepare(subject_level_features(silver["DM"], silver["AE"]))
+    ).toPandas()
+    mat2 = {(r.f1, r.f2): r.corr for r in corr2.itertuples()}
+    assert abs(mat2[("AGE", "AE_COUNT")] - oc) < 1e-6
+
+    # treatment summary shape
+    ts = D.treatment_summary(outcomes).toPandas()
+    assert set(ts.columns) == {
+        "treatment_arm", "age_mean", "ae_mean", "ae_max", "completeness_mean"
+    }
+    assert len(ts) == outcomes.select("treatment_arm").distinct().count()
+
+
 def test_utility_views_oracle(silver, duck):
     marts = M.build_marts(silver)
     sql = _SUMMARY_SQL + """

@@ -15,7 +15,7 @@ def test_run_demo_end_to_end(spark, tmp_path):
     # every stage ran
     assert list(report["stages"]) == [
         "generate", "validate", "bronze", "silver", "star", "marts",
-        "analytics", "ml",
+        "analytics", "ml", "dashboard",
     ]
     # validation catches the injected SEX='X' row and nothing else on DM PKs
     dm = report["validation"]["DM"]
@@ -34,6 +34,7 @@ def test_run_demo_end_to_end(spark, tmp_path):
         "model_artifacts/confusion_matrix.json",
         "model_artifacts/performance_report.json",
         "model_artifacts/gate_report.json",
+        "dashboard.json",
     ]:
         assert os.path.exists(tmp_path / p), p
     # analytics produced rows; ML passed its gates (holdout + 5-fold CV)

@@ -76,6 +76,39 @@ def test_read_only_middleware(client, monkeypatch):
     assert client.post("/studies", headers=_auth()).status_code == 403
 
 
+def test_dashboard_endpoints(monkeypatch, tmp_path):
+    """/dashboard/data serves the pipeline-precomputed chart payload;
+    /dashboard renders it as HTML. Both require auth; 503 when absent."""
+    import json as _json
+
+    from clinical_data_platform_spark.serving.app import create_app
+
+    monkeypatch.setenv("CLINICAL_API_TOKEN", TOKEN)
+    monkeypatch.delenv("READ_ONLY_MODE", raising=False)
+    payload = {
+        "overview_metrics": [
+            {"total_subjects": 3, "total_aes": 5, "serious_aes": 1, "avg_age": 40.0}
+        ],
+        "arm_distribution": [{"treatment_arm": "ARM A", "n": 3}],
+    }
+    p = tmp_path / "dashboard.json"
+    p.write_text(_json.dumps(payload))
+    app = create_app(None, dashboard_path=str(p))
+    app.testing = True
+    c = app.test_client()
+    assert c.get("/dashboard/data").status_code == 401
+    r = c.get("/dashboard/data", headers=_auth())
+    assert r.status_code == 200 and r.get_json() == payload
+    html = c.get("/dashboard", headers=_auth())
+    assert html.status_code == 200
+    body = html.get_data(as_text=True)
+    assert "overview_metrics" in body and "<td>ARM A</td>" in body
+    # no payload -> 503
+    app2 = create_app(None)
+    app2.testing = True
+    assert app2.test_client().get("/dashboard/data", headers=_auth()).status_code == 503
+
+
 def test_rate_limit_429(monkeypatch, tmp_path):
     """Write budget exhausts after write_calls_per_minute requests within
     the window -> 429 with Retry-After; reads have the larger budget

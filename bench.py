@@ -59,6 +59,9 @@ HEADLINE = [
     "near_dup_jaccard_pairs",
     "minhash_lsh_candidate_pairs",
     "cosine_topk_vec0",
+    # corpus QC (Gopher rules + repetition n-gram shuffle)
+    "gopher_quality_filter",
+    "doc_repetition_signals",
 ]
 
 

@@ -24,3 +24,4 @@ from . import streamops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import tpch_deep  # noqa: E402,F401
 from . import trainprep  # noqa: E402,F401
+from . import corpusqc  # noqa: E402,F401

@@ -1,0 +1,422 @@
+"""Corpus quality-control plans — the document-filtering battery a
+large-scale LLM training-data pipeline runs before anything else touches
+the corpus (reference scope: the text-quality side of its ingestion
+checks, generalized to the published filtering recipes):
+
+- ``gopher_quality_filter``   — the Gopher rule battery (Rae et al. 2021,
+  arXiv:2112.11446 Table A1): word-count bounds, mean word length,
+  symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+  fraction, stop-word presence.
+- ``doc_repetition_signals``  — Gopher repetition filters: duplicate-line
+  fraction and top n-gram fractions.
+- ``benchmark_decontamination`` — n-gram overlap between the training
+  corpus and a held-out benchmark set (the decontamination join every
+  serious pretraining pipeline runs; e.g. GPT-3 appendix C).
+- ``word_entropy_quality``    — per-document token Shannon entropy
+  (low-entropy docs are boilerplate/spam).
+
+All four are pure JVM expression + exchange plans (no Python on the data
+path) with exact DuckDB oracles.
+
+Cross-engine parity notes (see ARCHITECTURE.md "Correctness strategy"):
+ratio metrics here are single int/int divisions whose exact decimal value
+can land on a round-half boundary (denominators like 128), where Spark's
+HALF_UP and DuckDB's rounding disagree — so every ratio is truncated via
+``floor(x*1e6)/1e6`` instead of ``round`` (floor over identical IEEE
+doubles is engine-stable). Entropy uses ``round`` because its inputs are
+logarithms (never exact decimal halves) accumulated in float, where a
+truncation cliff would amplify sum-order ulps instead of absorbing them.
+
+At 100 TB: every per-document metric is a narrow projection that scales
+embarrassingly; the n-gram queries shuffle (doc_id, gram) pairs whose
+count is linear in corpus tokens; the decontamination join is an
+inverted-index equi-join keyed on the gram — the benchmark side is tiny
+(broadcastable) so the join is a broadcast hash join with no shuffle of
+the corpus side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table as T
+from ..functions.text import STOPWORDS, tokens, word_shingles
+from .registry import query
+
+_STOP_EN_SQL = "['" + "', '".join(STOPWORDS["en"]) + "']"
+
+# floor(x*1e6)/1e6 — engine-stable truncation for rational ratios.
+_TRUNC6 = "floor(({x}) * 1e6) / 1e6"
+
+
+def _trunc6(col: F.Column) -> F.Column:
+    return F.floor(col * 1e6) / 1e6
+
+
+# --- Gopher rule battery -----------------------------------------------------
+
+# Bounds from Rae et al. 2021 Table A1 (public).
+_MIN_WORDS, _MAX_WORDS = 50, 100_000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_MAX_SYMBOL_RATIO = 0.1
+_MAX_BULLET_FRAC = 0.9
+_MAX_ELLIPSIS_FRAC = 0.3
+_MIN_ALPHA_FRAC = 0.8
+_MIN_STOPWORDS = 2
+
+# Hoisted: f-string expression parts can't contain backslashes on py<3.12.
+_BULLET_FRAC_SQL = _TRUNC6.format(
+    x="len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))"
+    " * 1.0 / len(lines)"
+)
+_ELLIPSIS_FRAC_SQL = _TRUNC6.format(
+    x="len(list_filter(lines,"
+    " l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))"
+    " * 1.0 / len(lines)"
+)
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3.0
+               AS n_dots,
+             length(text) - length(replace(text, '…', '')) AS n_uell
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             {_TRUNC6.format(x="list_sum(list_transform(ws, w -> length(w)))"
+                               " * 1.0 / greatest(len(ws), 1)")}
+               AS mean_word_len,
+             {_TRUNC6.format(x="(n_hash + n_dots + n_uell)"
+                               " / greatest(len(ws), 1)")}
+               AS symbol_word_ratio,
+             {_BULLET_FRAC_SQL}
+               AS bullet_line_frac,
+             {_ELLIPSIS_FRAC_SQL}
+               AS ellipsis_line_frac,
+             {_TRUNC6.format(x="len(list_filter(ws,"
+                               " w -> regexp_matches(w, '[A-Za-z]')))"
+                               " * 1.0 / greatest(len(ws), 1)")}
+               AS alpha_word_frac,
+             len(list_filter({_STOP_EN_SQL},
+                 s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+               AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id,
+           cast(n_words AS BIGINT) AS n_words,
+           mean_word_len, symbol_word_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac,
+           cast(n_stopwords AS BIGINT) AS n_stopwords,
+           (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) AS r_word_count,
+           (mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}) AS r_mean_len,
+           (symbol_word_ratio <= {_MAX_SYMBOL_RATIO}) AS r_symbol,
+           (bullet_line_frac <= {_MAX_BULLET_FRAC}) AS r_bullet,
+           (ellipsis_line_frac <= {_MAX_ELLIPSIS_FRAC}) AS r_ellipsis,
+           (alpha_word_frac >= {_MIN_ALPHA_FRAC}) AS r_alpha,
+           (n_stopwords >= {_MIN_STOPWORDS}) AS r_stop,
+           ((n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+            AND (mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL})
+            AND symbol_word_ratio <= {_MAX_SYMBOL_RATIO}
+            AND bullet_line_frac <= {_MAX_BULLET_FRAC}
+            AND ellipsis_line_frac <= {_MAX_ELLIPSIS_FRAC}
+            AND alpha_word_frac >= {_MIN_ALPHA_FRAC}
+            AND n_stopwords >= {_MIN_STOPWORDS}) AS keep
+    FROM m
+    """,
+    tags=["text", "quality", "llm-pipeline"],
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules as one narrow projection per doc —
+    seven metrics, seven rule booleans, one keep flag. Pure codegen'd
+    string/array expressions; zero shuffles; scales linearly in corpus
+    bytes (the canonical first pass of a pretraining pipeline)."""
+    d = T(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(ws)
+    denom = F.greatest(n_words, F.lit(1))
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_dots = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / 3.0
+    n_uell = F.length("text") - F.length(F.expr("replace(text, '…', '')"))
+    total_wlen = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = _trunc6(total_wlen * 1.0 / denom)
+    symbol_ratio = _trunc6((n_hash + n_dots + n_uell) / denom)
+    bullet_frac = _trunc6(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) * 1.0
+        / F.size(lines)
+    )
+    ellipsis_frac = _trunc6(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) * 1.0
+        / F.size(lines)
+    )
+    alpha_frac = _trunc6(
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) * 1.0 / denom
+    )
+    lower_ws = F.transform(ws, lambda w: F.lower(w))
+    stop_list = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(
+        F.filter(stop_list, lambda s: F.array_contains(lower_ws, s))
+    )
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    rules = {
+        "r_word_count": F.col("n_words").between(_MIN_WORDS, _MAX_WORDS),
+        "r_mean_len": F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL),
+        "r_symbol": F.col("symbol_word_ratio") <= _MAX_SYMBOL_RATIO,
+        "r_bullet": F.col("bullet_line_frac") <= _MAX_BULLET_FRAC,
+        "r_ellipsis": F.col("ellipsis_line_frac") <= _MAX_ELLIPSIS_FRAC,
+        "r_alpha": F.col("alpha_word_frac") >= _MIN_ALPHA_FRAC,
+        "r_stop": F.col("n_stopwords") >= _MIN_STOPWORDS,
+    }
+    keep = None
+    out = m
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = cond if keep is None else keep & cond
+    return out.withColumn("keep", keep)
+
+
+# --- Repetition signals ------------------------------------------------------
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB n-gram list over 1-based ``ws`` (empty when too short)."""
+    parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN "
+        f"list_transform(range(1, len(ws) - {n - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+def _grams(ws: F.Column, n: int) -> F.Column:
+    """Spark NON-distinct word n-grams (word_shingles dedups; repetition
+    signals need multiplicity). sequence(0, -k) descends — guard short."""
+    return F.when(
+        F.size(ws) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]),
+        )
+    )
+
+
+@query(
+    "doc_repetition_signals",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             len(lines) AS n_lines,
+             {_TRUNC6.format(x="(len(lines) - len(list_distinct(lines)))"
+                               " * 1.0 / len(lines)")} AS dup_line_frac
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id, unnest({_gram_sql(2)}) AS g FROM t
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (
+      SELECT doc_id, max(c) AS top, cast(sum(c) AS BIGINT) AS tot
+      FROM bgc GROUP BY 1
+    ),
+    tg AS (
+      SELECT doc_id, unnest({_gram_sql(3)}) AS g FROM t
+    ),
+    tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+    tga AS (
+      SELECT doc_id, max(c) AS top, cast(sum(c) AS BIGINT) AS tot
+      FROM tgc GROUP BY 1
+    )
+    SELECT b.doc_id, cast(b.n_lines AS BIGINT) AS n_lines, b.dup_line_frac,
+           {_TRUNC6.format(
+               x="coalesce(bga.top, 0) * 1.0"
+                 " / greatest(coalesce(bga.tot, 0), 1)")}
+             AS top_bigram_frac,
+           {_TRUNC6.format(
+               x="coalesce(tga.top, 0) * 1.0"
+                 " / greatest(coalesce(tga.tot, 0), 1)")}
+             AS top_trigram_frac
+    FROM base b
+    LEFT JOIN bga ON bga.doc_id = b.doc_id
+    LEFT JOIN tga ON tga.doc_id = b.doc_id
+    """,
+    tags=["text", "quality", "llm-pipeline"],
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters: duplicate-line fraction plus the mass
+    fraction of the single most frequent word 2-gram / 3-gram.
+
+    Plan: the line metric is a narrow projection; each n-gram metric is
+    explode -> two-level partial/final agg on (doc_id, gram) -> left join
+    back on doc_id. Shuffled bytes are (doc_id, gram) pairs — linear in
+    token count, no pairwise blowup; the three branches share one scan."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    )
+    base = d.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        _trunc6(
+            (F.size("lines") - F.size(F.array_distinct("lines"))) * 1.0
+            / F.size("lines")
+        ).alias("dup_line_frac"),
+    )
+
+    def top_frac(n: int, alias: str) -> DataFrame:
+        counts = (
+            d.select("doc_id", F.explode(_grams(F.col("ws"), n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias("top"), F.sum("c").alias("tot"))
+        )
+        return counts.select(
+            "doc_id",
+            _trunc6(
+                F.col("top") * 1.0 / F.greatest(F.col("tot"), F.lit(1))
+            ).alias(alias),
+        )
+
+    out = (
+        base.join(top_frac(2, "top_bigram_frac"), "doc_id", "left")
+        .join(top_frac(3, "top_trigram_frac"), "doc_id", "left")
+        .fillna({"top_bigram_frac": 0.0, "top_trigram_frac": 0.0})
+    )
+    return out
+
+
+# --- Benchmark decontamination ----------------------------------------------
+
+_DECON_N = 5  # 5-gram overlap (GPT-3 used 13-grams; corpus docs are short)
+_EVAL_MOD, _EVAL_REM = 10, 7  # deterministic held-out "benchmark" slice
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct({_gram_sql(_DECON_N)})) AS g
+      FROM t
+    ),
+    ev AS (SELECT doc_id AS eval_id, g FROM g
+           WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}),
+    tr AS (SELECT doc_id, g FROM g
+           WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM})
+    SELECT tr.doc_id,
+           cast(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams,
+           cast(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs_hit
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    """,
+    tags=["text", "dedup", "llm-pipeline"],
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-benchmark n-gram decontamination: flag every training
+    document sharing at least one distinct 5-gram with the held-out
+    benchmark slice (doc_id % 10 == 7 stands in for an eval set).
+
+    Plan: distinct shingles on both sides, inner equi-join on the gram
+    (the inverted-index pattern), two-distinct aggregation per training
+    doc. The benchmark side of a real pipeline is tiny (MMLU/GSM8K-scale)
+    — Spark broadcasts it, so the 100 TB corpus side never shuffles; at
+    bench scale statistics pick the broadcast automatically. A frequency
+    cap on ubiquitous grams (cf. textops.max_shingle_docs) bounds the
+    join fan-out for adversarial corpora."""
+    t = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    g = t.select(
+        "doc_id", F.explode(word_shingles(F.col("ws"), _DECON_N)).alias("g")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+    ev = g.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "g")
+    tr = g.filter(~is_eval)
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+# --- Token entropy -----------------------------------------------------------
+
+
+@query(
+    "word_entropy_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                   w -> lower(w))) AS tok
+      FROM documents
+    ),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT doc_id,
+           cast(sum(c) AS BIGINT) AS n_tokens,
+           cast(count(*) AS BIGINT) AS n_distinct_tokens,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+    FROM c
+    GROUP BY doc_id
+    """,
+    tags=["text", "quality", "llm-pipeline"],
+)
+def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the lowercase token
+    distribution — H = ln(N) - (1/N)·Σ c·ln(c). Low entropy flags
+    boilerplate/keyword-stuffed docs. Plan: explode -> (doc, token)
+    partial/final count -> per-doc agg; linear shuffle in token count.
+    round (not floor-truncate): log values never land on exact decimal
+    halves, and rounding absorbs float sum-order ulps."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens(F.col("text")), lambda w: F.lower(w))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("token_entropy"),
+    )

@@ -77,15 +77,17 @@ PRIORITY_ORDER = [
     # module spanning: stats + tpch_deep keep one representative each
     "welch_ttest_totalprice",
     "q21_blocked_suppliers",
-    # trainprep (all 5)
-    "train_val_test_split",
-    "balanced_class_sample",
+    # trainprep (2 of 5; split/sample/mixture are r2-driver-green and cede
+    # their slots to the new corpusqc module)
     "packed_sequence_bins",
-    "corpus_mixture_sample",
     "chunked_documents",
-    # textops (8 of 10 oracled; doc_fingerprints + exact_dedup_docs are
-    # r2-driver-green and cede their slots to the rotation)
-    "doc_token_stats",
+    # corpusqc (new this round -> must verify; all 4 value-oracled)
+    "gopher_quality_filter",
+    "doc_repetition_signals",
+    "benchmark_decontamination",
+    "word_entropy_quality",
+    # textops (7 of 10 oracled; doc_fingerprints, exact_dedup_docs and
+    # doc_token_stats are r2-driver-green and cede their slots)
     "lang_token_summary",
     "near_dup_jaccard_pairs",
     "doc_redaction",

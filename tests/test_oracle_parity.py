@@ -57,6 +57,7 @@ def test_driver_window_spans_all_modules():
     assert modules == {
         "relational", "validation", "stats", "textops", "vectorops",
         "events", "streamops", "advanced", "tpch_deep", "trainprep",
+        "corpusqc",
     }
     for must_have in (
         "q21_blocked_suppliers", "minhash_lsh_pairs_md5",
@@ -73,6 +74,9 @@ def test_driver_window_spans_all_modules():
         # changed in r3 -> must re-verify
         "dq_orders_report", "embedding_near_dup_pairs", "knn_join_top5",
         "dq_events_freshness",
+        # new in r3 -> must verify
+        "gopher_quality_filter", "doc_repetition_signals",
+        "benchmark_decontamination", "word_entropy_quality",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

@@ -73,15 +73,27 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects (SPARK-40819). Read nanos as long (legacy conf) and convert to
-    a microsecond TimestampType by integer division — the same truncation
-    DuckDB applies when it narrows ns -> us, so oracle parity holds."""
+    """Normalize events.ts to a microsecond TimestampType whatever the
+    parquet physical type is — the corpus has shipped both TIMESTAMP(NANOS)
+    (rejected by Spark's reader, SPARK-40819: read nanos as long via the
+    legacy conf and integer-divide, the same truncation DuckDB applies when
+    it narrows ns -> us) and plain TIMESTAMP(MICROS) (which Spark 4 infers
+    as TIMESTAMP_NTZ for isAdjustedToUTC=false: cast to TimestampType —
+    wall-clock identity under the UTC session tune_session pins)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Map the scanned ts column to session-tz microsecond TimestampType."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtype = dict(df.dtypes).get("ts", "timestamp")
+    if dtype == "bigint":  # nanos read as long under the legacy conf
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype.startswith("timestamp_ntz"):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -20,13 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS): read nanos as long and convert
-    # (see catalog._read_events for the batch twin + parity rationale).
+    # ts physical type varies by corpus build (nanos-as-long vs NTZ micros);
+    # normalize exactly like the batch reader (catalog.normalize_event_ts).
+    from ..catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = _staged_events_dir(sf_dir)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def _staged_events_dir(sf_dir: str) -> str:

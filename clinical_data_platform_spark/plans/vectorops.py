@@ -288,26 +288,32 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos > 0.45) via banded
     sign-projection LSH — the 100 TB plan, not an all-pairs join.
 
-    Plan shape (the order matters — an earlier version carried the 64-dim
-    unit vectors through the candidate join and was 30x slower):
+    Plan shape (each choice measured — earlier shapes carried the 64-dim
+    unit vectors through the candidate join (30x slower) or deduped
+    multi-band collisions with a dedicated repartition + dropDuplicates
+    shuffle over ~|collisions| id-pair rows (3x slower, 7 exchanges)):
 
-    1. signatures are BARE (vec_id, band, bucket) rows — no vectors —
-       explicitly hash-repartitioned on (band, bucket) so candidate
-       generation is co-partitioned and parallel (an explicit repartition
-       count is exempt from AQE coalescing, which would otherwise pack
-       these tiny-bytes/heavy-compute rows into one task);
-    2. candidates come from an EQUI-JOIN on (band, bucket) over those
-       16-byte rows (statistics pick broadcast at small scale; at cluster
-       scale the co-partitioned shuffle join kicks in), then an explicit
-       (id_a, id_b) hash repartition feeds the multi-band-collision dedup
-       partition-locally — ids move, vectors never do;
-    3. unit vectors are re-attached to the surviving pairs by two
-       vec_id equi-joins (broadcast now, hash join co-partitioned on
-       vec_id at scale), and only then is the exact cosine computed and
-       filtered.
+    1. each vector's 12 two-bit band buckets are PACKED into one 24-bit
+       long signature; posexplode emits (vec_id, sig, band, bucket) rows
+       — 24 B of payload rides along, the 64-dim vector does not;
+    2. candidates come from an EQUI-JOIN on (band, bucket) (runtime stats
+       pick broadcast-hash at small scale; at cluster scale the
+       co-partitioned shuffle join kicks in — the build side is the
+       exploded signature set, never the vectors). The probe side is
+       round-robin repartitioned so pair expansion parallelizes across
+       all cores instead of the 48 distinct (band, bucket) keys;
+    3. multi-band collisions dedup with a FILTER, not a shuffle: a pair
+       is kept only in its first colliding band, decided locally in ~6
+       integer ops on the two packed signatures (xor, fold the two bits
+       of each band with shift-or, compare against the bands-before-me
+       mask) — no per-pair array allocation, stays in whole-stage
+       codegen;
+    4. unit vectors are re-attached to surviving pairs by two vec_id
+       equi-joins (broadcast now, hash join co-partitioned on vec_id at
+       scale), and only then is the exact cosine computed and filtered.
 
     Work scales with collisions, not n², and the bytes in motion scale
-    with collisions x 16 B, not collisions x vector width. The DuckDB
+    with collisions x 24 B, not collisions x vector width. The DuckDB
     oracle applies the IDENTICAL md5-derived banding, so results are
     value-verified; recall vs the exhaustive plan is asserted in pytest."""
     from ..functions.vectors import dot
@@ -315,7 +321,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     planes = _slsh_signs(_PAIR_BANDS * _PAIR_ROWS_PER_BAND)
-    band_structs = []
+    band_cols = []
     for j in range(_PAIR_BANDS):
         bucket = None
         for r in range(_PAIR_ROWS_PER_BAND):
@@ -323,28 +329,43 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             proj = dot(F.col("embedding"), F.array(*[F.lit(s) for s in plane]))
             term = F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0))
             bucket = term if bucket is None else bucket + term
-        band_structs.append(
-            F.struct(F.lit(j).alias("band"), bucket.alias("bucket"))
-        )
-    sig = (
-        e.select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select(
-            "vec_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
-        .repartition(parallelism, "band", "bucket")
+        band_cols.append(bucket)
+    packed = None
+    for j in range(_PAIR_BANDS):
+        term = F.shiftleft(band_cols[j].cast("long"), 2 * j)
+        packed = term if packed is None else packed + term
+    expl = e.select(
+        "vec_id",
+        packed.alias("sig"),
+        F.array(*band_cols).alias("buckets"),
+    ).select("vec_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
+    a = expl.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "bucket",
+    ).repartition(parallelism)
+    b = expl.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "bucket",
     )
+    # "No band before mine collides": xor the packed signatures, fold each
+    # band's two bits into its low bit (a band collides iff its 2-bit xor
+    # group is 00), and require every band bit below `band` to be set.
+    odd_bits = sum(1 << (2 * j) for j in range(_PAIR_BANDS))
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    folded = xor.bitwiseOR(F.shiftright(xor, 1))
+    before_me = (F.expr("shiftleft(1L, 2 * band)") - 1).bitwiseAND(
+        F.lit(odd_bits)
+    )
+    first_collision = folded.bitwiseAND(before_me) == before_me
     cand = (
-        sig.select("band", "bucket", F.col("vec_id").alias("id_a"))
-        .join(
-            sig.select("band", "bucket", F.col("vec_id").alias("id_b")),
-            ["band", "bucket"],
-        )
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_collision)
         .select("id_a", "id_b")
-        .repartition(parallelism, "id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     unit = _unit_vectors(e)
     pairs = cand.join(

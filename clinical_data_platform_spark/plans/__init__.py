@@ -25,3 +25,4 @@ from . import advanced  # noqa: E402,F401
 from . import tpch_deep  # noqa: E402,F401
 from . import trainprep  # noqa: E402,F401
 from . import corpusqc  # noqa: E402,F401
+from . import clustering  # noqa: E402,F401

@@ -1,0 +1,228 @@
+"""Embedding clustering plans — the semantic-organization layer of a
+training-data pipeline (topic bucketing, semantic dedup cells, mixture
+auditing by cluster rather than by source label).
+
+Three tiers, mirroring the repo's exact/approximate twin convention:
+
+- ``kmeans_assign_seeded``   — k-means ASSIGNMENT against k deterministic
+  seed centroids (the embeddings of ``vec_id < 8``). The centroids are
+  plan constants (collected once, k x dim floats — metadata-sized, like
+  the LSH hyperplanes), so per-row assignment is a zero-shuffle map-side
+  projection: k squared-distance expressions inlined into one row, argmin
+  via ``array_min`` over (dist, cid) structs. The only exchange is the
+  k-row final aggregate. Exact DuckDB oracle.
+- ``kmeans_cluster_purity``  — cluster-vs-ground-truth-label contingency:
+  majority label and purity per cluster. Exact DuckDB oracle.
+- ``kmeans_ml_clusters``     — real Lloyd iterations via Spark ML
+  ``KMeans`` (k-means|| init, fixed seed): cluster sizes + per-cluster
+  mean distance. Rows-only driver check; determinism and
+  inertia-vs-seeded-assignment are asserted in pytest
+  (tests/test_clustering.py).
+
+At 100 TB: assignment is embarrassingly parallel (no shuffle, no UDF —
+whole-stage codegen over array expressions); the k-row aggregate is a
+constant-size exchange. Spark ML KMeans broadcasts the k x dim centroid
+matrix per iteration and aggregates partial sums per partition — the
+canonical distributed Lloyd. Tie-breaks are pinned (lowest centroid id)
+so assignment is deterministic across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table as T
+from .registry import query
+
+_K = 8
+_DIM = 64
+
+# Squared L2 distance between the row's embedding and one literal centroid,
+# everything in DOUBLE, summed in index order (both engines fold lists
+# left-to-right, so the float sums agree bit-for-bit before rounding).
+_SQDIST_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))"
+    " * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))"
+).format(dim=_DIM)
+
+_ASSIGN_CTE = f"""
+    c AS (SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < {_K}),
+    d AS (
+      SELECT e.vec_id, e.label, c.cid, {_SQDIST_SQL} AS sqdist
+      FROM embeddings e, c
+    ),
+    a AS (
+      SELECT vec_id, label, cid, sqdist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sqdist, cid) AS rn
+      FROM d
+    )
+"""
+
+
+def _centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect the k seed centroids (k x dim floats — plan constants, the
+    same driver-side footprint as the LSH hyperplane matrix)."""
+    rows = (
+        e.filter(F.col("vec_id") < _K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def _assigned(e: DataFrame) -> DataFrame:
+    """Map-side argmin assignment: one (sqdist, cid) struct per centroid,
+    ``array_min`` picks the smallest distance with ties to the lowest cid
+    (struct ordering is field-by-field). No shuffle, no UDF."""
+    cents = _centroids(e)
+    cands = []
+    for cid, vec in cents:
+        lit = F.array(*[F.lit(v) for v in vec])
+        diff = F.zip_with(
+            F.col("embedding"),
+            lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        sq = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        cands.append(F.struct(sq.alias("sqdist"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*cands))
+    return e.select(
+        "vec_id",
+        "label",
+        best["cid"].alias("cid"),
+        best["sqdist"].alias("sqdist"),
+    )
+
+
+@query(
+    "kmeans_assign_seeded",
+    oracle=f"""
+    WITH {_ASSIGN_CTE}
+    SELECT cid,
+           count(*) AS n_points,
+           round(avg(sqrt(sqdist)), 5) AS avg_dist,
+           round(max(sqrt(sqdist)), 5) AS max_dist,
+           cast(count(DISTINCT label) AS BIGINT) AS n_labels
+    FROM a WHERE rn = 1
+    GROUP BY cid
+    """,
+    tags=["vector", "clustering", "llm-pipeline"],
+)
+def kmeans_assign_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment against k=8 deterministic seed centroids:
+    per-cluster population, mean/max distance, and ground-truth label
+    spread. Assignment is map-side only; the single exchange carries k
+    rows."""
+    e = T(spark, sf_dir, "embeddings")
+    a = _assigned(e)
+    return a.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg(F.sqrt("sqdist")), 5).alias("avg_dist"),
+        F.round(F.max(F.sqrt("sqdist")), 5).alias("max_dist"),
+        F.count_distinct("label").alias("n_labels"),
+    )
+
+
+@query(
+    "kmeans_cluster_purity",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    cl AS (
+      SELECT cid, label, count(*) AS n
+      FROM a WHERE rn = 1
+      GROUP BY cid, label
+    ),
+    r AS (
+      SELECT cid, label, n,
+             sum(n) OVER (PARTITION BY cid) AS n_total,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY n DESC, label) AS rn
+      FROM cl
+    )
+    SELECT cid,
+           cast(n_total AS BIGINT) AS n_points,
+           label AS majority_label,
+           n AS majority_n,
+           floor(n * 1e6 / n_total) / 1e6 AS purity
+    FROM r WHERE rn = 1
+    """,
+    tags=["vector", "clustering", "llm-pipeline"],
+)
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label contingency: the majority ground-truth label and
+    its share (purity) per cluster — the audit a pipeline runs to decide
+    whether semantic cells line up with known taxonomy. Two small
+    exchanges: (cid, label) counts, then a k-row window."""
+    e = T(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    cl = _assigned(e).groupBy("cid", "label").count()
+    w = Window.partitionBy("cid")
+    ranked = cl.select(
+        "cid",
+        "label",
+        F.col("count").alias("n"),
+        F.sum("count").over(w).alias("n_total"),
+        F.row_number()
+        .over(w.orderBy(F.desc("count"), F.asc("label")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cid",
+        F.col("n_total").cast("long").alias("n_points"),
+        F.col("label").alias("majority_label"),
+        F.col("n").alias("majority_n"),
+        (F.floor(F.col("n") * 1e6 / F.col("n_total")) / 1e6).alias("purity"),
+    )
+
+
+@query("kmeans_ml_clusters", tags=["vector", "clustering", "ml"])
+def kmeans_ml_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd via Spark ML KMeans (k=8, k-means|| init,
+    seed=42, 10 iterations) over the embedding column: cluster sizes and
+    mean distance-to-centroid, largest first. Rows-only driver check;
+    determinism and quality-vs-seeded-assignment are pytest-asserted.
+
+    At scale each iteration broadcasts the k x dim centroid matrix and
+    reduces per-partition partial sums — no row ever leaves its
+    partition."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=_K, seed=42, maxIter=10).fit(e)
+    pred = model.transform(e)
+    # Distance to own centroid, computed declaratively from the centroid
+    # literals (same plan-constant pattern as seeded assignment).
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    arr = vector_to_array(F.col("features"))
+    dist_by_cid = [
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    arr,
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        for c in cents
+    ]
+    dist = F.element_at(F.array(*dist_by_cid), F.col("prediction") + 1)
+    return (
+        pred.select(F.col("prediction").alias("cid"), dist.alias("dist"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("dist"), 5).alias("avg_dist"),
+        )
+        .orderBy(F.desc("n_points"), F.asc("cid"))
+    )

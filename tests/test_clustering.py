@@ -1,0 +1,70 @@
+"""Embedding-clustering plan tests (plans/clustering.py).
+
+The two oracled queries are covered by the DuckDB gate
+(tests/test_oracle_parity.py samples the registry); these tests pin the
+properties the oracle cannot express: seed self-assignment, point
+conservation, ML determinism under a fixed seed, and that real Lloyd
+iterations beat the naive seeded assignment on inertia.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clinical_data_platform_spark.catalog import table as T
+from clinical_data_platform_spark.plans.clustering import (
+    _K,
+    _assigned,
+    kmeans_assign_seeded,
+    kmeans_ml_clusters,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_seed_vectors_self_assign(spark):
+    """Each seed vector (vec_id < k) is its own centroid: distance 0."""
+    a = _assigned(T(spark, SF, "embeddings"))
+    seeds = a.filter(F.col("vec_id") < _K).collect()
+    assert len(seeds) == _K
+    for r in seeds:
+        assert r["cid"] == r["vec_id"]
+        assert abs(r["sqdist"]) < 1e-12
+
+
+def test_assignment_conserves_points(spark):
+    e = T(spark, SF, "embeddings")
+    total = e.count()
+    per_cluster = kmeans_assign_seeded(spark, SF).collect()
+    assert sum(r["n_points"] for r in per_cluster) == total
+    assert {r["cid"] for r in per_cluster} <= set(range(_K))
+
+
+def test_ml_kmeans_deterministic_and_conserving(spark):
+    e_total = T(spark, SF, "embeddings").count()
+    a = kmeans_ml_clusters(spark, SF).collect()
+    b = kmeans_ml_clusters(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert sum(r["n_points"] for r in a) == e_total
+    assert len(a) <= _K
+
+
+def test_lloyd_beats_seeded_assignment(spark):
+    """10 Lloyd iterations from k-means|| init must not be worse than
+    argmin against arbitrary seed rows (weighted mean distance)."""
+
+    def weighted_avg(rows):
+        n = sum(r["n_points"] for r in rows)
+        return sum(r["avg_dist"] * r["n_points"] for r in rows) / n
+
+    seeded = weighted_avg(kmeans_assign_seeded(spark, SF).collect())
+    ml = weighted_avg(kmeans_ml_clusters(spark, SF).collect())
+    assert ml <= seeded * 1.001
+
+
+def test_assignment_plan_is_map_side(spark):
+    """The assignment subplan must contain no Exchange: k distance
+    expressions inline in one projection, argmin via array_min."""
+    plan = _assigned(T(spark, SF, "embeddings"))
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained

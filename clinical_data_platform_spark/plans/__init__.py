@@ -26,3 +26,5 @@ from . import tpch_deep  # noqa: E402,F401
 from . import trainprep  # noqa: E402,F401
 from . import corpusqc  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
+from . import collocations  # noqa: E402,F401
+from . import contentfilter  # noqa: E402,F401

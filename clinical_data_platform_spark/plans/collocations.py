@@ -1,0 +1,205 @@
+"""Corpus collocation / novelty analytics — the vocabulary-level statistics
+a training-data pipeline derives from the corpus as a whole (as opposed to
+the per-document metrics in :mod:`.corpusqc`):
+
+- ``bigram_pmi_top20``       — pointwise mutual information over word
+  bigrams (classic collocation mining; Church & Hanks 1990). The engine
+  work: explode to (doc, gram) pairs, two vocabulary-sized aggregations,
+  and a vocabulary⋈vocabulary join — all linear in corpus tokens.
+- ``ngram_novelty_by_source`` — per-document fraction of distinct word
+  3-grams whose FIRST corpus occurrence (min doc_id over the gram) is the
+  document itself, aggregated per source. Low novelty = the document is
+  mostly restating earlier corpus content — the incremental-dedup signal
+  a crawl pipeline uses to decide whether a new batch adds information.
+
+Both have exact DuckDB oracles. Ratios are trunc6 (engine-stable
+truncation, see corpusqc header); PMI and averages are ``round(·, 5)``
+because their inputs are logs/float sums where truncation cliffs would
+amplify sum-order ulps.
+
+At 100 TB: token explosion dominates — shuffled bytes are (doc_id, gram)
+pairs, linear in corpus size. Unigram/bigram count tables are
+vocabulary-sized (sublinear in corpus growth; Heaps' law), so the PMI
+join is vocabulary⋈vocabulary, and the novelty first-occurrence join is
+corpus-grams⋈vocabulary on the gram key — an equi-join Spark hash
+partitions; no pairwise blowup anywhere. min(doc_id) per gram is a
+partial/final aggregate (map-side combine collapses each partition's
+grams before the exchange).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table as T
+from ..functions.text import tokens, word_shingles
+from .corpusqc import _gram_sql, _grams, _trunc6, _TRUNC6
+from .registry import query
+
+_MIN_PAIR = 5  # collocation support threshold
+
+
+@query(
+    "bigram_pmi_top20",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(ws) AS w FROM t)
+      GROUP BY w
+    ),
+    n1 AS (SELECT cast(sum(c) AS BIGINT) AS total FROM uni),
+    bg AS (
+      SELECT g, count(*) AS c
+      FROM (SELECT unnest({_gram_sql(2)}) AS g FROM t)
+      GROUP BY g
+    ),
+    n2 AS (SELECT cast(sum(c) AS BIGINT) AS total FROM bg),
+    scored AS (
+      SELECT string_split(bg.g, ' ')[1] AS w1,
+             string_split(bg.g, ' ')[2] AS w2,
+             bg.c AS n_pair,
+             ln((bg.c * 1.0 / n2.total)
+                / ((u1.c * 1.0 / n1.total) * (u2.c * 1.0 / n1.total)))
+               AS pmi
+      FROM bg
+      JOIN uni u1 ON u1.w = string_split(bg.g, ' ')[1]
+      JOIN uni u2 ON u2.w = string_split(bg.g, ' ')[2]
+      CROSS JOIN n1
+      CROSS JOIN n2
+      WHERE bg.c >= {_MIN_PAIR}
+    )
+    SELECT w1, w2, cast(n_pair AS BIGINT) AS n_pair,
+           round(pmi, 5) AS pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=["text", "collocation", "llm-pipeline"],
+)
+def bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-bigram collocations by PMI (support >= 5).
+
+    Plan: one scan feeds both the unigram and bigram counts; the support
+    filter runs BEFORE the joins so only qualifying bigrams (a tiny set)
+    reach the two unigram lookups; corpus-total scalars arrive via
+    broadcast single-row cross joins. Top-20 compiles to
+    TakeOrderedAndProject."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    uni = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        d.select(F.explode(_grams(F.col("ws"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").alias("total1"))
+    n2 = bg.agg(F.sum("c").alias("total2"))
+    parts = F.split(F.col("g"), " ")
+    cand = (
+        bg.filter(F.col("c") >= _MIN_PAIR)
+        .select(
+            parts.getItem(0).alias("w1"),
+            parts.getItem(1).alias("w2"),
+            F.col("c").alias("n_pair"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    scored = (
+        cand.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2"
+        )
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.log(
+                (F.col("n_pair") * 1.0 / F.col("total2"))
+                / (
+                    (F.col("c1") * 1.0 / F.col("total1"))
+                    * (F.col("c2") * 1.0 / F.col("total1"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+        .select("w1", "w2", "n_pair", F.round("pmi", 5).alias("pmi"))
+    )
+
+
+@query(
+    "ngram_novelty_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_distinct({_gram_sql(3)}) AS gs
+      FROM (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, source, unnest(gs) AS g FROM t),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g),
+    per_doc AS (
+      SELECT ex.doc_id, ex.source,
+             {_TRUNC6.format(
+                 x="sum(CASE WHEN f.first_doc = ex.doc_id"
+                   " THEN 1 ELSE 0 END) * 1.0 / count(*)")}
+               AS novelty
+      FROM ex JOIN firsts f ON f.g = ex.g
+      GROUP BY ex.doc_id, ex.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(novelty), 5) AS avg_novelty,
+           min(novelty) AS min_novelty
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=["text", "dedup", "llm-pipeline"],
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty: share of each document's distinct 3-grams
+    first seen in that document (by min doc_id), rolled up per source.
+
+    Plan: explode distinct shingles -> partial/final min(doc_id) per gram
+    -> equi-join back on the gram key -> two grouped aggregations. Every
+    exchange is keyed (gram, then doc_id, then source) — linear scaling,
+    and the gram⋈gram join reuses the exploded side's partitioning."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        word_shingles(tokens(F.col("text")), 3).alias("gs"),
+    )
+    ex = d.select("doc_id", "source", F.explode("gs").alias("g"))
+    firsts = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ex.join(firsts, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            _trunc6(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("novelty")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("novelty"), 5).alias("avg_novelty"),
+        F.min("novelty").alias("min_novelty"),
+    )

@@ -1,0 +1,164 @@
+"""Content-filter plans — the model-scoring and PII-exposure scans a
+training-data pipeline runs between raw QC (:mod:`.corpusqc`) and
+release:
+
+- ``quality_classifier_scores`` — a fastText-style LINEAR classifier over
+  hashed unigram features, evaluated entirely in JVM expressions: each
+  token hashes (md5) to a deterministic pseudo-weight in [-1, 1], the
+  document score is the token-mean weight, and the keep probability is a
+  sigmoid. The weights here are a deterministic stand-in for a trained
+  model's weight table (a real deployment broadcasts the table and joins
+  on the hash bucket — same plan shape, same cost); what this query pins
+  is the scoring plumbing: tokenize -> per-token weight -> in-order fold
+  -> sigmoid, with an exact cross-engine oracle.
+- ``pii_signal_counts`` — per-source counts of email / URL / IPv4 / SSN /
+  US-phone pattern hits (``regexp_extract_all`` length, so multiple hits
+  per document count). The synthetic corpus is word-salad, so corpus
+  counts are zero by construction — the assertion that the patterns DO
+  fire is tests/test_contentfilter.py over an injected fixture; patterns
+  are restricted to the Java-regex ∩ RE2 common subset so both engines
+  compile them identically.
+
+At 100 TB: both are embarrassingly-parallel narrow projections (no
+Python, no shuffle except the final per-source / per-bucket rollup).
+PHI/PII *redaction* (rewrite, not count) lives in clinical/redaction.py;
+this module is the detection/monitoring side a release gate reads.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..catalog import table as T
+from ..functions.text import tokens
+from .registry import query
+
+# --- hashed pseudo-weights ---------------------------------------------------
+
+# First two md5 hex chars -> 0..255 via ascii arithmetic (portable across
+# Spark and DuckDB without hex-conversion builtins), centered to [-1, 1].
+_WEIGHT_SQL = (
+    "(((CASE WHEN ascii(substr(md5({w}), 1, 1)) >= 97 "
+    "THEN ascii(substr(md5({w}), 1, 1)) - 87 "
+    "ELSE ascii(substr(md5({w}), 1, 1)) - 48 END) * 16 "
+    "+ (CASE WHEN ascii(substr(md5({w}), 2, 1)) >= 97 "
+    "THEN ascii(substr(md5({w}), 2, 1)) - 87 "
+    "ELSE ascii(substr(md5({w}), 2, 1)) - 48 END)) - 127.5) / 127.5"
+)
+
+
+def _hex_val(ch: Column) -> Column:
+    a = F.ascii(ch)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def _token_weight(w: Column) -> Column:
+    h = F.md5(w)
+    v = _hex_val(F.substring(h, 1, 1)) * 16 + _hex_val(F.substring(h, 2, 1))
+    return (v - 127.5) / 127.5
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, len(ws) AS n_tokens,
+             list_sum(list_transform(ws, w -> {_WEIGHT_SQL.format(w='w')}))
+               / greatest(len(ws), 1) AS score
+      FROM t
+    )
+    SELECT doc_id, source,
+           cast(n_tokens AS BIGINT) AS n_tokens,
+           floor(score * 1e6) / 1e6 AS score,
+           floor((1.0 / (1.0 + exp(-4.0 * score))) * 1e6) / 1e6
+             AS keep_prob,
+           (1.0 / (1.0 + exp(-4.0 * score)) >= 0.5) AS keep
+    FROM s
+    """,
+    tags=["text", "quality", "ml", "llm-pipeline"],
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear hashed-feature document scorer: token-mean pseudo-weight,
+    sigmoid keep-probability, boolean keep at 0.5. Single narrow
+    projection — the fold over tokens runs in index order on both
+    engines, so doubles agree bit-for-bit before the trunc6 (the score is
+    a rational that can land on exact round-half boundaries, so round()
+    would diverge across engines — see corpusqc header)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("ws")
+    )
+    total = F.aggregate(
+        F.transform(F.col("ws"), _token_weight),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    score = total / F.greatest(F.size("ws"), F.lit(1))
+    prob = 1.0 / (1.0 + F.exp(-4.0 * score))
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return d.select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("long").alias("n_tokens"),
+        trunc6(score).alias("score"),
+        trunc6(prob).alias("keep_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+# --- PII / link signal scan --------------------------------------------------
+
+# Java-regex ∩ RE2 subset only (no lookaround, no backrefs).
+PII_SIGNALS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_signal_frame(d: DataFrame) -> DataFrame:
+    """Per-source hit counts for each PII/link pattern over ``text``."""
+    aggs = []
+    for name, pat in PII_SIGNALS.items():
+        hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+        aggs.append(F.sum(hits).cast("long").alias(f"n_{name}"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), *aggs
+    )
+
+
+def _pii_oracle() -> str:
+    # Python raw strings hold single backslashes; DuckDB '' literals are
+    # backslash-literal, so the pattern passes through verbatim to RE2.
+    cols = ",\n           ".join(
+        "cast(sum(len(regexp_extract_all(text, '{p}'))) AS BIGINT)"
+        " AS n_{n}".format(p=p, n=n)
+        for n, p in PII_SIGNALS.items()
+    )
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           {cols}
+    FROM documents
+    GROUP BY source
+    """
+
+
+@query(
+    "pii_signal_counts",
+    oracle=_pii_oracle(),
+    tags=["text", "pii", "llm-pipeline"],
+)
+def pii_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate PII/link exposure scan: per-source totals of email,
+    URL, IPv4, SSN and US-phone pattern hits. Narrow projection + tiny
+    per-source rollup; the patterns fire on injected fixtures in pytest
+    (the synthetic corpus itself is clean by construction)."""
+    return pii_signal_frame(T(spark, sf_dir, "documents"))

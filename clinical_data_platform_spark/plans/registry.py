@@ -54,8 +54,7 @@ PRIORITY_ORDER = [
     # 50-row window (locally green both rounds). Swapped in for
     # twice-driver-verified rows (7 of 8 tpch_deep, fk containment, chi,
     # and 3 of the simplest r2-verified rows) so that after this round
-    # every oracled query has been driver-verified at least once. Module
-    # spanning is preserved: stats keeps welch, tpch_deep keeps q21.
+    # every oracled query has been driver-verified at least once.
     "rollup_revenue",
     "cube_order_counts",
     "building_buyers_intersect",
@@ -74,9 +73,19 @@ PRIORITY_ORDER = [
     # expression was factored into a shared helper (dq_events_freshness)
     "dq_orders_report",
     "dq_events_freshness",
-    # module spanning: stats + tpch_deep keep one representative each
-    "welch_ttest_totalprice",
-    "q21_blocked_suppliers",
+    # new modules this round -> must verify: clustering (2 value-oracled +
+    # 1 rows-only ML twin), collocations and contentfilter (all oracled).
+    # They take the slots of 7 r2-driver-green unchanged queries
+    # (welch_ttest, q21, doc_redaction, tfidf_top_terms, simhash_md5_16bit,
+    # stream_sliding_counts, event_props_json) — stats/tpch_deep cede their
+    # spanning slots since both modules are fully driver-proven.
+    "kmeans_assign_seeded",
+    "kmeans_cluster_purity",
+    "kmeans_ml_clusters",
+    "bigram_pmi_top20",
+    "ngram_novelty_by_source",
+    "quality_classifier_scores",
+    "pii_signal_counts",
     # trainprep (2 of 5; split/sample/mixture are r2-driver-green and cede
     # their slots to the new corpusqc module)
     "packed_sequence_bins",
@@ -90,11 +99,8 @@ PRIORITY_ORDER = [
     # doc_token_stats are r2-driver-green and cede their slots)
     "lang_token_summary",
     "near_dup_jaccard_pairs",
-    "doc_redaction",
     "minhash_lsh_pairs_md5",
-    "simhash_md5_16bit",
     "near_dup_clusters",
-    "tfidf_top_terms",
     # vectorops (all 5 oracled)
     "embedding_norms_by_label",
     "cosine_topk_vec0",
@@ -105,12 +111,10 @@ PRIORITY_ORDER = [
     "stream_hourly_counts",
     "stream_dedup_user_type_keys",
     "stream_user_running_totals",
-    "stream_sliding_counts",
     "stream_error_click_pairs",
     # events (6 most novel; the window/rank shapes resemble driver-green
     # relational queries and rotate in next round)
     "hourly_event_rollup",
-    "event_props_json",
     "hourly_gap_fill_locf",
     "interval_join_error_windows",
     "funnel_view_click_purchase",

@@ -1,0 +1,84 @@
+"""Content-filter plan tests (plans/contentfilter.py).
+
+The corpus itself is clean word-salad, so the registered pii_signal_counts
+rows are all-zero by construction; these tests inject documents where the
+patterns MUST fire, and cross-check the counting against DuckDB on the
+same fixture. The classifier weight function is re-derived with hashlib.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pyspark.sql.functions as F
+
+from clinical_data_platform_spark.plans.contentfilter import (
+    PII_SIGNALS,
+    _token_weight,
+    pii_signal_frame,
+)
+
+FIXTURE = [
+    # (doc_id, text, source)
+    (0, "contact alice@example.com or bob@corp.io today", "dirty"),
+    (1, "see https://example.com/a and http://b.io/x?q=1", "dirty"),
+    (2, "server at 10.0.0.1 and 192.168.1.255 rebooted", "dirty"),
+    (3, "ssn 123-45-6789 phone 555-123-4567 on file", "dirty"),
+    (4, "perfectly clean prose with no identifiers at all", "clean"),
+]
+
+
+def _fixture_df(spark):
+    return spark.createDataFrame(
+        FIXTURE, ["doc_id", "text", "source"]
+    )
+
+
+def test_patterns_fire_on_injected_docs(spark):
+    out = {
+        r["source"]: r.asDict()
+        for r in pii_signal_frame(_fixture_df(spark)).collect()
+    }
+    dirty, clean = out["dirty"], out["clean"]
+    assert dirty["n_email"] == 2
+    assert dirty["n_url"] == 2
+    assert dirty["n_ipv4"] == 2
+    assert dirty["n_ssn"] == 1
+    # 555-123-4567 matches phone; 123-45-6789 does not (3-2-4 grouping).
+    assert dirty["n_phone"] == 1
+    assert all(clean[f"n_{k}"] == 0 for k in PII_SIGNALS)
+
+
+def test_counts_match_duckdb_on_fixture(spark):
+    spark_rows = {
+        r["source"]: r.asDict()
+        for r in pii_signal_frame(_fixture_df(spark)).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "docs",
+        _fixture_df(spark).toPandas(),
+    )
+    for name, pat in PII_SIGNALS.items():
+        duck = dict(
+            con.sql(
+                "SELECT source, cast(sum(len(regexp_extract_all(text,"
+                f" '{pat}'))) AS BIGINT) FROM docs GROUP BY source"
+            ).fetchall()
+        )
+        for src, n in duck.items():
+            assert spark_rows[src][f"n_{name}"] == n, (name, src)
+
+
+def test_token_weight_matches_hashlib(spark):
+    words = ["spark", "table", "Zebra", "123"]
+    got = (
+        spark.createDataFrame([(w,) for w in words], ["w"])
+        .select("w", _token_weight(F.col("w")).alias("wt"))
+        .collect()
+    )
+    for r in got:
+        expect = (int(hashlib.md5(r["w"].encode()).hexdigest()[:2], 16) - 127.5) / 127.5
+        assert abs(r["wt"] - expect) < 1e-12
+        assert -1.0 <= r["wt"] <= 1.0

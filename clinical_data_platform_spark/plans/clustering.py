@@ -180,6 +180,86 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@query(
+    "semantic_near_dup_pairs",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    m AS (
+      SELECT a.vec_id, a.cid, e.embedding,
+             {_NORM_SQL.format(a='e.embedding')} AS nrm
+      FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cid,
+           round({_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+                 / (x.nrm * y.nrm), 5) AS cosine
+    FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+          / (x.nrm * y.nrm) > 0.45
+    """,
+    tags=["vector", "dedup", "clustering", "llm-pipeline"],
+)
+def semantic_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-bucket the embeddings, then compare pairs
+    ONLY within a cell (cos > 0.45). This is the truly subquadratic
+    semantic-dedup path: work is sum(n_c^2) over cell populations instead
+    of n^2, and at corpus scale k grows with n (n/k vectors per cell ->
+    per-cell work bounded), while the banded-LSH plan in vectorops keeps
+    near-exact recall for the pairwise-audit use case.
+
+    Plan: map-side assignment (zero shuffle — see module header), one
+    hash exchange on the cell id, pairwise dot products inside each cell.
+    Precision is 1.0 by construction (every emitted pair passes the exact
+    cosine test). Recall splits by pair strength: TRUE near-duplicates
+    (cos -> 1) sit at nearly identical distances to every centroid and
+    co-assign except exactly on a cell boundary — pytest proves recall
+    1.0 on injected duplicates — while weakly-similar pairs (cos ~ 0.45,
+    63 degrees apart) often straddle cells; that loss is the documented
+    SemDeDup trade, tunable via k."""
+    return semantic_near_dup_frame(T(spark, sf_dir, "embeddings"))
+
+
+def semantic_near_dup_frame(
+    e: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Cell-local near-dup over any (vec_id, embedding) frame (the
+    testable operator behind semantic_near_dup_pairs)."""
+    from ..functions.vectors import dot
+    from .vectorops import _unit_vectors
+
+    au = (
+        _assigned(e)
+        .select("vec_id", "cid")
+        .join(_unit_vectors(e), "vec_id")
+    )
+    x = au.select(
+        F.col("vec_id").alias("id_a"), "cid", F.col("unit").alias("unit_a")
+    )
+    y = au.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("unit").alias("unit_b"),
+    )
+    cos = dot(F.col("unit_a"), F.col("unit_b"))
+    return (
+        x.join(y, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "cid", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") > threshold)
+        .select("id_a", "id_b", "cid", F.round("cos_raw", 5).alias("cosine"))
+    )
+
+
 @query("kmeans_ml_clusters", tags=["vector", "clustering", "ml"])
 def kmeans_ml_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd via Spark ML KMeans (k=8, k-means|| init,

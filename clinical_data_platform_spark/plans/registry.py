@@ -82,6 +82,7 @@ PRIORITY_ORDER = [
     "kmeans_assign_seeded",
     "kmeans_cluster_purity",
     "kmeans_ml_clusters",
+    "semantic_near_dup_pairs",
     "bigram_pmi_top20",
     "ngram_novelty_by_source",
     "quality_classifier_scores",
@@ -100,7 +101,6 @@ PRIORITY_ORDER = [
     "lang_token_summary",
     "near_dup_jaccard_pairs",
     "minhash_lsh_pairs_md5",
-    "near_dup_clusters",
     # vectorops (all 5 oracled)
     "embedding_norms_by_label",
     "cosine_topk_vec0",

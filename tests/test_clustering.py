@@ -62,6 +62,37 @@ def test_lloyd_beats_seeded_assignment(spark):
     assert ml <= seeded * 1.001
 
 
+def test_semantic_dedup_finds_all_true_duplicates(spark):
+    """SemDeDup guarantee: injected TRUE near-duplicates (v + tiny noise,
+    cos ~ 0.9999) always co-assign with their original and are found;
+    precision is 1.0 by construction (exact cosine inside the cell)."""
+    from clinical_data_platform_spark.plans.clustering import (
+        semantic_near_dup_frame,
+    )
+
+    e = T(spark, SF, "embeddings")
+    rows = e.orderBy("vec_id").limit(40).collect()
+    max_id = max(r["vec_id"] for r in rows)
+    dups = [
+        (
+            int(max_id + 1 + i),
+            [float(x) + ((i + j) % 7 - 3) * 1e-4 for j, x in enumerate(r["embedding"])],
+            int(r["label"]),
+        )
+        for i, r in enumerate(rows)
+    ]
+    aug = e.unionByName(
+        spark.createDataFrame(dups, ["vec_id", "embedding", "label"])
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    )
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_near_dup_frame(aug, threshold=0.99).collect()
+    }
+    expected = {(r["vec_id"], max_id + 1 + i) for i, r in enumerate(rows)}
+    assert expected <= found  # recall 1.0 on true duplicates
+
+
 def test_assignment_plan_is_map_side(spark):
     """The assignment subplan must contain no Exchange: k distance
     expressions inline in one projection, argmin via array_min."""

@@ -62,6 +62,11 @@ HEADLINE = [
     # corpus QC (Gopher rules + repetition n-gram shuffle)
     "gopher_quality_filter",
     "doc_repetition_signals",
+    # clustering / collocations / content filter (round-3 modules)
+    "kmeans_assign_seeded",
+    "semantic_near_dup_pairs",
+    "bigram_pmi_top20",
+    "quality_classifier_scores",
 ]
 
 

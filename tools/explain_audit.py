@@ -38,6 +38,11 @@ AUDIT = [
     ("tfidf_top_terms", "tf x idf: reuse one explode, broadcast n_docs, ranked top-k"),
     ("funnel_view_click_purchase", "ordered funnel: keyed MIN stages, no per-user sort"),
     ("iqr_outliers_by_priority", "quartile fences broadcast back onto the fact"),
+    ("kmeans_assign_seeded", "map-side argmin over constant-folded centroids; k-row exchange"),
+    ("semantic_near_dup_pairs", "SemDeDup: zero-shuffle cell assignment, cell-local pairwise"),
+    ("bigram_pmi_top20", "support-filter before vocabulary joins; totals broadcast"),
+    ("ngram_novelty_by_source", "gram-keyed first-occurrence join, partial/final min"),
+    ("quality_classifier_scores", "hashed-weight scorer: one narrow codegen projection"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

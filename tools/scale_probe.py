@@ -165,6 +165,84 @@ def main() -> None:
         ).groupBy("shard", "bin").agg(F.count(F.lit(1)).alias("n")),
     )
 
+    # ---- wave-4 operators: clustering / classifier / collocations ----
+    # Clustered synthetic embeddings: 256 centers on the unit-ish cube,
+    # vector = center + noise. vec_id 0..255 are pinned to pure centers so
+    # they double as the seed centroids (the semantic_near_dup_frame
+    # contract), giving balanced cells — the regime where cell-local
+    # near-dup is sum(n_c^2), demonstrably subquadratic.
+    n_vecs = 200_000
+    k_cells = 256
+    center_of = F.when(F.col("id") < k_cells, F.col("id")).otherwise(
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(k_cells))
+    )
+    noise_scale = F.when(F.col("id") < k_cells, F.lit(0.0)).otherwise(F.lit(0.35))
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                (F.pmod(F.xxhash64(center_of, j), F.lit(2001)) - 1000) / 1000.0
+                + noise_scale
+                * (F.pmod(F.xxhash64(F.col("id"), j, F.lit(11)), F.lit(2001)) - 1000)
+                / 1000.0
+            ).cast("float"),
+        ).alias("embedding"),
+        F.pmod(center_of, F.lit(10)).cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp}/embeddings")
+    embeddings = spark.read.parquet(f"{tmp}/embeddings")
+
+    from clinical_data_platform_spark.plans.clustering import (
+        assign_blas,
+        semantic_near_dup_blas,
+    )
+
+    run("kmeans_assign_256", assign_blas(embeddings, k=k_cells))
+    run(
+        "semantic_near_dup",
+        semantic_near_dup_blas(embeddings, threshold=0.9, k=k_cells),
+    )
+
+    from clinical_data_platform_spark.plans.contentfilter import (
+        pii_signal_frame,
+        _token_weight,
+    )
+    from clinical_data_platform_spark.functions.text import tokens
+
+    ws = tokens(F.col("text"))
+    score = F.aggregate(
+        F.transform(ws, _token_weight), F.lit(0.0), lambda a, v: a + v
+    ) / F.greatest(F.size(ws), F.lit(1))
+    run(
+        "classifier_score",
+        documents.select("doc_id", score.alias("score")),
+    )
+    run(
+        "pii_scan",
+        pii_signal_frame(documents.withColumn("source", F.lit("probe"))),
+    )
+    d_ws = documents.select("doc_id", ws.alias("ws"))
+    uni = d_ws.select(F.explode("ws").alias("w")).groupBy("w").count()
+    bg = (
+        d_ws.select(
+            F.explode(
+                F.when(F.size("ws") < 2, F.array().cast("array<string>")).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.get(F.col("ws"), i), F.get(F.col("ws"), i + 1)
+                        ),
+                    )
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .count()
+    )
+    run("bigram_counts", bg)
+    run("unigram_counts", uni)
+
     print(
         json.dumps(
             {

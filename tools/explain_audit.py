@@ -139,7 +139,13 @@ def main() -> None:
         if pf:
             lines.append("")
             lines.append("Pushed filters: " + "; ".join(pf))
-        lines += ["", "```", s.strip()[:4000], "```", ""]
+        # Truncate per-line: constant-folded literals (e.g. a k x dim
+        # centroid matrix) otherwise dump kilobytes into one plan row.
+        plan = "\n".join(
+            ln if len(ln) <= 300 else ln[:300] + " …<literal truncated>"
+            for ln in s.strip()[:6000].splitlines()
+        )
+        lines += ["", "```", plan, "```", ""]
     with open("PLANS_AUDIT.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote PLANS_AUDIT.md ({len(AUDIT)} queries)")

@@ -107,8 +107,9 @@ PRIORITY_ORDER = [
     "knn_join_top5",
     "embedding_near_dup_pairs",
     "sign_lsh_ann_topk_vec0",
-    # streamops (all 5 oracled)
-    "stream_hourly_counts",
+    # streamops (new stream_doc_dedup_counts takes stream_hourly_counts'
+    # slot — r2-driver-green, unchanged)
+    "stream_doc_dedup_counts",
     "stream_dedup_user_type_keys",
     "stream_user_running_totals",
     "stream_error_click_pairs",

@@ -123,3 +123,23 @@ def stream_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@query(
+    "stream_doc_dedup_counts",
+    oracle="""
+    SELECT source,
+           count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+             AS n_unique_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=["streaming", "dedup", "llm-pipeline"],
+)
+def stream_doc_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with exact dedup (file stream ->
+    fingerprint -> stateful dropDuplicates -> complete-mode per-source
+    counts). Over the bounded corpus the surviving-unique counts equal
+    the batch COUNT(DISTINCT fingerprint) — the exact oracle."""
+    tune_session(spark)
+    return S.dedup_document_counts(spark, sf_dir)

@@ -31,21 +31,21 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
-def _staged_events_dir(sf_dir: str) -> str:
+def _staged_table_dir(sf_dir: str, table: str) -> str:
     """The file stream source requires a DIRECTORY of files (it models an
-    arriving-file queue). The corpus ships a single parquet file, so stage a
-    hardlink/copy of it into a per-sf temp dir once. In production the
-    source would already be a directory (or Kafka) — this shim exists only
-    for the static test corpus."""
+    arriving-file queue). The corpus ships a single parquet file per table,
+    so stage a hardlink/copy of it into a per-(sf, table) temp dir once. In
+    production the source would already be a directory (or Kafka) — this
+    shim exists only for the static test corpus."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"cdp_spark_events_{key}")
-    dst = os.path.join(d, "events.parquet")
-    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(tempfile.gettempdir(), f"cdp_spark_{table}_{key}")
+    dst = os.path.join(d, f"{table}.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         os.makedirs(d, exist_ok=True)
         try:
@@ -53,6 +53,10 @@ def _staged_events_dir(sf_dir: str) -> str:
         except OSError:
             shutil.copy2(src, dst)
     return d
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    return _staged_table_dir(sf_dir, "events")
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -226,3 +230,29 @@ def stream_stream_error_click_join(
         ),
     )
     return _run_to_memory(joined, "append")
+
+
+def dedup_document_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with exact dedup: documents arrive as a
+    file stream, each gets the canonical fingerprint (md5 of normalized
+    text — identical to the batch exact-dedup key), duplicates drop in the
+    state store, and a complete-mode aggregate counts surviving unique
+    fingerprints per source.
+
+    Over the bounded corpus the per-source unique counts equal the batch
+    COUNT(DISTINCT fingerprint) — the exact oracle. At 100 TB this is the
+    continuous-ingestion shape: dedup state is keyed by (source,
+    fingerprint) and in production would carry a watermark horizon (here
+    the availableNow run is bounded, so state is bounded too)."""
+    from ..functions.text import fingerprint
+
+    docs = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    ).parquet(_staged_table_dir(sf_dir, "documents"))
+    uniq = (
+        docs.select("source", fingerprint(F.col("text")).alias("fp"))
+        .dropDuplicates(["source", "fp"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unique_docs"))
+    )
+    return _run_to_memory(uniq, "complete")

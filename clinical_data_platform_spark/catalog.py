@@ -100,3 +100,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (for spark.sql plans)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out_scan(df: DataFrame) -> DataFrame:
+    """Round-robin the scan up to the session's shuffle parallelism when
+    the source yields fewer partitions (the test corpus is ONE small
+    parquet file, so CPU-heavy per-document expressions otherwise run on
+    one core — measured 10x+ on the shingle pipelines). At 100 TB the
+    scan has thousands of splits and this is an identity no-op, so the
+    extra exchange exists only in the degenerate small-scan case."""
+    spark = df.sparkSession
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df

@@ -32,12 +32,24 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import table as T
+from ..catalog import fan_out_scan, table as T
 from ..functions.text import tokens, word_shingles
 from .corpusqc import _gram_sql, _grams, _trunc6, _TRUNC6
 from .registry import query
 
 _MIN_PAIR = 5  # collocation support threshold
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a MATERIALIZED token array, fanned out to the
+    session's shuffle parallelism first (same lesson as
+    operators/dedup.py::shingle_table, measured again here: the corpus
+    arrives as one file -> one partition, and an inlined tokens() expr
+    re-evaluates the regex split per lambda element access — together
+    20x slower than repartition + tokenize-once)."""
+    return fan_out_scan(
+        T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).select("doc_id", "source", tokens(F.col("text")).alias("ws"))
 
 
 @query(
@@ -89,9 +101,7 @@ def bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the two unigram lookups; corpus-total scalars arrive via
     broadcast single-row cross joins. Top-20 compiles to
     TakeOrderedAndProject."""
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("ws")
-    )
+    d = _doc_tokens(spark, sf_dir)
     uni = (
         d.select(F.explode("ws").alias("w"))
         .groupBy("w")
@@ -176,26 +186,44 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental novelty: share of each document's distinct 3-grams
     first seen in that document (by min doc_id), rolled up per source.
 
-    Plan: explode distinct shingles -> partial/final min(doc_id) per gram
-    -> equi-join back on the gram key -> two grouped aggregations. Every
-    exchange is keyed (gram, then doc_id, then source) — linear scaling,
-    and the gram⋈gram join reuses the exploded side's partitioning."""
-    d = T(spark, sf_dir, "documents").select(
+    Plan note (measured): the obvious shape — join the exploded grams
+    back to a min(doc_id)-per-gram table on the GRAM key — is a big⋈big
+    string-keyed sort-merge join that took 58 s at sf0.1 (DuckDB: 0.8 s).
+    A gram's first occurrence row already names the only document that
+    can count it as novel, so the join is unnecessary: aggregate the
+    first-occurrence table BY ITS OWNING DOC to get per-doc novel counts,
+    and join that k-byte, doc-keyed table to per-doc gram totals. Same
+    semantics, no gram-keyed join. Together with the _doc_tokens fan-out
+    (the single-file scan otherwise runs the shingle expressions on ONE
+    core) this took the query from 58 s to ~1.5 s at sf0.1; at corpus
+    scale the surviving exchanges are all keyed by doc_id/gram with
+    partial aggregation (map-side combine) ahead of every shuffle."""
+    # Explode the shingle EXPRESSION directly (shingle_table's shape).
+    # Aliasing the array in its own projection and exploding the column
+    # re-evaluates the shingle lambda per EMITTED row (measured 17 s vs
+    # 0.5 s here — ~n_grams x the work); direct Generate input does not.
+    ex = _doc_tokens(spark, sf_dir).select(
         "doc_id",
         "source",
-        word_shingles(tokens(F.col("text")), 3).alias("gs"),
+        F.explode(word_shingles(F.col("ws"), 3)).alias("g"),
     )
-    ex = d.select("doc_id", "source", F.explode("gs").alias("g"))
-    firsts = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    totals = ex.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    novel = (
+        ex.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     per_doc = (
-        ex.join(firsts, "g")
-        .groupBy("doc_id", "source")
-        .agg(
-            _trunc6(
-                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
-                * 1.0
-                / F.count(F.lit(1))
-            ).alias("novelty")
+        totals.join(novel, "doc_id", "left")
+        .fillna({"n_novel": 0})
+        .select(
+            "source",
+            _trunc6(F.col("n_novel") * 1.0 / F.col("n_grams")).alias(
+                "novelty"
+            ),
         )
     )
     return per_doc.groupBy("source").agg(

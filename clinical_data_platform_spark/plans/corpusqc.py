@@ -40,7 +40,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import table as T
+from ..catalog import fan_out_scan, table as T
 from ..functions.text import STOPWORDS, tokens, word_shingles
 from .registry import query
 
@@ -140,7 +140,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seven metrics, seven rule booleans, one keep flag. Pure codegen'd
     string/array expressions; zero shuffles; scales linearly in corpus
     bytes (the canonical first pass of a pretraining pipeline)."""
-    d = T(spark, sf_dir, "documents")
+    d = fan_out_scan(T(spark, sf_dir, "documents"))
     ws = tokens(F.col("text"))
     lines = F.split(F.col("text"), "\n")
     n_words = F.size(ws)
@@ -279,7 +279,7 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode -> two-level partial/final agg on (doc_id, gram) -> left join
     back on doc_id. Shuffled bytes are (doc_id, gram) pairs — linear in
     token count, no pairwise blowup; the three branches share one scan."""
-    d = T(spark, sf_dir, "documents").select(
+    d = fan_out_scan(T(spark, sf_dir, "documents")).select(
         "doc_id", tokens(F.col("text")).alias("ws"),
         F.split(F.col("text"), "\n").alias("lines"),
     )
@@ -357,7 +357,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench scale statistics pick the broadcast automatically. A frequency
     cap on ubiquitous grams (cf. textops.max_shingle_docs) bounds the
     join fan-out for adversarial corpora."""
-    t = T(spark, sf_dir, "documents").select(
+    t = fan_out_scan(T(spark, sf_dir, "documents")).select(
         "doc_id", tokens(F.col("text")).alias("ws")
     )
     g = t.select(
@@ -405,7 +405,7 @@ def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial/final count -> per-doc agg; linear shuffle in token count.
     round (not floor-truncate): log values never land on exact decimal
     halves, and rounding absorbs float sum-order ulps."""
-    d = T(spark, sf_dir, "documents")
+    d = fan_out_scan(T(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(

@@ -98,7 +98,7 @@ PRIORITY_ORDER = [
     "word_entropy_quality",
     # textops (7 of 10 oracled; doc_fingerprints, exact_dedup_docs and
     # doc_token_stats are r2-driver-green and cede their slots)
-    "lang_token_summary",
+    "incremental_dedup_new_docs",
     "near_dup_jaccard_pairs",
     "minhash_lsh_pairs_md5",
     # vectorops (all 5 oracled)

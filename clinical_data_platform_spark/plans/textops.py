@@ -393,3 +393,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "tfidf")
     )
+
+
+@query(
+    "incremental_dedup_new_docs",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    )
+    SELECT i.doc_id, i.fp
+    FROM fp i
+    WHERE i.doc_id % 10 = 3
+      AND i.fp NOT IN (SELECT fp FROM fp WHERE doc_id % 10 <> 3)
+    """,
+    tags=["dedup", "bloom", "llm-pipeline"],
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch dedup with a Bloom pre-filter: which documents
+    of an incoming batch (doc_id % 10 = 3 stands in for "today's crawl")
+    are genuinely new against the existing corpus?
+
+    The 100 TB shape: an exact anti-join of incoming⋈corpus shuffles the
+    CORPUS side every batch. Instead, aggregate the corpus fingerprints
+    into a Bloom filter once (bloom_filter_agg — partial/final, bytes on
+    the wire = the sketch, not the corpus), broadcast it, and split the
+    incoming batch map-side: might_contain = false is DEFINITELY new (no
+    false negatives) and skips the join entirely; only the might-contain
+    sliver (true hits + the ~1% false-positive rate) pays the exact
+    anti-join verification. The final result is EXACT — the Bloom only
+    routes rows — so the DuckDB NOT IN oracle hash-matches; the pruning
+    itself is asserted in tests/test_misc_clinical.py (definitely-new
+    bypass carries >0 rows at the default FPP)."""
+    from ..functions.text import fingerprint
+    from ..operators.bloom import build_bloom, might_contain
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 3).select("fp")
+    incoming = docs.filter(F.col("doc_id") % 10 == 3)
+    bloom = build_bloom(existing, F.col("fp"))
+    routed = incoming.crossJoin(F.broadcast(bloom)).withColumn(
+        "maybe_dup", might_contain(F.col("bloom"), F.col("fp"))
+    )
+    definitely_new = routed.filter(~F.col("maybe_dup")).select("doc_id", "fp")
+    verified_new = (
+        routed.filter(F.col("maybe_dup"))
+        .select("doc_id", "fp")
+        .join(existing, "fp", "left_anti")
+        .select("doc_id", "fp")
+    )
+    return definitely_new.unionByName(verified_new)

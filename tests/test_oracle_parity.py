@@ -54,15 +54,18 @@ def test_driver_window_spans_all_modules():
     modules = {
         inspect.getmodule(QUERIES[n]).__name__.rsplit(".", 1)[-1] for n in window
     }
+    # stats and tpch_deep ceded their window slots late in r3 (both
+    # modules fully driver-verified in r1+r2) to the never-verified
+    # queries of the three new r3 modules.
     assert modules == {
-        "relational", "validation", "stats", "textops", "vectorops",
-        "events", "streamops", "advanced", "tpch_deep", "trainprep",
-        "corpusqc",
+        "relational", "validation", "textops", "vectorops",
+        "events", "streamops", "advanced", "trainprep",
+        "corpusqc", "clustering", "collocations", "contentfilter",
     }
     for must_have in (
-        "q21_blocked_suppliers", "minhash_lsh_pairs_md5",
+        "minhash_lsh_pairs_md5",
         "sign_lsh_ann_topk_vec0", "chunked_documents",
-        "stream_error_click_pairs", "welch_ttest_totalprice",
+        "stream_error_click_pairs",
         "interval_join_error_windows",
         # r3 rotation: the 12 queries never sampled in rounds 1-2
         "rollup_revenue", "cube_order_counts", "building_buyers_intersect",
@@ -77,6 +80,11 @@ def test_driver_window_spans_all_modules():
         # new in r3 -> must verify
         "gopher_quality_filter", "doc_repetition_signals",
         "benchmark_decontamination", "word_entropy_quality",
+        "kmeans_assign_seeded", "kmeans_cluster_purity",
+        "kmeans_ml_clusters", "semantic_near_dup_pairs",
+        "bigram_pmi_top20", "ngram_novelty_by_source",
+        "quality_classifier_scores", "pii_signal_counts",
+        "stream_doc_dedup_counts", "incremental_dedup_new_docs",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

@@ -43,6 +43,7 @@ AUDIT = [
     ("bigram_pmi_top20", "support-filter before vocabulary joins; totals broadcast"),
     ("ngram_novelty_by_source", "gram-keyed first-occurrence join, partial/final min"),
     ("quality_classifier_scores", "hashed-weight scorer: one narrow codegen projection"),
+    ("incremental_dedup_new_docs", "Bloom-routed anti-join: sketch broadcast, FP sliver verified"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -420,3 +420,145 @@ def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
         ).alias("token_entropy"),
     )
+
+
+# --- Line-level boilerplate (CCNet-style) ------------------------------------
+
+_BP_MIN_DOCS = 5  # a line in >= this many distinct docs is boilerplate
+
+
+@query(
+    "boilerplate_lines_top20",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id, trim(line) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents)
+      WHERE length(trim(line)) > 0
+    ),
+    c AS (
+      SELECT line,
+             cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             count(*) AS n_occurrences
+      FROM l GROUP BY line
+    )
+    SELECT line, n_docs, n_occurrences
+    FROM c
+    WHERE n_docs >= {_BP_MIN_DOCS}
+    ORDER BY n_docs DESC, n_occurrences DESC, line
+    LIMIT 20
+    """,
+    tags=["text", "dedup", "boilerplate", "llm-pipeline"],
+)
+def boilerplate_lines_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level duplicate detection (the CCNet/RefinedWeb boilerplate
+    pass): lines appearing in >= 5 distinct documents, ranked. Plan:
+    explode lines -> two-level partial/final agg on the line key ->
+    TakeOrdered top-20. Shuffled bytes are (line, doc_id) pairs — linear;
+    the count(DISTINCT doc_id) expands to the standard two-phase
+    aggregate, never a driver-side set."""
+    docs = fan_out_scan(T(spark, sf_dir, "documents").select("doc_id", "text"))
+    return boilerplate_lines_frame(docs).limit(20)
+
+
+def _line_table(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("*", F.explode(F.split("text", "\n")).alias("__l"))
+        .drop("text")
+        .withColumn("line", F.trim("__l"))
+        .drop("__l")
+        .filter(F.length("line") > 0)
+    )
+
+
+def boilerplate_lines_frame(
+    docs: DataFrame, min_docs: int = _BP_MIN_DOCS
+) -> DataFrame:
+    """Ranked duplicate lines over any (doc_id, text) frame (the
+    testable operator behind boilerplate_lines_top20 — the shipped
+    corpus is single-line-unique, so the query's non-empty behavior is
+    pinned on an injected fixture in tests/test_boilerplate.py)."""
+    c = _line_table(docs).groupBy("line").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return c.filter(F.col("n_docs") >= min_docs).orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("line")
+    )
+
+
+@query(
+    "boilerplate_removal_stats",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id, trim(line) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents)
+      WHERE length(trim(line)) > 0
+    ),
+    bp AS (
+      SELECT line FROM l GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    ),
+    per_doc AS (
+      SELECT l.doc_id,
+             count(*) AS n_lines,
+             cast(sum(CASE WHEN bp.line IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+      FROM l LEFT JOIN bp ON bp.line = l.line
+      GROUP BY l.doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           cast(sum(p.n_lines) AS BIGINT) AS total_lines,
+           cast(sum(p.n_lines - p.n_kept) AS BIGINT) AS boilerplate_lines,
+           floor(sum(p.n_kept) * 1e6 / sum(p.n_lines)) / 1e6
+             AS retained_frac
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+    tags=["text", "dedup", "boilerplate", "llm-pipeline"],
+)
+def boilerplate_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What boilerplate removal would delete, per source: total lines,
+    boilerplate-line hits, retained fraction. The boilerplate set is
+    vocabulary-sized (lines with >= 5 distinct docs), so at corpus scale
+    it BROADCASTS and the corpus side never shuffles for the membership
+    test; the per-doc and per-source aggregates are the only exchanges."""
+    docs = fan_out_scan(
+        T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    return boilerplate_removal_frame(docs)
+
+
+def boilerplate_removal_frame(
+    docs: DataFrame, min_docs: int = _BP_MIN_DOCS
+) -> DataFrame:
+    """Per-source removal stats over any (doc_id, source, text) frame."""
+    l = _line_table(docs)
+    bp = (
+        l.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", F.lit(True).alias("is_bp"))
+    )
+    per_doc = (
+        l.join(F.broadcast(bp), "line", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("is_bp").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("total_lines"),
+        F.sum(F.col("n_lines") - F.col("n_kept"))
+        .cast("long")
+        .alias("boilerplate_lines"),
+        (
+            F.floor(F.sum("n_kept") * 1e6 / F.sum("n_lines")) / 1e6
+        ).alias("retained_frac"),
+    )

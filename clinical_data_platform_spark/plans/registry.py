@@ -99,8 +99,8 @@ PRIORITY_ORDER = [
     # textops (7 of 10 oracled; doc_fingerprints, exact_dedup_docs and
     # doc_token_stats are r2-driver-green and cede their slots)
     "incremental_dedup_new_docs",
-    "near_dup_jaccard_pairs",
-    "minhash_lsh_pairs_md5",
+    "boilerplate_lines_top20",
+    "boilerplate_removal_stats",
     # vectorops (all 5 oracled)
     "embedding_norms_by_label",
     "cosine_topk_vec0",

@@ -1,0 +1,51 @@
+"""Line-level boilerplate detection/removal (plans/corpusqc.py).
+
+The shipped corpus is single-line with unique lines, so the registered
+queries legitimately return empty/trivial results there (the oracle
+agrees); these tests inject a fixture with real repeated lines to pin
+the non-empty behavior."""
+
+from __future__ import annotations
+
+from clinical_data_platform_spark.plans.corpusqc import (
+    boilerplate_lines_frame,
+    boilerplate_removal_frame,
+)
+
+HEADER = "SUBSCRIBE TO OUR NEWSLETTER"
+FOOTER = "(c) example corp all rights reserved"
+
+
+def _fixture(spark):
+    rows = []
+    for i in range(8):
+        rows.append(
+            (i, f"{HEADER}\nunique body line {i}\n{FOOTER}", "webA")
+        )
+    for i in range(8, 12):
+        rows.append((i, f"clean doc {i} with its own text", "webB"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_repeated_lines_detected(spark):
+    found = {
+        r["line"]: (r["n_docs"], r["n_occurrences"])
+        for r in boilerplate_lines_frame(_fixture(spark)).collect()
+    }
+    assert found == {HEADER: (8, 8), FOOTER: (8, 8)}
+
+
+def test_removal_stats_per_source(spark):
+    stats = {
+        r["source"]: r.asDict()
+        for r in boilerplate_removal_frame(_fixture(spark)).collect()
+    }
+    a, b = stats["webA"], stats["webB"]
+    assert a["total_lines"] == 24 and a["boilerplate_lines"] == 16
+    assert abs(a["retained_frac"] - 8 / 24) < 1e-6
+    assert b["boilerplate_lines"] == 0 and b["retained_frac"] == 1.0
+
+
+def test_threshold_respected(spark):
+    # with min_docs above the duplication level nothing is boilerplate
+    assert boilerplate_lines_frame(_fixture(spark), min_docs=9).count() == 0

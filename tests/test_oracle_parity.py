@@ -63,7 +63,6 @@ def test_driver_window_spans_all_modules():
         "corpusqc", "clustering", "collocations", "contentfilter",
     }
     for must_have in (
-        "minhash_lsh_pairs_md5",
         "sign_lsh_ann_topk_vec0", "chunked_documents",
         "stream_error_click_pairs",
         "interval_join_error_windows",
@@ -85,6 +84,7 @@ def test_driver_window_spans_all_modules():
         "bigram_pmi_top20", "ngram_novelty_by_source",
         "quality_classifier_scores", "pii_signal_counts",
         "stream_doc_dedup_counts", "incremental_dedup_new_docs",
+        "boilerplate_lines_top20", "boilerplate_removal_stats",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

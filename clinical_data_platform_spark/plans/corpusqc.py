@@ -562,3 +562,114 @@ def boilerplate_removal_frame(
             F.floor(F.sum("n_kept") * 1e6 / F.sum("n_lines")) / 1e6
         ).alias("retained_frac"),
     )
+
+
+# --- Duplicated-span detection (windowed exact-substring dedup) --------------
+
+_SPAN_W = 16  # tokens per window
+_SPAN_STRIDE = 8
+
+_SPAN_WIN_SQL = f"""
+      SELECT doc_id,
+             md5(array_to_string(ws[i : i + {_SPAN_W} - 1], ' ')) AS h
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+           unnest(range(1, greatest(len(ws) - {_SPAN_W} + 2, 1),
+                        {_SPAN_STRIDE})) AS u(i)
+"""
+
+
+@query(
+    "dup_span_fraction_by_source",
+    oracle=f"""
+    WITH w AS ({_SPAN_WIN_SQL}),
+    dup AS (
+      SELECT h FROM w GROUP BY h
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT w.doc_id,
+             count(*) AS n_windows,
+             cast(sum(CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dup
+      FROM w LEFT JOIN dup ON dup.h = w.h
+      GROUP BY w.doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           cast(sum(p.n_windows) AS BIGINT) AS total_windows,
+           cast(sum(p.n_dup) AS BIGINT) AS dup_windows,
+           floor(sum(p.n_dup) * 1e6 / sum(p.n_windows)) / 1e6
+             AS dup_frac
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+    tags=["text", "dedup", "substring", "llm-pipeline"],
+)
+def dup_span_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exact-substring duplication (the tractable form of
+    suffix-array substring dedup, Lee et al. 2022 arXiv:2107.06499):
+    hash every 16-token window at stride 8, mark windows whose hash
+    occurs in >= 2 distinct documents, report the duplicated-window
+    mass per source.
+
+    Plan: one explode produces (doc_id, window-hash) pairs — corpus
+    bytes x (1/stride) rows — then a two-phase agg finds cross-doc
+    hashes (vocabulary-sized) which BROADCAST back for the membership
+    mark; per-doc and per-source aggregates close it out. No pairwise
+    joins, no suffix array; at 100 TB every exchange is hash-keyed and
+    partial-aggregated."""
+    docs = fan_out_scan(
+        T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    return dup_span_fraction_frame(docs)
+
+
+def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
+    """Duplicated-span stats over any (doc_id, source, text) frame (the
+    testable operator behind dup_span_fraction_by_source — the shipped
+    corpus has no repeated 16-token spans, so firing behavior is pinned
+    on an injected fixture in tests/test_boilerplate.py)."""
+    ws = tokens(F.col("text"))
+    # windows at stride: indices 0, 8, 16, ... while i + W <= len
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(ws) - _SPAN_W, F.lit(0)),
+        F.lit(_SPAN_STRIDE),
+    )
+    win = F.when(F.size(ws) < _SPAN_W, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(ws, i + 1, _SPAN_W))
+            ),
+        )
+    )
+    w = docs.select(
+        "doc_id", "source", F.explode(win).alias("h")
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    per_doc = (
+        w.join(F.broadcast(dup), "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("is_dup").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_windows").cast("long").alias("total_windows"),
+        F.sum("n_dup").cast("long").alias("dup_windows"),
+        (
+            F.floor(F.sum("n_dup") * 1e6 / F.sum("n_windows")) / 1e6
+        ).alias("dup_frac"),
+    )

@@ -49,3 +49,25 @@ def test_removal_stats_per_source(spark):
 def test_threshold_respected(spark):
     # with min_docs above the duplication level nothing is boilerplate
     assert boilerplate_lines_frame(_fixture(spark), min_docs=9).count() == 0
+
+
+def test_dup_span_detection_fires_on_shared_passage(spark):
+    from clinical_data_platform_spark.plans.corpusqc import (
+        dup_span_fraction_frame,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(32))  # 32-token passage
+    rows = [
+        (0, shared + " tailA one two three four five six seven eight", "dup"),
+        (1, shared + " tailB nine ten eleven twelve thirteen fourteen fifteen sixteen", "dup"),
+        (2, " ".join(f"solo{i}" for i in range(48)), "clean"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    stats = {
+        r["source"]: r.asDict()
+        for r in dup_span_fraction_frame(docs).collect()
+    }
+    # the first windows (offsets 0 and 8) fall inside the shared passage
+    assert stats["dup"]["dup_windows"] >= 4  # >=2 windows in each of 2 docs
+    assert stats["dup"]["dup_frac"] > 0
+    assert stats["clean"]["dup_windows"] == 0

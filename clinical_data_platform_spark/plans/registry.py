@@ -87,9 +87,9 @@ PRIORITY_ORDER = [
     "ngram_novelty_by_source",
     "quality_classifier_scores",
     "pii_signal_counts",
-    # trainprep (2 of 5; split/sample/mixture are r2-driver-green and cede
-    # their slots to the new corpusqc module)
-    "packed_sequence_bins",
+    # trainprep keeps chunked_documents; packed_sequence_bins (r2-green)
+    # cedes its slot to the new dup-span query
+    "dup_span_fraction_by_source",
     "chunked_documents",
     # corpusqc (new this round -> must verify; all 4 value-oracled)
     "gopher_quality_filter",

@@ -85,6 +85,7 @@ def test_driver_window_spans_all_modules():
         "quality_classifier_scores", "pii_signal_counts",
         "stream_doc_dedup_counts", "incremental_dedup_new_docs",
         "boilerplate_lines_top20", "boilerplate_removal_stats",
+        "dup_span_fraction_by_source",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

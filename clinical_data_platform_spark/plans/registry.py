@@ -101,9 +101,10 @@ PRIORITY_ORDER = [
     "incremental_dedup_new_docs",
     "boilerplate_lines_top20",
     "boilerplate_removal_stats",
-    # vectorops (all 5 oracled)
-    "embedding_norms_by_label",
-    "cosine_topk_vec0",
+    # trainprep additions (new -> must verify); embedding_norms and
+    # cosine_topk (r2-driver-green, unchanged) cede their vectorops slots
+    "temperature_mixture_rates",
+    "quality_budget_selection",
     "knn_join_top5",
     "embedding_near_dup_pairs",
     "sign_lsh_ann_topk_vec0",

@@ -260,3 +260,175 @@ def chunk_documents_frame(
         .alias("chunk_tokens"),
         F.md5(F.array_join(F.slice("ws", start, size), " ")).alias("chunk_md5"),
     )
+
+
+# --- Temperature resampling + budgeted selection (round 3) -------------------
+
+_TEMP_ALPHA = 0.5  # share^alpha resampling (mT5/XLM-R style, alpha=0.5)
+
+# md5 first 6 hex chars as a uniform draw in [0, 1).
+_U01_SQL = (
+    "(CASE WHEN ascii(substr(md5(cast(doc_id AS VARCHAR)), 1, 1)) >= 97"
+    " THEN ascii(substr(md5(cast(doc_id AS VARCHAR)), 1, 1)) - 87"
+    " ELSE ascii(substr(md5(cast(doc_id AS VARCHAR)), 1, 1)) - 48 END"
+    " * 1.0 / 16.0)"
+    " + (CASE WHEN ascii(substr(md5(cast(doc_id AS VARCHAR)), 2, 1)) >= 97"
+    " THEN ascii(substr(md5(cast(doc_id AS VARCHAR)), 2, 1)) - 87"
+    " ELSE ascii(substr(md5(cast(doc_id AS VARCHAR)), 2, 1)) - 48 END"
+    " * 1.0 / 256.0)"
+    " + (CASE WHEN ascii(substr(md5(cast(doc_id AS VARCHAR)), 3, 1)) >= 97"
+    " THEN ascii(substr(md5(cast(doc_id AS VARCHAR)), 3, 1)) - 87"
+    " ELSE ascii(substr(md5(cast(doc_id AS VARCHAR)), 3, 1)) - 48 END"
+    " * 1.0 / 4096.0)"
+)
+
+
+def _u01() -> F.Column:
+    h = _h()
+    digits = []
+    for i, scale in ((1, 16.0), (2, 256.0), (3, 4096.0)):
+        a = F.ascii(F.substring(h, i, 1))
+        digits.append(
+            F.when(a >= 97, a - 87).otherwise(a - 48) * 1.0 / scale
+        )
+    return digits[0] + digits[1] + digits[2]
+
+
+@query(
+    "temperature_mixture_rates",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    t AS (SELECT cast(sum(n) AS BIGINT) AS total FROM c),
+    r AS (
+      SELECT lang, n,
+             pow(n * 1.0 / t.total, {_TEMP_ALPHA} - 1.0) AS boost
+      FROM c CROSS JOIN t
+    ),
+    m AS (SELECT max(boost) AS mb FROM r),
+    rates AS (
+      SELECT lang, n, r.boost / m.mb AS rate FROM r CROSS JOIN m
+    )
+    SELECT d.lang,
+           cast(max(rates.n) AS BIGINT) AS n_total,
+           floor(max(rates.rate) * 1e6) / 1e6 AS rate,
+           cast(sum(CASE WHEN {_U01_SQL} < rates.rate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates ON rates.lang = d.lang
+    GROUP BY d.lang
+    """,
+    tags=["trainprep", "mixture", "llm-pipeline"],
+)
+def temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language resampling (share^alpha, alpha=0.5 —
+    the mT5/XLM-R recipe): per-language keep rates derived FROM the
+    corpus (boost = share^(alpha-1), normalized so the rarest boosted
+    language keeps 100%), applied as a deterministic md5-uniform draw.
+
+    Plan: one tiny per-language aggregate -> rates broadcast back onto
+    the corpus -> map-side keep decision -> per-language audit counts.
+    Two exchanges total, both language-cardinality; the corpus-sized
+    pass is a single narrow projection."""
+    d = T(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    r = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        F.pow(F.col("n") * 1.0 / F.col("total"), _TEMP_ALPHA - 1.0).alias(
+            "boost"
+        ),
+    )
+    m = r.agg(F.max("boost").alias("mb"))
+    rates = r.crossJoin(F.broadcast(m)).select(
+        "lang", "n", (F.col("boost") / F.col("mb")).alias("rate")
+    )
+    keep = _u01() < F.col("rate")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_total"),
+            (F.floor(F.max("rate") * 1e6) / 1e6).alias("rate"),
+            F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        )
+    )
+
+
+_BUDGET_CHARS = 3000  # per-source selection budget
+
+
+@query(
+    "quality_budget_selection",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             list_sum(list_transform(
+               string_split_regex(trim(text), '\\s+'),
+               w -> (((CASE WHEN ascii(substr(md5(w), 1, 1)) >= 97
+                            THEN ascii(substr(md5(w), 1, 1)) - 87
+                            ELSE ascii(substr(md5(w), 1, 1)) - 48 END) * 16
+                     + (CASE WHEN ascii(substr(md5(w), 2, 1)) >= 97
+                             THEN ascii(substr(md5(w), 2, 1)) - 87
+                             ELSE ascii(substr(md5(w), 2, 1)) - 48 END))
+                    - 127.5) / 127.5))
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+               AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM s
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           cast(sum(CASE WHEN cum_chars <= {_BUDGET_CHARS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           cast(sum(CASE WHEN cum_chars <= {_BUDGET_CHARS}
+                         THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_selected
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=["trainprep", "selection", "llm-pipeline"],
+)
+def quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a budget: rank documents by classifier score
+    (contentfilter's hashed-weight scorer) within each source, keep the
+    best until the source's character budget is exhausted — the
+    greedy-selection step of a DataComp-style curation recipe.
+
+    Plan: the cumulative sum runs per SOURCE partition (deterministic
+    ORDER BY score, doc_id inside the window), so there is no global
+    sort — shard-local selection exactly like packed_sequence_bins. The
+    scorer is the same in-order token fold as quality_classifier_scores,
+    so both engines rank identically."""
+    from ..functions.text import tokens
+    from .contentfilter import _token_weight
+
+    d = T(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    score = F.aggregate(
+        F.transform(ws, _token_weight), F.lit(0.0), lambda a, v: a + v
+    ) / F.greatest(F.size(ws), F.lit(1))
+    s = d.select("doc_id", "source", "n_chars", score.alias("score"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = s.select(
+        "source", "n_chars", F.sum("n_chars").over(w).alias("cum_chars")
+    )
+    sel = F.col("cum_chars") <= _BUDGET_CHARS
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sel.cast("int")).cast("long").alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_selected"),
+    )

@@ -86,6 +86,7 @@ def test_driver_window_spans_all_modules():
         "stream_doc_dedup_counts", "incremental_dedup_new_docs",
         "boilerplate_lines_top20", "boilerplate_removal_stats",
         "dup_span_fraction_by_source",
+        "temperature_mixture_rates", "quality_budget_selection",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

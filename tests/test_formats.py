@@ -46,3 +46,30 @@ def test_partitioned_roundtrip(spark, tmp_path, fmt):
 def test_avro_gated_not_assumed(spark):
     # container has no spark-avro package; the gate must say so, not raise
     assert avro_available(spark) in (True, False)
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Appended files may carry NEW columns (schema evolution). Parquet
+    reads merge the schemas when asked; older rows surface NULL for the
+    added column — the lake-format contract an ingestion pipeline relies
+    on when producers upgrade before consumers."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = T(spark, SF, "region").select("r_regionkey", "r_name")
+    v1.write.mode("overwrite").parquet(path)
+    v2 = T(spark, SF, "region").select(
+        "r_regionkey", "r_name", F.lit("2026-01-01").alias("ingest_date")
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "ingest_date"}
+    n = v1.count()
+    assert merged.count() == 2 * n
+    # old-generation rows carry NULL in the evolved column, new ones don't
+    assert merged.filter(F.col("ingest_date").isNull()).count() == n
+    # without mergeSchema the footer-sampled schema may miss the column;
+    # explicit schema application still reads both generations
+    explicit = spark.read.schema(merged.schema).parquet(path)
+    assert explicit.count() == 2 * n

@@ -44,6 +44,10 @@ AUDIT = [
     ("ngram_novelty_by_source", "gram-keyed first-occurrence join, partial/final min"),
     ("quality_classifier_scores", "hashed-weight scorer: one narrow codegen projection"),
     ("incremental_dedup_new_docs", "Bloom-routed anti-join: sketch broadcast, FP sliver verified"),
+    ("boilerplate_removal_stats", "line dedup: vocabulary-sized set broadcast onto corpus"),
+    ("dup_span_fraction_by_source", "windowed substring dedup: hash windows, broadcast dup set"),
+    ("temperature_mixture_rates", "two-pass resample: lang-rate table broadcast, map-side keep"),
+    ("quality_budget_selection", "shard-local budget window, no global sort"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -401,3 +401,64 @@ def kmeans_ml_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_points"), F.asc("cid"))
     )
+
+
+@query(
+    "cluster_quality_profile",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    s AS (
+      SELECT doc_id,
+             list_sum(list_transform(
+               string_split_regex(trim(text), '\\s+'),
+               w -> (((CASE WHEN ascii(substr(md5(w), 1, 1)) >= 97
+                            THEN ascii(substr(md5(w), 1, 1)) - 87
+                            ELSE ascii(substr(md5(w), 1, 1)) - 48 END) * 16
+                     + (CASE WHEN ascii(substr(md5(w), 2, 1)) >= 97
+                             THEN ascii(substr(md5(w), 2, 1)) - 87
+                             ELSE ascii(substr(md5(w), 2, 1)) - 48 END))
+                    - 127.5) / 127.5))
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+               AS score
+      FROM documents
+    )
+    SELECT a.cid,
+           count(*) AS n_docs,
+           round(avg(s.score), 5) AS avg_quality,
+           floor(min(s.score) * 1e6) / 1e6 AS min_quality
+    FROM a JOIN s ON s.doc_id = a.vec_id
+    WHERE a.rn = 1
+    GROUP BY a.cid
+    """,
+    tags=["vector", "clustering", "quality", "llm-pipeline"],
+)
+def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table curation audit: classifier quality score per semantic
+    cluster (embeddings.vec_id joins documents.doc_id 1:1 in the
+    corpus) — the "is some semantic region of the corpus low-quality"
+    question a curation pipeline asks before pruning whole cells.
+
+    Plan: map-side k-means assignment (zero shuffle) ⋈ map-side scored
+    documents on the id key, then a k-row aggregate — one co-partitioned
+    exchange pair plus the k-row final agg."""
+    from ..functions.text import tokens
+    from .contentfilter import _token_weight
+
+    e = T(spark, sf_dir, "embeddings")
+    d = T(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    score = F.aggregate(
+        F.transform(ws, _token_weight), F.lit(0.0), lambda a, v: a + v
+    ) / F.greatest(F.size(ws), F.lit(1))
+    scored = d.select(F.col("doc_id").alias("vec_id"), score.alias("score"))
+    return (
+        _assigned(e)
+        .select("vec_id", "cid")
+        .join(scored, "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 5).alias("avg_quality"),
+            (F.floor(F.min("score") * 1e6) / 1e6).alias("min_quality"),
+        )
+    )

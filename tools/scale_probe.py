@@ -243,6 +243,15 @@ def main() -> None:
     run("bigram_counts", bg)
     run("unigram_counts", uni)
 
+    from clinical_data_platform_spark.plans.corpusqc import (
+        boilerplate_removal_frame,
+        dup_span_fraction_frame,
+    )
+
+    docs_src = documents.withColumn("source", F.lit("probe"))
+    run("boilerplate_removal", boilerplate_removal_frame(docs_src))
+    run("dup_span_fraction", dup_span_fraction_frame(docs_src))
+
     print(
         json.dumps(
             {

@@ -11,7 +11,7 @@ algebraic requirement, not an implementation shortcut.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 _DECOMPOSABLE = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
 _COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}

@@ -16,13 +16,11 @@ from ..catalog import table as T
 from ..functions.text import (
     STOPWORDS,
     fingerprint,
-    normalize_ws,
     tokens,
 )
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
-    ngram_jaccard_pairs,
     simhash64,
 )
 from .registry import query

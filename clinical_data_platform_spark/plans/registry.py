@@ -111,7 +111,7 @@ PRIORITY_ORDER = [
     # streamops (new stream_doc_dedup_counts takes stream_hourly_counts'
     # slot — r2-driver-green, unchanged)
     "stream_doc_dedup_counts",
-    "stream_dedup_user_type_keys",
+    "stream_corpus_dedup_state",
     "stream_user_running_totals",
     "stream_error_click_pairs",
     # events (6 most novel; the window/rank shapes resemble driver-green

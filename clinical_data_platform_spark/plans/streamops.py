@@ -143,3 +143,28 @@ def stream_doc_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch COUNT(DISTINCT fingerprint) — the exact oracle."""
     tune_session(spark)
     return S.dedup_document_counts(spark, sf_dir)
+
+
+@query(
+    "stream_corpus_dedup_state",
+    oracle="""
+    SELECT source,
+           count(*) AS n_seen,
+           cast(count(DISTINCT
+                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+                AS BIGINT) AS n_unique
+    FROM documents
+    GROUP BY source
+    """,
+    tags=["streaming", "stateful", "dedup", "bloom", "llm-pipeline"],
+)
+def stream_corpus_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming corpus dedup: per-source running
+    (seen, unique) counts with a Bloom filter as the state-store payload
+    (bounded O(m) state per key). Final state over the bounded corpus
+    equals the batch COUNT / COUNT(DISTINCT fingerprint) — the exact
+    oracle; see streaming/stateful.py for the determinism argument."""
+    from ..streaming.stateful import streaming_corpus_dedup_stats
+
+    tune_session(spark)
+    return streaming_corpus_dedup_stats(spark, sf_dir)

@@ -16,8 +16,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -167,4 +169,113 @@ def user_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("min_value", 6).alias("min_value"),
             F.round("max_value", 6).alias("max_value"),
         )
+    )
+
+
+# --- Streaming corpus dedup with Bloom-bounded state -------------------------
+
+_CB_BITS = 1 << 16  # 64 Kbit bloom per source key
+_CB_WORDS = _CB_BITS // 64
+_CB_K = 3
+
+CORPUS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("n_unique", LongType()),
+    ]
+)
+CORPUS_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("n_unique", LongType()),
+        StructField("bloom", ArrayType(LongType())),
+    ]
+)
+
+
+def _fp_positions(fp: str) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{s}|{fp}".encode()).hexdigest()[:8], 16) % _CB_BITS
+        for s in range(_CB_K)
+    ]
+
+
+def _corpus_update(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    (source,) = key
+    if state.exists:
+        n_seen, n_unique, bloom_list = state.get
+        bloom = np.asarray(bloom_list, dtype=np.int64)
+    else:
+        n_seen, n_unique = 0, 0
+        bloom = np.zeros(_CB_WORDS, dtype=np.int64)
+    # work in unsigned space; LongType state is signed, so wrap on store
+    mask64 = (1 << 64) - 1
+    words = [int(x) & mask64 for x in bloom]
+    for pdf in batches:
+        for fp in pdf["fp"]:
+            n_seen += 1
+            pos = _fp_positions(fp)
+            seen_before = all(
+                (words[p // 64] >> (p % 64)) & 1 for p in pos
+            )
+            if not seen_before:
+                n_unique += 1
+                for p in pos:
+                    words[p // 64] |= 1 << (p % 64)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    state.update((int(n_seen), int(n_unique), signed))
+    yield pd.DataFrame(
+        {"source": [source], "n_seen": [n_seen], "n_unique": [n_unique]}
+    )
+
+
+def streaming_corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source running (docs seen, unique docs) maintained across
+    micro-batches with a BLOOM FILTER as the dedup state — O(m) bytes per
+    key forever, instead of the unbounded exact-set a naive stateful
+    dedup would accumulate (the composition of operators/bloom.py's
+    sketch idea with applyInPandasWithState).
+
+    A Bloom false positive would undercount uniques; with 64 Kbit / 3
+    hashes and per-source populations in the thousands the FP odds are
+    ~1e-6 per probe AND the whole computation is deterministic (md5
+    positions, fixed corpus), so the DuckDB COUNT(DISTINCT) oracle is an
+    exact check on the shipped data — any collision would surface
+    locally, not flake in the driver."""
+    from .events_stream import _staged_table_dir
+
+    docs = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    ).parquet(_staged_table_dir(sf_dir, "documents"))
+    return corpus_dedup_stream(docs)
+
+
+def corpus_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Core of streaming_corpus_dedup_stats over ANY streaming documents
+    frame (tests drive it with a two-file source to prove the Bloom
+    state survives micro-batch boundaries)."""
+    from ..functions.text import fingerprint
+    from .events_stream import _run_to_memory
+
+    fps = docs.select("source", fingerprint(F.col("text")).alias("fp"))
+    updated = fps.groupBy("source").applyInPandasWithState(
+        _corpus_update,
+        outputStructType=CORPUS_OUTPUT_SCHEMA,
+        stateStructType=CORPUS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(updated, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_seen"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "n_seen", "n_unique")
     )

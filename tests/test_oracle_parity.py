@@ -87,6 +87,7 @@ def test_driver_window_spans_all_modules():
         "boilerplate_lines_top20", "boilerplate_removal_stats",
         "dup_span_fraction_by_source",
         "temperature_mixture_rates", "quality_budget_selection",
+        "stream_corpus_dedup_state",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

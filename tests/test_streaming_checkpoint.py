@@ -55,3 +55,40 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert got.count() == 140
     # and nothing was double-processed
     assert got.select("event_id").distinct().count() == 140
+
+
+def test_bloom_state_survives_micro_batches(spark, tmp_path):
+    """Streaming corpus dedup with Bloom-bounded state: duplicates that
+    arrive in a LATER micro-batch must still be recognized — i.e. the
+    sketch persisted in the state store, not per-batch memory."""
+    import pyspark.sql.functions as F
+    from clinical_data_platform_spark.streaming.stateful import (
+        corpus_dedup_stream,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(0, "alpha beta gamma", "web"), (1, "delta epsilon", "web"),
+         (2, "alpha beta gamma", "web")],
+        ["doc_id", "text", "source"],
+    )
+    b2 = spark.createDataFrame(
+        [(3, "delta epsilon", "web"),        # dup of batch-1 doc
+         (4, "zeta eta theta", "web")],      # genuinely new
+        ["doc_id", "text", "source"],
+    )
+    # single real files (a directory-per-file layout would hide the
+    # second batch from the file-stream lister)
+    b1.toPandas().to_parquet(str(src / "f1.parquet"))
+    b2.toPandas().to_parquet(str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    rows = {r["source"]: r for r in corpus_dedup_stream(stream).collect()}
+    assert rows["web"]["n_seen"] == 5
+    # 3 unique texts; the batch-2 duplicate of a batch-1 doc was caught
+    assert rows["web"]["n_unique"] == 3

@@ -124,3 +124,40 @@ def test_interval_join_is_equi_not_nested_loop(no_auto_broadcast):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "LeftSemi" in plan, plan[:3000]
+
+
+def test_boilerplate_membership_is_broadcast(no_auto_broadcast):
+    """The vocabulary-sized boilerplate set must reach the corpus via a
+    BROADCAST join even with statistics disabled (explicit hint) — at
+    100 TB a shuffle here would move the whole corpus."""
+    from clinical_data_platform_spark.plans.corpusqc import (
+        boilerplate_removal_stats,
+    )
+
+    plan = simple_plan(boilerplate_removal_stats(no_auto_broadcast, SF))
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must not sort-merge against the boilerplate set
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_span_membership_is_broadcast(no_auto_broadcast):
+    from clinical_data_platform_spark.plans.corpusqc import (
+        dup_span_fraction_by_source,
+    )
+
+    plan = simple_plan(dup_span_fraction_by_source(no_auto_broadcast, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_is_map_side_over_broadcast_sketch(no_auto_broadcast):
+    """Incremental dedup: the Bloom sketch arrives as a broadcast
+    single-row relation; the only non-broadcast join allowed is the
+    anti-join verifying the false-positive sliver."""
+    from clinical_data_platform_spark.plans.textops import (
+        incremental_dedup_new_docs,
+    )
+
+    plan = simple_plan(incremental_dedup_new_docs(no_auto_broadcast, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row sketch cross join
+    assert plan.count("SortMergeJoin") <= 1  # the verification anti-join

@@ -178,3 +178,54 @@ def test_chunking_matches_python_reference(spark, docs):
                 hashlib.md5(" ".join(sl).encode()).hexdigest(),
             )
     assert got == want
+
+
+class _FakeState:
+    """Minimal GroupState double for driving _corpus_update directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12),
+                 min_size=0, max_size=8),
+        min_size=1, max_size=4,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_bloom_state_update_counts_match_exact_sets(batches):
+    """Property: across ANY micro-batch split, the Bloom-bounded state
+    machine's (n_seen, n_unique) equals the exact multiset/set counts —
+    on these corpus sizes the 64 Kbit sketch must behave exactly (a
+    false positive would undercount uniques)."""
+    import pandas as pd
+
+    from clinical_data_platform_spark.streaming.stateful import (
+        _corpus_update,
+    )
+
+    state = _FakeState()
+    seen, uniq = 0, set()
+    last = None
+    for batch in batches:
+        out = list(
+            _corpus_update(
+                ("src",), iter([pd.DataFrame({"fp": batch})]), state
+            )
+        )
+        seen += len(batch)
+        uniq |= set(batch)
+        last = out[-1]
+    assert int(last["n_seen"].iloc[0]) == seen
+    assert int(last["n_unique"].iloc[0]) == len(uniq)

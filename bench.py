@@ -67,6 +67,10 @@ HEADLINE = [
     "semantic_near_dup_pairs",
     "bigram_pmi_top20",
     "quality_classifier_scores",
+    # round-3 wave 2: boilerplate / substring dedup / bloom routing
+    "boilerplate_removal_stats",
+    "dup_span_fraction_by_source",
+    "incremental_dedup_new_docs",
 ]
 
 

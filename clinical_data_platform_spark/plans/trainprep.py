@@ -432,3 +432,57 @@ def quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_selected"),
     )
+
+
+@query(
+    "padding_efficiency_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT greatest(16, cast(pow(2, ceil(log2(
+               len(string_split_regex(trim(text), '\\s+'))))) AS BIGINT))
+               AS bucket,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+           cast(sum(bucket - n_tokens) AS BIGINT) AS total_padding,
+           floor(sum(bucket - n_tokens) * 1e6 / sum(bucket)) / 1e6
+             AS padding_frac
+    FROM t
+    GROUP BY bucket
+    """,
+    tags=["trainprep", "batching", "llm-pipeline"],
+)
+def padding_efficiency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents grouped into
+    power-of-two token buckets (floor 16), reporting the padding a
+    pad-to-bucket batcher wastes per bucket — the measurement that
+    decides between bucketed batching and full sequence packing
+    (packed_sequence_bins). Narrow projection + bucket-cardinality
+    aggregate; nothing corpus-sized shuffles."""
+    from ..functions.text import tokens
+
+    n = F.size(tokens(F.col("text")))
+    bucket = F.greatest(
+        F.lit(16), F.pow(F.lit(2), F.ceil(F.log2(n))).cast("long")
+    )
+    t = T(spark, sf_dir, "documents").select(
+        bucket.alias("bucket"), n.alias("n_tokens")
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tokens"))
+        .cast("long")
+        .alias("total_padding"),
+        (
+            F.floor(
+                F.sum(F.col("bucket") - F.col("n_tokens"))
+                * 1e6
+                / F.sum("bucket")
+            )
+            / 1e6
+        ).alias("padding_frac"),
+    )

@@ -445,3 +445,72 @@ def sign_lsh_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cosine", 5).alias("cosine"))
     )
+
+
+@query(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label, scale,
+             list_sum(list_transform(
+               embedding,
+               x -> pow(CAST(x AS DOUBLE)
+                        - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale,
+                        2))) / len(embedding) AS mse
+      FROM q
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(mse), 9) AS avg_mse,
+           round(max(scale), 7) AS max_scale
+    FROM e
+    GROUP BY label
+    """,
+    tags=["vector", "quantization", "llm-pipeline"],
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale = max|x|/127,
+    code = floor(x/scale + 0.5) (explicit half-up — identical on both
+    engines, unlike cast rounding), reconstruction MSE aggregated per
+    label. The storage story at 100 TB: 4x smaller vectors for ANN
+    candidate generation with exact re-ranking on the fp32 originals;
+    this query quantifies the error that trade introduces.
+
+    Map-side only until the label-cardinality aggregate — no shuffle of
+    vector payloads."""
+    e = T(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    scale = (
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))) / 127.0
+    )
+    d = e.select("label", scale.alias("scale"), "embedding")
+    recon_err = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.pow(
+                v.cast("double")
+                - F.floor(v.cast("double") / F.col("scale") + 0.5)
+                * F.col("scale"),
+                F.lit(2),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.size("embedding")
+    return (
+        d.select("label", "scale", recon_err.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("mse"), 9).alias("avg_mse"),
+            F.round(F.max("scale"), 7).alias("max_scale"),
+        )
+    )

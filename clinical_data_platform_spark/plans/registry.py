@@ -114,9 +114,8 @@ PRIORITY_ORDER = [
     "stream_corpus_dedup_state",
     "stream_user_running_totals",
     "stream_error_click_pairs",
-    # events (6 most novel; the window/rank shapes resemble driver-green
-    # relational queries and rotate in next round)
-    "hourly_event_rollup",
+    # events (hourly_event_rollup, r1/r2-green, cedes to the int8 audit)
+    "embedding_int8_quantization",
     "hourly_gap_fill_locf",
     "interval_join_error_windows",
     "funnel_view_click_purchase",
@@ -126,7 +125,7 @@ PRIORITY_ORDER = [
     "asof_event_hourly_rate",
     "multimodal_payload_meta",
     "multimodal_frame_samples",
-    "lang_id_prediction",
+    "padding_efficiency_buckets",
 ]
 
 

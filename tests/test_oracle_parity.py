@@ -88,6 +88,7 @@ def test_driver_window_spans_all_modules():
         "dup_span_fraction_by_source",
         "temperature_mixture_rates", "quality_budget_selection",
         "stream_corpus_dedup_state",
+        "embedding_int8_quantization", "padding_efficiency_buckets",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

@@ -673,3 +673,70 @@ def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
             F.floor(F.sum("n_dup") * 1e6 / F.sum("n_windows")) / 1e6
         ).alias("dup_frac"),
     )
+
+
+# --- Corpus cleaning (the APPLY side of the QC battery) ----------------------
+
+
+def clean_corpus_frame(
+    docs: DataFrame, min_docs: int = _BP_MIN_DOCS
+) -> DataFrame:
+    """Materialize the cleaned corpus: drop exact duplicates (keep the
+    min doc_id per fingerprint), strip boilerplate lines in place, and
+    rebuild each document's text preserving line order.
+
+    All declarative: posexplode keeps each line's position; the
+    boilerplate set (vocabulary-sized) broadcasts onto the exploded
+    lines; the rebuild is sort_array(collect_list(struct(pos, line)))
+    -> concat_ws — an aggregation keyed by doc_id, so the corpus
+    shuffles once and nothing pairs corpus against corpus. Returns
+    (doc_id, source, clean_text, n_lines_removed, was_duplicate=false
+    rows only — duplicates are gone, reported via the count delta)."""
+    from ..functions.text import fingerprint
+
+    keep = (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(keep, "doc_id")
+    lines = survivors.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    )
+    bp = (
+        lines.select("doc_id", F.trim("line").alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("t", F.lit(True).alias("is_bp"))
+    )
+    marked = lines.join(
+        F.broadcast(bp), F.trim(F.col("line")) == F.col("t"), "left"
+    )
+    rebuilt = (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_bp").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("is_bp").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+    return rebuilt

@@ -71,3 +71,26 @@ def test_dup_span_detection_fires_on_shared_passage(spark):
     assert stats["dup"]["dup_windows"] >= 4  # >=2 windows in each of 2 docs
     assert stats["dup"]["dup_frac"] > 0
     assert stats["clean"]["dup_windows"] == 0
+
+
+def test_clean_corpus_rebuild_preserves_order_and_drops_dups(spark):
+    from clinical_data_platform_spark.plans.corpusqc import (
+        clean_corpus_frame,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append(
+            (i, f"{HEADER}\nbody first {i}\nbody second {i}\n{FOOTER}", "web")
+        )
+    rows.append((6, rows[0][1], "web"))  # exact duplicate of doc 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    out = {r["doc_id"]: r for r in clean_corpus_frame(docs).collect()}
+    # duplicate dropped, min doc_id kept
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    # boilerplate stripped, original line ORDER preserved
+    assert out[3]["clean_text"] == "body first 3\nbody second 3"
+    assert out[3]["n_lines_removed"] == 2
+    # every surviving doc lost exactly the header and footer
+    assert all(r["n_lines_removed"] == 2 for r in out.values())

@@ -449,3 +449,56 @@ def geomean_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo_mean("o_totalprice"), 4).alias("geo_mean"),
         n_rows("o_totalprice").alias("n"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_stop_score_sql('en')} AS s_en,
+             {_stop_score_sql('de')} AS s_de,
+             {_stop_score_sql('es')} AS s_es,
+             {_stop_score_sql('fr')} AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                  THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM scored
+    )
+    SELECT lang, predicted_lang,
+           count(*) AS n,
+           floor(count(*) * 1e6
+                 / sum(count(*)) OVER (PARTITION BY lang)) / 1e6
+             AS frac_of_lang
+    FROM pred
+    GROUP BY lang, predicted_lang
+    """,
+    tags=["text", "lang-id", "eval", "llm-pipeline"],
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the lang-ID heuristic: labeled lang x
+    predicted lang with per-label fractions — the model-eval rollup a
+    pipeline tracks when its classifiers drift. One narrow scoring
+    projection, one (lang, predicted) aggregate, one lang-cardinality
+    window; the corpus never shuffles wider than the scores."""
+    pred = lang_id_prediction(spark, sf_dir).select("lang", "predicted_lang")
+    from pyspark.sql import Window
+
+    counts = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        (F.floor(F.col("n") * 1e6 / F.sum("n").over(w)) / 1e6).alias(
+            "frac_of_lang"
+        ),
+    )

@@ -107,7 +107,7 @@ PRIORITY_ORDER = [
     "quality_budget_selection",
     "knn_join_top5",
     "embedding_near_dup_pairs",
-    "sign_lsh_ann_topk_vec0",
+    "lang_id_confusion",
     # streamops (new stream_doc_dedup_counts takes stream_hourly_counts'
     # slot — r2-driver-green, unchanged)
     "stream_doc_dedup_counts",

@@ -63,7 +63,7 @@ def test_driver_window_spans_all_modules():
         "corpusqc", "clustering", "collocations", "contentfilter",
     }
     for must_have in (
-        "sign_lsh_ann_topk_vec0", "chunked_documents",
+        "lang_id_confusion", "chunked_documents",
         "stream_error_click_pairs",
         "interval_join_error_windows",
         # r3 rotation: the 12 queries never sampled in rounds 1-2

@@ -462,3 +462,13 @@ def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.min("score") * 1e6) / 1e6).alias("min_quality"),
         )
     )
+
+
+@query("semantic_near_dup_blas_pairs", tags=["vector", "dedup", "blas"])
+def semantic_near_dup_blas_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS scale path of semantic_near_dup_pairs registered for the
+    driver: Arrow-batched GEMM assignment + per-cell M @ M.T (rows-only
+    check — GEMM sum order differs from the SQL fold by float ulps, so
+    the value oracle stays on the expression twin; pytest pins the two
+    plans pair-for-pair equal at 4 decimals)."""
+    return semantic_near_dup_blas(T(spark, sf_dir, "embeddings"))

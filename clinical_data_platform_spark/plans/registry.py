@@ -87,10 +87,11 @@ PRIORITY_ORDER = [
     "ngram_novelty_by_source",
     "quality_classifier_scores",
     "pii_signal_counts",
-    # trainprep keeps chunked_documents; packed_sequence_bins (r2-green)
-    # cedes its slot to the new dup-span query
+    # packed_sequence_bins (r2-green) ceded its slot to the new dup-span
+    # query; chunked_documents (r2-driver-green, unchanged) cedes its slot
+    # to the new M8 IC50 query — the last SURVEY §2 row to be implemented
     "dup_span_fraction_by_source",
-    "chunked_documents",
+    "ic50_dose_response_fits",
     # corpusqc (new this round -> must verify; all 4 value-oracled)
     "gopher_quality_filter",
     "doc_repetition_signals",
@@ -124,7 +125,11 @@ PRIORITY_ORDER = [
     # and cedes its slot to the rotation)
     "asof_event_hourly_rate",
     "multimodal_payload_meta",
-    "multimodal_frame_samples",
+    # multimodal_frame_samples (r2-driver-green rows-only, unchanged)
+    # cedes its slot to the new distributed BPE trainer (rows-only;
+    # value gate = exact merge-sequence equality vs the in-test
+    # reference implementation, tests/test_bpe.py)
+    "bpe_train_merges",
     "padding_efficiency_buckets",
 ]
 

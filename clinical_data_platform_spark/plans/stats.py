@@ -86,3 +86,72 @@ def chi_square_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (F.col("value") > 50).alias("high_value")
     )
     return chi_square_test(ev, "event_type", "high_value")
+
+
+# --- M8: dose-response IC50 (reference tests/test_ic50.py:1-31) ----------
+#
+# The driver's testdata has no dose-response table, so this query builds a
+# deterministic in-plan screen (64 compounds x the reference's 8-dose grid,
+# generated JVM-side from spark.range — no RNG, no driver data) and fits
+# every curve with the distributed applyInPandas 4PL fitter. The returned
+# columns are ratios of fitted to generating parameters, rounded to 2dp —
+# which turns "the fit recovers the truth" into an EXACT DuckDB value
+# oracle over range(64) instead of a weak rows-only check.
+
+_IC50_ORACLE = """
+SELECT cast(i AS BIGINT)    AS compound_id,
+       cast(8 AS BIGINT)    AS n_points,
+       cast(1.0 AS DOUBLE)  AS ic50_ratio,
+       cast(1.0 AS DOUBLE)  AS hill_ratio,
+       cast(0.1 AS DOUBLE)  AS bottom_fit,
+       cast(0.9 AS DOUBLE)  AS top_fit,
+       true                 AS fit_ok
+FROM range(64) t(i)
+ORDER BY compound_id
+"""
+
+
+@query("ic50_dose_response_fits", oracle=_IC50_ORACLE, tags=["M8"])
+def ic50_dose_response_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-compound 4-parameter-logistic IC50 fits over a deterministic
+    64-compound screen; truth ic50 = 5*(id+1), hill = 0.8 + 0.025*id,
+    bottom/top = 0.1/0.9 (the reference curve's constants). sf_dir is
+    unused by design — see module comment."""
+    import pyspark.sql.functions as F
+
+    from ..operators.dose_response import fit_ic50_per_group
+
+    doses = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0, 640.0]
+    cid = F.col("compound_id")
+    grid = (
+        spark.range(64)
+        .withColumnRenamed("id", "compound_id")
+        .select(
+            "compound_id",
+            F.explode(F.array(*[F.lit(d) for d in doses])).alias("dose"),
+        )
+        .withColumn(
+            "response",
+            F.lit(0.1)
+            + F.lit(0.8)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    (F.lit(0.8) + F.lit(0.025) * cid)
+                    * (F.log10("dose") - F.log10(cid * 5.0 + 5.0))
+                )
+            ),
+        )
+    )
+    fits = fit_ic50_per_group(grid, ["compound_id"])
+    return fits.select(
+        cid,
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(F.col("ic50") / (cid * 5.0 + 5.0), 2).alias("ic50_ratio"),
+        F.round(F.col("hill") / (F.lit(0.8) + F.lit(0.025) * cid), 2).alias(
+            "hill_ratio"
+        ),
+        F.round("bottom", 2).alias("bottom_fit"),
+        F.round("top", 2).alias("top_fit"),
+        "fit_ok",
+    ).orderBy("compound_id")

@@ -486,3 +486,26 @@ def padding_efficiency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("padding_frac"),
     )
+
+
+# --- BPE tokenizer induction (rows-only: bounded iterative algorithm) ----
+#
+# Genuinely non-SQL-expressible (k data-dependent argmax+rewrite rounds),
+# so no DuckDB oracle; the value gate is tests/test_bpe.py, which asserts
+# the distributed trainer's merge sequence is EXACTLY equal to a
+# plain-Python Sennrich-style reference implementation on the same word
+# counts — same (count DESC, pair ASC) tie-break, same greedy
+# left-to-right merge semantics.
+
+
+@query("bpe_train_merges", tags=["bpe", "tokenizer"])
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 12 BPE merges from the documents corpus; returns the ranked
+    merge table (operators/bpe.py — word-frequency table is the only
+    corpus-scale shuffle, merge loop runs on the bounded vocab)."""
+    from ..catalog import fan_out_scan
+    from ..operators.bpe import merges_to_df, train_bpe_merges
+
+    docs = fan_out_scan(T(spark, sf_dir, "documents"))
+    merges = train_bpe_merges(docs, num_merges=12)
+    return merges_to_df(spark, merges).orderBy("rank")

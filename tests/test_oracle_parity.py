@@ -61,9 +61,10 @@ def test_driver_window_spans_all_modules():
         "relational", "validation", "textops", "vectorops",
         "events", "streamops", "advanced", "trainprep",
         "corpusqc", "clustering", "collocations", "contentfilter",
+        "stats",  # rejoined the window for the new M8 IC50 query
     }
     for must_have in (
-        "lang_id_confusion", "chunked_documents",
+        "lang_id_confusion", "ic50_dose_response_fits", "bpe_train_merges",
         "stream_error_click_pairs",
         "interval_join_error_windows",
         # r3 rotation: the 12 queries never sampled in rounds 1-2

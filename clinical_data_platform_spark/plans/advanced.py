@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table as T
 from ..functions.text import STOPWORDS, tokens
-from ..operators.asof import asof_join_backward
+from ..operators.asof import (
+    asof_join_backward,
+    asof_join_forward,
+    asof_join_nearest,
+)
 from ..operators.multimodal import attach_payload, extract_meta, featurize_payload
 from ..operators.skew import salted_aggregate
 from .registry import query
@@ -54,6 +58,99 @@ def asof_event_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["rate"],
     )
     return joined.select("event_id", "user_id", "rate")
+
+
+@query(
+    "asof_forward_next_rate",
+    oracle="""
+    WITH rates AS (
+      SELECT user_id, date_trunc('hour', ts) AS rate_ts,
+             round(avg(value), 6) AS next_rate
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, r.next_rate
+    FROM events e
+    ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts <= r.rate_ts
+    """,
+    tags=["asof", "custom-operator"],
+)
+def asof_forward_next_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks the EARLIEST hourly rate at or
+    after its timestamp (operators/asof.py union-merge, forward window).
+    LEFT semantics — events in a user's last hour bucket have no later
+    rate and keep NULL; oracle is DuckDB's native ASOF LEFT JOIN with the
+    comparison flipped to <=."""
+    ev = T(spark, sf_dir, "events")
+    rates = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("rate_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("next_rate"))
+    joined = asof_join_forward(
+        ev.select("event_id", "user_id", "ts"),
+        rates,
+        key="user_id",
+        left_ts="ts",
+        right_ts="rate_ts",
+        value_cols=["next_rate"],
+    )
+    return joined.select("event_id", "user_id", "next_rate")
+
+
+@query(
+    "asof_nearest_rate_30min",
+    oracle="""
+    WITH rates AS (
+      SELECT user_id, date_trunc('hour', ts) AS rate_ts,
+             round(avg(value), 6) AS rate
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT e.event_id, e.user_id, e.ts, r.rate AS b_rate, r.rate_ts AS bts
+      FROM events e
+      ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.rate_ts
+    ), f AS (
+      SELECT e.event_id, r.rate AS f_rate, r.rate_ts AS fts
+      FROM events e
+      ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts <= r.rate_ts
+    ), j AS (
+      SELECT b.event_id, b.user_id,
+             (bts IS NOT NULL
+              AND epoch_us(b.ts) - epoch_us(bts) <= 1800000000) AS b_ok,
+             (fts IS NOT NULL
+              AND epoch_us(fts) - epoch_us(b.ts) <= 1800000000) AS f_ok,
+             epoch_us(b.ts) - epoch_us(bts) AS db,
+             epoch_us(fts) - epoch_us(b.ts) AS df,
+             b_rate, f_rate
+      FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN b_ok AND (NOT f_ok OR db <= df) THEN b_rate
+                WHEN f_ok THEN f_rate END AS rate,
+           CASE WHEN b_ok AND (NOT f_ok OR db <= df) THEN 'backward'
+                WHEN f_ok THEN 'forward' END AS direction
+    FROM j
+    """,
+    tags=["asof", "custom-operator"],
+)
+def asof_nearest_rate_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join with a 30-minute tolerance: each event picks the
+    closer of its prior/next hourly rate, NULL when neither is within 30
+    minutes; backward wins exact-distance ties (documented in
+    operators/asof.py and encoded identically in the oracle CASE). Two
+    chained union-merges — still no range explosion."""
+    ev = T(spark, sf_dir, "events")
+    rates = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("rate_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("rate"))
+    joined = asof_join_nearest(
+        ev.select("event_id", "user_id", "ts"),
+        rates,
+        key="user_id",
+        left_ts="ts",
+        right_ts="rate_ts",
+        value_cols=["rate"],
+        tolerance_seconds=1800,
+        direction_col="direction",
+    )
+    return joined.select("event_id", "user_id", "rate", "direction")
 
 
 # ---------------------------------------------------------------------------

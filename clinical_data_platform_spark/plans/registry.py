@@ -113,8 +113,12 @@ PRIORITY_ORDER = [
     # slot — r2-driver-green, unchanged)
     "stream_doc_dedup_counts",
     "stream_corpus_dedup_state",
-    "stream_user_running_totals",
-    "stream_error_click_pairs",
+    # stream_user_running_totals / stream_error_click_pairs (r2-driver-
+    # green, unchanged) cede their slots to the two new as-of variants —
+    # must-verify both because they're new AND because the shared asof
+    # union-merge operator was refactored this round
+    "asof_forward_next_rate",
+    "asof_nearest_rate_30min",
     # events (hourly_event_rollup, r1/r2-green, cedes to the int8 audit)
     "embedding_int8_quantization",
     "hourly_gap_fill_locf",

@@ -65,7 +65,8 @@ def test_driver_window_spans_all_modules():
     }
     for must_have in (
         "lang_id_confusion", "ic50_dose_response_fits", "bpe_train_merges",
-        "stream_error_click_pairs",
+        "asof_forward_next_rate", "asof_nearest_rate_30min",
+        "stream_doc_dedup_counts",
         "interval_join_error_windows",
         # r3 rotation: the 12 queries never sampled in rounds 1-2
         "rollup_revenue", "cube_order_counts", "building_buyers_intersect",

@@ -94,6 +94,106 @@ def test_asof_join_matches_merge_asof(spark, left, right):
     assert got_vals == exp_vals
 
 
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=asof_left, right=asof_right, tol=st.sampled_from([None, 0, 7, 30]))
+def test_asof_forward_and_nearest_match_merge_asof(spark, left, right, tol):
+    """Forward and nearest(+tolerance) variants == pd.merge_asof with the
+    same direction/tolerance — including equidistant ties, where both
+    pandas and operators/asof.py pick the backward match."""
+    import datetime as dt
+
+    from clinical_data_platform_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame(
+        [(k, base + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(left)],
+        columns=["k", "ts", "row_id"],
+    )
+    rpdf = pd.DataFrame(
+        [(k, base + dt.timedelta(minutes=m), v) for k, m, v in right],
+        columns=["k", "rts", "val"],
+    )
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    tol_s = None if tol is None else tol * 60
+    tol_td = None if tol is None else pd.Timedelta(minutes=tol)
+
+    for direction, fn in (("forward", asof_join_forward), ("nearest", asof_join_nearest)):
+        kwargs = {"tolerance_seconds": tol_s} if tol_s is not None else {}
+        got = (
+            fn(ldf, rdf, key="k", left_ts="ts", right_ts="rts", value_cols=["val"], **kwargs)
+            .toPandas()
+            .sort_values("row_id")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            lpdf.sort_values("ts", kind="mergesort"),
+            rpdf.sort_values("rts", kind="mergesort"),
+            left_on="ts",
+            right_on="rts",
+            by="k",
+            direction=direction,
+            tolerance=tol_td,
+        ).sort_values("row_id").reset_index(drop=True)
+        got_vals = [None if pd.isna(v) else round(v, 9) for v in got["val"]]
+        exp_vals = [None if pd.isna(v) else round(v, 9) for v in exp["val"]]
+        assert got_vals == exp_vals, f"direction={direction} tol={tol}"
+
+
+def test_asof_nearest_direction_and_tolerance(spark):
+    """Pinned nearest semantics: backward wins exact ties, tolerance nulls
+    both directions, direction column labels the winner."""
+    import datetime as dt
+
+    from clinical_data_platform_spark.operators.asof import asof_join_nearest
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "ts": [
+                    base + dt.timedelta(minutes=10),  # tie: rts at 5 and 15
+                    base + dt.timedelta(minutes=58),  # nearer forward (60)
+                    base + dt.timedelta(minutes=200),  # nothing within tol
+                    base,  # key with no right rows at all
+                ],
+                "row_id": [0, 1, 2, 3],
+            }
+        )
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1],
+                "rts": [
+                    base + dt.timedelta(minutes=5),
+                    base + dt.timedelta(minutes=15),
+                    base + dt.timedelta(minutes=60),
+                ],
+                "val": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    got = (
+        asof_join_nearest(
+            ldf, rdf, key="k", left_ts="ts", right_ts="rts",
+            value_cols=["val"], tolerance_seconds=30 * 60, direction_col="dir",
+        )
+        .toPandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    assert [None if pd.isna(v) else v for v in got["val"]] == [1.0, 3.0, None, None]
+    assert [None if pd.isna(v) else v for v in got["dir"]] == [
+        "backward", "forward", None, None,
+    ]
+
+
 # --- interval join vs brute force -------------------------------------------
 
 iv_probe = st.lists(

@@ -71,6 +71,12 @@ HEADLINE = [
     "boilerplate_removal_stats",
     "dup_span_fraction_by_source",
     "incremental_dedup_new_docs",
+    # round-3 wave 3: sketches / sampling / graph / ER / SCD2
+    "cms_heavy_hitters",
+    "weighted_reservoir_sample",
+    "nation_trade_pagerank",
+    "er_blocking_part_pairs",
+    "scd2_customer_dim",
 ]
 
 

@@ -28,3 +28,5 @@ from . import corpusqc  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
 from . import collocations  # noqa: E402,F401
 from . import contentfilter  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
+from . import graphops  # noqa: E402,F401

@@ -1,0 +1,152 @@
+"""Graph plans — iterative fixed-point algorithms expressed as
+DataFrame join/agg rounds (the near_dup_clusters connected-components
+operator's big sibling):
+
+- ``nation_trade_pagerank`` — weighted PageRank over the nation-level
+  trade graph (supplier nation -> customer nation, edge weight = lineitem
+  count), 5 synchronous iterations, damping 0.85 (Page et al. 1999).
+
+The whole computation — including every iteration — is replicated as a
+chained-CTE DuckDB oracle, so the iterative plan is value-verified, not
+rows-only. Cross-engine float parity: each iteration's rank is rounded to
+12 dp in BOTH engines (log/exp-free rational arithmetic on identical
+doubles; the per-node contribution sums are tiny fan-ins, and the 12-dp
+round re-synchronizes any sum-order ulps before they can compound across
+iterations); the final output rounds to 6 dp.
+
+At 100 TB: the edge list builds from the fact tables with broadcast dims
+(the q7 join shape) and is cached once; each iteration is one shuffle —
+join ranks on src (node-keyed; broadcastable while the node set is small,
+hash-partitioned co-located with the edge list's src partitioning when it
+is not) followed by a groupBy(dst) partial/final agg. Rank-table lineage
+is truncated per iteration at real iteration counts (localCheckpoint, cf.
+operators/bpe.py); at 5 iterations the linear plan growth is harmless.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table as T
+from .registry import query
+
+_PR_ITERS = 5
+_PR_D = 0.85  # damping
+
+_EDGES_SQL = """
+    e0 AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e0),
+    e AS (
+      SELECT e0.src, e0.dst, e0.w,
+             sum(e0.w) OVER (PARTITION BY e0.src) AS wout
+      FROM e0 JOIN nodes nd ON nd.node = e0.dst
+    ),
+    n AS (SELECT count(*) AS cnt FROM nodes)
+"""
+
+
+def _iter_sql(k: int) -> str:
+    return f"""
+    it{k} AS (
+      SELECT nd.node,
+             round(0.15::DOUBLE / (SELECT cnt FROM n)
+                   + 0.85::DOUBLE * coalesce(s.contrib, 0), 12) AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r * e.w / e.wout) AS contrib
+        FROM e JOIN it{k - 1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
+    )"""
+
+
+@query(
+    "nation_trade_pagerank",
+    oracle=(
+        "WITH "
+        + _EDGES_SQL
+        + ",\n    it0 AS (SELECT node, 1.0::DOUBLE / (SELECT cnt FROM n)"
+        " AS r FROM nodes)"
+        + "".join("," + _iter_sql(k) for k in range(1, _PR_ITERS + 1))
+        + f"""
+    SELECT node AS nation, round(r, 6) AS pagerank
+    FROM it{_PR_ITERS}
+    """
+    ),
+    tags=["graph", "iterative", "pagerank"],
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over nation-to-nation trade, 5 iterations.
+
+    Edge build = the TPC-H Q7 join shape (fact tables, broadcast dims)
+    aggregated to a nation-pair weight; the node set is nations with
+    outgoing trade, and edges are restricted to that set so every row's
+    out-probabilities sum to 1 (no dangling mass by construction). Each
+    iteration: ranks join edges on src (the 25-row rank table
+    auto-broadcasts; at web-graph node counts the same plan runs
+    hash-partitioned on the shared key), groupBy dst sums the damped
+    contributions, and a left join back to the node table restores
+    rank = (1-d)/N for nodes without in-edges."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    e0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = e0.select(F.col("src").alias("node")).distinct().cache()
+    e = (
+        e0.join(nodes, e0.dst == nodes.node, "left_semi")
+        .withColumn("wout", F.sum("w").over(Window.partitionBy("src")))
+        .cache()
+    )
+    cnt = nodes.count()  # scalar: node-set size (25 nations)
+
+    ranks = nodes.select("node", F.lit(1.0 / cnt).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("contrib"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit(0.15 / cnt) + 0.85 * F.coalesce("contrib", F.lit(0.0)),
+                12,
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("nation"), F.round("r", 6).alias("pagerank")
+    )

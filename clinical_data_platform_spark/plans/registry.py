@@ -81,7 +81,6 @@ PRIORITY_ORDER = [
     # spanning slots since both modules are fully driver-proven.
     "kmeans_assign_seeded",
     "kmeans_cluster_purity",
-    "kmeans_ml_clusters",
     "semantic_near_dup_pairs",
     "bigram_pmi_top20",
     "ngram_novelty_by_source",
@@ -121,14 +120,20 @@ PRIORITY_ORDER = [
     "asof_nearest_rate_30min",
     # events (hourly_event_rollup, r1/r2-green, cedes to the int8 audit)
     "embedding_int8_quantization",
-    "hourly_gap_fill_locf",
     "interval_join_error_windows",
-    "funnel_view_click_purchase",
-    "daily_cohort_retention",
-    # advanced (4 most novel execution paths; geomean is r2-driver-green
-    # and cedes its slot to the rotation)
+    # late-r3 additions (all new -> must verify; all exactly oracled).
+    # They take the slots of hourly_gap_fill_locf, funnel_view_click_
+    # purchase, daily_cohort_retention, multimodal_payload_meta (all
+    # r2-driver-green and unchanged since) and kmeans_ml_clusters (rows-
+    # only ML twin whose value gate lives in pytest, not the driver)
+    "nation_trade_pagerank",
+    "cms_heavy_hitters",
+    "weighted_reservoir_sample",
+    "er_blocking_part_pairs",
+    "scd2_customer_dim",
+    # advanced (most novel execution paths; geomean and — late-r3 —
+    # multimodal_payload_meta are r2-driver-green and cede their slots)
     "asof_event_hourly_rate",
-    "multimodal_payload_meta",
     # multimodal_frame_samples (r2-driver-green rows-only, unchanged)
     # cedes its slot to the new distributed BPE trainer (rows-only;
     # value gate = exact merge-sequence equality vs the in-test

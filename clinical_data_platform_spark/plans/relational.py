@@ -1621,3 +1621,79 @@ def iqr_outliers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --- SCD2 dimension maintenance ----------------------------------------------
+
+
+@query(
+    "scd2_customer_dim",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             TIMESTAMP '1994-01-01' AS valid_from,
+             CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '1995-01-01'
+                  ELSE TIMESTAMP '2200-01-01' END AS valid_to,
+             (c_custkey % 10 <> 0) AS is_current
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'RESHUFFLED', TIMESTAMP '1995-01-01',
+             CASE WHEN c_custkey % 20 = 0 THEN TIMESTAMP '1996-01-01'
+                  ELSE TIMESTAMP '2200-01-01' END,
+             (c_custkey % 20 <> 0)
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'VIP', TIMESTAMP '1996-01-01',
+             TIMESTAMP '2200-01-01', TRUE
+      FROM customer WHERE c_custkey % 20 = 0
+    )
+    SELECT seg, valid_from, valid_to, is_current,
+           cast(count(*) AS BIGINT) AS n_rows,
+           cast(min(c_custkey) AS BIGINT) AS min_key,
+           cast(max(c_custkey) AS BIGINT) AS max_key
+    FROM v
+    GROUP BY seg, valid_from, valid_to, is_current
+    """,
+    tags=["scd2", "warehouse", "S9"],
+)
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing customer dimension driven through two
+    deterministic update batches (operators/scd.py apply_scd2 — the
+    parquet-era MERGE INTO): a 1994 bootstrap, a 1995 batch rewriting
+    the segment of every custkey % 10 == 0, and a 1996 batch promoting
+    custkey % 20 == 0 to 'VIP'. The oracle constructs the expected
+    version history directly, so close/insert semantics (valid_from /
+    valid_to fencing, is_current flips, twice-changed keys carrying
+    three versions) are value-verified end to end.
+
+    Plan: each merge is one shuffle on the business key (join + union of
+    unchanged/closed/new slices); output is the version table aggregated
+    by (segment, validity window). At warehouse scale the dimension is
+    partitioned by is_current so the merge rewrites only the current
+    slice, and the history partition is append-only."""
+    from ..operators.scd import apply_scd2, init_scd2
+
+    base = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = init_scd2(base, "c_custkey", "1994-01-01 00:00:00")
+    u1 = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("RESHUFFLED").alias("c_mktsegment")
+    )
+    dim = apply_scd2(
+        dim, u1, "c_custkey", ["c_mktsegment"], "1995-01-01 00:00:00"
+    )
+    u2 = base.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey", F.lit("VIP").alias("c_mktsegment")
+    )
+    dim = apply_scd2(
+        dim, u2, "c_custkey", ["c_mktsegment"], "1996-01-01 00:00:00"
+    )
+    return dim.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

@@ -1,0 +1,199 @@
+"""Sketch & sampling plans — the probabilistic-summary operators a
+100 TB pipeline uses where exact state would not fit:
+
+- ``cms_heavy_hitters``          — Count-Min Sketch (Cormode & Muthukrishnan
+  2005) frequency estimation for the corpus's top terms, reported side by
+  side with the exact counts so the one-sided overcount error is visible.
+- ``weighted_reservoir_sample``  — Efraimidis–Spirakis A-Res weighted
+  sampling (keys u^(1/w)) — top-k per source by key, the standard way to
+  draw a quality- or length-weighted subsample in one distributed pass.
+
+Both are pure JVM expression plans with exact DuckDB oracles: the hash
+family is md5 (both engines produce identical digests), hex digits are
+folded to integers with the same arithmetic on both sides, and pow() on
+identical doubles is bit-stable across the two engines (verified).
+
+At 100 TB:
+- the CMS is the point: its state is d x w counters (4 x 1024 here — a
+  few KiB) regardless of vocabulary size, built by one hash-keyed
+  partial/final aggregation over the token stream; the exact-count branch
+  exists only to oracle the estimates and would be dropped at scale.
+- A-Res needs one scan + one top-k per group (TakeOrdered inside each
+  hash partition then merged); no global sort, no second pass, and the
+  reservoir size bounds executor memory.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import fan_out_scan, table as T
+from ..functions.text import tokens
+from .registry import query
+
+# --- Count-Min Sketch --------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+_TOP_K = 20
+
+# DuckDB: fold the first 6 hex digits of md5 into an integer (< 2^24).
+_HEX6_SQL = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr({h}, k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+def _bucket(col: F.Column, i: F.Column) -> F.Column:
+    """Row-i CMS bucket: first 6 md5 hex digits of 'i|term', mod width."""
+    h = F.md5(F.concat(i.cast("string"), F.lit("|"), col))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % _CMS_W
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                   w -> lower(w))) AS tok
+      FROM documents
+    ),
+    exact AS (
+      SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY tok
+      ORDER BY exact_cnt DESC, tok LIMIT {_TOP_K}
+    ),
+    b AS (
+      SELECT i,
+             {_HEX6_SQL.format(h="md5(cast(i AS VARCHAR) || '|' || tok)")}
+               % {_CMS_W} AS bucket
+      FROM tk, unnest(range(0, {_CMS_D})) AS u(i)
+    ),
+    sk AS (SELECT i, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+    eb AS (
+      SELECT e.tok, e.exact_cnt, u.i,
+             {_HEX6_SQL.format(
+                 h="md5(cast(u.i AS VARCHAR) || '|' || e.tok)")}
+               % {_CMS_W} AS bucket
+      FROM exact e, unnest(range(0, {_CMS_D})) AS u(i)
+    )
+    SELECT eb.tok,
+           cast(eb.exact_cnt AS BIGINT) AS exact_cnt,
+           cast(min(sk.c) AS BIGINT) AS cms_estimate,
+           cast(min(sk.c) - eb.exact_cnt AS BIGINT) AS overcount
+    FROM eb JOIN sk ON sk.i = eb.i AND sk.bucket = eb.bucket
+    GROUP BY eb.tok, eb.exact_cnt
+    """,
+    tags=["sketch", "text", "llm-pipeline"],
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch term-frequency estimates for the exact top-20
+    terms, with the guaranteed-one-sided overcount shown per term.
+
+    Plan: one token explode feeds (a) the exact top-k (partial/final agg
+    + TakeOrdered — oracle branch only) and (b) the sketch build — a
+    4x1024 counter table via groupBy(i, bucket), i.e. constant state
+    regardless of vocabulary. The probe joins the 80-row (term, i) side
+    against the <=4096-row sketch — both broadcastable; min over rows is
+    the CMS point estimate."""
+    toks = fan_out_scan(T(spark, sf_dir, "documents")).select(
+        F.explode(
+            F.transform(tokens(F.col("text")), lambda w: F.lower(w))
+        ).alias("tok")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(_TOP_K)
+    )
+    rows_i = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    sketch = (
+        toks.select(F.explode(rows_i).alias("i"), "tok")
+        .select("i", _bucket(F.col("tok"), F.col("i")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe = exact.select(
+        "tok", "exact_cnt", F.explode(rows_i).alias("i")
+    ).select(
+        "tok", "exact_cnt", "i", _bucket(F.col("tok"), F.col("i")).alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "tok",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+# --- Weighted reservoir sampling (A-Res) -------------------------------------
+
+_RES_K = 5  # sample size per source
+
+# DuckDB: fold the first 8 hex digits of md5 into an integer (< 2^32).
+_HEX8_SQL = (
+    "list_sum(list_transform(range(1, 9), k ->"
+    " (strpos('0123456789abcdef', substr({h}, k, 1)) - 1)"
+    " * (1::BIGINT << (4 * (8 - k)))))"
+)
+
+
+@query(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             power(({_HEX8_SQL.format(
+                 h="md5(cast(doc_id AS VARCHAR))")} + 1) / 4294967297.0,
+                   1.0 / greatest(n_chars, 1)) AS key
+      FROM documents
+    )
+    SELECT source, doc_id, cast(n_chars AS BIGINT) AS n_chars,
+           round(key, 6) AS sample_key
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+          FROM k)
+    WHERE rn <= {_RES_K}
+    """,
+    tags=["sampling", "llm-pipeline"],
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis A-Res: a 5-doc length-weighted sample per
+    source. Key = u^(1/w) with u a deterministic md5-derived uniform in
+    (0,1] and w = n_chars; taking the top-k keys per group IS an exact
+    weighted sample without replacement.
+
+    Plan: narrow projection computing the key, then a per-source top-k
+    (rank window over the group — at scale swap the window for the
+    per-partition heap TakeOrdered pattern; the reservoir never exceeds
+    k rows per group either way). Deterministic u (not rand()) keeps the
+    sample reproducible across retries and engines — a property a real
+    pipeline wants anyway for lineage."""
+    d = T(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    key = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    w = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RES_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round("key", 6).alias("sample_key"),
+        )
+    )

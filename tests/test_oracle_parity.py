@@ -62,6 +62,7 @@ def test_driver_window_spans_all_modules():
         "events", "streamops", "advanced", "trainprep",
         "corpusqc", "clustering", "collocations", "contentfilter",
         "stats",  # rejoined the window for the new M8 IC50 query
+        "graphops", "sketches",  # new late-r3 modules
     }
     for must_have in (
         "lang_id_confusion", "ic50_dose_response_fits", "bpe_train_merges",
@@ -82,7 +83,7 @@ def test_driver_window_spans_all_modules():
         "gopher_quality_filter", "doc_repetition_signals",
         "benchmark_decontamination", "word_entropy_quality",
         "kmeans_assign_seeded", "kmeans_cluster_purity",
-        "kmeans_ml_clusters", "semantic_near_dup_pairs",
+        "semantic_near_dup_pairs",
         "bigram_pmi_top20", "ngram_novelty_by_source",
         "quality_classifier_scores", "pii_signal_counts",
         "stream_doc_dedup_counts", "incremental_dedup_new_docs",
@@ -91,6 +92,10 @@ def test_driver_window_spans_all_modules():
         "temperature_mixture_rates", "quality_budget_selection",
         "stream_corpus_dedup_state",
         "embedding_int8_quantization", "padding_efficiency_buckets",
+        # late-r3 additions
+        "nation_trade_pagerank", "cms_heavy_hitters",
+        "weighted_reservoir_sample", "er_blocking_part_pairs",
+        "scd2_customer_dim",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

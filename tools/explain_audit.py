@@ -48,6 +48,11 @@ AUDIT = [
     ("dup_span_fraction_by_source", "windowed substring dedup: hash windows, broadcast dup set"),
     ("temperature_mixture_rates", "two-pass resample: lang-rate table broadcast, map-side keep"),
     ("quality_budget_selection", "shard-local budget window, no global sort"),
+    # round-3 wave 3
+    ("nation_trade_pagerank", "iterative PageRank: per-round rank join + groupBy(dst) agg"),
+    ("cms_heavy_hitters", "Count-Min: constant-state (i, bucket) agg; broadcast probe join"),
+    ("er_blocking_part_pairs", "ER blocking: self equi-join on block key, per-block quadratic only"),
+    ("scd2_customer_dim", "SCD2 merge: one business-key shuffle, union of unchanged/closed/new"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -74,6 +74,7 @@ HEADLINE = [
     # round-3 wave 3: sketches / sampling / graph / ER / SCD2
     "cms_heavy_hitters",
     "weighted_reservoir_sample",
+    "hll_distinct_users",
     "nation_trade_pagerank",
     "er_blocking_part_pairs",
     "scd2_customer_dim",

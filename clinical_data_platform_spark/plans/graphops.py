@@ -123,11 +123,15 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    nodes = e0.select(F.col("src").alias("node")).distinct().cache()
+    # Materialize the edge list ONCE before iterating: localCheckpoint
+    # truncates lineage so each iteration's plan is join+agg over the
+    # stored edges, not a re-expansion of the 6-way build (cf. the same
+    # pattern in operators/bpe.py for data-dependent loops).
+    nodes = e0.select(F.col("src").alias("node")).distinct().localCheckpoint()
     e = (
         e0.join(nodes, e0.dst == nodes.node, "left_semi")
         .withColumn("wout", F.sum("w").over(Window.partitionBy("src")))
-        .cache()
+        .localCheckpoint()
     )
     cnt = nodes.count()  # scalar: node-set size (25 nations)
 

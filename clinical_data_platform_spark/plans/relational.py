@@ -1678,9 +1678,12 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = base.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey", F.lit("RESHUFFLED").alias("c_mktsegment")
     )
+    # localCheckpoint between batches stands in for the parquet write a
+    # real dimension does after each merge — without it the second merge
+    # re-expands the first's whole join lineage.
     dim = apply_scd2(
         dim, u1, "c_custkey", ["c_mktsegment"], "1995-01-01 00:00:00"
-    )
+    ).localCheckpoint()
     u2 = base.filter(F.col("c_custkey") % 20 == 0).select(
         "c_custkey", F.lit("VIP").alias("c_mktsegment")
     )

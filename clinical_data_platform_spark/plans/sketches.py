@@ -7,8 +7,11 @@
 - ``weighted_reservoir_sample``  — Efraimidis–Spirakis A-Res weighted
   sampling (keys u^(1/w)) — top-k per source by key, the standard way to
   draw a quality- or length-weighted subsample in one distributed pass.
+- ``hll_distinct_users``         — fully-declarative 64-register
+  HyperLogLog (Flajolet et al. 2007) with linear-counting correction,
+  shown against the exact distinct count.
 
-Both are pure JVM expression plans with exact DuckDB oracles: the hash
+All are pure JVM expression plans with exact DuckDB oracles: the hash
 family is md5 (both engines produce identical digests), hex digits are
 folded to integers with the same arithmetic on both sides, and pow() on
 identical doubles is bit-stable across the two engines (verified).
@@ -196,4 +199,101 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("n_chars"),
             F.round("key", 6).alias("sample_key"),
         )
+    )
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+_HLL_M = 64  # registers (b = 6 bits)
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+
+# 32-bit hash splits into 6 bucket bits + 26 rho bits; rho = leading
+# zeros in the 26-bit remainder + 1, computed EXACTLY via the binary
+# string length (no float log2 at bit boundaries).
+_HLL_RHO_SQL = "CASE WHEN {w} = 0 THEN 27 ELSE 27 - length(bin({w})) END"
+
+
+@query(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             {_HEX8_SQL.format(h="md5(cast(user_id AS VARCHAR))")} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv % {_HLL_M} AS bucket,
+             max({_HLL_RHO_SQL.format(w=f"(hv >> 6)")}) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(1.0::DOUBLE / (1::BIGINT << rho))
+               + ({_HLL_M} - count(*))::DOUBLE AS s,
+             {_HLL_M} - count(*) AS zeros
+      FROM r GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS true_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT ex.event_type,
+           cast(ex.true_distinct AS BIGINT) AS true_distinct,
+           round(CASE WHEN ({_HLL_ALPHA}::DOUBLE * {_HLL_M} * {_HLL_M} / a.s)
+                           <= 2.5 * {_HLL_M} AND a.zeros > 0
+                      THEN {_HLL_M} * ln({_HLL_M}::DOUBLE / a.zeros)
+                      ELSE {_HLL_ALPHA}::DOUBLE * {_HLL_M} * {_HLL_M} / a.s
+                 END, 4) AS hll_estimate
+    FROM ex JOIN agg a ON a.event_type = ex.event_type
+    """,
+    tags=["sketch", "approx", "llm-pipeline"],
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a fully-declarative 64-register
+    HyperLogLog, next to the exact count so the sketch error is visible.
+    Unlike approx_count_distinct (whose Spark-internal sketch has no
+    DuckDB twin and is checked rows-only), every step here — md5-derived
+    32-bit hash, 6-bit bucketing, exact leading-zero rank via bin()
+    length, register max, linear-counting small-range correction — is
+    value-verified cross-engine. The register sum is a dyadic-rational
+    double sum (denominators 2^27, <=64 terms), so it is EXACT regardless
+    of aggregation order.
+
+    At 100 TB this is THE cardinality pattern: per-group state is m
+    registers (64 bytes) however many distinct keys exist, built by one
+    (group, bucket) max aggregation — and registers merge with max, so
+    partial aggregation and cross-shard union are free."""
+    ev = T(spark, sf_dir, "events")
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    )
+    w = F.shiftright(hv, 6)
+    rho = F.when(w == 0, 27).otherwise(27 - F.length(F.bin(w)))
+    regs = (
+        ev.select("event_type", (hv % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    one = F.lit(1).cast("long")
+    agg = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.lit(1.0) / F.call_function("shiftleft", one, F.col("rho")))
+            + (_HLL_M - F.count(F.lit(1))).cast("double")
+        ).alias("s"),
+        (_HLL_M - F.count(F.lit(1))).alias("zeros"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return exact.join(agg, "event_type").select(
+        "event_type",
+        F.col("true_distinct").cast("long").alias("true_distinct"),
+        F.round(est, 4).alias("hll_estimate"),
     )

@@ -87,7 +87,7 @@ def test_driver_window_spans_all_modules():
         "bigram_pmi_top20", "ngram_novelty_by_source",
         "quality_classifier_scores", "pii_signal_counts",
         "stream_doc_dedup_counts", "incremental_dedup_new_docs",
-        "boilerplate_lines_top20", "boilerplate_removal_stats",
+        "hll_distinct_users", "boilerplate_removal_stats",
         "dup_span_fraction_by_source",
         "temperature_mixture_rates", "quality_budget_selection",
         "stream_corpus_dedup_state",

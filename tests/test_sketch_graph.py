@@ -12,6 +12,7 @@ from clinical_data_platform_spark.plans.sketches import (
     _CMS_D,
     _CMS_W,
     cms_heavy_hitters,
+    hll_distinct_users,
     weighted_reservoir_sample,
 )
 from clinical_data_platform_spark.plans.textops import er_blocking_part_pairs
@@ -74,6 +75,16 @@ def test_reservoir_favors_heavy_docs(spark):
         .first()[0]
     )
     assert sampled > overall
+
+
+def test_hll_estimate_accuracy(spark):
+    """64-register HLL: relative error ~1.04/sqrt(64) = 13%; assert every
+    group lands within 3 sigma (40%) of truth, and estimates are
+    positive. (Exact cross-engine value parity is the oracle test.)"""
+    for r in hll_distinct_users(spark, SF_DIR).collect():
+        assert r.hll_estimate > 0
+        rel = abs(r.hll_estimate - r.true_distinct) / r.true_distinct
+        assert rel < 0.40, r
 
 
 def test_pagerank_is_a_distribution(spark):

@@ -71,7 +71,8 @@ HEADLINE = [
     "boilerplate_removal_stats",
     "dup_span_fraction_by_source",
     "incremental_dedup_new_docs",
-    # round-3 wave 3: sketches / sampling / graph / ER / SCD2
+    # round-3 wave 3: sketches / sampling / graph / ER / SCD2 / OLS
+    "ols_trend_by_event_type",
     "cms_heavy_hitters",
     "weighted_reservoir_sample",
     "hll_distinct_users",

@@ -123,20 +123,42 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    # Materialize the edge list ONCE before iterating: localCheckpoint
-    # truncates lineage so each iteration's plan is join+agg over the
-    # stored edges, not a re-expansion of the 6-way build (cf. the same
-    # pattern in operators/bpe.py for data-dependent loops).
-    nodes = e0.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    ranks = pagerank_frame(e0, iters=_PR_ITERS, teleport=0.15)
+    return ranks.select(
+        F.col("node").alias("nation"), F.round("r", 6).alias("pagerank")
+    )
+
+
+def pagerank_frame(
+    edges: DataFrame,
+    iters: int = _PR_ITERS,
+    damping: float = _PR_D,
+    teleport: float = 1.0 - _PR_D,
+) -> DataFrame:
+    """Weighted PageRank over an (src, dst, w) edge frame -> (node, r).
+
+    Node set = sources with out-edges; edges restricted to dst in that
+    set so rows' out-probabilities sum to 1 (no dangling mass). The edge
+    list and node table are materialized ONCE before iterating via
+    localCheckpoint — lineage truncation so each iteration's plan is
+    join+agg over the stored edges, not a re-expansion of the upstream
+    build (cf. the same pattern in operators/bpe.py for data-dependent
+    loops). Per-iteration 12-dp rounding keeps ranks engine-stable for
+    the cross-engine oracle; ``teleport`` is a separate literal (not
+    computed as 1 - damping) because ``1.0 - 0.85`` and the literal
+    ``0.15`` differ by an ulp and the oracle writes the literal."""
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
     e = (
-        e0.join(nodes, e0.dst == nodes.node, "left_semi")
+        edges.join(nodes, edges.dst == nodes.node, "left_semi")
         .withColumn("wout", F.sum("w").over(Window.partitionBy("src")))
         .localCheckpoint()
     )
-    cnt = nodes.count()  # scalar: node-set size (25 nations)
+    cnt = nodes.count()  # scalar: node-set size
 
     ranks = nodes.select("node", F.lit(1.0 / cnt).alias("r"))
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .groupBy("dst")
@@ -147,10 +169,9 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "node",
             F.round(
-                F.lit(0.15 / cnt) + 0.85 * F.coalesce("contrib", F.lit(0.0)),
+                F.lit(teleport / cnt)
+                + damping * F.coalesce("contrib", F.lit(0.0)),
                 12,
             ).alias("r"),
         )
-    return ranks.select(
-        F.col("node").alias("nation"), F.round("r", 6).alias("pagerank")
-    )
+    return ranks

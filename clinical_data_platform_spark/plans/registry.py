@@ -110,7 +110,10 @@ PRIORITY_ORDER = [
     # cosine_topk (r2-driver-green, unchanged) cede their vectorops slots
     "temperature_mixture_rates",
     "quality_budget_selection",
-    "knn_join_top5",
+    # knn_join_top5 ceded its slot late in r3 to the new OLS query: its
+    # r3 delta is a broadcast-cap raise path (pytest-covered) and its
+    # data plan is bit-identical to the r2-driver-verified row
+    "ols_trend_by_event_type",
     "embedding_near_dup_pairs",
     "lang_id_confusion",
     # streamops (new stream_doc_dedup_counts takes stream_hourly_counts'

@@ -264,36 +264,46 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, bucket) max aggregation — and registers merge with max, so
     partial aggregation and cross-shard union are free."""
     ev = T(spark, sf_dir, "events")
-    hv = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
+    est = hll_estimate_frame(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
     )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        F.col("true_distinct").cast("long").alias("true_distinct"),
+        F.round("hll_raw", 4).alias("hll_estimate"),
+    )
+
+
+def hll_estimate_frame(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate -> (group_col, hll_raw).
+
+    64 registers built by one (group, bucket) max aggregation — registers
+    merge with max, so partial aggregation and cross-shard union are
+    free; per-group state is 64 bytes regardless of key cardinality."""
+    hv = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
     w = F.shiftright(hv, 6)
     rho = F.when(w == 0, 27).otherwise(27 - F.length(F.bin(w)))
     regs = (
-        ev.select("event_type", (hv % _HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("event_type", "bucket")
+        df.select(group_col, (hv % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
     one = F.lit(1).cast("long")
-    agg = regs.groupBy("event_type").agg(
+    agg = regs.groupBy(group_col).agg(
         (
             F.sum(F.lit(1.0) / F.call_function("shiftleft", one, F.col("rho")))
             + (_HLL_M - F.count(F.lit(1))).cast("double")
         ).alias("s"),
         (_HLL_M - F.count(F.lit(1))).alias("zeros"),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("true_distinct")
-    )
     raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("s")
     est = F.when(
         (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
         _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
     ).otherwise(raw)
-    return exact.join(agg, "event_type").select(
-        "event_type",
-        F.col("true_distinct").cast("long").alias("true_distinct"),
-        F.round(est, 4).alias("hll_estimate"),
-    )
+    return agg.select(group_col, est.alias("hll_raw"))

@@ -155,3 +155,68 @@ def ic50_dose_response_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top", 2).alias("top_fit"),
         "fit_ok",
     ).orderBy("compound_id")
+
+
+_OLS_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         (epoch(ts) - 1704067200.0) / 86400.0 AS x,
+         value AS y
+  FROM events
+),
+a AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM b GROUP BY 1
+)
+SELECT event_type, cast(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM a
+"""
+
+
+@query("ols_trend_by_event_type", oracle=_OLS_ORACLE, tags=["M-ext", "ols"])
+def ols_trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS: slope/intercept/R^2 of event value over
+    time (days since the dataset epoch) — the one-pass sufficient-
+    statistics form (n, Σx, Σy, Σx², Σxy, Σy²), i.e. trend detection as a
+    single partial/final aggregation, no iterative solver.
+
+    At 100 TB this is the canonical "fit a line per key" shape: the five
+    sums partial-aggregate map-side, one shuffle on the group key, and
+    the closed form runs on the 5-number summary — the same pattern
+    extends to any exponential-family sufficient statistic. Days (not
+    raw epoch seconds) keep the normal equations well-conditioned so the
+    n·Σx² − (Σx)² cancellation stays benign."""
+    import pyspark.sql.functions as F
+
+    ev = T(spark, sf_dir, "events")
+    x = (F.col("ts").cast("double") - 1704067200.0) / 86400.0
+    b = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    a = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return a.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(slope_raw, 6).alias("slope_per_day"),
+        F.round((sy - slope_raw * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -77,8 +77,9 @@ def test_driver_window_spans_all_modules():
         "user_session_stats", "latest_event_per_user_type",
         "bpe_token_counts",
         # changed in r3 -> must re-verify
-        "dq_orders_report", "embedding_near_dup_pairs", "knn_join_top5",
+        "dq_orders_report", "embedding_near_dup_pairs",
         "dq_events_freshness",
+        "ols_trend_by_event_type",
         # new in r3 -> must verify
         "gopher_quality_filter", "doc_repetition_signals",
         "benchmark_decontamination", "word_entropy_quality",

@@ -126,3 +126,79 @@ def test_er_blocking_pairs_are_verified_matches(spark):
         union = len(set(ta) | set(tb))
         assert inter / union >= 0.75
         assert abs(p.jaccard - (inter * 1e6 // union) / 1e6) < 1e-9
+
+
+def test_cms_sketches_merge_by_addition(spark):
+    """CMS mergeability: sketch(A) + sketch(B) counter-wise equals
+    sketch(A union B) — the property that makes the sketch shardable
+    (partial aggregation / cross-datacenter union are counter adds)."""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.functions.text import tokens
+    from clinical_data_platform_spark.plans.sketches import _bucket
+
+    docs = T(spark, SF_DIR, "documents")
+
+    def sketch(df):
+        toks = df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        rows_i = F.array(*[F.lit(i) for i in range(_CMS_D)])
+        return {
+            (r.i, r.bucket): r.c
+            for r in toks.select(F.explode(rows_i).alias("i"), "tok")
+            .select("i", _bucket(F.col("tok"), F.col("i")).alias("bucket"))
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    a = sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    b = sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == sketch(docs)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank_frame vs a dense NumPy power iteration with the same
+    damping/rounding on a random seeded graph — pins the operator's
+    semantics independently of the DuckDB oracle's chained CTEs."""
+    import numpy as np
+
+    from clinical_data_platform_spark.plans.graphops import pagerank_frame
+
+    rng = np.random.default_rng(7)
+    n = 20
+    edges = [
+        (int(s), int(d), int(w))
+        for s, d, w in zip(
+            rng.integers(0, n, 120), rng.integers(0, n, 120),
+            rng.integers(1, 9, 120),
+        )
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r.node: r.r for r in pagerank_frame(df, iters=5, teleport=0.15).collect()
+    }
+
+    # NumPy reference with identical semantics
+    agg: dict[tuple[int, int], int] = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    nodes = sorted({s for s, _, _ in edges})
+    node_set = set(nodes)
+    e = {k: v for k, v in agg.items() if k[1] in node_set}
+    wout: dict[int, int] = {}
+    for (s, _), w in e.items():
+        wout[s] = wout.get(s, 0) + w
+    idx = {v: i for i, v in enumerate(nodes)}
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(5):
+        nxt = np.full(len(nodes), 0.0)
+        for (s, d), w in e.items():
+            if d in idx:
+                nxt[idx[d]] += r[idx[s]] * w / wout[s]
+        r = np.round(0.15 / len(nodes) + 0.85 * nxt, 12)
+    expected = {v: float(r[idx[v]]) for v in nodes}
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])

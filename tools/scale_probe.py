@@ -252,6 +252,88 @@ def main() -> None:
     run("boilerplate_removal", boilerplate_removal_frame(docs_src))
     run("dup_span_fraction", dup_span_fraction_frame(docs_src))
 
+    # ---- wave-5 operators: sketches / sampling / graph / ER ----
+    from clinical_data_platform_spark.plans.graphops import pagerank_frame
+    from clinical_data_platform_spark.plans.sketches import (
+        _CMS_D,
+        _CMS_W,
+        _bucket,
+        hll_estimate_frame,
+    )
+
+    toks = documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    rows_i = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    run(
+        "cms_sketch_build",
+        toks.select(F.explode(rows_i).alias("i"), "tok")
+        .select("i", _bucket(F.col("tok"), F.col("i")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    run("hll_distinct", hll_estimate_frame(events, "event_type", "user_id"))
+    run(
+        "exact_distinct",
+        events.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")),
+    )
+    kw = F.pow(
+        (F.pmod(F.xxhash64("event_id", F.lit(21)), F.lit(1_000_000)) + 1.0)
+        / 1_000_001.0,
+        1.0 / (F.col("value") + 1.0),
+    )
+    run(
+        "weighted_reservoir",
+        events.select("event_type", "event_id", kw.alias("key"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.desc("key"), F.asc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5),
+    )
+    pr_edges = (
+        events.select(
+            F.col("user_id").alias("src"),
+            F.pmod(F.xxhash64("event_id", F.lit(23)), F.lit(10_000)).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    run("pagerank_5it_10k_nodes", pagerank_frame(pr_edges, iters=5))
+    # ER blocking: 200k 4-token entities over a bounded vocabulary —
+    # block sizes stay vocabulary-bounded as the corpus grows, so the
+    # within-block quadratic term does not explode with N.
+    ents = spark.range(200_000).select(
+        F.col("id").alias("ent_id"),
+        F.array_sort(
+            F.array_distinct(
+                F.array(
+                    F.concat(F.lit("a"), F.pmod(F.xxhash64("id", F.lit(31)), F.lit(60)).cast("string")),
+                    F.concat(F.lit("b"), F.pmod(F.xxhash64("id", F.lit(32)), F.lit(60)).cast("string")),
+                    F.concat(F.lit("c"), F.pmod(F.xxhash64("id", F.lit(33)), F.lit(25)).cast("string")),
+                    F.concat(F.lit("d"), F.pmod(F.xxhash64("id", F.lit(34)), F.lit(10)).cast("string")),
+                )
+            )
+        ).alias("ts"),
+    ).withColumn(
+        "blk", F.concat_ws(" ", F.element_at("ts", 1), F.element_at("ts", 2))
+    )
+    ea, eb = ents.alias("a"), ents.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.array_union(F.col("a.ts"), F.col("b.ts")))
+    run(
+        "er_blocking_200k",
+        ea.join(
+            eb,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.ent_id") < F.col("b.ent_id")),
+        )
+        .filter(inter * 1.0 / union >= 0.75)
+        .select(F.col("a.ent_id"), F.col("b.ent_id")),
+    )
+
     print(
         json.dumps(
             {

@@ -275,26 +275,32 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hll_estimate_frame(
+def hll_registers_frame(
     df: DataFrame, group_col: str, key_col: str
 ) -> DataFrame:
-    """Per-group HLL cardinality estimate -> (group_col, hll_raw).
-
-    64 registers built by one (group, bucket) max aggregation — registers
-    merge with max, so partial aggregation and cross-shard union are
-    free; per-group state is 64 bytes regardless of key cardinality."""
+    """Per-group HLL registers -> (group_col, bucket, rho). Registers
+    merge with max — union two sketches by unioning their register rows
+    and re-taking max(rho) per (group, bucket)."""
     hv = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
     w = F.shiftright(hv, 6)
     rho = F.when(w == 0, 27).otherwise(27 - F.length(F.bin(w)))
-    regs = (
+    return (
         df.select(group_col, (hv % _HLL_M).alias("bucket"), rho.alias("rho"))
         .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str | list[str]
+) -> DataFrame:
+    """Fold (group, bucket, rho) registers into the HLL point estimate
+    (with linear-counting small-range correction) -> (group, hll_raw)."""
+    group_cols = [group_col] if isinstance(group_col, str) else group_col
     one = F.lit(1).cast("long")
-    agg = regs.groupBy(group_col).agg(
+    agg = regs.groupBy(*group_cols).agg(
         (
             F.sum(F.lit(1.0) / F.call_function("shiftleft", one, F.col("rho")))
             + (_HLL_M - F.count(F.lit(1))).cast("double")
@@ -306,4 +312,148 @@ def hll_estimate_frame(
         (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
         _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
     ).otherwise(raw)
-    return agg.select(group_col, est.alias("hll_raw"))
+    return agg.select(*group_cols, est.alias("hll_raw"))
+
+
+def hll_estimate_frame(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate -> (group_col, hll_raw).
+
+    64 registers built by one (group, bucket) max aggregation — registers
+    merge with max, so partial aggregation and cross-shard union are
+    free; per-group state is 64 bytes regardless of key cardinality."""
+    return hll_estimate_from_registers(
+        hll_registers_frame(df, group_col, key_col), group_col
+    )
+
+
+# HLL estimate over a register table, as a SQL fragment: input relation
+# must provide the listed group columns plus (bucket, rho).
+def _hll_est_sql(rel: str, group_cols: str) -> str:
+    return f"""
+      SELECT {group_cols},
+             CASE WHEN ({_HLL_ALPHA}::DOUBLE * {_HLL_M} * {_HLL_M} / s)
+                       <= 2.5 * {_HLL_M} AND zeros > 0
+                  THEN {_HLL_M} * ln({_HLL_M}::DOUBLE / zeros)
+                  ELSE {_HLL_ALPHA}::DOUBLE * {_HLL_M} * {_HLL_M} / s
+             END AS e
+      FROM (SELECT {group_cols},
+                   sum(1.0::DOUBLE / (1::BIGINT << rho))
+                     + ({_HLL_M} - count(*))::DOUBLE AS s,
+                   {_HLL_M} - count(*) AS zeros
+            FROM {rel} GROUP BY {group_cols})
+    """
+
+
+@query(
+    "hll_user_overlap_pairs",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             {_HEX8_SQL.format(h="md5(cast(user_id AS VARCHAR))")} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv % {_HLL_M} AS bucket,
+             max({_HLL_RHO_SQL.format(w="(hv >> 6)")}) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    est AS ({_hll_est_sql("r", "event_type")}),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    pregs AS (
+      SELECT p.type_a, p.type_b, r.bucket, max(r.rho) AS rho
+      FROM pairs p JOIN r ON r.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    pest AS ({_hll_est_sql("pregs", "type_a, type_b")}),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             cast(count(*) AS BIGINT) AS exact_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT x.type_a, x.type_b, x.exact_overlap,
+           round(ea.e + eb.e - pe.e, 4) AS hll_overlap_estimate
+    FROM exact x
+    JOIN est ea ON ea.event_type = x.type_a
+    JOIN est eb ON eb.event_type = x.type_b
+    JOIN pest pe ON pe.type_a = x.type_a AND pe.type_b = x.type_b
+    """,
+    tags=["sketch", "approx", "set-algebra"],
+)
+def hll_user_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types, estimated by
+    HLL inclusion-exclusion — |A∩B| ~ E(A) + E(B) - E(A∪B), where the
+    union estimate comes from max-merging the two groups' registers —
+    next to the exact overlap from a distinct self-join.
+
+    This is the sketch-algebra pattern that matters operationally: union
+    needs only the 64-byte register vectors, so cross-segment overlap
+    matrices at 100 TB are computed from per-segment sketches WITHOUT
+    rescanning or joining the raw data (the exact branch here is the
+    oracle's foil and would be dropped at scale). The register table is
+    group-count x 64 rows; the pair expansion joins it against a
+    broadcastable pair list."""
+    ev = T(spark, sf_dir, "events")
+    regs = hll_registers_frame(ev, "event_type", "user_id")
+    est = hll_estimate_from_registers(regs, "event_type")
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    pregs = (
+        regs.join(
+            F.broadcast(pairs),
+            (regs.event_type == F.col("type_a"))
+            | (regs.event_type == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    pest = hll_estimate_from_registers(pregs, ["type_a", "type_b"])
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    ea = est.select(
+        F.col("event_type").alias("type_a"), F.col("hll_raw").alias("ea")
+    )
+    eb = est.select(
+        F.col("event_type").alias("type_b"), F.col("hll_raw").alias("eb")
+    )
+    pe = pest.select("type_a", "type_b", F.col("hll_raw").alias("pe"))
+    return (
+        exact.join(ea, "type_a")
+        .join(eb, "type_b")
+        .join(pe, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
+            F.round(
+                F.col("ea") + F.col("eb") - F.col("pe"), 4
+            ).alias("hll_overlap_estimate"),
+        )
+    )

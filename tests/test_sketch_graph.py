@@ -202,3 +202,45 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL mergeability: max-merging the registers of two disjoint
+    halves reproduces the whole corpus's registers exactly — the
+    property that makes per-shard sketches unionable without rescans."""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.plans.sketches import (
+        hll_registers_frame,
+    )
+
+    ev = T(spark, SF_DIR, "events")
+
+    def regs(df):
+        return {
+            (r.event_type, r.bucket): r.rho
+            for r in hll_registers_frame(df, "event_type", "user_id").collect()
+        }
+
+    a = regs(ev.filter(F.col("event_id") % 2 == 0))
+    b = regs(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == regs(ev)
+
+
+def test_hll_overlap_estimate_sane(spark):
+    """Inclusion-exclusion overlap estimates land within 3x the
+    single-sketch sigma band of truth (errors of three estimates
+    compound) and never exceed the smaller set by a wild margin."""
+    from clinical_data_platform_spark.plans.sketches import (
+        hll_user_overlap_pairs,
+    )
+
+    rows = hll_user_overlap_pairs(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r.exact_overlap > 0
+        # 3 estimates x 13% sigma; allow a generous compound band
+        assert abs(r.hll_overlap_estimate - r.exact_overlap) \
+            <= 0.8 * r.exact_overlap + 10, r

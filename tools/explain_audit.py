@@ -53,6 +53,7 @@ AUDIT = [
     ("cms_heavy_hitters", "Count-Min: constant-state (i, bucket) agg; broadcast probe join"),
     ("er_blocking_part_pairs", "ER blocking: self equi-join on block key, per-block quadratic only"),
     ("scd2_customer_dim", "SCD2 merge: one business-key shuffle, union of unchanged/closed/new"),
+    ("hll_user_overlap_pairs", "HLL set algebra: register table reused, broadcast pair expansion"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

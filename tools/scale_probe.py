@@ -256,7 +256,6 @@ def main() -> None:
     from clinical_data_platform_spark.plans.graphops import pagerank_frame
     from clinical_data_platform_spark.plans.sketches import (
         _CMS_D,
-        _CMS_W,
         _bucket,
         hll_estimate_frame,
     )

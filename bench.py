@@ -79,6 +79,10 @@ HEADLINE = [
     "nation_trade_pagerank",
     "er_blocking_part_pairs",
     "scd2_customer_dim",
+    # round-3 wave 4: sketch set algebra, mergeable quantiles, LM scoring
+    "hll_user_overlap_pairs",
+    "ddsketch_doc_length_quantiles",
+    "bigram_lm_perplexity",
 ]
 
 

@@ -231,3 +231,111 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("novelty"), 5).alias("avg_novelty"),
         F.min("novelty").alias("min_novelty"),
     )
+
+
+# --- Bigram-LM perplexity ----------------------------------------------------
+
+_LM_K = 0.5  # add-k smoothing constant
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY w
+    ),
+    bg AS (
+      SELECT g, count(*) AS c2
+      FROM (SELECT unnest({_gram_sql(2)}) AS g FROM tr) GROUP BY g
+    ),
+    v AS (SELECT (count(*) + 1)::DOUBLE AS v FROM uni),
+    db AS (SELECT doc_id, lang, unnest({_gram_sql(2)}) AS g FROM t),
+    j AS (
+      SELECT d.doc_id, d.lang,
+             ln((coalesce(bg.c2, 0)::DOUBLE + {_LM_K}::DOUBLE)
+                / (coalesce(uni.c1, 0)::DOUBLE
+                   + {_LM_K}::DOUBLE * v.v)) AS lp
+      FROM db d
+      LEFT JOIN bg ON bg.g = d.g
+      LEFT JOIN uni ON uni.w = string_split(d.g, ' ')[1]
+      CROSS JOIN v
+    ),
+    pd AS (
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'heldout' END
+               AS split,
+             exp(-round(sum(lp) / count(*), 8)) AS ppl
+      FROM j GROUP BY lang, doc_id
+    )
+    SELECT lang, split, cast(count(*) AS BIGINT) AS n_docs,
+           round(avg(ppl), 4) AS avg_ppl
+    FROM pd GROUP BY lang, split
+    """,
+    tags=["text", "llm-pipeline", "quality"],
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality signal (Wenzek et al. 2020): train
+    an add-k-smoothed bigram LM on a deterministic half of the corpus
+    (doc_id % 2 = 0), score EVERY document's per-bigram mean log-prob,
+    and report average perplexity per (lang, train/heldout split) — the
+    held-out rows quantify generalization, exactly how a crawl pipeline
+    scores incoming batches against a trusted reference LM.
+
+    Plan: one token scan feeds the unigram/bigram count tables
+    (vocabulary-sized; Heaps' law keeps them sublinear in corpus
+    growth); scoring is two equi-joins of corpus bigrams against those
+    vocab tables plus a broadcast single-row vocab-size scalar — all
+    hash-partitionable, no pairwise blowup. The per-doc float sum is
+    rounded to 8 dp before exp (engine sum-order re-sync, same as the
+    PageRank iteration state)."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", tokens(F.col("text")).alias("ws"))
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    uni = (
+        train.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bg = (
+        train.select(F.explode(_grams(F.col("ws"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = uni.agg((F.count(F.lit(1)) + 1).cast("double").alias("v"))
+    docbg = d.select(
+        "doc_id", "lang", F.explode(_grams(F.col("ws"), 2)).alias("g")
+    ).withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    lp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + _LM_K)
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + _LM_K * F.col("v")
+        )
+    )
+    per_doc = (
+        docbg.join(bg, "g", "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.exp(
+                -F.round(F.sum(lp) / F.count(F.lit(1)), 8)
+            ).alias("ppl")
+        )
+    )
+    split = F.when(F.col("doc_id") % 2 == 0, "train").otherwise("heldout")
+    return (
+        per_doc.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        )
+    )

@@ -152,6 +152,8 @@ PRIORITY_ORDER = [
 # Round-4 rotation candidates (oracled but outside the current window —
 # they pass the identical gate locally at sf0.01 and in pytest at
 # sf0.001 every run): hll_user_overlap_pairs (new, sketch set-algebra),
+# ddsketch_doc_length_quantiles (new, mergeable quantile sketch),
+# bigram_lm_perplexity (new, CCNet-style LM quality scoring),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -457,3 +457,154 @@ def hll_user_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_overlap_estimate"),
         )
     )
+
+
+# --- DDSketch quantiles ------------------------------------------------------
+#
+# Relative-error-bounded mergeable quantile sketch (Masson, Rim & Lee,
+# VLDB 2019): bin index i = ceil(log_gamma(v)) with gamma = (1+a)/(1-a),
+# estimate 2*gamma^i/(gamma+1); any quantile estimate is within relative
+# error a of the true quantile value. Bins merge by ADDING counts.
+#
+# Cross-engine parity: gamma, ln(gamma) and gamma+1 are computed ONCE in
+# Python and embedded as identical 17-digit literals on both sides (never
+# derived per-engine — ulp drift); ln(v)/ln(gamma) is rounded to 6 dp
+# before ceil so a 1-ulp libm difference cannot flip a bin boundary
+# (the same re-synchronization trick as the PageRank iteration state).
+
+_DDS_ALPHA = 0.02
+_DDS_GAMMA = (1.0 + _DDS_ALPHA) / (1.0 - _DDS_ALPHA)
+_DDS_LN_GAMMA = 0.040005334613699206  # math.log(_DDS_GAMMA), pinned
+_DDS_GAMMA_P1 = _DDS_GAMMA + 1.0
+_DDS_QS = [0.5, 0.9, 0.99]
+
+
+def dds_bins_frame(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group DDSketch bins -> (group_col, i, cnt). Bins merge by
+    summing cnt per (group, i) — union two sketches with one re-agg.
+    State per group is O(log(max/min)/log(gamma)) counters (~160 for a
+    1..500k value range at a=0.02), independent of row count."""
+    v = F.greatest(F.col(value_col).cast("double"), F.lit(1.0))
+    i = F.ceil(F.round(F.log(v) / _DDS_LN_GAMMA, 6))
+    return (
+        df.select(group_col, i.alias("i"))
+        .groupBy(group_col, "i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dds_quantiles_from_bins(
+    bins: DataFrame, group_col: str, qs: list[float]
+) -> DataFrame:
+    """Fold (group, i, cnt) bins into per-group quantile estimates
+    -> (group, n, q_<pct> ...). The window runs over the tiny bin table
+    (groups x ~160 rows), never the raw data."""
+    w = Window.partitionBy(group_col).orderBy("i")
+    wall = Window.partitionBy(group_col)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    est = F.lit(2.0) * F.pow(F.lit(_DDS_GAMMA), F.col("i")) / _DDS_GAMMA_P1
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, est)).alias(
+                f"q{int(q * 100)}_sketch_raw"
+            )
+        )
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+@query(
+    "ddsketch_doc_length_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang,
+             ceil(round(ln(greatest(n_chars::DOUBLE, 1.0::DOUBLE))
+                        / {_DDS_LN_GAMMA!r}, 6)) AS i,
+             count(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT lang, i, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY i) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM b
+    ),
+    sk AS (
+      SELECT lang, max(n) AS n,
+             {", ".join(
+                 f"min(CASE WHEN cum >= ceil({q!r}::DOUBLE * n) THEN"
+                 f" 2.0::DOUBLE * power({_DDS_GAMMA!r}, i)"
+                 f" / {_DDS_GAMMA_P1!r} END) AS q{int(q * 100)}_sk"
+                 for q in _DDS_QS
+             )}
+      FROM c GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    ex AS (
+      SELECT lang,
+             {", ".join(
+                 f"min(CASE WHEN rn = ceil({q!r}::DOUBLE * n) THEN n_chars"
+                 f" END) AS q{int(q * 100)}_ex"
+                 for q in _DDS_QS
+             )}
+      FROM r GROUP BY lang
+    )
+    SELECT sk.lang, cast(sk.n AS BIGINT) AS n_docs,
+           {", ".join(
+               f"cast(ex.q{int(q * 100)}_ex AS BIGINT)"
+               f" AS p{int(q * 100)}_exact,"
+               f" round(sk.q{int(q * 100)}_sk, 4)"
+               f" AS p{int(q * 100)}_sketch"
+               for q in _DDS_QS
+           )}
+    FROM sk JOIN ex ON ex.lang = sk.lang
+    """,
+    tags=["sketch", "approx", "quantile"],
+)
+def ddsketch_doc_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language p50/p90/p99 of document length via DDSketch, next to
+    the exact rank-based quantiles so the <=2% relative-error guarantee
+    is visible row by row.
+
+    At 100 TB this is THE quantile pattern: per-group state is a bounded
+    counter vector built by one (group, bin) partial/final aggregation —
+    no global sort, no percentile over raw data — and bins merge by
+    addition, so per-shard sketches union with one tiny re-agg (the
+    exact branch here is the oracle's foil and uses a full sort rank;
+    it would be dropped at scale). Completes the mergeable-sketch
+    family: HLL (distinct), CMS (frequency), A-Res (sampling),
+    DDSketch (distribution)."""
+    d = T(spark, sf_dir, "documents")
+    sk = dds_quantiles_from_bins(
+        dds_bins_frame(d, "lang", "n_chars"), "lang", _DDS_QS
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    wall = Window.partitionBy("lang")
+    r = d.select("lang", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(wall))
+    ex_aggs = [
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_chars")
+            )
+        ).alias(f"q{int(q * 100)}_ex")
+        for q in _DDS_QS
+    ]
+    ex = r.groupBy("lang").agg(*ex_aggs)
+    cols = [F.col("lang"), F.col("n").cast("long").alias("n_docs")]
+    for q in _DDS_QS:
+        p = int(q * 100)
+        cols.append(F.col(f"q{p}_ex").cast("long").alias(f"p{p}_exact"))
+        cols.append(F.round(F.col(f"q{p}_sketch_raw"), 4).alias(f"p{p}_sketch"))
+    return sk.join(ex, "lang").select(*cols)

@@ -82,3 +82,22 @@ def test_token_weight_matches_hashlib(spark):
         expect = (int(hashlib.md5(r["w"].encode()).hexdigest()[:2], 16) - 127.5) / 127.5
         assert abs(r["wt"] - expect) < 1e-12
         assert -1.0 <= r["wt"] <= 1.0
+
+
+def test_bigram_lm_heldout_perplexity_higher(spark):
+    """The LM is trained on the even-doc_id half, so held-out docs must
+    score strictly higher average perplexity than training docs within
+    every language (the generalization gap the filter exploits), and
+    every perplexity exceeds 1."""
+    from clinical_data_platform_spark.plans.collocations import (
+        bigram_lm_perplexity,
+    )
+
+    rows = bigram_lm_perplexity(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        assert r.avg_ppl > 1.0, r
+        by_lang.setdefault(r.lang, {})[r.split] = r.avg_ppl
+    assert by_lang
+    for lang, d in by_lang.items():
+        assert d["heldout"] > d["train"], (lang, d)

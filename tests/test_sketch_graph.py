@@ -244,3 +244,44 @@ def test_hll_overlap_estimate_sane(spark):
         # 3 estimates x 13% sigma; allow a generous compound band
         assert abs(r.hll_overlap_estimate - r.exact_overlap) \
             <= 0.8 * r.exact_overlap + 10, r
+
+
+def test_ddsketch_bins_merge_by_addition(spark):
+    """DDSketch mergeability: summing the bin counts of two disjoint
+    halves reproduces the whole corpus's bins exactly — per-shard
+    sketches union with one re-agg, no rescan."""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.plans.sketches import dds_bins_frame
+
+    d = T(spark, SF_DIR, "documents")
+
+    def bins(df):
+        return {
+            (r.lang, r.i): r.cnt
+            for r in dds_bins_frame(df, "lang", "n_chars").collect()
+        }
+
+    a = bins(d.filter(F.col("doc_id") % 2 == 0))
+    b = bins(d.filter(F.col("doc_id") % 2 == 1))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == bins(d)
+
+
+def test_ddsketch_relative_error_bound(spark):
+    """The DDSketch guarantee: every reported quantile is within
+    relative error alpha (=0.02) of the exact rank-based quantile
+    (plus the 4-dp output rounding)."""
+    from clinical_data_platform_spark.plans.sketches import (
+        _DDS_ALPHA,
+        ddsketch_doc_length_quantiles,
+    )
+
+    rows = ddsketch_doc_length_quantiles(spark, SF_DIR).collect()
+    assert rows and all(r.n_docs > 0 for r in rows)
+    for r in rows:
+        for p in (50, 90, 99):
+            exact = getattr(r, f"p{p}_exact")
+            sketch = getattr(r, f"p{p}_sketch")
+            assert abs(sketch - exact) <= _DDS_ALPHA * exact + 1e-3, (r, p)

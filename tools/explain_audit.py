@@ -54,6 +54,8 @@ AUDIT = [
     ("er_blocking_part_pairs", "ER blocking: self equi-join on block key, per-block quadratic only"),
     ("scd2_customer_dim", "SCD2 merge: one business-key shuffle, union of unchanged/closed/new"),
     ("hll_user_overlap_pairs", "HLL set algebra: register table reused, broadcast pair expansion"),
+    ("ddsketch_doc_length_quantiles", "DDSketch: one (group,bin) agg; window only over the tiny bin table"),
+    ("bigram_lm_perplexity", "Bigram LM: vocab-sized count tables; scoring = two equi-joins, no blowup"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -83,6 +83,9 @@ HEADLINE = [
     "hll_user_overlap_pairs",
     "ddsketch_doc_length_quantiles",
     "bigram_lm_perplexity",
+    "pit_orders_segment_revenue",
+    "contrastive_negative_pairs",
+    "snapshot_diff_report",
 ]
 
 

@@ -154,6 +154,9 @@ PRIORITY_ORDER = [
 # sf0.001 every run): hll_user_overlap_pairs (new, sketch set-algebra),
 # ddsketch_doc_length_quantiles (new, mergeable quantile sketch),
 # bigram_lm_perplexity (new, CCNet-style LM quality scoring),
+# pit_orders_segment_revenue (new, point-in-time SCD2 lookup),
+# contrastive_negative_pairs (new, deterministic negative sampling),
+# snapshot_diff_report (new, CDC-style snapshot reconciliation),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -1671,6 +1671,22 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (segment, validity window). At warehouse scale the dimension is
     partitioned by is_current so the merge rewrites only the current
     slice, and the history partition is append-only."""
+    return _scd2_demo_dim(spark, sf_dir).groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+def _scd2_demo_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 3-version customer dimension shared by
+    scd2_customer_dim (which audits the version history) and
+    pit_orders_segment_revenue (which joins facts against it)."""
     from ..operators.scd import apply_scd2, init_scd2
 
     base = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -1687,16 +1703,196 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = base.filter(F.col("c_custkey") % 20 == 0).select(
         "c_custkey", F.lit("VIP").alias("c_mktsegment")
     )
-    dim = apply_scd2(
+    return apply_scd2(
         dim, u2, "c_custkey", ["c_mktsegment"], "1996-01-01 00:00:00"
     )
-    return dim.groupBy(
+
+
+# The same expected version table the scd2_customer_dim oracle builds,
+# exposed as a CTE body for oracles that JOIN against the dimension.
+_SCD2_DEMO_DIM_SQL = """
+      SELECT c_custkey, c_mktsegment AS seg,
+             TIMESTAMP '1994-01-01' AS valid_from,
+             CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '1995-01-01'
+                  ELSE TIMESTAMP '2200-01-01' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'RESHUFFLED', TIMESTAMP '1995-01-01',
+             CASE WHEN c_custkey % 20 = 0 THEN TIMESTAMP '1996-01-01'
+                  ELSE TIMESTAMP '2200-01-01' END
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'VIP', TIMESTAMP '1996-01-01',
+             TIMESTAMP '2200-01-01'
+      FROM customer WHERE c_custkey % 20 = 0
+"""
+
+
+@query(
+    "pit_orders_segment_revenue",
+    oracle=f"""
+    WITH v AS ({_SCD2_DEMO_DIM_SQL})
+    SELECT v.seg, year(o.o_orderdate) AS order_year,
+           cast(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN v ON v.c_custkey = o.o_custkey
+          AND o.o_orderdate::TIMESTAMP >= v.valid_from
+          AND o.o_orderdate::TIMESTAMP < v.valid_to
+    GROUP BY v.seg, year(o.o_orderdate)
+    """,
+    tags=["scd2", "temporal-join", "feature-store"],
+)
+def pit_orders_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the feature-store correctness
+    pattern: every order joins the customer-segment VERSION that was
+    effective on its order date (valid_from <= o_orderdate < valid_to),
+    never the current one, so 1994 orders aggregate under the 1994
+    segment even for customers later reshuffled or promoted. Skipping
+    this temporal fencing is exactly how training pipelines leak future
+    attributes into historical examples.
+
+    Plan: the SCD2 intervals partition time per key, so the join is a
+    plain equi-join on the business key with the interval predicate as
+    a post-join filter — one shuffle, no range-join blowup (each fact
+    matches exactly one version). At warehouse scale the dimension side
+    is orders of magnitude smaller than the fact side and broadcasts;
+    revenue rolls up per (segment-version, order year)."""
+    dim = _scd2_demo_dim(spark, sf_dir).select(
+        "c_custkey",
         F.col("c_mktsegment").alias("seg"),
         "valid_from",
         "valid_to",
-        "is_current",
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("c_custkey").alias("min_key"),
-        F.max("c_custkey").alias("max_key"),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ts = F.col("o_orderdate").cast("timestamp")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (ts >= F.col("valid_from"))
+            & (ts < F.col("valid_to")),
+        )
+        .groupBy("seg", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# Deterministic "next snapshot" of orders used by snapshot_diff_report:
+# o_orderkey % 97 rows deleted, % 89 rows mutated (status -> 'X',
+# totalprice + 10), % 101 rows duplicated under fresh negative keys.
+_SNAPSHOT_B_SQL = """
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT -o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@query(
+    "snapshot_diff_report",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    b AS ({_SNAPSHOT_B_SQL}),
+    d AS (
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_orderstatus <> b.o_orderstatus
+                       OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                       AND a.o_orderstatus <> b.o_orderstatus
+                  THEN 1 ELSE 0 END AS status_chg,
+             CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                       AND a.o_totalprice <> b.o_totalprice
+                  THEN 1 ELSE 0 END AS price_chg
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT status, cast(count(*) AS BIGINT) AS n_rows,
+           cast(sum(status_chg) AS BIGINT) AS n_status_changed,
+           cast(sum(price_chg) AS BIGINT) AS n_price_changed
+    FROM d GROUP BY status
+    """,
+    tags=["cdc", "reconciliation", "warehouse"],
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation / CDC derivation: full-outer join two
+    table versions on the business key and classify every key as
+    added / removed / changed / unchanged, with per-column change
+    counts — the diff report a warehouse runs before promoting a new
+    load (and the change feed an incremental downstream would consume).
+    The "next" snapshot is a deterministic mutation of orders (delete
+    %97, mutate %89, insert %101 under fresh keys) so the oracle
+    constructs the identical pair.
+
+    Plan: ONE full-outer shuffle on the key; the column comparison is a
+    map-side expression after the join — no per-column joins, no
+    row-by-row driver diffing. At warehouse scale both sides bucket on
+    the key so the join is exchange-free, and the 'unchanged' class is
+    skipped early by comparing content hashes pushed into the join."""
+    a = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    keep = a.filter(F.col("o_orderkey") % 97 != 0)
+    b = (
+        keep.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 89 == 0, "X")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 10.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            a.filter(F.col("o_orderkey") % 101 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    al, bl = a.alias("a"), b.alias("b")
+    j = al.join(
+        bl, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    both = (
+        F.col("a.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull()
+    )
+    status_chg = both & (
+        F.col("a.o_orderstatus") != F.col("b.o_orderstatus")
+    )
+    price_chg = both & (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(status_chg | price_chg, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            status_chg.cast("int").alias("status_chg"),
+            price_chg.cast("int").alias("price_chg"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("status_chg").cast("long").alias("n_status_changed"),
+            F.sum("price_chg").cast("long").alias("n_price_changed"),
+        )
     )

@@ -514,3 +514,105 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("scale"), 7).alias("max_scale"),
         )
     )
+
+
+# --- Contrastive negative sampling -------------------------------------------
+
+_NEG_K = 4  # negatives drawn per anchor
+
+
+@query(
+    "contrastive_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n FROM embeddings),
+    c AS (
+      SELECT e.label AS a_label, e.embedding AS a_emb,
+             {{hex8}} % n.n AS cand
+      FROM embeddings e, unnest(range(0, {_NEG_K})) AS u(j), n
+    ),
+    p AS (
+      SELECT c.a_label, b.label AS b_label,
+             {{dot}} / ({{norm_a}} * {{norm_b}}) AS cos
+      FROM c JOIN embeddings b ON b.vec_id = c.cand
+      WHERE b.label <> c.a_label
+    )
+    SELECT a_label, b_label,
+           cast(count(*) AS BIGINT) AS n_pairs,
+           round(avg(cos), 5) AS avg_cos,
+           round(max(cos), 5) AS max_cos
+    FROM p GROUP BY a_label, b_label
+    """.format(
+        hex8=(
+            "list_sum(list_transform(range(1, 9), k ->"
+            " (strpos('0123456789abcdef', substr(md5(cast(e.vec_id AS"
+            " VARCHAR) || '|' || cast(u.j AS VARCHAR)), k, 1)) - 1)"
+            " * (1::BIGINT << (4 * (8 - k)))))"
+        ),
+        dot=_DOT_SQL.format(a="c.a_emb", b="b.embedding"),
+        norm_a=_NORM_SQL.format(a="c.a_emb"),
+        norm_b=_NORM_SQL.format(a="b.embedding"),
+    ),
+    tags=["vector", "trainprep", "llm-pipeline"],
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive embedding
+    training: each anchor draws 4 candidate ids from an md5-derived
+    uniform over the corpus (reproducible across retries — no rand()),
+    same-label candidates are rejected, and the surviving negatives are
+    summarized per (anchor label, negative label) with their cosine
+    stats — max_cos flags label pairs whose "negatives" are actually
+    near-duplicates (the hard-negative / false-negative audit).
+
+    Plan: anchors explode to k candidate ids (narrow, no shuffle), then
+    ONE equi-join on vec_id brings in the negative's embedding — at
+    100 TB this is a hash join on the id key, linear in corpus size,
+    versus the label-pair cross join a naive sampler would do. The
+    corpus-count scalar arrives via a broadcast single-row cross join."""
+    e = T(spark, sf_dir, "embeddings")
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    js = F.array(*[F.lit(j) for j in range(_NEG_K)])
+    cand_id = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("vec_id").cast("string"),
+                        F.lit("|"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n")
+    )
+    cand = (
+        e.select(
+            F.col("vec_id"),
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("a_emb"),
+            F.explode(js).alias("j"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select("a_label", "a_emb", cand_id.alias("cand"))
+    )
+    b = e.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    cos = cosine_similarity(F.col("a_emb"), F.col("b_emb"))
+    return (
+        cand.join(b, "cand")
+        .filter(F.col("b_label") != F.col("a_label"))
+        .select("a_label", "b_label", cos.alias("cos"))
+        .groupBy("a_label", "b_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("cos"), 5).alias("avg_cos"),
+            F.round(F.max("cos"), 5).alias("max_cos"),
+        )
+    )

@@ -156,3 +156,26 @@ def test_freshness_sli_statuses(spark):
     breach = freshness_sli(df, "ts", "2024-01-01 03:00:00", slo_minutes=120)
     assert (ok["status"], warn["status"], breach["status"]) == ("ok", "warning", "breach")
     assert ok["lag_minutes"] == 60.0 and breach["lag_minutes"] == 180.0
+
+
+def test_pit_join_matches_every_order_exactly_once(spark):
+    """The SCD2 intervals partition time per key, so the point-in-time
+    join is lossless and duplication-free: total joined orders equals
+    the orders row count, and pre-1995 orders never see the RESHUFFLED
+    or VIP segments introduced later (no future-attribute leakage)."""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.plans.relational import (
+        pit_orders_segment_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = pit_orders_segment_revenue(spark, sf).collect()
+    total = sum(r.n_orders for r in rows)
+    assert total == T(spark, sf, "orders").count()
+    for r in rows:
+        if r.order_year < 1995:
+            assert r.seg not in ("RESHUFFLED", "VIP"), r
+        if r.order_year < 1996:
+            assert r.seg != "VIP", r

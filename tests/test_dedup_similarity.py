@@ -181,3 +181,28 @@ def test_banded_near_dup_recall_vs_exhaustive(spark):
     assert len(banded) >= 0.9 * len(exact)  # recall floor
     strong = {p for p, c in exact.items() if c > 0.6}
     assert strong <= set(banded)
+
+
+def test_contrastive_negatives_reject_same_label_and_are_reproducible(spark):
+    """Negative sampling never emits a same-label pair, draws at most
+    k=4 candidates per anchor, and is fully deterministic (md5-derived
+    uniforms, no rand()) — two runs return identical aggregates."""
+    from clinical_data_platform_spark.plans.vectorops import (
+        _NEG_K,
+        contrastive_negative_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        contrastive_negative_pairs(spark, sf).collect(),
+        key=lambda r: (r.a_label, r.b_label),
+    )
+    assert rows
+    assert all(r.a_label != r.b_label for r in rows)
+    n_vectors = 500
+    assert sum(r.n_pairs for r in rows) <= n_vectors * _NEG_K
+    again = sorted(
+        contrastive_negative_pairs(spark, sf).collect(),
+        key=lambda r: (r.a_label, r.b_label),
+    )
+    assert rows == again

@@ -112,3 +112,41 @@ def test_zorder_clusters_both_dimensions(spark):
     quarter = rows[: len(rows) // 4]
     assert max(r.x for r in quarter) - min(r.x for r in quarter) <= 32
     assert max(r.y for r in quarter) - min(r.y for r in quarter) <= 32
+
+
+def test_snapshot_diff_classes_partition_the_key_space(spark):
+    """The diff classes reconcile exactly with the deterministic
+    mutation: removed == %97 keys, added == %101 survivors' new keys,
+    changed == %89 survivors, and change counters are zero outside the
+    'changed' class."""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.plans.relational import (
+        snapshot_diff_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    by = {r.status: r for r in snapshot_diff_report(spark, sf).collect()}
+    a_keys = {
+        r.o_orderkey
+        for r in T(spark, sf, "orders").select("o_orderkey").collect()
+    }
+    # replicate the deterministic mutation on the key sets (note the
+    # key-0 self-collision: 0 % 97 == 0 deletes it, but its % 101
+    # duplicate re-inserts -0 == 0 with identical values -> unchanged)
+    b_keys = {k for k in a_keys if k % 97 != 0} | {
+        -k for k in a_keys if k % 101 == 0
+    }
+    removed = a_keys - b_keys
+    added = b_keys - a_keys
+    changed = {k for k in a_keys & b_keys if k % 89 == 0 and k % 97 != 0}
+    unchanged = (a_keys & b_keys) - changed
+    assert by["removed"].n_rows == len(removed)
+    assert by["added"].n_rows == len(added)
+    assert by["changed"].n_rows == len(changed)
+    assert by["unchanged"].n_rows == len(unchanged)
+    for s in ("added", "removed", "unchanged"):
+        assert by[s].n_status_changed == 0 and by[s].n_price_changed == 0
+    assert by["changed"].n_status_changed == len(changed)
+    assert by["changed"].n_price_changed == len(changed)

@@ -56,6 +56,9 @@ AUDIT = [
     ("hll_user_overlap_pairs", "HLL set algebra: register table reused, broadcast pair expansion"),
     ("ddsketch_doc_length_quantiles", "DDSketch: one (group,bin) agg; window only over the tiny bin table"),
     ("bigram_lm_perplexity", "Bigram LM: vocab-sized count tables; scoring = two equi-joins, no blowup"),
+    ("pit_orders_segment_revenue", "PIT lookup: broadcast dim equi-join + interval filter, no range blowup"),
+    ("contrastive_negative_pairs", "Negative sampling: explode k ids, ONE vec_id hash join, no cross join"),
+    ("snapshot_diff_report", "Snapshot diff: one full-outer key shuffle, map-side column compare"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -86,6 +86,9 @@ HEADLINE = [
     "pit_orders_segment_revenue",
     "contrastive_negative_pairs",
     "snapshot_diff_report",
+    "ppjoin_near_dup_pairs",
+    "join_skew_report",
+    "containment_dup_pairs",
 ]
 
 

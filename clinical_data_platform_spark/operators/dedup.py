@@ -376,6 +376,80 @@ def ngram_jaccard_pairs_inverted(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_docs: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle-set CONTAINMENT |A∩B| / |A| (Broder
+    1997's second resemblance measure) — catches a short document quoted
+    or embedded inside a longer one, which symmetric Jaccard misses
+    (|A∩B|/|A∪B| stays small when |B| >> |A|). Emits one directed row
+    per pair whose smaller side is >= threshold contained in the larger
+    (ties by id), with both set sizes so the consumer sees the asymmetry.
+
+    Plan: identical shuffle shape to ngram_jaccard_pairs_inverted —
+    posting-list pair expansion bounded by sum(df^2) with the same
+    ultra-common-shingle guard; only the final scoring expression
+    differs, so the 100 TB properties carry over unchanged."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    postings = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
+    postings = postings.filter(F.size("docs") >= 2)
+    if max_shingle_docs is not None:
+        postings = postings.filter(F.size("docs") <= max_shingle_docs)
+    parallelism = int(
+        postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    postings = postings.repartition(parallelism)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    scored = inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # direct the pair: smaller set (ties by id) is the contained side
+    a_small = (F.col("size_a") < F.col("size_b")) | (
+        (F.col("size_a") == F.col("size_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    id_contained = F.when(a_small, F.col("id_a")).otherwise(F.col("id_b"))
+    id_container = F.when(a_small, F.col("id_b")).otherwise(F.col("id_a"))
+    size_contained = F.when(a_small, F.col("size_a")).otherwise(F.col("size_b"))
+    size_container = F.when(a_small, F.col("size_b")).otherwise(F.col("size_a"))
+    containment = F.col("n_common") / size_contained
+    return (
+        scored.select(
+            id_contained.alias("id_contained"),
+            id_container.alias("id_container"),
+            size_contained.alias("size_contained"),
+            size_container.alias("size_container"),
+            "n_common",
+            (F.floor(containment * 1e6) / 1e6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -428,3 +502,90 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _ppjoin_doc_table(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, ordered df-ascending shingle structs, full shingle set, size)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                "ordered"
+            ),
+            F.collect_set("shingle").alias("full_set"),
+            F.count(F.lit(1)).alias("set_size"),
+        )
+    )
+
+
+def _ppjoin_candidates(
+    docs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing a token within BOTH prefixes."""
+    plen = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        + 1
+    ).cast("int")
+    pref = docs.select(
+        F.col(id_col),
+        F.explode(F.slice(F.col("ordered"), F.lit(1), plen)).alias("ps"),
+    ).select(id_col, F.col("ps.shingle").alias("shingle"))
+    return (
+        pref.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ppjoin_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard join with prefix filtering (Chaudhuri et al. 2006;
+    Bayardo et al. 2007 "Scaling Up All Pairs"): order each document's
+    shingles by ascending global document frequency (rarest first, ties
+    by shingle), index only the first ``|d| - ceil(t*|d|) + 1`` of them,
+    and generate candidates from the prefix inverted index — any pair
+    with Jaccard >= t provably shares a prefix token, so the filter
+    loses nothing, while common tokens (which drive the quadratic
+    posting-list expansion) never enter the index. Candidates are then
+    verified EXACTLY via array_intersect over the full shingle sets.
+
+    At 100 TB this is the principled upgrade over the raw inverted-index
+    join + frequency cap: pruning strength adapts to the threshold
+    instead of a fixed df cutoff, and the verify step touches only
+    surviving pairs with per-doc bounded arrays."""
+    docs = _ppjoin_doc_table(df, id_col, text_col, n)
+    cand = _ppjoin_candidates(docs, id_col, threshold)
+    da = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("full_set").alias("set_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    db = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("full_set").alias("set_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    jacc = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_common", n_common.cast("long"))
+        .filter(jacc >= threshold)
+        .select("id_a", "id_b", "n_common", F.round(jacc, 6).alias("jaccard"))
+    )

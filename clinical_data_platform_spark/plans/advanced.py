@@ -281,6 +281,96 @@ def nation_trade_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_report",
+    oracle="""
+    WITH e AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+    o AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+    l AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
+    SELECT 'events.user_id' AS join_key,
+           cast(sum(c) AS BIGINT) AS n_rows,
+           cast(count(*) AS BIGINT) AS n_keys,
+           cast(max(c) AS BIGINT) AS max_key_rows,
+           floor(max(c)::DOUBLE * count(*)::DOUBLE / sum(c)::DOUBLE * 1e6)
+             / 1e6 AS skew_ratio,
+           floor((SELECT sum(c) FROM (SELECT c FROM e
+                    ORDER BY c DESC, k LIMIT 10))::DOUBLE
+                 / sum(c)::DOUBLE * 1e6) / 1e6 AS top10_share
+    FROM e
+    UNION ALL
+    SELECT 'orders.o_custkey', cast(sum(c) AS BIGINT),
+           cast(count(*) AS BIGINT), cast(max(c) AS BIGINT),
+           floor(max(c)::DOUBLE * count(*)::DOUBLE / sum(c)::DOUBLE * 1e6)
+             / 1e6,
+           floor((SELECT sum(c) FROM (SELECT c FROM o
+                    ORDER BY c DESC, k LIMIT 10))::DOUBLE
+                 / sum(c)::DOUBLE * 1e6) / 1e6
+    FROM o
+    UNION ALL
+    SELECT 'lineitem.l_orderkey', cast(sum(c) AS BIGINT),
+           cast(count(*) AS BIGINT), cast(max(c) AS BIGINT),
+           floor(max(c)::DOUBLE * count(*)::DOUBLE / sum(c)::DOUBLE * 1e6)
+             / 1e6,
+           floor((SELECT sum(c) FROM (SELECT c FROM l
+                    ORDER BY c DESC, k LIMIT 10))::DOUBLE
+                 / sum(c)::DOUBLE * 1e6) / 1e6
+    FROM l
+    """,
+    tags=["skew", "diagnostics"],
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the audit you run BEFORE picking a
+    join strategy: per candidate key, total rows, distinct keys, the
+    hottest key's row count, skew_ratio (hottest / average key) and the
+    top-10 keys' share of all rows. skew_ratio >> 1 with a material
+    top-k share is the signature that says salt this key (or rely on
+    AQE skew splitting); a flat report says a plain hash join is fine.
+
+    Plan: one partial/final count per key table (map-side combine
+    collapses each partition's keys before the exchange), then a
+    six-row reduction; the top-10 arrives via TakeOrdered over the key
+    counts — nothing here materializes per-row state, so the probe
+    costs one aggregation pass per audited key at any corpus size."""
+    specs = [
+        ("events.user_id", T(spark, sf_dir, "events"), "user_id"),
+        ("orders.o_custkey", T(spark, sf_dir, "orders"), "o_custkey"),
+        ("lineitem.l_orderkey", T(spark, sf_dir, "lineitem"), "l_orderkey"),
+    ]
+    outs = []
+    for label, df, key in specs:
+        kc = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        top10 = (
+            kc.orderBy(F.desc("c"), F.asc(key))
+            .limit(10)
+            .agg(F.sum("c").alias("top10"))
+        )
+        stats = kc.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+        )
+        ratio = (
+            F.col("max_key_rows").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        )
+        share = F.col("top10").cast("double") / F.col("n_rows").cast("double")
+        outs.append(
+            stats.crossJoin(F.broadcast(top10)).select(
+                F.lit(label).alias("join_key"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("max_key_rows").cast("long").alias("max_key_rows"),
+                (F.floor(ratio * 1e6) / 1e6).alias("skew_ratio"),
+                (F.floor(share * 1e6) / 1e6).alias("top10_share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
     "salted_event_rollup",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value

@@ -157,6 +157,9 @@ PRIORITY_ORDER = [
 # pit_orders_segment_revenue (new, point-in-time SCD2 lookup),
 # contrastive_negative_pairs (new, deterministic negative sampling),
 # snapshot_diff_report (new, CDC-style snapshot reconciliation),
+# ppjoin_near_dup_pairs (new, lossless prefix-filter similarity join),
+# join_skew_report (new, pre-salting join-key skew audit),
+# containment_dup_pairs (new, asymmetric containment near-dup),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -168,3 +168,57 @@ def stream_corpus_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     return streaming_corpus_dedup_stats(spark, sf_dir)
+
+
+@query(
+    "stream_value_quantile_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             ceil(round(ln(greatest(value::DOUBLE, 1.0::DOUBLE))
+                        / 0.040005334613699206, 6)) AS i,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, i, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY i) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type, cast(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= ceil(0.5::DOUBLE * n) THEN
+             2.0::DOUBLE * power(1.0408163265306123, i)
+             / 2.0408163265306123 END), 4) AS p50_sketch,
+           round(min(CASE WHEN cum >= ceil(0.9::DOUBLE * n) THEN
+             2.0::DOUBLE * power(1.0408163265306123, i)
+             / 2.0408163265306123 END), 4) AS p90_sketch,
+           round(min(CASE WHEN cum >= ceil(0.99::DOUBLE * n) THEN
+             2.0::DOUBLE * power(1.0408163265306123, i)
+             / 2.0408163265306123 END), 4) AS p99_sketch
+    FROM c GROUP BY event_type
+    """,
+    tags=["streaming", "sketch", "quantile"],
+)
+def stream_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch: the (event_type, bin) counter table IS the
+    stream's aggregation state (bounded, merges by addition across
+    micro-batches), and the quantile fold runs batch-side on the
+    materialized state. Over the bounded source the streamed bin table
+    equals the batch bin table, so the fold — and therefore every
+    reported quantile — is value-verified by the oracle. This is how
+    p50/p99 monitoring runs on an unbounded stream without keeping raw
+    values: per-group state stays ~160 counters forever."""
+    from ..streaming.events_stream import value_quantile_bins
+    from .sketches import _DDS_QS, dds_quantiles_from_bins
+
+    tune_session(spark)
+    bins = value_quantile_bins(spark, sf_dir)
+    sk = dds_quantiles_from_bins(bins, "event_type", _DDS_QS)
+    cols = [F.col("event_type"), F.col("n").cast("long").alias("n")]
+    for q in _DDS_QS:
+        p = int(q * 100)
+        cols.append(
+            F.round(F.col(f"q{p}_sketch_raw"), 4).alias(f"p{p}_sketch")
+        )
+    return sk.select(*cols)

@@ -520,3 +520,107 @@ def er_blocking_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(inter * 1e6 / union) / 1e6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "ppjoin_near_dup_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cast(n_common AS BIGINT) AS n_common,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.3
+    """,
+    tags=["dedup", "prefix-filter", "llm-pipeline"],
+)
+def ppjoin_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard >= 0.3 pairs via PREFIX FILTERING — the
+    oracle runs the exhaustive inverted-index join, so a value-exact
+    match here PROVES the prefix filter is lossless, not just fast
+    (the pruning ratio itself is pinned in pytest)."""
+    from ..operators.dedup import ppjoin_jaccard_pairs
+
+    return ppjoin_jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.3
+    )
+
+
+@query(
+    "containment_dup_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT CASE WHEN sa.set_size < sb.set_size
+                       OR (sa.set_size = sb.set_size AND id_a < id_b)
+                  THEN id_a ELSE id_b END AS id_contained,
+             CASE WHEN sa.set_size < sb.set_size
+                       OR (sa.set_size = sb.set_size AND id_a < id_b)
+                  THEN id_b ELSE id_a END AS id_container,
+             least(sa.set_size, sb.set_size) AS size_contained,
+             greatest(sa.set_size, sb.set_size) AS size_container,
+             n_common,
+             floor(n_common / least(sa.set_size, sb.set_size) * 1e6) / 1e6
+               AS containment
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_contained, id_container,
+           cast(size_contained AS BIGINT) AS size_contained,
+           cast(size_container AS BIGINT) AS size_container,
+           cast(n_common AS BIGINT) AS n_common, containment
+    FROM directed WHERE containment >= 0.8
+    """,
+    tags=["dedup", "containment", "llm-pipeline"],
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (Broder 1997): directed pairs
+    where >= 80% of the smaller document's 3-gram shingles appear in
+    the larger — the quote/embedding case symmetric Jaccard misses when
+    the container is much longer. Frequency guard disabled for oracle
+    parity (see near_dup_jaccard_pairs)."""
+    from ..operators.dedup import containment_pairs
+
+    out = containment_pairs(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+        max_shingle_docs=None,
+    )
+    return out.select(
+        "id_contained",
+        "id_container",
+        F.col("size_contained").cast("long").alias("size_contained"),
+        F.col("size_container").cast("long").alias("size_container"),
+        F.col("n_common").cast("long").alias("n_common"),
+        "containment",
+    )

@@ -256,3 +256,24 @@ def dedup_document_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique_docs"))
     )
     return _run_to_memory(uniq, "complete")
+
+
+def value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch state: per (event_type, bin) counts maintained
+    by a streaming aggregation in complete mode. The BIN TABLE is what
+    streams — it is the sketch's entire state (bounded: groups x ~160
+    counters) and merges across micro-batches by addition, which is
+    exactly what an incremental streaming count does. Quantile folding
+    happens on the materialized state (plans/sketches.py), not in the
+    stream."""
+    from ..plans.sketches import _DDS_LN_GAMMA
+
+    ev = _event_stream(spark, sf_dir)
+    v = F.greatest(F.col("value").cast("double"), F.lit(1.0))
+    i = F.ceil(F.round(F.log(v) / _DDS_LN_GAMMA, 6))
+    bins = (
+        ev.select("event_type", i.alias("i"))
+        .groupBy("event_type", "i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _run_to_memory(bins, "complete")

@@ -57,3 +57,21 @@ def test_aqe_splits_skewed_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_join_skew_report_invariants(spark):
+    """skew_ratio is >= 1 by construction (hottest key >= average key)
+    and the top-10 share is a valid fraction; max * n_keys bounds the
+    total row count from above."""
+    from clinical_data_platform_spark.plans.advanced import join_skew_report
+
+    rows = join_skew_report(spark, "/root/testdata/sf0.001").collect()
+    assert {r.join_key for r in rows} == {
+        "events.user_id",
+        "orders.o_custkey",
+        "lineitem.l_orderkey",
+    }
+    for r in rows:
+        assert r.skew_ratio >= 1.0 - 1e-6, r
+        assert 0.0 < r.top10_share <= 1.0, r
+        assert r.max_key_rows * r.n_keys >= r.n_rows, r

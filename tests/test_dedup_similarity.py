@@ -206,3 +206,82 @@ def test_contrastive_negatives_reject_same_label_and_are_reproducible(spark):
         key=lambda r: (r.a_label, r.b_label),
     )
     assert rows == again
+
+
+def test_ppjoin_prefix_prunes_candidates_losslessly(spark):
+    """Prefix filtering must (a) shrink the candidate set well below the
+    full inverted-index pair expansion and (b) lose no true pair —
+    verified results equal the exhaustive operator's at the same
+    threshold. (Driver-side, the DuckDB oracle for ppjoin_near_dup_pairs
+    runs the exhaustive join, re-proving (b) value-exactly.)"""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.operators.dedup import (
+        _ppjoin_candidates,
+        _ppjoin_doc_table,
+        ngram_jaccard_pairs,
+        ppjoin_jaccard_pairs,
+        shingle_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = T(spark, sf, "documents")
+    docs = _ppjoin_doc_table(d, "doc_id", "text", 3)
+    n_pref = _ppjoin_candidates(docs, "doc_id", 0.3).count()
+    sh = shingle_table(d, "doc_id", "text", 3)
+    n_full = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert n_pref < 0.5 * n_full, (n_pref, n_full)
+    got = {
+        (r.id_a, r.id_b, r.n_common, r.jaccard)
+        for r in ppjoin_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    expect = {
+        (r.id_a, r.id_b, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.3, max_shingle_docs=None
+        ).collect()
+    }
+    assert got == expect and got
+
+
+def test_containment_dominates_jaccard_and_is_directed(spark):
+    """For every detected pair, containment >= the pair's Jaccard (the
+    min-size denominator can only grow the ratio), the contained side is
+    never larger than the container, and n_common never exceeds the
+    contained set."""
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = T(spark, sf, "documents")
+    cont = containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_docs=None
+    ).collect()
+    assert cont
+    jacc = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.jaccard
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.01, max_shingle_docs=None
+        ).collect()
+    }
+    for r in cont:
+        assert r.size_contained <= r.size_container, r
+        assert r.n_common <= r.size_contained, r
+        key = (
+            min(r.id_contained, r.id_container),
+            max(r.id_contained, r.id_container),
+        )
+        assert r.containment >= jacc[key] - 1e-6, (r, jacc[key])

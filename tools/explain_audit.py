@@ -59,6 +59,9 @@ AUDIT = [
     ("pit_orders_segment_revenue", "PIT lookup: broadcast dim equi-join + interval filter, no range blowup"),
     ("contrastive_negative_pairs", "Negative sampling: explode k ids, ONE vec_id hash join, no cross join"),
     ("snapshot_diff_report", "Snapshot diff: one full-outer key shuffle, map-side column compare"),
+    ("ppjoin_near_dup_pairs", "PPJoin: df-ordered prefix index joins, verify only surviving pairs"),
+    ("join_skew_report", "Skew audit: partial/final key counts, TakeOrdered top-10, 6-row output"),
+    ("containment_dup_pairs", "Containment: same posting-list expansion as Jaccard, directed scoring"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -507,18 +507,40 @@ def connected_components(
 def _ppjoin_doc_table(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, ordered df-ascending shingle structs, full shingle set, size)."""
+    """(id, ordered df-ascending shingle structs, full shingle set, size).
+
+    full_set and set_size are PROJECTED off the ordered array rather than
+    aggregated separately — one collect_list buffer per doc instead of
+    three (collect_list + collect_set + count), and the shingle strings
+    are stored once."""
     sh = shingle_table(df, id_col, text_col, n)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    parallelism = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # Explicit hash exchanges, not AQE-sized ones: the session runs AQE
+    # with parallelismFirst=false (right for the floor-dominated suite),
+    # but every stage here is CPU-dense per byte (sort+join on shingle,
+    # collect_list + array_sort per doc), so bytes-based coalescing
+    # serialized them onto 3-4 tasks (measured 17.5 s docs-table at 50k
+    # docs; ~6 s after claiming the parallelism). sh32 feeds both the df
+    # count and the join probe side with the SAME partitioning, so the
+    # exchange is planned once (ReusedExchange) and the join adds none.
+    sh32 = sh.repartition(parallelism, "shingle")
+    dfreq = sh32.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
-        sh.join(dfreq, "shingle")
+        sh32.join(dfreq, "shingle")
+        .repartition(parallelism, id_col)
         .groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
                 "ordered"
             ),
-            F.collect_set("shingle").alias("full_set"),
-            F.count(F.lit(1)).alias("set_size"),
+        )
+        .select(
+            id_col,
+            "ordered",
+            F.col("ordered.shingle").alias("full_set"),
+            F.size("ordered").cast("long").alias("set_size"),
         )
     )
 
@@ -526,22 +548,67 @@ def _ppjoin_doc_table(
 def _ppjoin_candidates(
     docs: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Distinct (id_a, id_b) pairs sharing a token within BOTH prefixes."""
+    """Distinct (id_a, id_b) pairs sharing a token within BOTH prefixes,
+    after the LENGTH filter: J(a,b) >= t implies t*max(|a|,|b|) <=
+    min(|a|,|b|), so size-mismatched pairs are dropped inside the join
+    before the distinct — provably lossless, like the prefix itself."""
     plen = (
         F.col("set_size")
         - F.ceil(F.lit(threshold) * F.col("set_size"))
         + 1
     ).cast("int")
-    pref = docs.select(
-        F.col(id_col),
-        F.explode(F.slice(F.col("ordered"), F.lit(1), plen)).alias("ps"),
-    ).select(id_col, F.col("ps.shingle").alias("shingle"))
+    pref = (
+        docs.select(
+            F.col(id_col),
+            F.col("set_size"),
+            F.explode(F.slice(F.col("ordered"), F.lit(1), plen)).alias("ps"),
+        )
+        .select(id_col, "set_size", F.col("ps.shingle").alias("shingle"))
+        # claim the join parallelism explicitly (CPU-dense self-join;
+        # see _ppjoin_doc_table) — both join branches share this
+        # exchange, so the self-join plans it once and adds none
+        .repartition(
+            int(
+                docs.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "32"
+                )
+            ),
+            "shingle",
+        )
+    )
+    length_ok = (
+        F.greatest(F.col("size_a"), F.col("size_b")) * F.lit(threshold)
+        <= F.least(F.col("size_a"), F.col("size_b"))
+    )
     return (
-        pref.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pref.select(
+            F.col(id_col).alias("id_a"),
+            F.col("set_size").alias("size_a"),
+            "shingle",
+        )
+        .join(
+            pref.select(
+                F.col(id_col).alias("id_b"),
+                F.col("set_size").alias("size_b"),
+                "shingle",
+            ),
+            "shingle",
+        )
+        .filter((F.col("id_a") < F.col("id_b")) & length_ok)
         .select("id_a", "id_b")
         .distinct()
+        # the candidate table is BYTES-small (two longs per row) but the
+        # downstream verify is CPU-dense (array_intersect per pair), so
+        # AQE's bytes-based coalescing collapses the distinct() output to
+        # ONE partition and serializes verification (measured 14.8 s on
+        # one core vs <1 s fanned out). Re-expand explicitly.
+        .repartition(
+            int(
+                docs.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "32"
+                )
+            )
+        )
     )
 
 
@@ -565,8 +632,27 @@ def ppjoin_jaccard_pairs(
     At 100 TB this is the principled upgrade over the raw inverted-index
     join + frequency cap: pruning strength adapts to the threshold
     instead of a fixed df cutoff, and the verify step touches only
-    surviving pairs with per-doc bounded arrays."""
-    docs = _ppjoin_doc_table(df, id_col, text_col, n)
+    surviving pairs with per-doc bounded arrays.
+
+    The doc table (shingle explode -> df-annotation join -> per-doc
+    ordered collect) is consumed THREE times downstream — candidate
+    generation plus both sides of the verify join — so it is
+    localCheckpoint'ed: without truncation Spark re-executes the whole
+    subtree per consumer, which tripled this operator's wall-clock
+    (measured 20.6 s -> 8.3 s at sf0.1). At cluster scale the same
+    role is played by persisting the doc table (or writing it once).
+    It is fanned out before the checkpoint for the same reason the
+    candidates are after theirs: AQE coalesces the bytes-small groupBy
+    output to one partition, which would serialize the CPU-dense
+    prefix-explode and verify map sides that read the checkpoint."""
+    parallelism = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    docs = (
+        _ppjoin_doc_table(df, id_col, text_col, n)
+        .repartition(parallelism)
+        .localCheckpoint()
+    )
     cand = _ppjoin_candidates(docs, id_col, threshold)
     da = docs.select(
         F.col(id_col).alias("id_a"),

@@ -89,6 +89,15 @@ HEADLINE = [
     "ppjoin_near_dup_pairs",
     "join_skew_report",
     "containment_dup_pairs",
+    "embedding_covariance_matrix",
+    "jl_projection_distortion",
+    "value_outliers_mad",
+    "trade_triangle_counts",
+    "classifier_calibration_bins",
+    "hll_daily_cumulative_users",
+    "orders_column_profile",
+    "part_pair_lift",
+    "event_transition_matrix",
 ]
 
 

@@ -30,3 +30,4 @@ from . import collocations  # noqa: E402,F401
 from . import contentfilter  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import graphops  # noqa: E402,F401
+from . import matrixops  # noqa: E402,F401

@@ -689,3 +689,83 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_lang"
         ),
     )
+
+
+@query(
+    "part_pair_lift",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    s AS (SELECT l_partkey, count(*) AS supp FROM b GROUP BY 1),
+    p AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS pair_supp
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b,
+           cast(pair_supp AS BIGINT) AS pair_supp,
+           cast(sa.supp AS BIGINT) AS supp_a,
+           cast(sb.supp AS BIGINT) AS supp_b,
+           floor(pair_supp::DOUBLE * n.n_orders::DOUBLE
+                 / (sa.supp::DOUBLE * sb.supp::DOUBLE) * 1e6) / 1e6 AS lift
+    FROM p
+    JOIN s sa ON sa.l_partkey = part_a
+    JOIN s sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=["affinity", "market-basket"],
+)
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top part pairs by LIFT = N * supp(ab) /
+    (supp(a) * supp(b)) over order baskets, min pair support 2 — the
+    co-occurrence/recommendation primitive (and, in a corpus pipeline,
+    the same shape as token co-occurrence lift).
+
+    Pair generation is the within-basket self-join, so the expansion is
+    sum over orders of (parts_per_order choose 2) — bounded by basket
+    size, never by catalog size; supports join back via two broadcastable
+    aggregates and the result is a TakeOrdered top-20. Lift is a ratio
+    of exact integers, trunc6'd on both engines."""
+    b = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    s = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    p = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_supp"))
+        .filter(F.col("pair_supp") >= 2)
+    )
+    sa = s.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a"))
+    sb = s.select(F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b"))
+    lift = (
+        F.col("pair_supp").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("supp_a").cast("double") * F.col("supp_b").cast("double"))
+    )
+    return (
+        p.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_supp").cast("long").alias("pair_supp"),
+            F.col("supp_a").cast("long").alias("supp_a"),
+            F.col("supp_b").cast("long").alias("supp_b"),
+            (F.floor(lift * 1e6) / 1e6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

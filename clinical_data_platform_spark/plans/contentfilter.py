@@ -162,3 +162,88 @@ def pii_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source rollup; the patterns fire on injected fixtures in pytest
     (the synthetic corpus itself is clean by construction)."""
     return pii_signal_frame(T(spark, sf_dir, "documents"))
+
+
+# Crude independent "looks like English prose" outcome used to draw the
+# reliability table: the doc contains at least one top-frequency English
+# function word as a whole token.
+_CAL_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+@query(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             floor((1.0 / (1.0 + exp(-4.0 *
+               (list_sum(list_transform(ws, w -> {_WEIGHT_SQL.format(w='w')}))
+                / greatest(len(ws), 1))))) * 1e6) / 1e6 AS keep_prob,
+             len(list_intersect(ws,
+                 {_CAL_STOPWORDS!r})) > 0 AS outcome
+      FROM t
+    )
+    SELECT least(floor(keep_prob * 10), 9)::BIGINT AS bin,
+           cast(count(*) AS BIGINT) AS n_docs,
+           round(avg(keep_prob), 6) AS mean_keep_prob,
+           floor(sum(CASE WHEN outcome THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 1e6) / 1e6 AS outcome_rate
+    FROM s
+    GROUP BY 1
+    """,
+    tags=["text", "quality", "ml", "calibration", "llm-pipeline"],
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the quality classifier: fixed-width
+    probability deciles (least(floor(p*10), 9) — no global sort, unlike
+    ntile, so the binning is map-side at any corpus size) with the bin's
+    observed rate of an independent outcome signal next to its mean
+    predicted probability. The gap between those two columns IS the
+    calibration error (this hashed-weight demo classifier is expected to
+    be uncalibrated — the operator is the report, the standard
+    post-training-eval / filter-threshold-picking pass).
+
+    Outcome = "contains a top-frequency English function word", chosen
+    because it is computable as one arrays_overlap expression in both
+    engines. mean_keep_prob averages per-doc trunc6'd probabilities, so
+    both engines sum identical doubles (round 6 re-syncs sum order)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    total = F.aggregate(
+        F.transform(F.col("ws"), _token_weight),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    score = total / F.greatest(F.size("ws"), F.lit(1))
+    prob = 1.0 / (1.0 + F.exp(-4.0 * score))
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    s = d.select(
+        trunc6(prob).alias("keep_prob"),
+        F.arrays_overlap(
+            "ws", F.array(*[F.lit(w) for w in _CAL_STOPWORDS])
+        ).alias("outcome"),
+    )
+    return (
+        s.groupBy(
+            F.least(F.floor(F.col("keep_prob") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("keep_prob"), 6).alias("mean_keep_prob"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("outcome"), 1).otherwise(0))
+                    / F.count(F.lit(1))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("outcome_rate"),
+        )
+    )

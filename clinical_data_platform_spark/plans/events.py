@@ -392,3 +392,66 @@ def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT cur, nxt, cast(n AS BIGINT) AS n,
+           floor(n::DOUBLE / sum(n) OVER (PARTITION BY cur)::DOUBLE * 1e6)
+             / 1e6 AS p
+    FROM c
+    """,
+    tags=["sequence", "markov"],
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), the standard
+    behavioral-sequence summary (and the n-gram LM shape applied to the
+    event stream instead of tokens).
+
+    lead() runs inside user partitions with a deterministic (ts,
+    event_id) ordering — no global sort; the transition counts are a
+    |types|^2-bounded table, so the per-cur normalization window runs on
+    at most 25 rows. Transition probabilities are ratios of exact
+    counts, trunc6'd on both engines."""
+    seq = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("nxt"),
+    )
+    c = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / F.sum("n").over(w).cast("double")
+                * 1e6
+            )
+            / 1e6
+        ).alias("p"),
+    )

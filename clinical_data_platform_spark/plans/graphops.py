@@ -175,3 +175,127 @@ def pagerank_frame(
             ).alias("r"),
         )
     return ranks
+
+
+_TRI_EDGES_SQL = """
+    d0 AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b, sum(w) AS w
+      FROM d0 GROUP BY 1, 2
+    ),
+    thresh AS (SELECT avg(w) AS avg_w FROM und),
+    e AS (SELECT a, b FROM und, thresh WHERE w > avg_w)
+"""
+
+
+@query(
+    "trade_triangle_counts",
+    oracle=(
+        "WITH "
+        + _TRI_EDGES_SQL
+        + """,
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pern AS (
+      SELECT a AS nation FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT nation, cast(count(*) AS BIGINT) AS n_triangles
+    FROM pern GROUP BY nation
+    """
+    ),
+    tags=["graph", "triangle", "motif"],
+)
+def trade_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the heavy-trade graph — the classic
+    distributed graph motif (clustering-coefficient numerator, community
+    density signal). Nation-pair trade weights are symmetrized, edges
+    kept where weight exceeds the mean pair weight (so the graph is a
+    genuine sparse subgraph, not the complete trade clique), and each
+    triangle a<b<c is enumerated exactly once by two ordered equi-joins
+    over the canonical edge list; per-node counts come from exploding
+    each triangle to its three corners.
+
+    At 100 TB the same two-join plan is the standard approach, with the
+    edge list hash-partitioned on the join key and the a<b<c ordering
+    doing the dedup work a "count then divide by 6" plan would botch on
+    skew. The oracle reproduces edge build, thresholding, and both joins
+    verbatim."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    d0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        d0.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    thresh = und.agg(F.avg("w").alias("avg_w"))
+    e = (
+        und.crossJoin(F.broadcast(thresh))
+        .filter(F.col("w") > F.col("avg_w"))
+        .select("a", "b")
+        .localCheckpoint()  # reused by all three triangle join legs
+    )
+    e1 = e
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("nation"))
+        .unionAll(tri.select(F.col("b").alias("nation")))
+        .unionAll(tri.select(F.col("c").alias("nation")))
+    )
+    return corners.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

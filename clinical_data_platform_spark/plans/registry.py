@@ -160,6 +160,16 @@ PRIORITY_ORDER = [
 # ppjoin_near_dup_pairs (new, lossless prefix-filter similarity join),
 # join_skew_report (new, pre-salting join-key skew audit),
 # containment_dup_pairs (new, asymmetric containment near-dup),
+# stream_value_quantile_sketch (new, streaming DDSketch state),
+# embedding_covariance_matrix (new, gram-partial covariance/PCA),
+# jl_projection_distortion (new, JL sign projection audit),
+# value_outliers_mad (new, median/MAD robust outliers),
+# trade_triangle_counts (new, graph motif enumeration),
+# classifier_calibration_bins (new, reliability table),
+# hll_daily_cumulative_users (new, sketch algebra over time),
+# orders_column_profile (new, single-scan column profiler),
+# part_pair_lift (new, market-basket lift),
+# event_transition_matrix (new, Markov event transitions),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

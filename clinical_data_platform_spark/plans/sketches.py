@@ -608,3 +608,83 @@ def ddsketch_doc_length_quantiles(
         cols.append(F.col(f"q{p}_ex").cast("long").alias(f"p{p}_exact"))
         cols.append(F.round(F.col(f"q{p}_sketch_raw"), 4).alias(f"p{p}_sketch"))
     return sk.join(ex, "lang").select(*cols)
+
+
+@query(
+    "hll_daily_cumulative_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('day', ts) AS day,
+             {_HEX8_SQL.format(h="md5(cast(user_id AS VARCHAR))")} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT day, hv % {_HLL_M} AS bucket,
+             max({_HLL_RHO_SQL.format(w="(hv >> 6)")}) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM r),
+    cum AS (
+      SELECT d.day, r.bucket, max(r.rho) AS rho
+      FROM days d JOIN r ON r.day <= d.day
+      GROUP BY 1, 2
+    ),
+    est AS ({_hll_est_sql("cum", "day")}),
+    fd AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS day
+      FROM events GROUP BY 1
+    ),
+    nc AS (SELECT day, count(*) AS c FROM fd GROUP BY 1),
+    dc AS (
+      SELECT d.day, coalesce(nc.c, 0) AS c
+      FROM days d LEFT JOIN nc USING (day)
+    ),
+    ex AS (
+      SELECT day, cast(sum(c) OVER (ORDER BY day) AS BIGINT) AS exact_cum
+      FROM dc
+    )
+    SELECT e.day, x.exact_cum, round(e.e, 4) AS hll_cumulative
+    FROM est e JOIN ex x USING (day)
+    """,
+    tags=["sketch", "approx", "time-series"],
+)
+def hll_daily_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day from DAILY HLL sketches — the
+    time-axis instance of sketch algebra: registers for day d1..dk merge
+    with max, so the "users ever seen as of day d" curve is computed
+    from 30 64-byte register vectors WITHOUT re-touching raw events per
+    day. Incremental by construction: tomorrow's point = today's
+    registers max-merged with tomorrow's daily sketch, which is exactly
+    what a nightly job persists.
+
+    The exact cumulative curve (first-seen-day + running sum, one
+    distinct-shuffle + a 30-row window) rides along as the foil. The
+    whole construction — hash, register build, per-day max-merge,
+    estimate fold — is value-verified cross-engine; register sums are
+    dyadic-exact so only the final estimate needs its 4 dp round."""
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    regs = hll_registers_frame(ev, "day", "user_id")
+    days = regs.select("day").distinct()
+    r = regs.select(
+        F.col("day").alias("rday"), "bucket", "rho"
+    )
+    cum = (
+        days.join(F.broadcast(r), F.col("rday") <= F.col("day"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate_from_registers(cum, "day")
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    nc = first.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    dc = days.join(F.broadcast(nc), "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    exact = dc.select(
+        "day", F.sum("c").over(w).cast("long").alias("exact_cum")
+    )
+    return est.join(exact, "day").select(
+        "day", "exact_cum", F.round("hll_raw", 4).alias("hll_cumulative")
+    )

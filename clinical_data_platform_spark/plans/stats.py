@@ -220,3 +220,76 @@ def ols_trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), d AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), md AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type,
+       cast(count(*) AS BIGINT) AS n,
+       round(max(d.med), 4) AS med,
+       round(max(md.mad), 4) AS mad,
+       cast(sum(CASE WHEN 0.6745::DOUBLE * d.absdev > 3.5::DOUBLE * md.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CASE WHEN max(md.mad) > 0
+                  THEN 0.6745::DOUBLE * max(d.absdev) / max(md.mad) END,
+             4) AS max_robust_z
+FROM d JOIN md USING (event_type)
+GROUP BY 1
+"""
+
+
+@query("value_outliers_mad", oracle=_MAD_ORACLE, tags=["M-ext", "robust"])
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via median/MAD (the
+    Iglewicz-Hoban modified z-score, |0.6745*(x-med)/MAD| > 3.5):
+    the monitoring primitive that survives the heavy-tailed value
+    distributions where mean/stddev z-scores drown — one extreme value
+    moves a mean arbitrarily but moves a median not at all.
+
+    Plan: two exact interpolated percentiles (value, then absolute
+    deviation) with the tiny per-group medians broadcast back between
+    passes; the outlier predicate is multiplication-only (0.6745*dev >
+    3.5*mad) so no division-by-zero path exists, and every comparison
+    is computed from identical doubles on both engines. At 100 TB the
+    exact percentiles become percentile_approx and the rest of the
+    plan is unchanged."""
+    import pyspark.sql.functions as F
+
+    ev = T(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    j = d.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("med"), 4).alias("med"),
+        F.round(F.max("mad"), 4).alias("mad"),
+        F.sum(
+            F.when(
+                F.lit(0.6745) * F.col("absdev") > F.lit(3.5) * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(
+            F.when(
+                F.max("mad") > 0,
+                F.lit(0.6745) * F.max("absdev") / F.max("mad"),
+            ),
+            4,
+        ).alias("max_robust_z"),
+    )

@@ -158,3 +158,110 @@ def dq_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@query(
+    "orders_column_profile",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             count(*) - count(o_orderstatus)   AS nn_status,
+             count(DISTINCT o_orderstatus)     AS nd_status,
+             min(o_orderstatus)                AS mn_status,
+             max(o_orderstatus)                AS mx_status,
+             count(*) - count(o_orderpriority) AS nn_prio,
+             count(DISTINCT o_orderpriority)   AS nd_prio,
+             min(o_orderpriority)              AS mn_prio,
+             max(o_orderpriority)              AS mx_prio,
+             count(*) - count(o_totalprice)    AS nn_price,
+             count(DISTINCT o_totalprice)      AS nd_price,
+             round(min(o_totalprice), 2)       AS mn_price,
+             round(max(o_totalprice), 2)       AS mx_price,
+             count(*) - count(o_custkey)       AS nn_cust,
+             count(DISTINCT o_custkey)         AS nd_cust,
+             CAST(min(o_custkey) AS DOUBLE)    AS mn_cust,
+             CAST(max(o_custkey) AS DOUBLE)    AS mx_cust
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS column_name, cast(n AS BIGINT) AS n_rows,
+           cast(nn_status AS BIGINT) AS n_nulls,
+           cast(nd_status AS BIGINT) AS n_distinct,
+           mn_status AS min_str, mx_status AS max_str,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+    FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', cast(n AS BIGINT), cast(nn_prio AS BIGINT),
+           cast(nd_prio AS BIGINT), mn_prio, mx_prio,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM s
+    UNION ALL
+    SELECT 'o_totalprice', cast(n AS BIGINT), cast(nn_price AS BIGINT),
+           cast(nd_price AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), mn_price, mx_price
+    FROM s
+    UNION ALL
+    SELECT 'o_custkey', cast(n AS BIGINT), cast(nn_cust AS BIGINT),
+           cast(nd_cust AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), mn_cust, mx_cust
+    FROM s
+    """,
+    tags=["profile", "dq"],
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the first thing any data platform runs against
+    a new table: per column, row/null/distinct counts and min/max, typed
+    (strings keep their lexical extremes, numerics their numeric ones).
+    ONE aggregation pass produces every metric; the long-form rows are
+    exploded from an array-of-structs literal afterwards, so the table
+    is scanned once no matter how many columns are profiled.
+
+    At 100 TB the exact count(DISTINCT) columns (one expand each) become
+    approx_count_distinct and the pass stays single-scan; everything
+    else is already a plain partial/final aggregate."""
+    o = T(spark, sf_dir, "orders")
+    nul = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))  # noqa: E731
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        nul("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        nul("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("mn_prio"),
+        F.max("o_orderpriority").alias("mx_prio"),
+        nul("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 2).alias("mn_price"),
+        F.round(F.max("o_totalprice"), 2).alias("mx_price"),
+        nul("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("mn_cust"),
+        F.max("o_custkey").cast("double").alias("mx_cust"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    row = lambda name, nn, nd, mns, mxs, mnn, mxn: F.struct(  # noqa: E731
+        F.lit(name).alias("column_name"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col(nn).cast("long").alias("n_nulls"),
+        F.col(nd).cast("long").alias("n_distinct"),
+        (F.col(mns) if mns else null_s).alias("min_str"),
+        (F.col(mxs) if mxs else null_s).alias("max_str"),
+        (F.col(mnn) if mnn else null_d).alias("min_num"),
+        (F.col(mxn) if mxn else null_d).alias("max_num"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                row("o_orderstatus", "nn_status", "nd_status",
+                    "mn_status", "mx_status", None, None),
+                row("o_orderpriority", "nn_prio", "nd_prio",
+                    "mn_prio", "mx_prio", None, None),
+                row("o_totalprice", "nn_price", "nd_price",
+                    None, None, "mn_price", "mx_price"),
+                row("o_custkey", "nn_cust", "nd_cust",
+                    None, None, "mn_cust", "mx_cust"),
+            )
+        ).alias("p")
+    ).select("p.*")

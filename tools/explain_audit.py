@@ -62,6 +62,15 @@ AUDIT = [
     ("ppjoin_near_dup_pairs", "PPJoin: df-ordered prefix index joins, verify only surviving pairs"),
     ("join_skew_report", "Skew audit: partial/final key counts, TakeOrdered top-10, 6-row output"),
     ("containment_dup_pairs", "Containment: same posting-list expansion as Jaccard, directed scoring"),
+    ("embedding_covariance_matrix", "Covariance: Arrow gram partials, KB-sized shuffle, broadcast combine"),
+    ("jl_projection_distortion", "JL projection: constant-folded sign matrix, map-side project, one pair join"),
+    ("value_outliers_mad", "MAD outliers: two percentile passes, broadcast medians, no division"),
+    ("trade_triangle_counts", "Triangles: ordered two-join motif enumeration on checkpointed edge list"),
+    ("classifier_calibration_bins", "Calibration: fixed-width prob bins (no ntile/global sort), one rollup"),
+    ("hll_daily_cumulative_users", "Cumulative HLL: daily 64B registers max-merged over time, raw data untouched"),
+    ("orders_column_profile", "Profiler: ONE scan, every metric, long-form via array-of-structs explode"),
+    ("part_pair_lift", "Basket lift: within-order self-join bounded by basket size, TakeOrdered 20"),
+    ("event_transition_matrix", "Markov transitions: user-partitioned lead(), |types|^2-bounded counts"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -98,6 +98,10 @@ HEADLINE = [
     "orders_column_profile",
     "part_pair_lift",
     "event_transition_matrix",
+    "value_psi_weekly",
+    "decayed_user_activity",
+    "token_kl_divergence",
+    "customer_rfm_segments",
 ]
 
 

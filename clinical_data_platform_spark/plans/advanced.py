@@ -769,3 +769,123 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+_RFM_REF = "2001-09-01 00:00:00"
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             ((epoch(TIMESTAMP '{_RFM_REF}')
+               - epoch_us(max(o_orderdate)) // 1000000) / 86400)::BIGINT
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    qs AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r25,
+             quantile_cont(recency_days, 0.50) AS r50,
+             quantile_cont(recency_days, 0.75) AS r75,
+             quantile_cont(frequency, 0.25) AS f25,
+             quantile_cont(frequency, 0.50) AS f50,
+             quantile_cont(frequency, 0.75) AS f75,
+             quantile_cont(monetary, 0.25) AS m25,
+             quantile_cont(monetary, 0.50) AS m50,
+             quantile_cont(monetary, 0.75) AS m75
+      FROM rfm
+    ),
+    scored AS (
+      SELECT (1 + (recency_days <= r75)::INT + (recency_days <= r50)::INT
+                + (recency_days <= r25)::INT)::BIGINT AS r_score,
+             (1 + (frequency > f25)::INT + (frequency > f50)::INT
+                + (frequency > f75)::INT)::BIGINT AS f_score,
+             (1 + (monetary > m25)::INT + (monetary > m50)::INT
+                + (monetary > m75)::INT)::BIGINT AS m_score,
+             monetary
+      FROM rfm, qs
+    )
+    SELECT r_score, f_score, m_score,
+           cast(count(*) AS BIGINT) AS n_customers,
+           round(avg(monetary), 4) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=["segmentation", "rfm", "marts"],
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value cube: per customer
+    Recency (days since last order at a fixed reference date), Frequency
+    (order count) and Monetary (total spend, rounded to cents BEFORE the
+    quantiles so float-sum ulps can't flip a boundary), each scored 1-4
+    against the population quartiles (4 = most recent / most frequent /
+    highest spend), rolled up to segment counts.
+
+    Plan: one per-customer aggregation, one 9-value quantile scalar
+    broadcast back, map-side scoring, and a 64-cell rollup — the exact
+    interpolated quantiles become approx at 100 TB and the shape stays
+    two aggregations deep."""
+    o = T(spark, sf_dir, "orders")
+    ref_sec = F.unix_timestamp(F.lit(_RFM_REF), "yyyy-MM-dd HH:mm:ss")
+    rfm = o.groupBy("o_custkey").agg(
+        (
+            (
+                ref_sec
+                # orderdate arrives TIMESTAMP_NTZ; the session timezone
+                # is pinned UTC, so NTZ -> timestamp -> epoch seconds is
+                # the same truncation DuckDB's epoch_us // 1e6 performs
+                - F.max("o_orderdate").cast("timestamp").cast("long")
+            )
+            / 86400
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    qs = rfm.agg(
+        F.percentile("recency_days", F.lit(0.25)).alias("r25"),
+        F.percentile("recency_days", F.lit(0.50)).alias("r50"),
+        F.percentile("recency_days", F.lit(0.75)).alias("r75"),
+        F.percentile("frequency", F.lit(0.25)).alias("f25"),
+        F.percentile("frequency", F.lit(0.50)).alias("f50"),
+        F.percentile("frequency", F.lit(0.75)).alias("f75"),
+        F.percentile("monetary", F.lit(0.25)).alias("m25"),
+        F.percentile("monetary", F.lit(0.50)).alias("m50"),
+        F.percentile("monetary", F.lit(0.75)).alias("m75"),
+    )
+    s = rfm.crossJoin(F.broadcast(qs))
+    b = lambda c: c.cast("int")  # noqa: E731
+    scored = s.select(
+        (
+            1
+            + b(F.col("recency_days") <= F.col("r75"))
+            + b(F.col("recency_days") <= F.col("r50"))
+            + b(F.col("recency_days") <= F.col("r25"))
+        )
+        .cast("long")
+        .alias("r_score"),
+        (
+            1
+            + b(F.col("frequency") > F.col("f25"))
+            + b(F.col("frequency") > F.col("f50"))
+            + b(F.col("frequency") > F.col("f75"))
+        )
+        .cast("long")
+        .alias("f_score"),
+        (
+            1
+            + b(F.col("monetary") > F.col("m25"))
+            + b(F.col("monetary") > F.col("m50"))
+            + b(F.col("monetary") > F.col("m75"))
+        )
+        .cast("long")
+        .alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+    )

@@ -740,3 +740,91 @@ def clean_corpus_frame(
         )
     )
     return rebuilt
+
+
+_KL_SRC_A = "src0"
+_KL_SRC_B = "src1"
+
+
+@query(
+    "token_kl_divergence",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+      WHERE source IN ('{_KL_SRC_A}', '{_KL_SRC_B}')
+    ),
+    c AS (
+      SELECT tok,
+             sum(CASE WHEN source = '{_KL_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = '{_KL_SRC_B}' THEN 1 ELSE 0 END) AS cb
+      FROM tk GROUP BY tok
+    ),
+    tot AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM c
+    ),
+    pq AS (
+      SELECT (ca + 1.0::DOUBLE) / (na + v)::DOUBLE AS p,
+             (cb + 1.0::DOUBLE) / (nb + v)::DOUBLE AS q
+      FROM c, tot
+    )
+    SELECT cast(max(tot.na) AS BIGINT) AS n_tokens_a,
+           cast(max(tot.nb) AS BIGINT) AS n_tokens_b,
+           cast(max(tot.v) AS BIGINT) AS vocab_size,
+           round(sum(p * ln(p / q)), 6) AS kl_ab,
+           round(sum(q * ln(q / p)), 6) AS kl_ba,
+           round(sum(0.5::DOUBLE * p * ln(p / ((p + q) / 2.0::DOUBLE))
+                     + 0.5::DOUBLE * q * ln(q / ((p + q) / 2.0::DOUBLE))),
+                 6) AS js_divergence
+    FROM pq, tot
+    """,
+    tags=["corpus", "drift", "kl", "llm-pipeline"],
+)
+def token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus slices: KL divergence
+    both directions plus the symmetric, bounded Jensen-Shannon
+    divergence, over add-1-smoothed unigram distributions on the union
+    vocabulary — the train/serving-skew and corpus-shift detector run
+    before mixing a new source into a training blend.
+
+    One token-count shuffle (conditional sums fold both slices in the
+    same pass), one vocab-sized fold; the totals ride along as a
+    broadcast scalar. Vocabulary-sized state, never corpus-sized."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents").filter(
+            F.col("source").isin(_KL_SRC_A, _KL_SRC_B)
+        )
+    )
+    tk = d.select(
+        "source",
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    c = tk.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == _KL_SRC_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == _KL_SRC_B, 1).otherwise(0)).alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pq = c.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ca") + 1.0) / (F.col("na") + F.col("v"))).alias("p"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + F.col("v"))).alias("q"),
+        "na", "nb", "v",
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    return pq.agg(
+        F.max("na").cast("long").alias("n_tokens_a"),
+        F.max("nb").cast("long").alias("n_tokens_b"),
+        F.max("v").cast("long").alias("vocab_size"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_ab"),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_ba"),
+        F.round(
+            F.sum(
+                0.5 * F.col("p") * F.log(F.col("p") / m)
+                + 0.5 * F.col("q") * F.log(F.col("q") / m)
+            ),
+            6,
+        ).alias("js_divergence"),
+    )

@@ -455,3 +455,59 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("p"),
     )
+
+
+_DECAY_REF = "2024-02-01 00:00:00"
+_DECAY_HALF_LIFE_DAYS = 7.0
+
+
+@query(
+    "decayed_user_activity",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             exp(-(ln(2.0::DOUBLE) / {_DECAY_HALF_LIFE_DAYS}::DOUBLE)
+                 * ((epoch(TIMESTAMP '{_DECAY_REF}')
+                     - epoch_us(ts) // 1000000)::DOUBLE / 86400.0::DOUBLE))
+               AS wgt
+      FROM events
+    )
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS n_events,
+           round(sum(wgt), 6) AS activity_score
+    FROM s GROUP BY user_id
+    ORDER BY activity_score DESC, user_id
+    LIMIT 20
+    """,
+    tags=["feature", "decay", "recency"],
+)
+def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per user (7-day
+    half-life against a fixed reference instant) — the standard
+    recency-weighted engagement feature: every event contributes
+    2^(-age/half_life), so yesterday's click outweighs last month's
+    burst without any hard cutoff window.
+
+    One map-side weight expression + one partial/final sum per user;
+    top-20 via TakeOrdered. Incremental at 100 TB: scores age by a
+    scalar multiplier (score_new = score_old * decay^dt + today's
+    events), so the nightly job never rescans history. Age seconds are
+    floor-truncated identically on both engines (epoch_us // 1e6 ==
+    Spark's long cast), making every weight double identical before
+    the 6 dp round on the per-user sum."""
+    ev = T(spark, sf_dir, "events")
+    ref_sec = F.unix_timestamp(F.lit(_DECAY_REF), "yyyy-MM-dd HH:mm:ss")
+    age_days = (ref_sec - F.col("ts").cast("long")).cast("double") / 86400.0
+    wgt = F.exp(
+        -(F.log(F.lit(2.0)) / F.lit(_DECAY_HALF_LIFE_DAYS)) * age_days
+    )
+    return (
+        ev.select("user_id", wgt.alias("wgt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("wgt"), 6).alias("activity_score"),
+        )
+        .orderBy(F.desc("activity_score"), "user_id")
+        .limit(20)
+    )

@@ -170,6 +170,10 @@ PRIORITY_ORDER = [
 # orders_column_profile (new, single-scan column profiler),
 # part_pair_lift (new, market-basket lift),
 # event_transition_matrix (new, Markov event transitions),
+# value_psi_weekly (new, PSI input-drift monitoring),
+# decayed_user_activity (new, exponential-decay recency feature),
+# token_kl_divergence (new, corpus-slice KL/JS drift),
+# customer_rfm_segments (new, quartile RFM segmentation),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -71,6 +71,10 @@ AUDIT = [
     ("orders_column_profile", "Profiler: ONE scan, every metric, long-form via array-of-structs explode"),
     ("part_pair_lift", "Basket lift: within-order self-join bounded by basket size, TakeOrdered 20"),
     ("event_transition_matrix", "Markov transitions: user-partitioned lead(), |types|^2-bounded counts"),
+    ("value_psi_weekly", "PSI: two pruned bin counts, |types|x10 grid join, window-normalized fold"),
+    ("decayed_user_activity", "Decay score: map-side exp weight, one sum per user, TakeOrdered 20"),
+    ("token_kl_divergence", "KL drift: one token-count shuffle folds both slices, vocab-sized state"),
+    ("customer_rfm_segments", "RFM: per-customer agg, 9-quantile broadcast, map-side scoring, 64-cell cube"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

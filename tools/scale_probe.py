@@ -380,6 +380,83 @@ def main() -> None:
         ),
     )
 
+    # ---- wave-7: linalg / monitoring / feature / segmentation ----
+    from clinical_data_platform_spark.operators.linalg import covariance_long
+
+    run("embedding_covariance_200k", covariance_long(emb, "embedding", 64))
+
+    # decayed activity: map-side exp weight + one sum per user over the
+    # full event volume (the recency-feature shape)
+    ref_sec = F.unix_timestamp(
+        F.lit("2024-02-01 00:00:00"), "yyyy-MM-dd HH:mm:ss"
+    )
+    age_days = (ref_sec - F.col("ts").cast("long")).cast("double") / 86400.0
+    wgt = F.exp(-(F.log(F.lit(2.0)) / F.lit(7.0)) * age_days)
+    run(
+        "decayed_activity",
+        events.select("user_id", wgt.alias("w"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("score")),
+    )
+
+    # Markov transitions: user-partitioned lead() over the event stream
+    from pyspark.sql import Window as W
+
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    run(
+        "event_transitions",
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+
+    # RFM shape: per-key aggregation, 9-quantile scalar broadcast back,
+    # map-side scoring, tiny cube rollup (events.value as monetary)
+    rfm = events.groupBy("user_id").agg(
+        F.max("ts").cast("long").alias("last_sec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 2).alias("mon"),
+    )
+    qs = rfm.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c}{int(q * 100)}")
+            for c in ("last_sec", "freq", "mon")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    sc = rfm.crossJoin(F.broadcast(qs))
+    b = lambda cnd: cnd.cast("int")  # noqa: E731
+    run(
+        "rfm_segments",
+        sc.select(
+            (
+                1
+                + b(F.col("last_sec") > F.col("last_sec25"))
+                + b(F.col("last_sec") > F.col("last_sec50"))
+                + b(F.col("last_sec") > F.col("last_sec75"))
+            ).alias("r"),
+            (
+                1
+                + b(F.col("freq") > F.col("freq25"))
+                + b(F.col("freq") > F.col("freq50"))
+                + b(F.col("freq") > F.col("freq75"))
+            ).alias("f"),
+            (
+                1
+                + b(F.col("mon") > F.col("mon25"))
+                + b(F.col("mon") > F.col("mon50"))
+                + b(F.col("mon") > F.col("mon75"))
+            ).alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+
     print(
         json.dumps(
             {

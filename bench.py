@@ -102,6 +102,7 @@ HEADLINE = [
     "decayed_user_activity",
     "token_kl_divergence",
     "customer_rfm_segments",
+    "stream_value_psi",
 ]
 
 

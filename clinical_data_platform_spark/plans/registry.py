@@ -174,6 +174,7 @@ PRIORITY_ORDER = [
 # decayed_user_activity (new, exponential-decay recency feature),
 # token_kl_divergence (new, corpus-slice KL/JS drift),
 # customer_rfm_segments (new, quartile RFM segmentation),
+# stream_value_psi (new, streaming PSI — bin counts as stream state),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -222,3 +222,103 @@ def stream_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col(f"q{p}_sketch_raw"), 4).alias(f"p{p}_sketch")
         )
     return sk.select(*cols)
+
+
+@query(
+    "stream_value_psi",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, least(floor(value / 50.0), 9)::BIGINT AS bin,
+             count(*) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, least(floor(value / 50.0), 9)::BIGINT AS bin,
+             count(*) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           unnest(range(0, 10)) AS g(bin)
+    ),
+    f AS (
+      SELECT g.event_type, g.bin,
+             coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+      FROM grid g
+      LEFT JOIN a ON a.event_type = g.event_type AND a.bin = g.bin
+      LEFT JOIN b ON b.event_type = g.event_type AND b.bin = g.bin
+    ),
+    t AS (
+      SELECT event_type, ca, cb,
+             (ca + 0.5::DOUBLE) / (sum(ca) OVER (PARTITION BY event_type)
+                                   + 5.0::DOUBLE) AS p,
+             (cb + 0.5::DOUBLE) / (sum(cb) OVER (PARTITION BY event_type)
+                                   + 5.0::DOUBLE) AS q
+      FROM f
+    )
+    SELECT event_type,
+           cast(sum(ca) AS BIGINT) AS n_ref,
+           cast(sum(cb) AS BIGINT) AS n_cur,
+           round(sum((p - q) * ln(p / q)), 6) AS psi
+    FROM t GROUP BY event_type
+    """,
+    tags=["streaming", "monitoring", "psi"],
+)
+def stream_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI: input-drift monitoring on an unbounded stream
+    without retaining raw values — the (event_type, period, bin) counter
+    table is the streaming aggregation state itself (|types| x 10 x 2
+    counters, merging across micro-batches by addition), and the PSI
+    fold runs batch-side on the materialized state. Over the bounded
+    source the streamed bin table equals the batch bin table, so the
+    fold — and every reported PSI — is value-verified by the same
+    oracle as the batch value_psi_weekly."""
+    from ..streaming.events_stream import psi_bins
+
+    tune_session(spark)
+    # checkpoint the materialized state: it is consumed three times
+    # (grid, ref side, cur side) and memory-sink views raise conflicting-
+    # reference errors under self-join lineage; the table is tiny.
+    bins = psi_bins(spark, sf_dir).localCheckpoint()
+    a = bins.filter(F.col("period") == "ref").select(
+        "event_type", "bin", F.col("c").alias("ca")
+    )
+    b = bins.filter(F.col("period") == "cur").select(
+        "event_type", "bin", F.col("c").alias("cb")
+    )
+    grid = bins.select("event_type").distinct().crossJoin(
+        bins.sparkSession.range(10).select(F.col("id").alias("bin"))
+    )
+    f = (
+        grid.join(a, ["event_type", "bin"], "left")
+        .join(b, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    p = (F.col("ca") + 0.5) / (F.sum("ca").over(w) + 5.0)
+    q = (F.col("cb") + 0.5) / (F.sum("cb").over(w) + 5.0)
+    return (
+        f.select("event_type", "ca", "cb", p.alias("p"), q.alias("q"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("ca").cast("long").alias("n_ref"),
+            F.sum("cb").cast("long").alias("n_cur"),
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+                ),
+                6,
+            ).alias("psi"),
+        )
+    )

@@ -277,3 +277,38 @@ def value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return _run_to_memory(bins, "complete")
+
+
+def psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI state: per (event_type, bin, period) counts for the
+    two reference weeks, maintained as a streaming aggregation in
+    complete mode. Like the DDSketch bin table, this counter table IS
+    the monitor's whole state (|types| x 10 x 2 rows, merging across
+    micro-batches by addition); the PSI fold runs batch-side on the
+    materialized state."""
+    ev = _event_stream(spark, sf_dir)
+    period = (
+        F.when(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp")),
+            "ref",
+        )
+        .when(
+            (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp")),
+            "cur",
+        )
+    )
+    bins = (
+        ev.select(
+            "event_type",
+            period.alias("period"),
+            F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+            .cast("long")
+            .alias("bin"),
+        )
+        .filter(F.col("period").isNotNull())
+        .groupBy("event_type", "period", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _run_to_memory(bins, "complete")

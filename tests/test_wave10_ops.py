@@ -71,3 +71,19 @@ def test_rfm_segments_partition_customers(spark):
     for s in (1, 2, 3, 4):
         share = sum(r.n_customers for r in rows if r.m_score == s) / n_cust
         assert 0.10 <= share <= 0.40, (s, share)
+
+
+def test_stream_psi_equals_batch_and_reruns(spark):
+    from clinical_data_platform_spark.plans.stats import value_psi_weekly
+    from clinical_data_platform_spark.plans.streamops import stream_value_psi
+
+    batch = {r.event_type: r for r in value_psi_weekly(spark, SF).collect()}
+    s1 = {r.event_type: r for r in stream_value_psi(spark, SF).collect()}
+    s2 = {r.event_type: r for r in stream_value_psi(spark, SF).collect()}
+    assert s1 == s2  # memory-sink names must not collide across runs
+    assert set(s1) == set(batch)
+    for et, r in s1.items():
+        b = batch[et]
+        # streamed bin state == batch bin state over the bounded source,
+        # so the folded PSI matches the batch operator exactly
+        assert (r.n_ref, r.n_cur, r.psi) == (b.n_ref, b.n_cur, b.psi)

@@ -103,6 +103,9 @@ HEADLINE = [
     "token_kl_divergence",
     "customer_rfm_segments",
     "stream_value_psi",
+    "incremental_daily_rollup_merge",
+    "token_heavy_changers",
+    "value_winsorized_stats",
 ]
 
 

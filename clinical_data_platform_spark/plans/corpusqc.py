@@ -828,3 +828,75 @@ def token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_divergence"),
     )
+
+
+@query(
+    "token_heavy_changers",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+      WHERE source IN ('{_KL_SRC_A}', '{_KL_SRC_B}')
+    ),
+    c AS (
+      SELECT tok,
+             sum(CASE WHEN source = '{_KL_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = '{_KL_SRC_B}' THEN 1 ELSE 0 END) AS cb
+      FROM tk GROUP BY tok
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM c),
+    r AS (
+      SELECT tok, cast(ca AS BIGINT) AS ca, cast(cb AS BIGINT) AS cb,
+             floor(abs(ln(((ca + 1.0::DOUBLE) / (na + v))
+                          / ((cb + 1.0::DOUBLE) / (nb + v)))) * 1e6) / 1e6
+               AS abs_log_ratio
+      FROM c, tot
+      WHERE ca + cb >= 5
+    )
+    SELECT tok, ca, cb, abs_log_ratio
+    FROM r
+    ORDER BY abs_log_ratio DESC, tok
+    LIMIT 15
+    """,
+    tags=["corpus", "drift", "heavy-changers", "llm-pipeline"],
+)
+def token_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The itemized companion to token_kl_divergence: which tokens moved
+    most between the two corpus slices, by absolute smoothed
+    log-probability ratio with a minimum-evidence floor (ca+cb >= 5) —
+    the triage list a corpus owner actually reads when the KL alarm
+    fires. One token-count shuffle, a broadcast totals scalar, and a
+    TakeOrdered(15) on the trunc6'd ratio (truncated BEFORE the sort so
+    the tie-break is engine-stable)."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents").filter(
+            F.col("source").isin(_KL_SRC_A, _KL_SRC_B)
+        )
+    )
+    tk = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    c = tk.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == _KL_SRC_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == _KL_SRC_B, 1).otherwise(0)).alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = ((F.col("ca") + 1.0) / (F.col("na") + F.col("v"))) / (
+        (F.col("cb") + 1.0) / (F.col("nb") + F.col("v"))
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("ca") + F.col("cb") >= 5)
+        .select(
+            "tok",
+            F.col("ca").cast("long").alias("ca"),
+            F.col("cb").cast("long").alias("cb"),
+            (F.floor(F.abs(F.log(ratio)) * 1e6) / 1e6).alias("abs_log_ratio"),
+        )
+        .orderBy(F.desc("abs_log_ratio"), "tok")
+        .limit(15)
+    )

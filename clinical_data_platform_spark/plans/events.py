@@ -511,3 +511,55 @@ def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("activity_score"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "incremental_daily_rollup_merge",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=["incremental", "materialized-view"],
+)
+def incremental_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the running daily
+    rollup is NOT recomputed from raw history — the plan aggregates the
+    historical days and the newly-arrived day as two separate batches
+    and MERGES their partial states (counts and sums add; every
+    aggregate here is mergeable, the property all MV-maintenance rests
+    on). The oracle is the full recompute over all events, so the green
+    row value-proves merged-incremental == recomputed-from-scratch.
+
+    At 100 TB this is the difference between touching one day's
+    partition and re-scanning years: the base table is yesterday's
+    materialized output (here rebuilt for the demo, in production read
+    back from the sink), and the merge is a groupBy over
+    days x types rows, not events."""
+    ev = T(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    # mid-day cutoff ON PURPOSE: the last day's state exists in BOTH
+    # batches, so the union-groupBy genuinely merges partial states
+    # (a day-boundary cutoff would make the merge a vacuous union)
+    cutoff = F.lit("2024-01-30 12:00:00").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(day.alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+
+    base = rollup(ev.filter(F.col("ts") < cutoff))  # the standing MV
+    incr = rollup(ev.filter(F.col("ts") >= cutoff))  # today's partition
+    merged = (
+        base.unionAll(incr)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("s", 4).alias("sum_value"),
+    )

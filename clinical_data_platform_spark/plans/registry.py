@@ -175,6 +175,9 @@ PRIORITY_ORDER = [
 # token_kl_divergence (new, corpus-slice KL/JS drift),
 # customer_rfm_segments (new, quartile RFM segmentation),
 # stream_value_psi (new, streaming PSI — bin counts as stream state),
+# incremental_daily_rollup_merge (new, mergeable-partial MV maintenance),
+# token_heavy_changers (new, itemized drift triage),
+# value_winsorized_stats (new, winsorization audit),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

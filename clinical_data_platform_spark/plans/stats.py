@@ -400,3 +400,70 @@ def value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+_WINSOR_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT e.event_type, e.value, q.p01, q.p99,
+         least(greatest(e.value, q.p01), q.p99) AS wv
+  FROM events e JOIN q USING (event_type)
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped,
+       round(max(p01), 4) AS p01,
+       round(max(p99), 4) AS p99,
+       round(avg(value), 4) AS mean_raw,
+       round(avg(wv), 4) AS mean_winsorized,
+       round(stddev_samp(value), 4) AS std_raw,
+       round(stddev_samp(wv), 4) AS std_winsorized
+FROM w GROUP BY event_type
+"""
+
+
+@query("value_winsorized_stats", oracle=_WINSOR_ORACLE, tags=["M-ext", "robust"])
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit — the feature-prep standard for taming heavy
+    tails without dropping rows: clamp each group's values to its
+    [p01, p99] band and report mean/stddev before vs after plus how many
+    rows were capped. The before/after deltas ARE the report: a large
+    std shrink with a small capped count is the long-tail signature.
+
+    One exact percentile pass (broadcast back), then one aggregation
+    over the clamped projection — at 100 TB the percentiles become
+    approx and the clamp stays map-side."""
+    import pyspark.sql.functions as F
+
+    ev = T(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    w = ev.join(F.broadcast(q), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("p01"))
+                | (F.col("value") > F.col("p99")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_capped"),
+        F.round(F.max("p01"), 4).alias("p01"),
+        F.round(F.max("p99"), 4).alias("p99"),
+        F.round(F.avg("value"), 4).alias("mean_raw"),
+        F.round(F.avg("wv"), 4).alias("mean_winsorized"),
+        F.round(F.stddev_samp("value"), 4).alias("std_raw"),
+        F.round(F.stddev_samp("wv"), 4).alias("std_winsorized"),
+    )

@@ -75,6 +75,9 @@ AUDIT = [
     ("decayed_user_activity", "Decay score: map-side exp weight, one sum per user, TakeOrdered 20"),
     ("token_kl_divergence", "KL drift: one token-count shuffle folds both slices, vocab-sized state"),
     ("customer_rfm_segments", "RFM: per-customer agg, 9-quantile broadcast, map-side scoring, 64-cell cube"),
+    ("incremental_daily_rollup_merge", "MV merge: two batch partials union-merged, never a raw-history rescan"),
+    ("token_heavy_changers", "Heavy changers: one count shuffle, broadcast totals, trunc6-then-TakeOrdered"),
+    ("value_winsorized_stats", "Winsorize: one percentile pass broadcast back, map-side clamp, one rollup"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

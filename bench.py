@@ -106,6 +106,8 @@ HEADLINE = [
     "incremental_daily_rollup_merge",
     "token_heavy_changers",
     "value_winsorized_stats",
+    "golden_customer_records",
+    "class_balance_weights",
 ]
 
 

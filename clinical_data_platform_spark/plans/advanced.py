@@ -889,3 +889,130 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.avg("monetary"), 4).alias("avg_monetary"),
     )
+
+
+@query(
+    "golden_customer_records",
+    oracle="""
+    WITH recs AS (
+      -- three deterministic source-system versions per customer: the
+      -- base record plus two updates that each null out or change a
+      -- different attribute subset (md5-derived, so both engines build
+      -- the identical multi-source mess)
+      SELECT c_custkey AS entity_id, 0 AS src_ts,
+             c_name AS name, c_mktsegment AS segment,
+             CAST(c_acctbal AS VARCHAR) AS acctbal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 1,
+             CASE WHEN (strpos('0123456789abcdef',
+                   substr(md5(cast(c_custkey AS VARCHAR) || '|n1'), 1, 1))
+                   - 1) % 3 = 0 THEN NULL ELSE c_name || '_v1' END,
+             NULL,
+             CAST(round(c_acctbal + 10.0, 2) AS VARCHAR)
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2,
+             NULL,
+             CASE WHEN (strpos('0123456789abcdef',
+                   substr(md5(cast(c_custkey AS VARCHAR) || '|s2'), 1, 1))
+                   - 1) % 2 = 0 THEN 'SEG_V2' ELSE NULL END,
+             NULL
+      FROM customer
+    ),
+    melted AS (
+      SELECT entity_id, src_ts, 'name' AS attr, name AS val FROM recs
+      UNION ALL
+      SELECT entity_id, src_ts, 'segment', segment FROM recs
+      UNION ALL
+      SELECT entity_id, src_ts, 'acctbal', acctbal FROM recs
+    ),
+    ranked AS (
+      SELECT entity_id, attr, val, src_ts,
+             row_number() OVER (PARTITION BY entity_id, attr
+                                ORDER BY src_ts DESC) AS rn
+      FROM melted WHERE val IS NOT NULL
+    )
+    SELECT entity_id, attr, val AS golden_value,
+           cast(src_ts AS BIGINT) AS src_ts
+    FROM ranked WHERE rn = 1
+    """,
+    tags=["mdm", "survivorship", "golden-record"],
+)
+def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction — the step AFTER entity
+    resolution in an MDM pipeline: multiple source-system versions of
+    the same entity (here: three deterministic versions per customer,
+    each with a different attribute subset missing or changed) merge
+    into one record by the most-recent-non-null rule, per attribute.
+
+    Plan: melt to (entity, attr, value, ts) long form — survivorship
+    becomes one row_number window partitioned by (entity, attr), so the
+    rule is a keyed top-1, never a per-entity loop; the output stays
+    long-form (the pivot back to wide is a projection consumers apply).
+    At 100 TB the window partitions by the entity key the ER stage
+    already clustered on, so the merge reuses that shuffle."""
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    hex1 = lambda s: (  # first md5 hex digit of custkey||suffix, as int
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("entity_id").cast("string"), F.lit(s))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+    )  # noqa: E731
+    r0 = c.select(
+        "entity_id",
+        F.lit(0).alias("src_ts"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("string").alias("acctbal"),
+    )
+    r1 = c.select(
+        "entity_id",
+        F.lit(1).alias("src_ts"),
+        F.when(hex1("|n1") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat("c_name", F.lit("_v1")))
+        .alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        F.round(F.col("c_acctbal") + 10.0, 2).cast("string").alias("acctbal"),
+    )
+    r2 = c.select(
+        "entity_id",
+        F.lit(2).alias("src_ts"),
+        F.lit(None).cast("string").alias("name"),
+        F.when(hex1("|s2") % 2 == 0, F.lit("SEG_V2"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("segment"),
+        F.lit(None).cast("string").alias("acctbal"),
+    )
+    recs = r0.unionAll(r1).unionAll(r2)
+    melted = None
+    for attr in ("name", "segment", "acctbal"):
+        part = recs.select(
+            "entity_id",
+            "src_ts",
+            F.lit(attr).alias("attr"),
+            F.col(attr).alias("val"),
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    w = Window.partitionBy("entity_id", "attr").orderBy(F.desc("src_ts"))
+    return (
+        melted.filter(F.col("val").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            "attr",
+            F.col("val").alias("golden_value"),
+            F.col("src_ts").cast("long").alias("src_ts"),
+        )
+    )

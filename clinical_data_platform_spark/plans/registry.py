@@ -178,6 +178,8 @@ PRIORITY_ORDER = [
 # incremental_daily_rollup_merge (new, mergeable-partial MV maintenance),
 # token_heavy_changers (new, itemized drift triage),
 # value_winsorized_stats (new, winsorization audit),
+# golden_customer_records (new, MDM survivorship merge),
+# class_balance_weights (new, inverse-frequency rebalancing),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -509,3 +509,45 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out_scan(T(spark, sf_dir, "documents"))
     merges = train_bpe_merges(docs, num_merges=12)
     return merges_to_df(spark, merges).orderBy("rank")
+
+
+@query(
+    "class_balance_weights",
+    oracle="""
+    WITH c AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+    SELECT label,
+           cast(n AS BIGINT) AS n,
+           floor(t.total::DOUBLE / (t.k::DOUBLE * n::DOUBLE) * 1e6) / 1e6
+             AS class_weight,
+           floor(n::DOUBLE * (t.total::DOUBLE / (t.k::DOUBLE * n::DOUBLE))
+                 * 1e6) / 1e6 AS effective_rows
+    FROM c, t
+    """,
+    tags=["trainprep", "imbalance", "llm-pipeline"],
+)
+def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class rebalancing weights (sklearn's 'balanced'
+    rule: w_c = N / (k * n_c)) for the labeled embedding set — the
+    sample-weight table a trainer joins in so each class contributes
+    equal effective mass without resampling. effective_rows (n_c * w_c)
+    is constant across classes by construction, which the oracle's
+    value-hash pins cross-engine.
+
+    One count aggregation + a broadcast totals scalar; the weight table
+    is |classes| rows and broadcasts back onto the training set."""
+    e = T(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    trunc6 = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
+    w = F.col("total").cast("double") / (
+        F.col("k").cast("double") * F.col("n").cast("double")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        trunc6(w).alias("class_weight"),
+        trunc6(F.col("n").cast("double") * w).alias("effective_rows"),
+    )

@@ -78,6 +78,8 @@ AUDIT = [
     ("incremental_daily_rollup_merge", "MV merge: two batch partials union-merged, never a raw-history rescan"),
     ("token_heavy_changers", "Heavy changers: one count shuffle, broadcast totals, trunc6-then-TakeOrdered"),
     ("value_winsorized_stats", "Winsorize: one percentile pass broadcast back, map-side clamp, one rollup"),
+    ("golden_customer_records", "Survivorship: melt to (entity, attr) long form, keyed top-1 window"),
+    ("class_balance_weights", "Balance weights: one count agg + broadcast totals, |classes|-row output"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -108,6 +108,7 @@ HEADLINE = [
     "value_winsorized_stats",
     "golden_customer_records",
     "class_balance_weights",
+    "join_size_cms_estimate",
 ]
 
 

@@ -688,3 +688,104 @@ def hll_daily_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "day").select(
         "day", "exact_cum", F.round("hll_raw", 4).alias("hll_cumulative")
     )
+
+
+@query(
+    "join_size_cms_estimate",
+    oracle=f"""
+    WITH eb AS (
+      SELECT i,
+             {_HEX6_SQL.format(
+                 h="md5(cast(i AS VARCHAR) || '|' || cast(user_id AS VARCHAR))")}
+               % {_CMS_W} AS bucket,
+             count(*) AS c
+      FROM events, unnest(range(0, {_CMS_D})) AS u(i)
+      GROUP BY 1, 2
+    ),
+    ob AS (
+      SELECT i,
+             {_HEX6_SQL.format(
+                 h="md5(cast(i AS VARCHAR) || '|' || cast(o_custkey AS VARCHAR))")}
+               % {_CMS_W} AS bucket,
+             count(*) AS c
+      FROM orders, unnest(range(0, {_CMS_D})) AS u(i)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT min(p) AS cms_estimate FROM (
+        SELECT eb.i, sum(eb.c * ob.c) AS p
+        FROM eb JOIN ob ON eb.i = ob.i AND eb.bucket = ob.bucket
+        GROUP BY eb.i
+      )
+    ),
+    exact AS (
+      SELECT sum(e.c * o.c) AS exact_join_size FROM
+        (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1) e
+        JOIN
+        (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1) o
+        USING (k)
+    )
+    SELECT cast(exact_join_size AS BIGINT) AS exact_join_size,
+           cast(cms_estimate AS BIGINT) AS cms_estimate,
+           floor((cms_estimate - exact_join_size)::DOUBLE
+                 / exact_join_size::DOUBLE * 1e6) / 1e6 AS rel_overcount
+    FROM exact, est
+    """,
+    tags=["sketch", "approx", "cbo", "join-size"],
+)
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by sketch inner product (AMS via Count-Min,
+    Alon-Matias-Szegedy 1996 / Cormode-Muthukrishnan 2005): the
+    estimated cardinality of events JOIN orders ON user_id = o_custkey
+    is min over hash rows of the dot product of the two sides' CMS
+    counter rows — the cost-based-optimizer primitive that prices a
+    join from two KB-sized sketches WITHOUT touching either table
+    again. The exact size (sum over keys of count_A * count_B) rides
+    along, and the one-sided relative overcount is reported.
+
+    Each side's sketch is one hash-keyed partial/final aggregation; the
+    inner product joins two (d x w)-row tables. Nothing downstream
+    scales with table size — which is the point."""
+    def cms(df: DataFrame, key: str) -> DataFrame:
+        rows = None
+        for i in range(_CMS_D):
+            part = df.select(
+                F.lit(i).alias("i"),
+                _bucket(F.col(key).cast("string"), F.lit(i)).alias("bucket"),
+            )
+            rows = part if rows is None else rows.unionAll(part)
+        return rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    ev = T(spark, sf_dir, "events")
+    od = T(spark, sf_dir, "orders")
+    eb = cms(ev, "user_id")
+    ob = cms(od, "o_custkey").select(
+        F.col("i").alias("oi"), F.col("bucket").alias("ob"), F.col("c").alias("oc")
+    )
+    est = (
+        eb.join(ob, (F.col("i") == F.col("oi")) & (F.col("bucket") == F.col("ob")))
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("oc")).alias("p"))
+        .agg(F.min("p").alias("cms_estimate"))
+    )
+    ec = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    oc = od.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    exact = ec.join(oc, "k").agg(
+        F.sum(F.col("c") * F.col("c2")).alias("exact_join_size")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_join_size").cast("long").alias("exact_join_size"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (
+            F.floor(
+                (F.col("cms_estimate") - F.col("exact_join_size")).cast("double")
+                / F.col("exact_join_size").cast("double")
+                * 1e6
+            )
+            / 1e6
+        ).alias("rel_overcount"),
+    )

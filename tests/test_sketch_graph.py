@@ -285,3 +285,23 @@ def test_ddsketch_relative_error_bound(spark):
             exact = getattr(r, f"p{p}_exact")
             sketch = getattr(r, f"p{p}_sketch")
             assert abs(sketch - exact) <= _DDS_ALPHA * exact + 1e-3, (r, p)
+
+
+def test_join_size_cms_one_sided_and_exact(spark):
+    """CMS inner product over-estimates the true join size (one-sided,
+    like the point estimates), and the exact branch matches a pandas
+    recount of sum_k count_A(k) * count_B(k)."""
+    from clinical_data_platform_spark.plans.sketches import (
+        join_size_cms_estimate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = join_size_cms_estimate(spark, sf).first()
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    od = spark.read.parquet(f"{sf}/orders.parquet").toPandas()
+    ce = ev.groupby("user_id").size()
+    co = od.groupby("o_custkey").size()
+    expected = int((ce * co).dropna().sum())
+    assert r.exact_join_size == expected
+    assert r.cms_estimate >= r.exact_join_size  # one-sided overcount
+    assert r.rel_overcount >= 0.0

@@ -80,6 +80,7 @@ AUDIT = [
     ("value_winsorized_stats", "Winsorize: one percentile pass broadcast back, map-side clamp, one rollup"),
     ("golden_customer_records", "Survivorship: melt to (entity, attr) long form, keyed top-1 window"),
     ("class_balance_weights", "Balance weights: one count agg + broadcast totals, |classes|-row output"),
+    ("join_size_cms_estimate", "Join-size AMS/CMS: two KB-sized sketches, inner product prices the join"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -109,6 +109,8 @@ HEADLINE = [
     "golden_customer_records",
     "class_balance_weights",
     "join_size_cms_estimate",
+    "ewma_hourly_forecast",
+    "hourly_seasonality_profile",
 ]
 
 

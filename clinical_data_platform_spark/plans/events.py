@@ -563,3 +563,160 @@ def incremental_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n").cast("long").alias("n"),
         F.round("s", 4).alias("sum_value"),
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 24  # truncation horizon: (1-a)^24 ~ 2e-4 residual mass
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"CASE WHEN lag(x, {j}) OVER w IS NOT NULL THEN"
+        f" power({1.0 - _EWMA_ALPHA}::DOUBLE, {j}) * lag(x, {j}) OVER w"
+        f" ELSE 0.0::DOUBLE END"
+        for j in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(x, {j}) OVER w IS NOT NULL THEN"
+        f" power({1.0 - _EWMA_ALPHA}::DOUBLE, {j}) ELSE 0.0::DOUBLE END"
+        for j in range(_EWMA_LAGS)
+    )
+    return num, den
+
+
+@query(
+    "ewma_hourly_forecast",
+    oracle=f"""
+    WITH series AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT event_type, hour, x,
+             ({_ewma_sql_terms()[0]}) / ({_ewma_sql_terms()[1]}) AS ewma
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    ),
+    f AS (
+      SELECT event_type, x,
+             lag(ewma) OVER (PARTITION BY event_type ORDER BY hour)
+               AS forecast
+      FROM sm
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n_hours,
+           round(avg(abs(x - forecast)), 4) AS mae,
+           round(avg(CASE WHEN forecast IS NOT NULL THEN x END), 4)
+             AS mean_actual
+    FROM f WHERE forecast IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=["time-series", "forecast", "ewma"],
+)
+def ewma_hourly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving-average forecasting over the hourly
+    value series, per event type: the baseline anomaly/forecast model a
+    monitoring pipeline runs first. The EWMA is the 24-lag truncated
+    form (residual weight mass (1-a)^24 ~ 2e-4), expressed as a fixed
+    battery of lag() terms so the computation is order-free and
+    engine-exact — no recursive state, no collected arrays. Each hour's
+    forecast is the PREVIOUS hour's EWMA; the reported MAE is the
+    one-step-ahead error, the honest measure of the smoother.
+
+    Plan: one (type, hour) aggregation, then windows partitioned by
+    event_type — series length per partition is bounded (hours), never
+    event volume, so the lag battery is a constant-width projection at
+    any scale."""
+    ev = T(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    num = None
+    den = None
+    for j in range(_EWMA_LAGS):
+        lj = F.lag("x", j).over(w)
+        wj = float((1.0 - _EWMA_ALPHA) ** j)
+        t = F.when(lj.isNotNull(), F.lit(wj) * lj).otherwise(F.lit(0.0))
+        d = F.when(lj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    sm = series.withColumn("ewma", num / den)
+    f = sm.withColumn("forecast", F.lag("ewma").over(w))
+    return (
+        f.filter(F.col("forecast").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(F.avg(F.abs(F.col("x") - F.col("forecast"))), 4).alias(
+                "mae"
+            ),
+            F.round(F.avg("x"), 4).alias("mean_actual"),
+        )
+    )
+
+
+@query(
+    "hourly_seasonality_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             hour(ts) AS hod, round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    season AS (
+      SELECT event_type, hod, avg(x) AS seasonal_mean
+      FROM h GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT h.event_type, h.x, s.seasonal_mean,
+             h.x - s.seasonal_mean AS resid
+      FROM h JOIN season s
+        ON s.event_type = h.event_type AND s.hod = h.hod
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n_hours,
+           round(var_samp(x), 4) AS var_raw,
+           round(var_samp(resid), 4) AS var_deseasonalized,
+           floor((1.0::DOUBLE - var_samp(resid) / var_samp(x)) * 1e6)
+             / 1e6 AS seasonality_strength
+    FROM j GROUP BY event_type
+    """,
+    tags=["time-series", "seasonality"],
+)
+def hourly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition: the 24-slot seasonal profile
+    per event type (mean of each hour-of-day across days), the variance
+    of the raw hourly series vs the deseasonalized residual, and the
+    resulting seasonality strength (1 - var_resid/var_raw — near 0 for
+    this flat synthetic stream, near 1 for strongly diurnal traffic).
+    The test that tells you whether hour-of-day belongs in the feature
+    set / anomaly baseline.
+
+    Plan: one (type, hour) rollup, a 24x|types|-row seasonal table
+    broadcast back, one variance pass — the profile table is what a
+    production anomaly detector would persist and subtract."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    season = h.groupBy("event_type", "hod").agg(
+        F.avg("x").alias("seasonal_mean")
+    )
+    j = h.join(F.broadcast(season), ["event_type", "hod"]).withColumn(
+        "resid", F.col("x") - F.col("seasonal_mean")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.var_samp("x"), 4).alias("var_raw"),
+        F.round(F.var_samp("resid"), 4).alias("var_deseasonalized"),
+        (
+            F.floor(
+                (F.lit(1.0) - F.var_samp("resid") / F.var_samp("x")) * 1e6
+            )
+            / 1e6
+        ).alias("seasonality_strength"),
+    )

@@ -181,6 +181,8 @@ PRIORITY_ORDER = [
 # golden_customer_records (new, MDM survivorship merge),
 # class_balance_weights (new, inverse-frequency rebalancing),
 # join_size_cms_estimate (new, AMS/CMS join-cardinality pricing),
+# ewma_hourly_forecast (new, truncated-EWMA one-step forecasting),
+# hourly_seasonality_profile (new, hour-of-day decomposition),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -81,6 +81,8 @@ AUDIT = [
     ("golden_customer_records", "Survivorship: melt to (entity, attr) long form, keyed top-1 window"),
     ("class_balance_weights", "Balance weights: one count agg + broadcast totals, |classes|-row output"),
     ("join_size_cms_estimate", "Join-size AMS/CMS: two KB-sized sketches, inner product prices the join"),
+    ("ewma_hourly_forecast", "EWMA: fixed lag battery per type partition, order-free, no recursion"),
+    ("hourly_seasonality_profile", "Seasonality: 24-slot profile broadcast back, one variance pass"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -111,6 +111,9 @@ HEADLINE = [
     "join_size_cms_estimate",
     "ewma_hourly_forecast",
     "hourly_seasonality_profile",
+    "ab_test_two_proportion",
+    "funnel_conversion_latency",
+    "user_value_lorenz_deciles",
 ]
 
 

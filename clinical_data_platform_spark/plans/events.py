@@ -720,3 +720,129 @@ def hourly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("seasonality_strength"),
     )
+
+
+@query(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ), lat AS (
+      SELECT (epoch_us(p.t2) - epoch_us(v.t1)) / 60000000.0 AS minutes
+      FROM p JOIN v USING (user_id)
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(minutes, 0.5), 4) AS p50_minutes,
+           round(quantile_cont(minutes, 0.9), 4) AS p90_minutes,
+           round(avg(minutes), 4) AS mean_minutes
+    FROM lat
+    """,
+    tags=["funnel", "latency", "analytics"],
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes from each user's FIRST view
+    to their first purchase after it — the companion to the funnel
+    counts (how many convert) that product teams actually tune against
+    (how long it takes). Keyed MIN aggregates + one user_id join, exact
+    interpolated percentiles over the per-user latency table; latencies
+    are exact integer microsecond differences scaled once, so both
+    engines interpolate identical doubles."""
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    lat = p.select(
+        (
+            (
+                F.unix_micros(F.col("t2").cast("timestamp"))
+                - F.unix_micros(F.col("t1").cast("timestamp"))
+            )
+            / 60000000.0
+        ).alias("minutes")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("minutes", F.lit(0.5)), 4).alias("p50_minutes"),
+        F.round(F.percentile("minutes", F.lit(0.9)), 4).alias("p90_minutes"),
+        F.round(F.avg("minutes"), 4).alias("mean_minutes"),
+    )
+
+
+@query(
+    "user_value_lorenz_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, round(sum(value), 2) AS total
+      FROM events GROUP BY 1
+    ),
+    q AS (
+      SELECT quantile_cont(total, 0.1) AS q1, quantile_cont(total, 0.2) AS q2,
+             quantile_cont(total, 0.3) AS q3, quantile_cont(total, 0.4) AS q4,
+             quantile_cont(total, 0.5) AS q5, quantile_cont(total, 0.6) AS q6,
+             quantile_cont(total, 0.7) AS q7, quantile_cont(total, 0.8) AS q8,
+             quantile_cont(total, 0.9) AS q9
+      FROM u
+    ),
+    d AS (
+      SELECT cast(1 + (total > q1)::INT + (total > q2)::INT + (total > q3)::INT
+               + (total > q4)::INT + (total > q5)::INT + (total > q6)::INT
+               + (total > q7)::INT + (total > q8)::INT + (total > q9)::INT
+               AS BIGINT) AS decile,
+             total
+      FROM u, q
+    )
+    SELECT decile,
+           cast(count(*) AS BIGINT) AS n_users,
+           floor(sum(total) / (SELECT sum(total) FROM u) * 1e6) / 1e6
+             AS value_share
+    FROM d GROUP BY decile
+    """,
+    tags=["concentration", "lorenz", "analytics"],
+)
+def user_value_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration (Lorenz) table: users bucketed into spend
+    deciles by percentile BOUNDARIES (computed once, broadcast back,
+    compared map-side — never a global ntile sort), each decile's share
+    of total value reported. The top decile's share is the 'whale'
+    concentration number; a flat 10%-per-decile table is the
+    no-concentration baseline. Per-user totals are rounded to cents
+    before the quantiles so float-sum ulps cannot flip a boundary
+    (same discipline as the RFM scorer)."""
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    qs = u.agg(
+        *[
+            F.percentile("total", F.lit(q / 10.0)).alias(f"q{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for q in range(1, 10):
+        decile = decile + (F.col("total") > F.col(f"q{q}")).cast("int")
+    tot = u.agg(F.sum("total").alias("grand"))
+    return (
+        u.crossJoin(F.broadcast(qs))
+        .select(decile.cast("long").alias("decile"), "total")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (
+                F.floor(F.sum("total") / F.max("grand") * 1e6) / 1e6
+            ).alias("value_share"),
+        )
+    )

@@ -183,6 +183,9 @@ PRIORITY_ORDER = [
 # join_size_cms_estimate (new, AMS/CMS join-cardinality pricing),
 # ewma_hourly_forecast (new, truncated-EWMA one-step forecasting),
 # hourly_seasonality_profile (new, hour-of-day decomposition),
+# ab_test_two_proportion (new, experimentation z-test),
+# funnel_conversion_latency (new, time-to-convert percentiles),
+# user_value_lorenz_deciles (new, value-concentration table),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -467,3 +467,115 @@ def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("std_raw"),
         F.round(F.stddev_samp("wv"), 4).alias("std_winsorized"),
     )
+
+
+def _ab_oracle() -> str:
+    from ..functions.scalars import NORMAL_SF_SQL
+
+    z_abs = "abs((p1 - p2) / se)"
+    return f"""
+    WITH assign AS (
+      SELECT user_id,
+             (strpos('0123456789abcdef',
+                substr(md5(cast(user_id AS VARCHAR) || '|ab'), 1, 1)) - 1)
+               % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 450.0::DOUBLE
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) FILTER (variant = 0) AS n1,
+             sum(converted) FILTER (variant = 0) AS x1,
+             count(*) FILTER (variant = 1) AS n2,
+             sum(converted) FILTER (variant = 1) AS x2
+      FROM assign
+    ),
+    t AS (
+      SELECT n1, x1, n2, x2,
+             x1::DOUBLE / n1 AS p1, x2::DOUBLE / n2 AS p2,
+             (x1 + x2)::DOUBLE / (n1 + n2) AS pp
+      FROM s
+    ),
+    u AS (
+      SELECT *, sqrt(pp * (1.0 - pp) * (1.0/n1 + 1.0/n2)) AS se FROM t
+    )
+    SELECT cast(n1 AS BIGINT) AS n_control,
+           cast(x1 AS BIGINT) AS conv_control,
+           cast(n2 AS BIGINT) AS n_treatment,
+           cast(x2 AS BIGINT) AS conv_treatment,
+           round(p1, 6) AS rate_control,
+           round(p2, 6) AS rate_treatment,
+           CASE WHEN se > 0 THEN round((p1 - p2) / se, 6) END AS z,
+           CASE WHEN se > 0
+                THEN round(2.0 * {NORMAL_SF_SQL.format(z=z_abs)}, 6)
+           END AS p_value
+    FROM u
+    """
+
+
+@query("ab_test_two_proportion", oracle=_ab_oracle(), tags=["M-ext", "ab-test"])
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split — the
+    experimentation readout (completes the stats family next to Welch t
+    and chi-square): per-user conversion = any high-value purchase (value > 450), variant
+    from an md5 parity (so both engines assign identically and the
+    split is reproducible — exactly how a real bucketing service hashes
+    user ids), pooled-variance z and two-sided p via the shared A&S erf
+    polynomial. The null is true by construction here, so p is
+    uniform-ish — the operator is the report, not the verdict.
+
+    One per-user aggregation + one scalar fold; nothing scales past the
+    user count."""
+    import pyspark.sql.functions as F
+
+    from ..functions.scalars import normal_sf
+
+    ev = T(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|ab"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 450.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", variant)
+    s = assign.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))).alias("x1"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n2"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    se = F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    z = F.when(se > 0, (p1 - p2) / se)
+    return s.select(
+        F.col("n1").cast("long").alias("n_control"),
+        F.col("x1").cast("long").alias("conv_control"),
+        F.col("n2").cast("long").alias("n_treatment"),
+        F.col("x2").cast("long").alias("conv_treatment"),
+        F.round(p1, 6).alias("rate_control"),
+        F.round(p2, 6).alias("rate_treatment"),
+        F.round(z, 6).alias("z"),
+        F.when(se > 0, F.round(2.0 * normal_sf(F.abs(z)), 6)).alias(
+            "p_value"
+        ),
+    )

@@ -83,6 +83,9 @@ AUDIT = [
     ("join_size_cms_estimate", "Join-size AMS/CMS: two KB-sized sketches, inner product prices the join"),
     ("ewma_hourly_forecast", "EWMA: fixed lag battery per type partition, order-free, no recursion"),
     ("hourly_seasonality_profile", "Seasonality: 24-slot profile broadcast back, one variance pass"),
+    ("ab_test_two_proportion", "A/B z-test: md5 bucketing, one per-user agg, scalar fold"),
+    ("funnel_conversion_latency", "Conversion latency: keyed MINs + one join, exact percentiles"),
+    ("user_value_lorenz_deciles", "Lorenz: percentile boundaries broadcast, map-side bucket, no ntile"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

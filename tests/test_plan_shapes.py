@@ -161,3 +161,62 @@ def test_bloom_probe_is_map_side_over_broadcast_sketch(no_auto_broadcast):
     plan = simple_plan(incremental_dedup_new_docs(no_auto_broadcast, SF))
     assert "BroadcastNestedLoopJoin" in plan  # 1-row sketch cross join
     assert plan.count("SortMergeJoin") <= 1  # the verification anti-join
+
+
+def test_ppjoin_has_no_cartesian_and_claims_parallelism(spark):
+    """The PPJoin fix is pinned: no CartesianProduct/BroadcastNestedLoop
+    anywhere, and the explicit hash exchanges that claim CPU parallelism
+    (doc table by id, prefix by shingle) are present in the plan."""
+    from clinical_data_platform_spark.operators.dedup import (
+        ppjoin_jaccard_pairs,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = simple_plan(ppjoin_jaccard_pairs(df, "doc_id", "text", 3, 0.3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "hashpartitioning(doc_id" in plan or "hashpartitioning(id_a" in plan
+
+
+def test_covariance_shuffles_only_partials(spark):
+    """The gram-partial plan never shuffles vector payloads: after the
+    mapInPandas stage the exchanges carry only (i, j, v) partial rows —
+    the embedding column must not appear in any exchange output."""
+    from clinical_data_platform_spark.plans.matrixops import (
+        embedding_covariance_matrix,
+    )
+
+    plan = fmt_plan(embedding_covariance_matrix(spark, SF))
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    # the only scan reads just the vector column (column pruning)
+    assert "ReadSchema" in plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("embedding" in l and "vec_id" not in l for l in scan_lines)
+
+
+def test_psi_pushes_week_filters_to_scan(spark):
+    """Both reference-week scans must push their ts range filters down
+    — the partition-pruning property that makes weekly PSI touch two
+    weeks of a year-partitioned table, not the whole history."""
+    from clinical_data_platform_spark.plans.stats import value_psi_weekly
+
+    plan = fmt_plan(value_psi_weekly(spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThanOrEqual(ts" in l for l in pushed)
+    assert any("LessThan(ts" in l for l in pushed)
+
+
+def test_lorenz_has_no_global_sort(spark):
+    """Decile assignment is map-side against broadcast boundaries — the
+    plan must contain no global (non-partitioned) Sort and no ntile
+    window over the full user table."""
+    from clinical_data_platform_spark.plans.events import (
+        user_value_lorenz_deciles,
+    )
+
+    import re
+
+    plan = simple_plan(user_value_lorenz_deciles(spark, SF))
+    # the ntile window function specifically ("percentile" is fine)
+    assert not re.search(r"(?<![a-z])ntile\(", plan.lower())
+    assert "rangepartitioning" not in plan.lower()  # global sort's shuffle

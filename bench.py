@@ -114,6 +114,8 @@ HEADLINE = [
     "ab_test_two_proportion",
     "funnel_conversion_latency",
     "user_value_lorenz_deciles",
+    "rolling_7day_active_users",
+    "type_cross_correlation",
 ]
 
 

@@ -846,3 +846,83 @@ def user_value_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_share"),
         )
     )
+
+
+_XCORR_LAGS = list(range(-3, 4))
+
+
+@query(
+    "type_cross_correlation",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT hour FROM h),
+    x AS (
+      SELECT g.hour, coalesce(h.c, 0) AS x FROM grid g
+      LEFT JOIN h ON h.hour = g.hour AND h.event_type = 'click'
+    ),
+    y AS (
+      SELECT g.hour, coalesce(h.c, 0) AS y FROM grid g
+      LEFT JOIN h ON h.hour = g.hour AND h.event_type = 'purchase'
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    j AS (
+      SELECT l.lag, x.x, y.y
+      FROM lags l
+      JOIN x ON TRUE
+      JOIN y ON y.hour = x.hour + to_hours(l.lag::BIGINT)
+    )
+    SELECT lag, cast(count(*) AS BIGINT) AS n_hours,
+           round(corr(x, y), 5) AS correlation
+    FROM j GROUP BY lag
+    """,
+    tags=["time-series", "cross-correlation"],
+)
+def type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase hourly
+    count series (lags -3..+3 hours) — the lead/lag diagnostic that says
+    whether one stream anticipates the other (peak at a positive lag =
+    clicks lead purchases by that many hours; flat ~0 on this synthetic
+    stream). Series are densified onto the observed hour grid with
+    zero-fill so missing hours don't silently shrink a lag's sample.
+
+    Plan: one pruned (hour, type) rollup, the tiny grid/series tables
+    joined per lag (7 x hours rows total), Pearson corr as the built-in
+    aggregate. Series length is hours, never events — constant work at
+    any volume."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = h.select("hour").distinct()
+
+    def series(et: str, col: str) -> DataFrame:
+        s = h.filter(F.col("event_type") == et).select(
+            "hour", F.col("c").alias(col)
+        )
+        return grid.join(s, "hour", "left").select(
+            "hour", F.coalesce(col, F.lit(0)).alias(col)
+        )
+
+    x = series("click", "x")
+    y = series("purchase", "y").select(
+        F.col("hour").alias("yhour"), "y"
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    j = (
+        lags.crossJoin(F.broadcast(x))
+        .join(
+            F.broadcast(y),
+            F.col("yhour")
+            == F.col("hour") + F.make_interval(hours=F.col("lag")),
+        )
+    )
+    return j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.corr("x", "y"), 5).alias("correlation"),
+    )

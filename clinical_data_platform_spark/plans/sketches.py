@@ -789,3 +789,93 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("rel_overcount"),
     )
+
+
+@query(
+    "rolling_7day_active_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    exact AS (
+      SELECT d.day, count(DISTINCT du.user_id) AS wau_exact
+      FROM days d JOIN du
+        ON du.day <= d.day AND du.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    ),
+    h AS (
+      SELECT date_trunc('day', ts) AS day,
+             {_HEX8_SQL.format(h="md5(cast(user_id AS VARCHAR))")} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT day, hv % {_HLL_M} AS bucket,
+             max({_HLL_RHO_SQL.format(w="(hv >> 6)")}) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT d.day, r.bucket, max(r.rho) AS rho
+      FROM days d JOIN r
+        ON r.day <= d.day AND r.day >= d.day - INTERVAL 6 DAY
+      GROUP BY 1, 2
+    ),
+    est AS ({_hll_est_sql("win", "day")})
+    SELECT e.day, cast(x.wau_exact AS BIGINT) AS wau_exact,
+           round(e.e, 4) AS wau_hll
+    FROM est e JOIN exact x USING (day)
+    """,
+    tags=["sketch", "approx", "time-series", "wau"],
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the WAU curve) two ways: the exact
+    trailing-window distinct count, and the sketch path — each day's
+    64-byte HLL register vector max-merged over the trailing week. The
+    sketch path is what survives 100 TB: count-distinct does NOT
+    decompose over overlapping windows (yesterday's WAU tells you
+    nothing reusable), but registers merge, so the nightly job keeps 7
+    daily sketches per granularity and never re-touches raw events.
+    Both curves are value-verified cross-engine, registers included."""
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("day").distinct()
+    trailing = (F.col("dday") >= F.col("day")) & (
+        F.col("dday") <= F.date_add(F.col("day").cast("date"), 6).cast(
+            "timestamp"
+        )
+    )
+    # exact: trailing-window distinct
+    exact = (
+        days.select(F.col("day").alias("dday"))
+        .join(
+            F.broadcast(du),
+            trailing,
+        )
+        .groupBy("dday")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+        .select(F.col("dday").alias("day"), "wau_exact")
+    )
+    # sketch: daily registers max-merged over the trailing week
+    regs = hll_registers_frame(ev, "day", "user_id").select(
+        F.col("day").alias("rday"), "bucket", "rho"
+    )
+    win = (
+        days.join(
+            F.broadcast(regs),
+            (F.col("rday") <= F.col("day"))
+            & (
+                F.col("rday")
+                >= F.date_add(F.col("day").cast("date"), -6).cast("timestamp")
+            ),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate_from_registers(win, "day")
+    return est.join(exact, "day").select(
+        "day",
+        F.col("wau_exact").cast("long").alias("wau_exact"),
+        F.round("hll_raw", 4).alias("wau_hll"),
+    )

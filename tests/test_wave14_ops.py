@@ -61,3 +61,46 @@ def test_seasonality_strength_bounded(spark):
         # removing a FITTED seasonal mean can inflate sample variance
         # only through the dof/noise term, never unboundedly
         assert r.seasonality_strength > -1.0
+
+
+def test_rolling_wau_bounds_and_final_week(spark):
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.plans.sketches import (
+        rolling_7day_active_users,
+    )
+
+    rows = sorted(
+        rolling_7day_active_users(spark, SF).collect(), key=lambda r: r.day
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    total_users = ev.select("user_id").distinct().count()
+    daily = {
+        r.day: r.n
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        # WAU is at least the day's own DAU and at most the user base
+        assert daily[r.day] <= r.wau_exact <= total_users
+        # 64-register HLL: generous but real error bound
+        assert abs(r.wau_hll - r.wau_exact) / r.wau_exact < 0.5
+
+
+def test_cross_correlation_bounded_and_symmetric_grid(spark):
+    from clinical_data_platform_spark.plans.events import (
+        type_cross_correlation,
+    )
+
+    rows = {r.lag: r for r in type_cross_correlation(spark, SF).collect()}
+    assert set(rows) == set(range(-3, 4))
+    for r in rows.values():
+        assert -1.0 <= r.correlation <= 1.0
+        assert r.n_hours > 0
+    # +k and -k enumerate the same (t, t+k) grid pairs, and no lag can
+    # pair more hours than lag 0 (the grid may have gaps, so the exact
+    # drop per lag is data-dependent)
+    n0 = rows[0].n_hours
+    for k in (1, 2, 3):
+        assert rows[k].n_hours == rows[-k].n_hours <= n0

@@ -86,6 +86,8 @@ AUDIT = [
     ("ab_test_two_proportion", "A/B z-test: md5 bucketing, one per-user agg, scalar fold"),
     ("funnel_conversion_latency", "Conversion latency: keyed MINs + one join, exact percentiles"),
     ("user_value_lorenz_deciles", "Lorenz: percentile boundaries broadcast, map-side bucket, no ntile"),
+    ("rolling_7day_active_users", "WAU: daily HLL registers max-merged over the trailing week, exact foil"),
+    ("type_cross_correlation", "Cross-corr: hours-sized series tables, 7 lag joins, built-in corr"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

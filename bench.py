@@ -116,6 +116,8 @@ HEADLINE = [
     "user_value_lorenz_deciles",
     "rolling_7day_active_users",
     "type_cross_correlation",
+    "bm25_topk_docs",
+    "grouped_fold_assignment",
 ]
 
 

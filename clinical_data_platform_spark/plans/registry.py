@@ -188,6 +188,8 @@ PRIORITY_ORDER = [
 # user_value_lorenz_deciles (new, value-concentration table),
 # rolling_7day_active_users (new, WAU via windowed HLL merge),
 # type_cross_correlation (new, lagged series cross-correlation),
+# bm25_topk_docs (new, lexical retrieval scoring),
+# grouped_fold_assignment (new, leakage-free CV folds),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..catalog import table as T
+from ..catalog import fan_out_scan, table as T
 from ..functions.text import (
     STOPWORDS,
     fingerprint,
@@ -623,4 +623,117 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size_container").cast("long").alias("size_container"),
         F.col("n_common").cast("long").alias("n_common"),
         "containment",
+    )
+
+
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ws) AS doclen FROM t),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM t)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tok,
+             ln(1.0::DOUBLE + (s.n_docs - count(*) + 0.5::DOUBLE)
+                / (count(*) + 0.5::DOUBLE)) AS idf
+      FROM tf, stats s GROUP BY tok, s.n_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(idf.idf * tf.tf
+                 / (tf.tf + {_BM25_K1}::DOUBLE
+                    * (1.0::DOUBLE - {_BM25_B}::DOUBLE
+                       + {_BM25_B}::DOUBLE * dl.doclen / s.avgdl)))
+               AS score,
+             count(*) AS n_terms_hit
+      FROM tf
+      JOIN idf USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, cast(n_terms_hit AS BIGINT) AS n_terms_hit,
+           floor(score * 1e6) / 1e6 AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_K}
+    """,
+    tags=["retrieval", "bm25", "llm-pipeline"],
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75) for a
+    fixed 3-term query over the corpus — the lexical-search primitive
+    that pairs with the ANN operators for hybrid retrieval, and the
+    hard-negative miner for embedding training data.
+
+    Plan: token explode filtered to the query terms BEFORE the count
+    (so the tf table is |query terms| x matching docs, not the corpus
+    vocabulary), idf and avgdl broadcast as scalars, score map-side,
+    TakeOrdered(10). The trunc6 on the score happens before the sort,
+    making the tie-break engine-stable."""
+    d = fan_out_scan(T(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("idf") * F.col("tf") / denom).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_terms_hit",
+            (F.floor(F.col("score") * 1e6) / 1e6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_K)
     )

@@ -551,3 +551,56 @@ def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(w).alias("class_weight"),
         trunc6(F.col("n").cast("double") * w).alias("effective_rows"),
     )
+
+
+_GKF_FOLDS = 5
+
+
+@query(
+    "grouped_fold_assignment",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             (strpos('0123456789abcdef',
+                substr(md5(source || '|fold'), 1, 1)) - 1) % {_GKF_FOLDS}
+               AS fold
+      FROM documents
+    )
+    SELECT fold,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM f GROUP BY fold
+    """,
+    tags=["trainprep", "cv", "leakage"],
+)
+def grouped_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware cross-validation folds (GroupKFold semantics): the
+    fold is a hash of the GROUP (source), not the row, so every document
+    from one source lands in the same fold and near-duplicate documents
+    within a source can never leak across the train/validation boundary
+    — the split discipline that makes eval numbers on dedup-adjacent
+    data honest. Deterministic md5 assignment: reproducible across
+    retries, engines, and cluster sizes, with zero shuffles before the
+    fold-size rollup.
+
+    The zero-leakage property (no source spans folds) is pinned in
+    pytest; the fold-size table here is what a training job logs."""
+    d = T(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("source"), F.lit("|fold"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        % _GKF_FOLDS
+    )
+    return (
+        d.select("doc_id", "source", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )

@@ -88,6 +88,8 @@ AUDIT = [
     ("user_value_lorenz_deciles", "Lorenz: percentile boundaries broadcast, map-side bucket, no ntile"),
     ("rolling_7day_active_users", "WAU: daily HLL registers max-merged over the trailing week, exact foil"),
     ("type_cross_correlation", "Cross-corr: hours-sized series tables, 7 lag joins, built-in corr"),
+    ("bm25_topk_docs", "BM25: term-filter before tf count, scalar idf/avgdl broadcast, TakeOrdered"),
+    ("grouped_fold_assignment", "GroupKFold: md5 of the GROUP, zero shuffles before the fold rollup"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -118,6 +118,8 @@ HEADLINE = [
     "type_cross_correlation",
     "bm25_topk_docs",
     "grouped_fold_assignment",
+    "benford_first_digit_audit",
+    "mean_shift_changepoints",
 ]
 
 

@@ -926,3 +926,90 @@ def type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.round(F.corr("x", "y"), 5).alias("correlation"),
     )
+
+
+@query(
+    "mean_shift_changepoints",
+    oracle="""
+    WITH series AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT event_type, hour, x,
+             avg(x) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mean_before,
+             avg(x) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS mean_after,
+             count(*) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_before,
+             count(*) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS n_after,
+             stddev_samp(x) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 23 FOLLOWING) AS sd
+      FROM series
+    ),
+    scored AS (
+      SELECT event_type, hour,
+             round(abs(mean_after - mean_before) / sd, 6) AS shift_score
+      FROM sc
+      WHERE n_before = 24 AND n_after = 24 AND sd > 0
+    ),
+    ranked AS (
+      SELECT event_type, hour, shift_score,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY shift_score DESC, hour) AS rn
+      FROM scored
+    )
+    SELECT event_type, hour, shift_score
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=["time-series", "changepoint", "monitoring"],
+)
+def mean_shift_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint candidates by two-window mean-shift scan: at every
+    hour, |mean of next 24h - mean of previous 24h| in local-stddev
+    units, top-3 per event type — the level-shift detector behind most
+    "did the metric step-change here?" alerts, requiring only framed
+    windows (no recursion, unlike CUSUM state). Boundary hours without
+    both full windows are excluded so every score compares equal-sized
+    samples.
+
+    Plan: one (type, hour) rollup, three framed window passes over the
+    hours-sized series, keyed top-3 — series length bounds everything
+    after the scan."""
+    ev = T(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    base = Window.partitionBy("event_type").orderBy("hour")
+    before = base.rowsBetween(-24, -1)
+    after = base.rowsBetween(0, 23)
+    around = base.rowsBetween(-24, 23)
+    sc = series.select(
+        "event_type",
+        "hour",
+        F.avg("x").over(before).alias("mean_before"),
+        F.avg("x").over(after).alias("mean_after"),
+        F.count(F.lit(1)).over(before).alias("n_before"),
+        F.count(F.lit(1)).over(after).alias("n_after"),
+        F.stddev_samp("x").over(around).alias("sd"),
+    )
+    scored = sc.filter(
+        (F.col("n_before") == 24) & (F.col("n_after") == 24) & (F.col("sd") > 0)
+    ).select(
+        "event_type",
+        "hour",
+        F.round(
+            F.abs(F.col("mean_after") - F.col("mean_before")) / F.col("sd"), 6
+        ).alias("shift_score"),
+    )
+    rank = Window.partitionBy("event_type").orderBy(
+        F.desc("shift_score"), "hour"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "hour", "shift_score")
+    )

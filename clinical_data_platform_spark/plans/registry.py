@@ -190,6 +190,8 @@ PRIORITY_ORDER = [
 # type_cross_correlation (new, lagged series cross-correlation),
 # bm25_topk_docs (new, lexical retrieval scoring),
 # grouped_fold_assignment (new, leakage-free CV folds),
+# benford_first_digit_audit (new, first-digit anomaly screen),
+# mean_shift_changepoints (new, two-window level-shift scan),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

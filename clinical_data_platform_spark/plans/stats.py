@@ -579,3 +579,63 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value"
         ),
     )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  -- floor() explicitly: DuckDB's double->BIGINT cast ROUNDS while
+  -- Spark's truncates; floor makes both engines take the same digit
+  SELECT substr(cast(cast(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  FROM events WHERE value >= 1.0
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT digit,
+       cast(n AS BIGINT) AS n,
+       floor(n::DOUBLE / t.total::DOUBLE * 1e6) / 1e6 AS observed_freq,
+       round(ln(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE)
+             / ln(10.0::DOUBLE), 6) AS benford_freq,
+       round(abs(n::DOUBLE / t.total::DOUBLE
+             - ln(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE)
+               / ln(10.0::DOUBLE)), 6) AS abs_deviation
+FROM c, t
+"""
+
+
+@query("benford_first_digit_audit", oracle=_BENFORD_ORACLE, tags=["audit", "benford"])
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over the value column — the
+    classic anomaly/fabrication screen for financial and metering data:
+    observed first-digit frequencies next to log10(1 + 1/d) expected
+    ones, with the absolute deviation per digit. (The synthetic uniform
+    values violate Benford hard, which is exactly what the report
+    should say about uniform data — naturally-occurring multiplicative
+    quantities are what follow it.)
+
+    One map-side digit projection + a 9-row rollup; the expected
+    frequencies are constants, so the whole comparison costs one
+    aggregation pass at any volume."""
+    import pyspark.sql.functions as F
+
+    ev = T(spark, sf_dir, "events").filter(F.col("value") >= 1.0)
+    digit = F.substring(
+        F.floor("value").cast("long").cast("string"), 1, 1
+    )
+    c = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(F.col("n").cast("double") / F.col("total") * 1e6) / 1e6
+        ).alias("observed_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(
+            F.abs(F.col("n").cast("double") / F.col("total") - benford), 6
+        ).alias("abs_deviation"),
+    )

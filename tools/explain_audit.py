@@ -90,6 +90,8 @@ AUDIT = [
     ("type_cross_correlation", "Cross-corr: hours-sized series tables, 7 lag joins, built-in corr"),
     ("bm25_topk_docs", "BM25: term-filter before tf count, scalar idf/avgdl broadcast, TakeOrdered"),
     ("grouped_fold_assignment", "GroupKFold: md5 of the GROUP, zero shuffles before the fold rollup"),
+    ("benford_first_digit_audit", "Benford: map-side digit, 9-row rollup, constant expected freqs"),
+    ("mean_shift_changepoints", "Changepoints: three framed windows over hours-sized series, keyed top-3"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -120,6 +120,7 @@ HEADLINE = [
     "grouped_fold_assignment",
     "benford_first_digit_audit",
     "mean_shift_changepoints",
+    "lineitem_quantity_price_skyline",
 ]
 
 

@@ -1016,3 +1016,45 @@ def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_ts").cast("long").alias("src_ts"),
         )
     )
+
+
+@query(
+    "lineitem_quantity_price_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS l_quantity,
+                      CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+      FROM lineitem
+    )
+    SELECT l_quantity, l_extendedprice
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.l_quantity >= a.l_quantity
+        AND b.l_extendedprice <= a.l_extendedprice
+        AND (b.l_quantity > a.l_quantity
+             OR b.l_extendedprice < a.l_extendedprice)
+    )
+    """,
+    tags=["skyline", "pareto", "algorithmics"],
+)
+def lineitem_quantity_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsonyi et al. 2001): the
+    (quantity, price) points where no other line item offers at least
+    as much quantity for at most that price — the multi-criteria
+    optimization operator (best trade-offs, not a single ranking).
+
+    Two-phase distributed plan (operators/skew.py::skyline_2d): a
+    lossless LOCAL skyline per partition inside an Arrow batch collapses
+    the corpus to a candidate set bounded by distinct quantities per
+    partition, then an exact dominance anti-join over that tiny set
+    decides — correctness never depends on how well phase 1 pruned.
+    The oracle runs the textbook NOT EXISTS dominance predicate over
+    all distinct points."""
+    from ..operators.skew import skyline_2d
+
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    )
+    return skyline_2d(l, "l_quantity", "l_extendedprice")

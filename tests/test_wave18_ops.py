@@ -58,3 +58,39 @@ def test_changepoints_scores_and_window_hygiene(spark):
         for r in rs:
             # boundary exclusion: both 24h windows fit inside the series
             assert mn < r.hour < mx
+
+
+def test_skyline_matches_bruteforce_and_is_pareto(spark):
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.plans.advanced import (
+        lineitem_quantity_price_skyline,
+    )
+
+    got = sorted(
+        (r.l_quantity, r.l_extendedprice)
+        for r in lineitem_quantity_price_skyline(spark, SF).collect()
+    )
+    pts = {
+        (float(r.q), float(r.p))
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            F.col("l_quantity").alias("q"), F.col("l_extendedprice").alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+    expected = sorted(
+        a
+        for a in pts
+        if not any(
+            b[0] >= a[0] and b[1] <= a[1] and b != a for b in pts
+        )
+    )
+    assert got == expected
+    # Pareto structure: along the frontier, more quantity must cost
+    # strictly more — both coordinates are monotone
+    qs = [q for q, _ in got]
+    ps = [p for _, p in got]
+    assert qs == sorted(qs)
+    assert ps == sorted(ps)

@@ -92,6 +92,7 @@ AUDIT = [
     ("grouped_fold_assignment", "GroupKFold: md5 of the GROUP, zero shuffles before the fold rollup"),
     ("benford_first_digit_audit", "Benford: map-side digit, 9-row rollup, constant expected freqs"),
     ("mean_shift_changepoints", "Changepoints: three framed windows over hours-sized series, keyed top-3"),
+    ("lineitem_quantity_price_skyline", "Skyline: lossless local Pareto per partition, exact anti-join verify"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

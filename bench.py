@@ -121,6 +121,7 @@ HEADLINE = [
     "benford_first_digit_audit",
     "mean_shift_changepoints",
     "lineitem_quantity_price_skyline",
+    "customer_hierarchy_depths",
 ]
 
 

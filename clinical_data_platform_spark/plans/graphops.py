@@ -299,3 +299,72 @@ def trade_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+@query(
+    "customer_hierarchy_depths",
+    oracle="""
+    WITH RECURSIVE lv AS (
+      SELECT c_custkey AS node, 0 AS depth
+      FROM customer WHERE c_custkey = 0
+      UNION ALL
+      SELECT c.c_custkey, lv.depth + 1
+      FROM customer c JOIN lv ON lv.node = (c.c_custkey - 1) // 2
+      WHERE c.c_custkey >= 1
+    )
+    SELECT cast(node AS BIGINT) AS node, cast(depth AS BIGINT) AS depth
+    FROM lv
+    """,
+    tags=["graph", "hierarchy", "pointer-jumping"],
+)
+def customer_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by POINTER JUMPING (Wyllie 1979) — the
+    O(log n)-round answer to "how deep is every node" that a sequential
+    parent-walk would take O(depth) dependent steps for: each round,
+    every node's ancestor pointer jumps to its ancestor's ancestor and
+    the accumulated distance doubles, so ceil(log2 n) self-joins
+    flatten any org chart / BOM / category tree. The demo hierarchy is
+    the binary-heap parent (i-1)//2 over customer keys (a contiguous
+    tree rooted at 0); the root carries a zero-cost self-loop so
+    converged pointers are a fixed point, not a special case.
+
+    The ENTIRE iterative chain is value-verified: the oracle computes
+    the same depths with a recursive CTE. Per round the state table is
+    one self-join on the ancestor key (hash-partitioned; lineage
+    truncated per round exactly like PageRank) — at a billion nodes
+    that is ~30 shuffles total, which is the whole point."""
+    import math
+
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    n = c.count()  # driver scalar: fixes the data-independent round count
+    rounds = max(1, math.ceil(math.log2(max(n, 2))))
+    state = c.select(
+        "node",
+        F.when(F.col("node") == 0, F.col("node"))
+        .otherwise(F.floor((F.col("node") - 1) / 2).cast("long"))
+        .alias("anc"),
+        F.when(F.col("node") == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("node").alias("h_node"),
+            F.col("anc").alias("h_anc"),
+            F.col("dist").alias("h_dist"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["h_node"])
+            .select(
+                "node",
+                F.col("h_anc").alias("anc"),
+                (F.col("dist") + F.col("h_dist")).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        "node", F.col("dist").cast("long").alias("depth")
+    )

@@ -193,6 +193,7 @@ PRIORITY_ORDER = [
 # benford_first_digit_audit (new, first-digit anomaly screen),
 # mean_shift_changepoints (new, two-window level-shift scan),
 # lineitem_quantity_price_skyline (new, distributed Pareto frontier),
+# customer_hierarchy_depths (new, pointer-jumping hierarchy flatten),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

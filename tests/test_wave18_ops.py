@@ -94,3 +94,29 @@ def test_skyline_matches_bruteforce_and_is_pareto(spark):
     ps = [p for _, p in got]
     assert qs == sorted(qs)
     assert ps == sorted(ps)
+
+
+def test_pointer_jumping_depths_match_sequential_walk(spark):
+    from clinical_data_platform_spark.plans.graphops import (
+        customer_hierarchy_depths,
+    )
+
+    got = {
+        r.node: r.depth for r in customer_hierarchy_depths(spark, SF).collect()
+    }
+    n = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert len(got) == n
+
+    def walk(i: int) -> int:
+        d = 0
+        while i > 0:
+            i = (i - 1) // 2
+            d += 1
+        return d
+
+    for node, depth in got.items():
+        assert depth == walk(node)
+    # heap-shaped tree: max depth is ~log2(n)
+    import math
+
+    assert max(got.values()) == math.floor(math.log2(n))

@@ -93,6 +93,7 @@ AUDIT = [
     ("benford_first_digit_audit", "Benford: map-side digit, 9-row rollup, constant expected freqs"),
     ("mean_shift_changepoints", "Changepoints: three framed windows over hours-sized series, keyed top-3"),
     ("lineitem_quantity_price_skyline", "Skyline: lossless local Pareto per partition, exact anti-join verify"),
+    ("customer_hierarchy_depths", "Pointer jumping: log2(n) self-joins flatten the tree, checkpointed rounds"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

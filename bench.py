@@ -122,6 +122,8 @@ HEADLINE = [
     "mean_shift_changepoints",
     "lineitem_quantity_price_skyline",
     "customer_hierarchy_depths",
+    "hourly_linear_interpolation",
+    "quantity_weighted_median_price",
 ]
 
 

@@ -1013,3 +1013,140 @@ def mean_shift_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("event_type", "hour", "shift_score")
     )
+
+
+@query(
+    "hourly_linear_interpolation",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             sum(CAST(round(value * 100.0) AS BIGINT)) AS xi
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT min(date_trunc('hour', ts)) AS mn,
+             max(date_trunc('hour', ts)) AS mx
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.hour_start
+      FROM (SELECT DISTINCT event_type FROM events) t, b,
+           unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR))
+             AS g(hour_start)
+    ), j AS (
+      SELECT grid.event_type, grid.hour_start, h.xi
+      FROM grid LEFT JOIN h USING (event_type, hour_start)
+    ), nb AS (
+      SELECT event_type, hour_start, xi,
+             last_value(xi IGNORE NULLS) OVER wp AS prev_i,
+             last_value(CASE WHEN xi IS NOT NULL THEN hour_start END
+                        IGNORE NULLS) OVER wp AS prev_h,
+             first_value(xi IGNORE NULLS) OVER wf AS next_i,
+             first_value(CASE WHEN xi IS NOT NULL THEN hour_start END
+                         IGNORE NULLS) OVER wf AS next_h
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY hour_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY hour_start
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour_start, xi / 100.0 AS observed,
+           CAST(CASE
+             WHEN xi IS NOT NULL THEN xi
+             WHEN prev_i IS NOT NULL AND next_i IS NOT NULL THEN
+               prev_i + floor(
+                 ((next_i - prev_i)
+                  * ((epoch_us(hour_start) - epoch_us(prev_h)) // 3600000000))
+                 ::DOUBLE
+                 / ((epoch_us(next_h) - epoch_us(prev_h)) // 3600000000))
+             WHEN prev_i IS NOT NULL THEN prev_i
+             ELSE next_i
+           END AS BIGINT) / 100.0 AS interpolated
+    FROM nb
+    """,
+    tags=["timeseries", "gap-fill", "interpolation"],
+)
+def hourly_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION — the sensor-data upgrade over
+    LOCF: a missing hour gets the time-weighted blend of its nearest
+    observed neighbors (falling back to the single available neighbor at
+    series edges). Same densified-grid shape as the LOCF query, plus a
+    mirrored forward window for the next-observation side.
+
+    The whole series runs in EXACT FIXED POINT — the observed metric is
+    the hourly TOTAL in integer cents (each value rounds to cents
+    exactly per row, and integer sums are order-free), and the blend is
+    integer multiply/floor-divide — because the float form hit BOTH
+    cross-engine landmines at once: FMA fusion gives the a+b*c blend
+    1-ulp differences, and ANY per-row rounding of a float avg() lands
+    on a boundary somewhere in 3,600 emitted rows (observed at sf0.1
+    even at 4 dp). Integer in, integer out: nothing to round, nothing
+    to disagree on."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("xi")
+    )
+    b = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("mn"),
+        F.max(F.date_trunc("hour", "ts")).alias("mx"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start"),
+        )
+    )
+    j = grid.join(h, ["event_type", "hour_start"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("xi").isNotNull(), F.col("hour_start"))
+    nb = j.select(
+        "event_type",
+        "hour_start",
+        "xi",
+        F.last("xi", ignorenulls=True).over(wp).alias("prev_i"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("xi", ignorenulls=True).over(wf).alias("next_i"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    hours = lambda a, b: (  # noqa: E731  whole hours between grid points
+        (
+            F.unix_micros(a.cast("timestamp"))
+            - F.unix_micros(b.cast("timestamp"))
+        )
+        / F.lit(3600000000)
+    ).cast("long")
+    k = hours(F.col("hour_start"), F.col("prev_h"))
+    span = hours(F.col("next_h"), F.col("prev_h"))
+    interp_i = (
+        F.when(F.col("xi").isNotNull(), F.col("xi"))
+        .when(
+            F.col("prev_i").isNotNull() & F.col("next_i").isNotNull(),
+            F.col("prev_i")
+            + F.floor(
+                ((F.col("next_i") - F.col("prev_i")) * k).cast("double")
+                / span.cast("double")
+            ).cast("long"),
+        )
+        .when(F.col("prev_i").isNotNull(), F.col("prev_i"))
+        .otherwise(F.col("next_i"))
+    )
+    return nb.select(
+        "event_type",
+        "hour_start",
+        (F.col("xi") / 100.0).alias("observed"),
+        (interp_i.cast("long") / 100.0).alias("interpolated"),
+    )

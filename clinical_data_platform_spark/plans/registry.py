@@ -194,6 +194,8 @@ PRIORITY_ORDER = [
 # mean_shift_changepoints (new, two-window level-shift scan),
 # lineitem_quantity_price_skyline (new, distributed Pareto frontier),
 # customer_hierarchy_depths (new, pointer-jumping hierarchy flatten),
+# hourly_linear_interpolation (new, fixed-point gap interpolation),
+# quantity_weighted_median_price (new, weighted median),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

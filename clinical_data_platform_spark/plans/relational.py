@@ -1896,3 +1896,111 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_chg").cast("long").alias("n_price_changed"),
         )
     )
+
+
+@query(
+    "quantity_weighted_median_price",
+    oracle="""
+    WITH pp AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             sum(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, price, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM pp
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cw >= tw / 2.0::DOUBLE THEN price END), 2)
+             AS weighted_median_price,
+           round(max(tw), 2) AS total_quantity
+    FROM c GROUP BY l_returnflag
+    """,
+    tags=["A6-ext", "weighted-median"],
+)
+def quantity_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per return flag — the median where
+    each price counts proportionally to the quantity sold at it (the
+    metric behind volume-weighted SLAs and fair-price baselines, which a
+    plain median misstates whenever cheap items dominate row counts but
+    not volume).
+
+    Two-phase distributed EXACT algorithm (the oracle states the naive
+    single-window form; the values are identical):
+
+    1. LOCATE — weights roll up into integer-price bins
+       (floor(price)), so the cumulative-weight window runs over a
+       table bounded by the PRICE RANGE (~100k bins), never by row
+       count, and the per-flag window task stays KB-sized at any data
+       scale. The bin where the running weight first crosses half the
+       total weight must contain the weighted median.
+    2. RESOLVE — only rows falling in that one bin per flag (a
+       broadcast semi-filter) are re-aggregated per distinct price;
+       the bin's incoming cumulative offset seats the local cumsum so
+       `offset + local_cw >= tw/2` picks the exact global answer.
+
+    Exactness across plans: quantities are integral, so every cumsum
+    is an exactly-representable double regardless of partial-agg order,
+    and tw/2.0 is a power-of-two divide — the crossing comparison can
+    never flip on float association. A naive Window.partitionBy(flag)
+    over raw rows would put a third of the table on one task at 100 TB;
+    here phase 1 is bounded state and phase 2 touches one bin."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        "l_quantity",
+    )
+    bins = li.groupBy(
+        "l_returnflag", F.floor("price").alias("bin")
+    ).agg(F.sum("l_quantity").alias("w"))
+    wb = Window.partitionBy("l_returnflag").orderBy("bin")
+    wt = Window.partitionBy("l_returnflag")
+    c = bins.select(
+        "l_returnflag",
+        "bin",
+        "w",
+        F.sum("w").over(wb).alias("cw_end"),
+        F.sum("w").over(wt).alias("tw"),
+    ).withColumn("cw_start", F.col("cw_end") - F.col("w"))
+    med_bin = c.filter(
+        (F.col("cw_end") >= F.col("tw") / 2.0)
+        & (F.col("cw_start") < F.col("tw") / 2.0)
+    ).select("l_returnflag", "bin", "cw_start", "tw")
+    inbin = (
+        li.alias("r")
+        .join(
+            F.broadcast(med_bin.alias("m")),
+            on=[
+                F.col("r.l_returnflag") == F.col("m.l_returnflag"),
+                F.floor(F.col("r.price")) == F.col("m.bin"),
+            ],
+        )
+        .select(
+            F.col("m.l_returnflag").alias("l_returnflag"),
+            F.col("r.price").alias("price"),
+            F.col("r.l_quantity").alias("l_quantity"),
+            "cw_start",
+            "tw",
+        )
+    )
+    pp = inbin.groupBy("l_returnflag", "price", "cw_start", "tw").agg(
+        F.sum("l_quantity").alias("w")
+    )
+    wp = Window.partitionBy("l_returnflag").orderBy("price")
+    resolved = pp.select(
+        "l_returnflag",
+        "price",
+        "tw",
+        (F.col("cw_start") + F.sum("w").over(wp)).alias("cw"),
+    )
+    return resolved.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(
+                F.when(F.col("cw") >= F.col("tw") / 2.0, F.col("price"))
+            ),
+            2,
+        ).alias("weighted_median_price"),
+        F.round(F.max("tw"), 2).alias("total_quantity"),
+    )

@@ -94,6 +94,8 @@ AUDIT = [
     ("mean_shift_changepoints", "Changepoints: three framed windows over hours-sized series, keyed top-3"),
     ("lineitem_quantity_price_skyline", "Skyline: lossless local Pareto per partition, exact anti-join verify"),
     ("customer_hierarchy_depths", "Pointer jumping: log2(n) self-joins flatten the tree, checkpointed rounds"),
+    ("hourly_linear_interpolation", "Interpolation: densified grid, two ignore-null windows, exact fixed point"),
+    ("quantity_weighted_median_price", "Weighted median: bounded bin cumsum locates the median bin, exact one-bin resolve"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

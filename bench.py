@@ -124,6 +124,11 @@ HEADLINE = [
     "customer_hierarchy_depths",
     "hourly_linear_interpolation",
     "quantity_weighted_median_price",
+    "kaplan_meier_survival",
+    "cohort_attrition_waterfall",
+    "filter_agreement_kappa",
+    "bootstrap_ci_mean",
+    "training_shard_manifest",
 ]
 
 

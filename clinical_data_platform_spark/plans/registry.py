@@ -196,6 +196,11 @@ PRIORITY_ORDER = [
 # customer_hierarchy_depths (new, pointer-jumping hierarchy flatten),
 # hourly_linear_interpolation (new, fixed-point gap interpolation),
 # quantity_weighted_median_price (new, weighted median),
+# kaplan_meier_survival (new, product-limit survival curves),
+# cohort_attrition_waterfall (new, CONSORT-style eligibility waterfall),
+# filter_agreement_kappa (new, Cohen's kappa between quality raters),
+# bootstrap_ci_mean (new, Poisson-bootstrap confidence interval),
+# training_shard_manifest (new, order-independent corpus export manifest),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

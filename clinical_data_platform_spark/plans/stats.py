@@ -6,9 +6,10 @@ DuckDB SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..catalog import table as T
+from ..catalog import fan_out_scan, table as T
 from ..functions.scalars import NORMAL_SF_SQL
 from ..operators.stats import chi_square_test, welch_t_test
 from .registry import query
@@ -638,4 +639,156 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.abs(F.col("n").cast("double") / F.col("total") - benford), 6
         ).alias("abs_deviation"),
+    )
+
+
+# --- Poisson bootstrap -------------------------------------------------------
+
+# Poisson(1) CDF at k = 0..5, pinned as identical 17-digit literals on
+# both engines (the inverse-CDF ladder below caps the weight at 6; the
+# tail mass beyond 5 is 5.9e-4). Deterministic u from md5 makes every
+# replicate reproducible and exactly oracle-checkable.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+_HEX8_DUCK = (
+    "list_sum(list_transform(range(1, 9), k ->"
+    " (strpos('0123456789abcdef', substr({h}, k, 1)) - 1)"
+    " * (1::BIGINT << (4 * (8 - k)))))"
+)
+
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c}::DOUBLE THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    + " ELSE 6 END"
+)
+
+
+@query(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH rep AS (
+      SELECT b,
+             cast(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+             ({_HEX8_DUCK.format(h="md5(concat(cast(o_orderkey AS VARCHAR), '|', cast(b AS VARCHAR)))")})::DOUBLE
+               / 4294967296.0 AS u
+      FROM orders, range(64) AS t(b)
+    ), w AS (
+      SELECT b, cents, {_POIS_CASE_SQL} AS w FROM rep
+    ), m AS (
+      SELECT b,
+             cast(sum(w * cents) AS BIGINT)::DOUBLE
+               / (cast(sum(w) AS BIGINT) * 100.0)::DOUBLE AS mean_b
+      FROM w GROUP BY b
+    ), r AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM m
+    ), base AS (
+      SELECT cast(count(*) AS BIGINT) AS n_rows,
+             cast(sum(cast(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)::DOUBLE
+               / (count(*) * 100.0)::DOUBLE AS mean_raw
+      FROM orders
+    )
+    SELECT base.n_rows,
+           cast(64 AS BIGINT) AS n_replicates,
+           floor(base.mean_raw * 1e6) / 1e6 AS mean,
+           floor(min(CASE WHEN rn = 2  THEN mean_b END) * 1e6) / 1e6 AS ci_lo_95,
+           floor(min(CASE WHEN rn = 63 THEN mean_b END) * 1e6) / 1e6 AS ci_hi_95
+    FROM r, base
+    GROUP BY base.n_rows, base.mean_raw
+    """,
+    tags=["bootstrap", "stats", "extension"],
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order price via
+    the POISSON bootstrap (Chamandy et al. 2012) — the distributed form
+    of resampling: instead of materializing B resamples (impossible when
+    one resample is 100 TB), every row draws an independent Poisson(1)
+    replication weight per replicate, and each replicate mean is a
+    weighted aggregate. 64 replicates; the CI is the 2nd/63rd ranked
+    replicate mean (2.5%/97.5% ceil convention, stated explicitly so no
+    engine-specific percentile interpolation is involved).
+
+    Exactness discipline: prices become integer cents BEFORE any sum
+    (float-sum association across partitions can otherwise land a mean
+    exactly on a rounding boundary — the hourly-interpolation lesson),
+    weights come from an md5 uniform pushed through a pinned-literal
+    inverse-CDF ladder, so every replicate sum is integer-exact on both
+    engines and the final division is one bit-stable IEEE op.
+
+    At 100 TB: the explode is map-side (64x row fan-out feeding a
+    64-group partial/final aggregate — each partition emits 64 partial
+    sums, not 64x rows to the shuffle); no global sort, no second scan
+    of the data; ranking 64 replicate means is driver-trivial."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    # single-file corpus: spread the 64x md5 fan-out across all cores
+    # (identity no-op on a real multi-split scan)
+    rep = fan_out_scan(o).select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    w = F.lit(6)
+    for k in range(5, -1, -1):
+        w = F.when(u < float(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    m = (
+        rep.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("long").cast("double")
+                / (F.sum("w").cast("long") * 100.0)
+            ).alias("mean_b")
+        )
+    )
+    r = m.select(
+        "mean_b",
+        F.row_number().over(Window.orderBy("mean_b", "b")).alias("rn"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum("cents").cast("long").cast("double")
+            / (F.count(F.lit(1)) * 100.0)
+        ).alias("mean_raw"),
+    )
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    ci = r.agg(
+        F.min(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("lo"),
+        F.min(F.when(F.col("rn") == 63, F.col("mean_b"))).alias("hi"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(64).cast("long").alias("n_replicates"),
+        t6(F.col("mean_raw")).alias("mean"),
+        t6(F.col("lo")).alias("ci_lo_95"),
+        t6(F.col("hi")).alias("ci_hi_95"),
     )

@@ -1,0 +1,428 @@
+"""Survival analysis + cohort-evaluation plans — the time-to-event and
+agreement statistics a clinical/analytics platform reports on cohorts
+(reference surface: the cohort/risk reporting in api/main.py and the
+dbt retention marts; these generalize it to the standard estimators):
+
+- ``kaplan_meier_survival``     — Kaplan–Meier product-limit estimator
+  (Kaplan & Meier 1958) of time-to-first-purchase per md5-assigned
+  cohort, right-censored at the corpus horizon.
+- ``cohort_attrition_waterfall``— the CONSORT-style sequential
+  eligibility waterfall: how many entities survive each successive
+  inclusion criterion, with per-step drop counts.
+- ``filter_agreement_kappa``    — Cohen's kappa (Cohen 1960) between
+  two independent document-quality raters, per language: agreement
+  beyond chance between curation filters.
+
+All exact DuckDB oracles. Scale notes inline per query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table as T
+from .registry import query
+
+# DuckDB twin of Spark's conv(substring(md5(x),1,6),16,10) — verified
+# digit-fold parity (see plans/sketches.py).
+_HEX6_SQL = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type FROM events
+    ), pu AS (
+      SELECT user_id, min(sec) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS t_evt
+      FROM ev GROUP BY 1
+    ), h AS (SELECT max(sec) AS t_max FROM ev),
+    d AS (
+      SELECT CASE WHEN ({_HEX6_SQL.format(x="cast(user_id AS VARCHAR)")}) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS cohort,
+             cast(floor((coalesce(t_evt, t_max) - t0)::DOUBLE
+                        / 3600.0::DOUBLE) AS BIGINT) AS dur,
+             CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS evt
+      FROM pu, h
+    ), tbl AS (
+      SELECT cohort, dur,
+             cast(sum(evt) AS BIGINT) AS d_i,
+             cast(sum(1 - evt) AS BIGINT) AS c_i
+      FROM d GROUP BY 1, 2
+    ), risk AS (
+      SELECT cohort, dur, d_i,
+             sum(d_i + c_i) OVER (PARTITION BY cohort)
+               - coalesce(sum(d_i + c_i) OVER (
+                   PARTITION BY cohort ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_i
+      FROM tbl
+    ), km AS (
+      SELECT cohort, dur, d_i, n_i,
+             CASE WHEN d_i = n_i THEN 0.0::DOUBLE
+                  ELSE exp(sum(CASE WHEN d_i < n_i
+                               THEN ln((n_i - d_i)::DOUBLE / n_i::DOUBLE)
+                               ELSE 0.0::DOUBLE END) OVER (
+                      PARTITION BY cohort ORDER BY dur))
+             END AS surv
+      FROM risk
+    )
+    SELECT cohort, dur AS duration_hours,
+           cast(n_i AS BIGINT) AS n_at_risk,
+           cast(d_i AS BIGINT) AS n_events,
+           round(surv, 6) AS survival
+    FROM km WHERE d_i > 0
+    """,
+    tags=["survival", "clinical", "extension"],
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of time-to-first-purchase (hours since the
+    user's first event), per deterministic md5 cohort, right-censored at
+    the corpus horizon for users who never purchase.
+
+    Distributed shape: one per-user aggregation (the only row-count-
+    proportional shuffle), then the life table is per (cohort, distinct
+    hour) — BOUNDED by the time span, not by users — so the ordered
+    window that forms at-risk counts and the cumulative product runs
+    over thousands of rows at any data scale. The product-limit step
+    uses exp(cumsum(ln(1 - d/n))): each factor is an IEEE-exact integer
+    ratio, d=0 rows contribute ln(1)=0 exactly, and both engines sum in
+    the same ascending-duration order, so the only cross-engine drift is
+    libm ulps — absorbed by round 6.
+
+    At 100 TB: per-user agg is partial/final on user_id; the life table
+    and windows are driver-trivial state. The censoring horizon is one
+    broadcast scalar."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "event_type"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("t_evt"),
+    )
+    horizon = ev.agg(F.max("sec").alias("t_max"))
+    cohort = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    d = pu.crossJoin(F.broadcast(horizon)).select(
+        cohort.alias("cohort"),
+        F.floor(
+            (F.coalesce(F.col("t_evt"), F.col("t_max")) - F.col("t0"))
+            / F.lit(3600.0)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("evt"),
+    )
+    tbl = d.groupBy("cohort", "dur").agg(
+        F.sum("evt").cast("long").alias("d_i"),
+        F.sum(F.lit(1) - F.col("evt")).cast("long").alias("c_i"),
+    )
+    w_tot = Window.partitionBy("cohort")
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("cohort").orderBy("dur")
+    risk = tbl.select(
+        "cohort",
+        "dur",
+        "d_i",
+        (
+            F.sum(F.col("d_i") + F.col("c_i")).over(w_tot)
+            - F.coalesce(
+                F.sum(F.col("d_i") + F.col("c_i")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_i"),
+    )
+    # A row with d_i == n_i (everyone still at risk dies there) can only
+    # be the cohort's terminal row — survival is exactly 0 and the
+    # ln(0) term is excluded from the cumulative sum.
+    km = risk.select(
+        "cohort",
+        "dur",
+        "d_i",
+        "n_i",
+        F.when(F.col("d_i") == F.col("n_i"), F.lit(0.0))
+        .otherwise(
+            F.exp(
+                F.sum(
+                    F.when(
+                        F.col("d_i") < F.col("n_i"),
+                        F.log(
+                            (F.col("n_i") - F.col("d_i")).cast("double")
+                            / F.col("n_i").cast("double")
+                        ),
+                    ).otherwise(F.lit(0.0))
+                ).over(w_run)
+            )
+        )
+        .alias("surv"),
+    )
+    return km.filter(F.col("d_i") > 0).select(
+        "cohort",
+        F.col("dur").alias("duration_hours"),
+        F.col("n_i").cast("long").alias("n_at_risk"),
+        F.col("d_i").cast("long").alias("n_events"),
+        F.round("surv", 6).alias("survival"),
+    )
+
+
+@query(
+    "cohort_attrition_waterfall",
+    oracle="""
+    WITH of AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                 THEN 1 ELSE 0 END) AS recent,
+             max(CASE WHEN o_totalprice > 150000.0::DOUBLE
+                 THEN 1 ELSE 0 END) AS big
+      FROM orders GROUP BY 1
+    ), rf AS (
+      SELECT DISTINCT o.o_custkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+    ), flags AS (
+      SELECT c.c_custkey,
+             CASE WHEN of.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS f2,
+             coalesce(of.recent, 0) AS f3,
+             coalesce(of.big, 0) AS f4,
+             CASE WHEN rf.o_custkey IS NULL THEN 1 ELSE 0 END AS f5
+      FROM customer c
+      LEFT JOIN of ON of.o_custkey = c.c_custkey
+      LEFT JOIN rf ON rf.o_custkey = c.c_custkey
+    ), agg AS (
+      SELECT cast(count(*) AS BIGINT) AS s1,
+             cast(sum(f2) AS BIGINT) AS s2,
+             cast(sum(f2 * f3) AS BIGINT) AS s3,
+             cast(sum(f2 * f3 * f4) AS BIGINT) AS s4,
+             cast(sum(f2 * f3 * f4 * f5) AS BIGINT) AS s5
+      FROM flags
+    )
+    SELECT step, criterion, remaining, dropped,
+           floor(remaining::DOUBLE / s1 * 1e6) / 1e6 AS retention
+    FROM (
+      SELECT s1, 1 AS step, 'all_customers' AS criterion,
+             s1 AS remaining, 0::BIGINT AS dropped FROM agg
+      UNION ALL SELECT s1, 2, 'has_order', s2, s1 - s2 FROM agg
+      UNION ALL SELECT s1, 3, 'order_since_1995', s3, s2 - s3 FROM agg
+      UNION ALL SELECT s1, 4, 'big_ticket_order', s4, s3 - s4 FROM agg
+      UNION ALL SELECT s1, 5, 'no_returned_items', s5, s4 - s5 FROM agg
+    )
+    """,
+    tags=["clinical", "cohort", "extension"],
+)
+def cohort_attrition_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSORT-style attrition waterfall: customers surviving each
+    successive inclusion criterion (any order -> order since 1995 ->
+    a big-ticket order -> no returned items), with per-step drop counts
+    and retention vs the full population.
+
+    One orders aggregation + one semi-style returned-customer set +
+    two key joins produce per-entity criterion flags; the waterfall is
+    conjunctive sums in a single final aggregate, unpivoted with
+    ``stack`` — never five passes over the data. All counts are exact
+    integers; retention is trunc6 so the ratio is engine-stable.
+
+    At 100 TB: both flag sources aggregate/shuffle on the entity key
+    once; the waterfall itself is one scalar row."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    of = orders.groupBy(F.col("o_custkey").alias("of_key")).agg(
+        F.max(
+            F.when(
+                F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"),
+                1,
+            ).otherwise(0)
+        ).alias("recent"),
+        F.max(
+            F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0)
+        ).alias("big"),
+    )
+    rf = (
+        orders.join(
+            li.filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .select(F.col("o_custkey").alias("rf_key"))
+        .distinct()
+        .withColumn("returned", F.lit(1))
+    )
+    flags = (
+        cust.select("c_custkey")
+        .join(of, F.col("c_custkey") == F.col("of_key"), "left")
+        .join(rf, F.col("c_custkey") == F.col("rf_key"), "left")
+        .select(
+            F.when(F.col("of_key").isNotNull(), 1).otherwise(0).alias("f2"),
+            F.coalesce("recent", F.lit(0)).alias("f3"),
+            F.coalesce("big", F.lit(0)).alias("f4"),
+            F.when(F.col("returned").isNull(), 1).otherwise(0).alias("f5"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("s1"),
+        F.sum("f2").cast("long").alias("s2"),
+        F.sum(F.col("f2") * F.col("f3")).cast("long").alias("s3"),
+        F.sum(F.col("f2") * F.col("f3") * F.col("f4")).cast("long").alias("s4"),
+        F.sum(
+            F.col("f2") * F.col("f3") * F.col("f4") * F.col("f5")
+        ).cast("long").alias("s5"),
+    )
+    steps = agg.select(
+        "s1",
+        F.expr(
+            "stack(5,"
+            " 1, 'all_customers',     s1, cast(0 AS BIGINT),"
+            " 2, 'has_order',         s2, s1 - s2,"
+            " 3, 'order_since_1995',  s3, s2 - s3,"
+            " 4, 'big_ticket_order',  s4, s3 - s4,"
+            " 5, 'no_returned_items', s5, s4 - s5)"
+            " AS (step, criterion, remaining, dropped)"
+        ),
+    )
+    return steps.select(
+        "step",
+        "criterion",
+        "remaining",
+        "dropped",
+        (
+            F.floor(
+                F.col("remaining").cast("double") / F.col("s1") * 1e6
+            )
+            / 1e6
+        ).alias("retention"),
+    )
+
+
+@query(
+    "filter_agreement_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT lang,
+             CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) <= 0.1::DOUBLE
+                  THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+                       AND list_sum(list_transform(
+                             string_split_regex(trim(text), '\\s+'),
+                             t -> length(t)))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+'))
+                           BETWEEN 3.0::DOUBLE AND 12.0::DOUBLE
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ), cells AS (
+      SELECT lang,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(ra * rb) AS BIGINT) AS both_pass,
+             cast(sum(ra * (1 - rb)) AS BIGINT) AS a_only,
+             cast(sum((1 - ra) * rb) AS BIGINT) AS b_only,
+             cast(sum((1 - ra) * (1 - rb)) AS BIGINT) AS both_fail,
+             cast(sum(ra) AS BIGINT) AS na1,
+             cast(sum(rb) AS BIGINT) AS nb1
+      FROM r GROUP BY 1
+    ), k AS (
+      SELECT *,
+             (both_pass + both_fail)::DOUBLE / n AS po,
+             (na1::DOUBLE * nb1 + (n - na1)::DOUBLE * (n - nb1))
+               / (n::DOUBLE * n) AS pe
+      FROM cells
+    )
+    SELECT lang, n, both_pass, a_only, b_only, both_fail,
+           floor(po * 1e6) / 1e6 AS po,
+           floor(pe * 1e6) / 1e6 AS pe,
+           floor((po - pe) / (1.0::DOUBLE - pe) * 1e6) / 1e6 AS kappa
+    FROM k
+    """,
+    tags=["agreement", "curation", "extension"],
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality raters,
+    per language: rater A passes docs whose non-alphanumeric symbol
+    ratio is <= 0.1; rater B passes docs with >= 20 whitespace tokens
+    and mean token length in [3, 12]. Kappa is the chance-corrected
+    agreement — the honest way to ask whether two curation filters
+    measure the same thing (raw agreement is inflated when both raters
+    pass almost everything).
+
+    One narrow map over documents computes both verdicts; the 2x2
+    confusion cells are a per-lang partial/final aggregate; kappa is
+    arithmetic on exact integer counts (IEEE division is bit-stable, so
+    trunc6 on both engines matches exactly). Zero joins, one shuffle on
+    lang."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sym_ratio = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / F.size(toks)
+    r = d.select(
+        "lang",
+        F.when(sym_ratio <= 0.1, 1).otherwise(0).alias("ra"),
+        F.when(
+            (F.size(toks) >= 20)
+            & mean_tok_len.between(3.0, 12.0),
+            1,
+        )
+        .otherwise(0)
+        .alias("rb"),
+    )
+    cells = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("both_pass"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("a_only"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("b_only"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("long")
+        .alias("both_fail"),
+        F.sum("ra").cast("long").alias("na1"),
+        F.sum("rb").cast("long").alias("nb1"),
+    )
+    po = (F.col("both_pass") + F.col("both_fail")).cast("double") / F.col("n")
+    pe = (
+        F.col("na1").cast("double") * F.col("nb1")
+        + (F.col("n") - F.col("na1")).cast("double")
+        * (F.col("n") - F.col("nb1"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    k = cells.select(
+        "lang",
+        "n",
+        "both_pass",
+        "a_only",
+        "b_only",
+        "both_fail",
+        po.alias("po_raw"),
+        pe.alias("pe_raw"),
+    )
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return k.select(
+        "lang",
+        "n",
+        "both_pass",
+        "a_only",
+        "b_only",
+        "both_fail",
+        t6(F.col("po_raw")).alias("po"),
+        t6(F.col("pe_raw")).alias("pe"),
+        t6(
+            (F.col("po_raw") - F.col("pe_raw"))
+            / (F.lit(1.0) - F.col("pe_raw"))
+        ).alias("kappa"),
+    )

@@ -604,3 +604,67 @@ def grouped_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").cast("long").alias("n_sources"),
         )
     )
+
+
+_HEX8_MANIFEST_SQL = (
+    "list_sum(list_transform(range(1, 9), k ->"
+    " (strpos('0123456789abcdef', substr({h}, k, 1)) - 1)"
+    " * (1::BIGINT << (4 * (8 - k)))))"
+)
+
+
+@query(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH s AS (
+      SELECT ({_HEX8_MANIFEST_SQL.format(h="md5(cast(doc_id AS VARCHAR))")}) % 64
+               AS shard,
+             doc_id, n_chars,
+             {_HEX8_MANIFEST_SQL.format(h="md5(text)")} AS content_h
+      FROM documents
+    )
+    SELECT cast(shard AS BIGINT) AS shard,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(n_chars) AS BIGINT) AS total_chars,
+           cast(min(doc_id) AS BIGINT) AS min_doc_id,
+           cast(max(doc_id) AS BIGINT) AS max_doc_id,
+           cast(sum(content_h) AS BIGINT) AS content_checksum
+    FROM s GROUP BY 1
+    """,
+    tags=["export", "manifest", "llm-pipeline"],
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-export manifest: deterministic md5 shard assignment
+    (64 shards) with per-shard document count, character volume, id
+    range, and an ORDER-INDEPENDENT content checksum (the sum of each
+    document's 32-bit md5-prefix integer — commutative, so the checksum
+    is identical no matter how partitions aggregate, yet any dropped,
+    duplicated, or altered document changes it). This is the handoff
+    artifact a training job verifies before consuming shards, and the
+    idempotence receipt for re-runs: same corpus -> byte-identical
+    manifest.
+
+    At 100 TB: pure map-side hashing feeding a 64-group partial/final
+    aggregate — the manifest never exceeds 64 rows regardless of corpus
+    size, and hash-stable shard assignment means a grown corpus only
+    APPENDS to shards (no reshuffling of previously-exported docs).
+    Checksum overflow headroom: 32-bit terms summed into int64 leave
+    2^31 documents per shard before wrap — and wrap-around would still
+    be deterministic on both engines."""
+    d = T(spark, sf_dir, "documents")
+    h8 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    s = d.select(
+        (h8(F.col("doc_id").cast("string")) % 64).alias("shard"),
+        "doc_id",
+        "n_chars",
+        h8(F.col("text")).alias("content_h"),
+    )
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.sum("content_h").cast("long").alias("content_checksum"),
+    )

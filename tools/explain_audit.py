@@ -96,6 +96,11 @@ AUDIT = [
     ("customer_hierarchy_depths", "Pointer jumping: log2(n) self-joins flatten the tree, checkpointed rounds"),
     ("hourly_linear_interpolation", "Interpolation: densified grid, two ignore-null windows, exact fixed point"),
     ("quantity_weighted_median_price", "Weighted median: bounded bin cumsum locates the median bin, exact one-bin resolve"),
+    ("kaplan_meier_survival", "KM survival: one per-user agg, life table bounded by time span, exact ratios"),
+    ("cohort_attrition_waterfall", "Attrition: per-entity flags from keyed aggs, conjunctive sums, stack unpivot"),
+    ("filter_agreement_kappa", "Kappa: map-side dual raters, per-lang 2x2 cells, integer-exact chance correction"),
+    ("bootstrap_ci_mean", "Poisson bootstrap: map-side 64x weight fan-out into a 64-group partial/final agg"),
+    ("training_shard_manifest", "Manifest: md5 shard hash, 64-row commutative-checksum aggregate"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

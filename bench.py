@@ -129,6 +129,11 @@ HEADLINE = [
     "filter_agreement_kappa",
     "bootstrap_ci_mean",
     "training_shard_manifest",
+    "fd_violation_report",
+    "zipf_law_fit",
+    "column_mutual_information",
+    "sorted_neighborhood_pairs",
+    "stream_cms_user_counts",
 ]
 
 

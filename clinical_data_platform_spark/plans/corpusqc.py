@@ -900,3 +900,113 @@ def token_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_log_ratio"), "tok")
         .limit(15)
     )
+
+
+# --- Zipf's law fit ----------------------------------------------------------
+
+_ZIPF_TOP = 500  # fit over the top-N ranked terms per language
+
+
+@query(
+    "zipf_law_fit",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang,
+             unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                   w -> lower(w))) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT lang, tok, count(*) AS c FROM tk GROUP BY 1, 2
+    ), rk AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, tok) AS r
+      FROM cnt
+    ), pts AS (
+      SELECT lang, ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y
+      FROM rk WHERE r <= {_ZIPF_TOP}
+    ), a AS (
+      SELECT lang, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pts GROUP BY 1
+    )
+    SELECT lang, cast(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM a
+    """,
+    tags=["corpus-stats", "zipf", "llm-pipeline"],
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS of ln(frequency) on ln(rank)
+    over each language's top-500 terms. The slope (~ -1 for natural
+    text) and R^2 are the corpus-health screen that catches synthetic,
+    template-heavy, or scraped-boilerplate slices — their rank-frequency
+    curves bend away from the power law long before eyeballing samples
+    would.
+
+    Plan: one token-count shuffle (vocabulary-bounded output), a
+    per-lang rank window over the VOCAB table (never the token stream),
+    then the same one-pass sufficient-statistics OLS closed form as
+    ols_trend_by_event_type on <=500 points per language. Deterministic
+    rank tie-break on (count desc, token) so both engines rank
+    identically.
+
+    At 100 TB: token counting is the only corpus-scale stage (map-side
+    partial counts); everything after runs on vocabulary-sized state,
+    and the fit itself on 500 rows per language."""
+    tk = fan_out_scan(T(spark, sf_dir, "documents")).select(
+        "lang",
+        F.explode(
+            F.transform(tokens(F.col("text")), lambda w: F.lower(w))
+        ).alias("tok"),
+    )
+    cnt = tk.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    rk = cnt.select(
+        "lang",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+        )
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    pts = rk.select(
+        "lang",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    a = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return a.select(
+        "lang",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -201,6 +201,11 @@ PRIORITY_ORDER = [
 # filter_agreement_kappa (new, Cohen's kappa between quality raters),
 # bootstrap_ci_mean (new, Poisson-bootstrap confidence interval),
 # training_shard_manifest (new, order-independent corpus export manifest),
+# fd_violation_report (new, functional-dependency discovery),
+# zipf_law_fit (new, rank-frequency power-law corpus screen),
+# column_mutual_information (new, model-free dependence screen),
+# sorted_neighborhood_pairs (new, windowed sorted-neighborhood ER),
+# stream_cms_user_counts (new, streaming CMS heavy hitters),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -792,3 +792,125 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         t6(F.col("lo")).alias("ci_lo_95"),
         t6(F.col("hi")).alias("ci_hi_95"),
     )
+
+
+@query(
+    "column_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x,
+             least(cast(floor(value / 100.0::DOUBLE) AS BIGINT), 4) AS y,
+             count(*) AS nxy
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT x, y, nxy,
+             sum(nxy) OVER (PARTITION BY x) AS nx,
+             sum(nxy) OVER (PARTITION BY y) AS ny,
+             sum(nxy) OVER ()               AS n
+      FROM cells
+    ), mi AS (
+      SELECT cast(max(n) AS BIGINT) AS n_events,
+             sum(nxy::DOUBLE / n
+                 * ln((nxy::DOUBLE * n) / (nx::DOUBLE * ny))) AS mi_nats
+      FROM m
+    ), hx AS (
+      SELECT -sum(nx::DOUBLE / n * ln(nx::DOUBLE / n)) AS h
+      FROM (SELECT x, max(nx) AS nx, max(n) AS n FROM m GROUP BY x)
+    ), hy AS (
+      SELECT -sum(ny::DOUBLE / n * ln(ny::DOUBLE / n)) AS h
+      FROM (SELECT y, max(ny) AS ny, max(n) AS n FROM m GROUP BY y)
+    )
+    SELECT mi.n_events,
+           round(mi.mi_nats, 6) AS mi_nats,
+           round(hx.h, 6) AS h_type,
+           round(hy.h, 6) AS h_bin,
+           round(mi.mi_nats / sqrt(hx.h * hy.h), 6) AS nmi
+    FROM mi, hx, hy
+    """,
+    tags=["mi", "feature-selection", "extension"],
+)
+def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and the event's
+    value band, with both marginal entropies and the normalized MI —
+    the model-free dependence screen feature selection runs before
+    committing to a column pair (correlation only sees linear signal;
+    MI sees any).
+
+    Plan: one contingency aggregation (cells bounded by |types| x
+    |bins|, here 5 x 5), margins via window sums over that tiny cell
+    table, and the MI/entropy folds as single aggregates — the data is
+    touched once. Every probability is a ratio of exact integer counts,
+    products stay under 2^53, and each engine sums the same <=25 ln
+    terms, so round 6 absorbs libm ulps.
+
+    At 100 TB: the cell table is the only state; extending to a
+    feature-scan (MI of target vs every column) is one such aggregate
+    per candidate, all sharing the scan."""
+    ev = T(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.least(F.floor(F.col("value") / 100.0).cast("long"), F.lit(4)).alias(
+            "y"
+        ),
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(wx).alias("nx"),
+        F.sum("nxy").over(wy).alias("ny"),
+        F.sum("nxy").over(wall).alias("n"),
+    ).localCheckpoint()
+    mi = m.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(
+            F.col("nxy").cast("double")
+            / F.col("n")
+            * F.log(
+                (F.col("nxy").cast("double") * F.col("n"))
+                / (F.col("nx").cast("double") * F.col("ny"))
+            )
+        ).alias("mi_nats"),
+    )
+    hx = (
+        m.groupBy("x")
+        .agg(F.max("nx").alias("nx"), F.max("n").alias("n"))
+        .agg(
+            (
+                -F.sum(
+                    F.col("nx").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("nx").cast("double") / F.col("n"))
+                )
+            ).alias("h_type")
+        )
+    )
+    hy = (
+        m.groupBy("y")
+        .agg(F.max("ny").alias("ny"), F.max("n").alias("n"))
+        .agg(
+            (
+                -F.sum(
+                    F.col("ny").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("ny").cast("double") / F.col("n"))
+                )
+            ).alias("h_bin")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n_events",
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_bin", 6).alias("h_bin"),
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("h_type") * F.col("h_bin")), 6
+            ).alias("nmi"),
+        )
+    )

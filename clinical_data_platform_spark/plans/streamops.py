@@ -322,3 +322,98 @@ def stream_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+_SCMS_D = 4
+_SCMS_W = 1024
+_SCMS_TOP = 10
+
+_SCMS_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr({h}, k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+@query(
+    "stream_cms_user_counts",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+      ORDER BY exact_cnt DESC, user_id LIMIT {_SCMS_TOP}
+    ),
+    b AS (
+      SELECT i,
+             {_SCMS_HEX6.format(h="md5(cast(i AS VARCHAR) || '|' || cast(user_id AS VARCHAR))")}
+               % {_SCMS_W} AS bucket
+      FROM events, unnest(range(0, {_SCMS_D})) AS u(i)
+    ),
+    sk AS (SELECT i, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+    eb AS (
+      SELECT e.user_id, e.exact_cnt, u.i,
+             {_SCMS_HEX6.format(h="md5(cast(u.i AS VARCHAR) || '|' || cast(e.user_id AS VARCHAR))")}
+               % {_SCMS_W} AS bucket
+      FROM exact e, unnest(range(0, {_SCMS_D})) AS u(i)
+    )
+    SELECT cast(eb.user_id AS BIGINT) AS user_id,
+           cast(eb.exact_cnt AS BIGINT) AS exact_cnt,
+           cast(min(sk.c) AS BIGINT) AS cms_estimate,
+           cast(min(sk.c) - eb.exact_cnt AS BIGINT) AS overcount
+    FROM eb JOIN sk ON sk.i = eb.i AND sk.bucket = eb.bucket
+    GROUP BY eb.user_id, eb.exact_cnt
+    """,
+    tags=["streaming", "sketch", "heavy-hitters"],
+)
+def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min heavy hitters: the d x w counter table is
+    maintained AS the streaming aggregation state (4 x 1024 counters
+    regardless of how many users the stream ever sees — the canonical
+    bounded-state frequency monitor), and the point-estimate fold (min
+    over hash rows) runs batch-side on the materialized state, probed
+    with the exact top-{_SCMS_TOP} users so the one-sided overcount is
+    visible per user. Over the bounded source the streamed counters
+    equal the batch counters, so every estimate is value-verified by
+    the oracle — completing the streaming sketch family next to the
+    streaming DDSketch (quantiles) and streaming PSI (drift)."""
+    tune_session(spark)
+    sketch = S.cms_user_counters(spark, sf_dir, _SCMS_D, _SCMS_W)
+    from ..catalog import table as T
+
+    ev = T(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(_SCMS_TOP)
+    )
+    rows_i = F.array(*[F.lit(i) for i in range(_SCMS_D)])
+    h = F.md5(
+        F.concat(
+            F.col("i").cast("string"),
+            F.lit("|"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    probe = exact.select(
+        "user_id", "exact_cnt", F.explode(rows_i).alias("i")
+    ).select(
+        "user_id",
+        "exact_cnt",
+        "i",
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % _SCMS_W).alias(
+            "bucket"
+        ),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

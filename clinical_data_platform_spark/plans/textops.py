@@ -737,3 +737,111 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_K)
     )
+
+
+_SN_WINDOW = 2  # neighbors compared on each side of the sort order
+_SN_TAU = 0.5  # report threshold on token Jaccard
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey,
+             list_sort(list_distinct(string_split(
+               lower(p_name || ' ' || p_brand || ' ' || p_type), ' '))) AS ts
+      FROM part
+    ),
+    k AS (
+      SELECT p_partkey, ts,
+             ts[1] AS blk,
+             array_to_string(ts, ' ') AS sortkey
+      FROM t WHERE len(ts) >= 1
+    ),
+    r AS (
+      SELECT p_partkey, ts, blk,
+             row_number() OVER (PARTITION BY blk
+                                ORDER BY sortkey, p_partkey) AS rn
+      FROM k
+    )
+    SELECT least(a.p_partkey, c.p_partkey) AS part_a,
+           greatest(a.p_partkey, c.p_partkey) AS part_b,
+           floor(len(list_intersect(a.ts, c.ts)) * 1e6
+                 / len(list_distinct(a.ts || c.ts))) / 1e6 AS jaccard
+    FROM r a JOIN r c
+      ON a.blk = c.blk AND c.rn - a.rn BETWEEN 1 AND {_SN_WINDOW}
+    WHERE len(list_intersect(a.ts, c.ts)) * 1.0::DOUBLE
+          / len(list_distinct(a.ts || c.ts)) >= {_SN_TAU}
+    """,
+    tags=["dedup", "entity-resolution", "sorted-neighborhood"],
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo 1995) —
+    the complement to key blocking (er_blocking_part_pairs): records are
+    ORDERED by a sort key built from their canonical token string, and
+    only records within a sliding window of that order are compared.
+    Where blocking misses matches that straddle block boundaries, SN
+    misses only matches far apart in sort order — real MDM pipelines run
+    both and union the candidates.
+
+    Distributed form: the classic algorithm's single global sort would
+    serialize; here the sort is PARTITIONED by the first token (the
+    leading sort component — neighbors in the global order share it
+    except at partition seams, the standard multi-pass SN tradeoff) and
+    the window comparison is a rank-offset self-join within each
+    partition, comparing each record to its next {_SN_WINDOW}
+    neighbors. Jaccard verification is a codegen'd array expression
+    inside the join — no UDF, no all-pairs blowup: candidates are
+    exactly (window size) x corpus.
+
+    At 100 TB: one shuffle on the partition token, per-partition sorts
+    bounded by partition size (frequency-cap degenerate tokens like the
+    blocking path does), join fan-out constant."""
+    p = T(spark, sf_dir, "part")
+    ts = F.array_sort(
+        F.array_distinct(
+            F.split(
+                F.lower(
+                    F.concat_ws(
+                        " ", F.col("p_name"), F.col("p_brand"), F.col("p_type")
+                    )
+                ),
+                " ",
+            )
+        )
+    )
+    k = p.select("p_partkey", ts.alias("ts")).filter(F.size("ts") >= 1)
+    k = k.select(
+        "p_partkey",
+        "ts",
+        F.element_at("ts", 1).alias("blk"),
+        F.concat_ws(" ", F.col("ts")).alias("sortkey"),
+    )
+    r = k.select(
+        "p_partkey",
+        "ts",
+        "blk",
+        F.row_number()
+        .over(Window.partitionBy("blk").orderBy("sortkey", "p_partkey"))
+        .alias("rn"),
+    ).localCheckpoint()
+    a, c = r.alias("a"), r.alias("c")
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("c.ts")))
+    union = F.size(F.array_union(F.col("a.ts"), F.col("c.ts")))
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("c.rn") - F.col("a.rn")).between(1, _SN_WINDOW),
+        )
+        .filter(inter * 1.0 / union >= _SN_TAU)
+        .select(
+            F.least(F.col("a.p_partkey"), F.col("c.p_partkey")).alias(
+                "part_a"
+            ),
+            F.greatest(F.col("a.p_partkey"), F.col("c.p_partkey")).alias(
+                "part_b"
+            ),
+            (F.floor(inter * 1e6 / union) / 1e6).alias("jaccard"),
+        )
+    )

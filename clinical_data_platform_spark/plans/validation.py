@@ -265,3 +265,83 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+# --- Functional-dependency discovery ----------------------------------------
+
+_FD_CANDIDATES = [
+    # (name, table, lhs, rhs)
+    ("customer.c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+]
+
+
+def _fd_oracle_block(name: str, tbl: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{name}' AS fd,
+           cast(count(*) AS BIGINT) AS n_groups,
+           cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           cast(max(nd) AS BIGINT) AS max_distinct_rhs,
+           floor(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 1e6) / 1e6 AS violation_share
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd
+          FROM {tbl} GROUP BY {lhs})
+    """
+
+
+@query(
+    "fd_violation_report",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_block(*c) for c in _FD_CANDIDATES
+    ),
+    tags=["profiling", "data-quality", "extension"],
+)
+def fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs: for
+    each LHS -> RHS candidate, the share of LHS groups carrying more
+    than one distinct RHS value (0 = the FD holds exactly — a key or
+    derivable attribute; > 0 quantifies how far it is from holding).
+    This is the schema-profiling primitive behind key detection,
+    normalization advice, and "is this column safe to denormalize"
+    checks — run BEFORE trusting a join to be 1:1.
+
+    Plan: each candidate is one partial/final aggregation on its LHS
+    key (count(DISTINCT rhs) per group is Spark's two-phase exact
+    distinct), folded to a single summary row, then a 5-row UNION. No
+    joins, no windows; at 100 TB each candidate costs one shuffle on
+    its own key and the candidates run independently."""
+    parts = []
+    for name, tbl, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            T(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        parts.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("violating_groups"),
+                F.max("nd").cast("long").alias("max_distinct_rhs"),
+                (
+                    F.floor(
+                        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1))
+                        * 1e6
+                    )
+                    / 1e6
+                ).alias("violation_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

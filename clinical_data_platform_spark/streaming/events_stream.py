@@ -312,3 +312,32 @@ def psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return _run_to_memory(bins, "complete")
+
+
+def cms_user_counters(
+    spark: SparkSession, sf_dir: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Streaming Count-Min Sketch state over user_id: per (hash-row,
+    bucket) counters maintained as a complete-mode streaming aggregation
+    — d x w rows forever, merging across micro-batches by addition. The
+    frequency-estimate fold runs batch-side on the materialized state
+    (plans/streamops.stream_cms_user_counts)."""
+    ev = _event_stream(spark, sf_dir)
+    rows_i = F.array(*[F.lit(i) for i in range(d)])
+    h = F.md5(
+        F.concat(
+            F.col("i").cast("string"), F.lit("|"), F.col("user_id").cast("string")
+        )
+    )
+    counters = (
+        ev.select("user_id", F.explode(rows_i).alias("i"))
+        .select(
+            "i",
+            (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % w).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _run_to_memory(counters, "complete")

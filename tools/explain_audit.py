@@ -101,6 +101,10 @@ AUDIT = [
     ("filter_agreement_kappa", "Kappa: map-side dual raters, per-lang 2x2 cells, integer-exact chance correction"),
     ("bootstrap_ci_mean", "Poisson bootstrap: map-side 64x weight fan-out into a 64-group partial/final agg"),
     ("training_shard_manifest", "Manifest: md5 shard hash, 64-row commutative-checksum aggregate"),
+    ("fd_violation_report", "FD discovery: one keyed countDistinct agg per candidate, 5-row union"),
+    ("zipf_law_fit", "Zipf: vocab-bounded rank window, 500-point closed-form OLS per lang"),
+    ("column_mutual_information", "MI: one contingency agg, window margins on 25 cells, integer ratios"),
+    ("sorted_neighborhood_pairs", "SN-ER: partitioned sort-key window, rank-offset self-join, codegen Jaccard"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -134,6 +134,11 @@ HEADLINE = [
     "column_mutual_information",
     "sorted_neighborhood_pairs",
     "stream_cms_user_counts",
+    "iptw_covariate_balance",
+    "did_revenue_estimator",
+    "cuped_adjusted_metric",
+    "top_visit_paths",
+    "levenshtein_match_pairs",
 ]
 
 

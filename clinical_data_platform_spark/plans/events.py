@@ -1150,3 +1150,77 @@ def hourly_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("xi") / 100.0).alias("observed"),
         (interp_i.cast("long") / 100.0).alias("interpolated"),
     )
+
+
+@query(
+    "top_visit_paths",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, date_trunc('hour', ts) AS visit,
+             event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), p AS (
+      SELECT user_id, visit,
+             concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path,
+             cast(max(rn) AS BIGINT) AS n_events
+      FROM v WHERE rn <= 3 GROUP BY 1, 2
+    )
+    SELECT path, cast(count(*) AS BIGINT) AS n_visits,
+           cast(sum(CASE WHEN n_events >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full
+    FROM p GROUP BY path
+    ORDER BY n_visits DESC, path LIMIT 10
+    """,
+    tags=["clickstream", "paths", "extension"],
+)
+def top_visit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top visit paths: the first three event types of every (user,
+    hour) visit concatenated into a path string, ranked by frequency —
+    the clickstream path-analysis table behind funnel design and UX
+    triage ("what do sessions actually open with").
+
+    Determinism: steps are ordered by (ts, event_id) — a total order —
+    and the path is assembled from three conditional MAXes over the
+    rank, never from collect_list (whose order is partition-dependent).
+    Plan: one window over (user, hour) partitions, one path aggregate
+    (bounded by visit count), one TakeOrdered(10). At 100 TB the window
+    key has user-level cardinality, so no partition is ever larger than
+    one user's busiest hour."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "visit").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("visit"),
+        "event_type",
+        "ts",
+        "event_id",
+    ).withColumn("rn", F.row_number().over(w))
+    p = (
+        v.filter(F.col("rn") <= 3)
+        .groupBy("user_id", "visit")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+                F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+                F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+            ).alias("path"),
+            F.max("rn").cast("long").alias("n_events"),
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_visits"),
+            F.sum(F.when(F.col("n_events") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_full"),
+        )
+        .orderBy(F.desc("n_visits"), F.asc("path"))
+        .limit(10)
+    )

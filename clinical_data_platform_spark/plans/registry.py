@@ -206,6 +206,11 @@ PRIORITY_ORDER = [
 # column_mutual_information (new, model-free dependence screen),
 # sorted_neighborhood_pairs (new, windowed sorted-neighborhood ER),
 # stream_cms_user_counts (new, streaming CMS heavy hitters),
+# iptw_covariate_balance (new, propensity-weighting SMD balance table),
+# did_revenue_estimator (new, difference-in-differences panel estimate),
+# cuped_adjusted_metric (new, CUPED variance reduction),
+# top_visit_paths (new, clickstream path analysis),
+# levenshtein_match_pairs (new, edit-distance fuzzy ER),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -914,3 +914,174 @@ def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@query(
+    "did_revenue_estimator",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN c.c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), m AS (
+      SELECT treated, post,
+             cast(count(*) AS BIGINT) AS n, avg(y) AS mean_y
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT cast(t.treated AS BIGINT) AS treated,
+           t.n_pre, t.n_post,
+           round(t.m_pre, 6) AS mean_pre,
+           round(t.m_post, 6) AS mean_post,
+           round(t.m_post - t.m_pre, 6) AS delta,
+           round(max(t.m_post - t.m_pre)
+                   FILTER (t.treated = 1) OVER ()
+                 - max(t.m_post - t.m_pre)
+                   FILTER (t.treated = 0) OVER (), 6) AS did
+    FROM (
+      SELECT treated,
+             max(n)      FILTER (post = 0) AS n_pre,
+             max(n)      FILTER (post = 1) AS n_post,
+             max(mean_y) FILTER (post = 0) AS m_pre,
+             max(mean_y) FILTER (post = 1) AS m_post
+      FROM m GROUP BY treated
+    ) t
+    """,
+    tags=["causal", "experimentation", "extension"],
+)
+def did_revenue_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2x2 panel estimator (treated =
+    even-nation customers, post = orders from 1996 on) — the workhorse
+    for policy/rollout effects when randomization isn't available. The
+    DiD column repeats the single estimate on both rows: the treated
+    group's pre->post change minus the control group's, which nets out
+    both the level difference between groups and the common time trend.
+
+    Plan: one fact-dim join (dim broadcast), one 4-cell aggregation,
+    then scalar arithmetic on the 4-cell table — the data is touched
+    once and every statistic is a mean of one cell. At 100 TB the join
+    shuffles nothing (broadcast) and the aggregate is partial/final."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    cells = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.when(F.col("c_nationkey") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.col("o_totalprice").alias("y"),
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("y").alias("mean_y")
+    )
+    t = m.groupBy("treated").agg(
+        F.max(F.when(F.col("post") == 0, F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("n"))).alias("n_post"),
+        F.max(F.when(F.col("post") == 0, F.col("mean_y"))).alias("m_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("mean_y"))).alias("m_post"),
+    )
+    wall = Window.partitionBy()
+    delta = F.col("m_post") - F.col("m_pre")
+    did = F.max(F.when(F.col("treated") == 1, delta)).over(wall) - F.max(
+        F.when(F.col("treated") == 0, delta)
+    ).over(wall)
+    return t.select(
+        F.col("treated").cast("long").alias("treated"),
+        "n_pre",
+        "n_post",
+        F.round("m_pre", 6).alias("mean_pre"),
+        F.round("m_post", 6).alias("mean_post"),
+        F.round(delta, 6).alias("delta"),
+        F.round(did, 6).alias("did"),
+    )
+
+
+@query(
+    "cuped_adjusted_metric",
+    oracle="""
+    WITH pp AS (
+      SELECT user_id,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+                       AND ts < TIMESTAMP '2024-01-08'
+                 THEN value ELSE 0.0::DOUBLE END) AS pre,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                       AND ts < TIMESTAMP '2024-01-15'
+                 THEN value ELSE 0.0::DOUBLE END) AS post
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT count(*) AS n,
+             avg(pre) AS mpre, avg(post) AS mpost,
+             covar_samp(post, pre) AS cov, var_samp(pre) AS vpre,
+             var_samp(post) AS vpost
+      FROM pp
+    ), t AS (
+      SELECT *, cov / vpre AS theta FROM s
+    )
+    SELECT cast(n AS BIGINT) AS n_users,
+           round(mpost, 6) AS mean_post,
+           round(theta, 6) AS theta,
+           round(vpost, 6) AS var_post,
+           round(vpost + theta * theta * vpre
+                 - 2.0::DOUBLE * theta * cov, 6) AS var_cuped,
+           floor((1.0::DOUBLE - (vpost + theta * theta * vpre
+                                 - 2.0::DOUBLE * theta * cov) / vpost)
+                 * 1e6) / 1e6 AS variance_reduction
+    FROM t
+    """,
+    tags=["experimentation", "variance-reduction", "extension"],
+)
+def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the standard
+    experimentation trick: adjust each user's experiment-period metric
+    by their PRE-period metric (theta = cov/var), shrinking metric
+    variance by the squared correlation and cutting required sample
+    sizes proportionally. Reported: theta, raw vs adjusted variance,
+    and the realized variance-reduction share.
+
+    Plan: one per-user aggregation builds the (pre, post) pairs (both
+    periods folded from the same scan — no second pass), then ONE
+    moment aggregate (covar_samp/var_samp are single-pass partial/final
+    in both engines); the adjusted variance uses the closed form
+    var(post) + theta^2 var(pre) - 2 theta cov so no second scan over
+    adjusted values is needed. At 100 TB: one user-key shuffle, then
+    scalar math."""
+    ev = T(spark, sf_dir, "events")
+    pre_w = (F.col("ts") >= F.lit("2024-01-01").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    post_w = (F.col("ts") >= F.lit("2024-01-08").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    )
+    pp = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre_w, F.col("value")).otherwise(0.0)).alias("pre"),
+        F.sum(F.when(post_w, F.col("value")).otherwise(0.0)).alias("post"),
+    )
+    s = pp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("pre").alias("mpre"),
+        F.avg("post").alias("mpost"),
+        F.covar_samp("post", "pre").alias("cov"),
+        F.var_samp("pre").alias("vpre"),
+        F.var_samp("post").alias("vpost"),
+    )
+    theta = F.col("cov") / F.col("vpre")
+    var_cuped = (
+        F.col("vpost")
+        + theta * theta * F.col("vpre")
+        - 2.0 * theta * F.col("cov")
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round("mpost", 6).alias("mean_post"),
+        F.round(theta, 6).alias("theta"),
+        F.round("vpost", 6).alias("var_post"),
+        F.round(var_cuped, 6).alias("var_cuped"),
+        (F.floor((F.lit(1.0) - var_cuped / F.col("vpost")) * 1e6) / 1e6).alias(
+            "variance_reduction"
+        ),
+    )

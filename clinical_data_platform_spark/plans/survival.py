@@ -426,3 +426,183 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1.0) - F.col("pe_raw"))
         ).alias("kappa"),
     )
+
+
+@query(
+    "iptw_covariate_balance",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS treated
+      FROM orders GROUP BY 1
+    ), u AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             cast(c.c_nationkey AS DOUBLE) AS nk,
+             coalesce(oc.n_orders, 0)::DOUBLE AS n_orders,
+             coalesce(oc.treated, 0) AS t
+      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+    ), p AS (
+      SELECT *,
+             1.0::DOUBLE / (1.0::DOUBLE + exp(-(
+               -1.0::DOUBLE
+               + 0.0002::DOUBLE * c_acctbal
+               + 0.03::DOUBLE * nk
+               + 0.2::DOUBLE * n_orders))) AS ps
+      FROM u
+    ), w AS (
+      SELECT *,
+             CASE WHEN t = 1 THEN 1.0::DOUBLE / ps
+                  ELSE 1.0::DOUBLE / (1.0::DOUBLE - ps) END AS wt
+      FROM p
+    ), longf AS (
+      SELECT t, wt, 'c_acctbal' AS covariate, c_acctbal AS x FROM w
+      UNION ALL SELECT t, wt, 'n_orders', n_orders FROM w
+      UNION ALL SELECT t, wt, 'c_nationkey', nk FROM w
+    ), s AS (
+      SELECT covariate,
+             cast(sum(t) AS BIGINT) AS n_treated,
+             cast(sum(1 - t) AS BIGINT) AS n_control,
+             avg(x)      FILTER (t = 1) AS mt,
+             avg(x)      FILTER (t = 0) AS mc,
+             var_samp(x) FILTER (t = 1) AS vt,
+             var_samp(x) FILTER (t = 0) AS vc,
+             sum(wt * x)      FILTER (t = 1) / sum(wt) FILTER (t = 1) AS wmt,
+             sum(wt * x)      FILTER (t = 0) / sum(wt) FILTER (t = 0) AS wmc,
+             sum(wt * x * x)  FILTER (t = 1) / sum(wt) FILTER (t = 1) AS wxt,
+             sum(wt * x * x)  FILTER (t = 0) / sum(wt) FILTER (t = 0) AS wxc
+      FROM longf GROUP BY 1
+    )
+    SELECT covariate, n_treated, n_control,
+           round((mt - mc) / sqrt((vt + vc) / 2.0::DOUBLE), 6)
+             AS smd_unweighted,
+           round((wmt - wmc)
+                 / sqrt(((wxt - wmt * wmt) + (wxc - wmc * wmc))
+                        / 2.0::DOUBLE), 6) AS smd_weighted
+    FROM s
+    """,
+    tags=["causal", "clinical", "extension"],
+)
+def iptw_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-probability-of-treatment weighting (IPTW) covariate
+    balance table — the standardized-mean-difference audit every
+    observational clinical study reports (Austin 2011): treated =
+    customers with an urgent order, propensity = a fixed-coefficient
+    logistic score on (account balance, nation, order count), weights
+    1/ps vs 1/(1-ps), and per-covariate SMD before vs after weighting.
+    A weighted |SMD| shrinking toward < 0.1 is the evidence the
+    pseudo-population is exchangeable on that covariate.
+
+    Plan: one orders aggregation joined to customers, map-side score
+    and weights, a 3x melt to (covariate, x) long form, and ONE
+    partial/final aggregate computing every moment (weighted variance
+    via the E[x^2]-m^2 closed form so no second pass). Fixed
+    coefficients keep the query deterministic and exactly oracle-
+    checkable; swap in clinical/ml.py's fitted logistic for the
+    production path.
+
+    At 100 TB: one key shuffle + one 3-row-per-entity aggregate;
+    the balance table is |covariates| rows."""
+    oc = T(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("oc_key")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("treated"),
+    )
+    u = (
+        T(spark, sf_dir, "customer")
+        .join(oc, F.col("c_custkey") == F.col("oc_key"), "left")
+        .select(
+            F.col("c_acctbal"),
+            F.col("c_nationkey").cast("double").alias("nk"),
+            F.coalesce("n_orders", F.lit(0)).cast("double").alias("n_orders"),
+            F.coalesce("treated", F.lit(0)).alias("t"),
+        )
+    )
+    ps = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(-1.0)
+                + F.lit(0.0002) * F.col("c_acctbal")
+                + F.lit(0.03) * F.col("nk")
+                + F.lit(0.2) * F.col("n_orders")
+            )
+        )
+    )
+    w = u.withColumn("ps", ps).withColumn(
+        "wt",
+        F.when(F.col("t") == 1, F.lit(1.0) / F.col("ps")).otherwise(
+            F.lit(1.0) / (F.lit(1.0) - F.col("ps"))
+        ),
+    )
+    longf = w.select(
+        "t",
+        "wt",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("c_acctbal").alias("covariate"),
+                    F.col("c_acctbal").alias("x"),
+                ),
+                F.struct(
+                    F.lit("n_orders").alias("covariate"),
+                    F.col("n_orders").alias("x"),
+                ),
+                F.struct(
+                    F.lit("c_nationkey").alias("covariate"),
+                    F.col("nk").alias("x"),
+                ),
+            )
+        ).alias("p"),
+    ).select("t", "wt", "p.covariate", "p.x")
+    t1 = F.col("t") == 1
+    t0 = F.col("t") == 0
+    s = longf.groupBy("covariate").agg(
+        F.sum("t").cast("long").alias("n_treated"),
+        F.sum(1 - F.col("t")).cast("long").alias("n_control"),
+        F.avg(F.when(t1, F.col("x"))).alias("mt"),
+        F.avg(F.when(t0, F.col("x"))).alias("mc"),
+        F.var_samp(F.when(t1, F.col("x"))).alias("vt"),
+        F.var_samp(F.when(t0, F.col("x"))).alias("vc"),
+        (
+            F.sum(F.when(t1, F.col("wt") * F.col("x")))
+            / F.sum(F.when(t1, F.col("wt")))
+        ).alias("wmt"),
+        (
+            F.sum(F.when(t0, F.col("wt") * F.col("x")))
+            / F.sum(F.when(t0, F.col("wt")))
+        ).alias("wmc"),
+        (
+            F.sum(F.when(t1, F.col("wt") * F.col("x") * F.col("x")))
+            / F.sum(F.when(t1, F.col("wt")))
+        ).alias("wxt"),
+        (
+            F.sum(F.when(t0, F.col("wt") * F.col("x") * F.col("x")))
+            / F.sum(F.when(t0, F.col("wt")))
+        ).alias("wxc"),
+    )
+    return s.select(
+        "covariate",
+        "n_treated",
+        "n_control",
+        F.round(
+            (F.col("mt") - F.col("mc"))
+            / F.sqrt((F.col("vt") + F.col("vc")) / 2.0),
+            6,
+        ).alias("smd_unweighted"),
+        F.round(
+            (F.col("wmt") - F.col("wmc"))
+            / F.sqrt(
+                (
+                    (F.col("wxt") - F.col("wmt") * F.col("wmt"))
+                    + (F.col("wxc") - F.col("wmc") * F.col("wmc"))
+                )
+                / 2.0
+            ),
+            6,
+        ).alias("smd_weighted"),
+    )

@@ -845,3 +845,57 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(inter * 1e6 / union) / 1e6).alias("jaccard"),
         )
     )
+
+
+_LEV_MAX = 12  # report threshold on edit distance
+
+
+@query(
+    "levenshtein_match_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT p_partkey, p_name, p_brand, p_size FROM part
+    )
+    SELECT a.p_partkey AS part_a, c.p_partkey AS part_b,
+           cast(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c
+      ON a.p_brand = c.p_brand AND a.p_size = c.p_size
+     AND a.p_partkey < c.p_partkey
+    WHERE levenshtein(a.p_name, c.p_name) <= {_LEV_MAX}
+    """,
+    tags=["dedup", "entity-resolution", "fuzzy"],
+)
+def levenshtein_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching within (brand, size) blocks: part
+    names within {_LEV_MAX} edits — the character-level complement to
+    token-set Jaccard (er_blocking_part_pairs) and sorted-neighborhood
+    ordering: typo-class duplicates ('tomato' vs 'tomatto') share few
+    tokens but tiny edit distance. Both Spark and DuckDB implement the
+    classic Wagner–Fischer DP, so the distance is integer-exact
+    cross-engine.
+
+    Plan: self equi-join on the composite block key, per-block
+    quadratic only (block sizes are attribute-bounded), the DP runs as
+    a codegen'd binary expression inside the join filter. At 100 TB:
+    shuffle on the block key; cap degenerate blocks the same way the
+    other ER paths do. The O(len^2) DP per comparison is the cost
+    argument for running it AFTER cheap blocking, never corpus-wide."""
+    b = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(
+            c,
+            (F.col("a.p_brand") == F.col("c.p_brand"))
+            & (F.col("a.p_size") == F.col("c.p_size"))
+            & (F.col("a.p_partkey") < F.col("c.p_partkey")),
+        )
+        .filter(dist <= _LEV_MAX)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("c.p_partkey").alias("part_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )

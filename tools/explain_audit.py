@@ -105,6 +105,11 @@ AUDIT = [
     ("zipf_law_fit", "Zipf: vocab-bounded rank window, 500-point closed-form OLS per lang"),
     ("column_mutual_information", "MI: one contingency agg, window margins on 25 cells, integer ratios"),
     ("sorted_neighborhood_pairs", "SN-ER: partitioned sort-key window, rank-offset self-join, codegen Jaccard"),
+    ("iptw_covariate_balance", "IPTW: broadcast-join flags, map-side score/weights, ONE moment aggregate"),
+    ("did_revenue_estimator", "DiD: broadcast dim join, 4-cell aggregate, scalar panel algebra"),
+    ("cuped_adjusted_metric", "CUPED: one user-key shuffle folds both periods, single moment aggregate"),
+    ("top_visit_paths", "Paths: user-hour window, conditional-MAX path build, TakeOrdered 10"),
+    ("levenshtein_match_pairs", "Fuzzy ER: block-key self equi-join, codegen Wagner-Fischer DP filter"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -139,6 +139,11 @@ HEADLINE = [
     "cuped_adjusted_metric",
     "top_visit_paths",
     "levenshtein_match_pairs",
+    "conformal_prediction_intervals",
+    "label_propagation_communities",
+    "neyman_allocation_plan",
+    "eb_shrunk_nation_rates",
+    "chi_square_cell_residuals",
 ]
 
 

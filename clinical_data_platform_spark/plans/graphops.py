@@ -368,3 +368,150 @@ def customer_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "node", F.col("dist").cast("long").alias("depth")
     )
+
+
+_LP_ITERS = 3
+
+_LP_EDGES_SQL = """
+    d0 AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b, sum(w) AS w
+      FROM d0 GROUP BY 1, 2
+    ),
+    thresh AS (SELECT avg(w) AS avg_w FROM und),
+    ek AS (SELECT a, b, w FROM und, thresh WHERE w > 1.5::DOUBLE * avg_w),
+    esym AS (
+      SELECT a AS src, b AS dst, w FROM ek
+      UNION ALL SELECT b, a, w FROM ek
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM esym)
+"""
+
+
+def _lp_iter_sql(k: int) -> str:
+    return f"""
+    lp{k} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, p.label, sum(e.w) AS wt,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY sum(e.w) DESC, p.label) AS rn
+        FROM esym e JOIN lp{k - 1} p ON p.node = e.src
+        GROUP BY e.dst, p.label
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "label_propagation_communities",
+    oracle=(
+        "WITH "
+        + _LP_EDGES_SQL
+        + ",\n    lp0 AS (SELECT node, node AS label FROM nodes)"
+        + "".join("," + _lp_iter_sql(k) for k in range(1, _LP_ITERS + 1))
+        + f"""
+    SELECT f.label AS community,
+           cast(count(*) AS BIGINT) AS n_members,
+           min(f.node) AS first_member
+    FROM lp{_LP_ITERS} f GROUP BY f.label
+    """
+    ),
+    tags=["graph", "community", "label-propagation"],
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) on the thresholded nation-trade graph: every node starts
+    as its own label, then each round adopts the label carrying the most
+    incident edge weight among its neighbors, tie-broken to the
+    lexicographically smallest label so every round is deterministic.
+    {_LP_ITERS} rounds; output = community sizes.
+
+    The ENTIRE iterative chain is value-verified by a chained-CTE DuckDB
+    oracle — possible because the state is (node, label) with integer
+    edge weights: no floats anywhere, so no rounding discipline is even
+    needed (contrast nation_trade_pagerank's per-iteration 12-dp
+    re-sync). Each round is one src-keyed join + one (dst, label)
+    partial/final agg + one per-node top-1 window — the same bounded
+    shapes as PageRank, with per-iteration localCheckpoint keeping the
+    plan linear. At 100 TB: state is |nodes| rows, per-round shuffle is
+    edge-bounded; the argmax window partitions by node (never global)."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    d0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        d0.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    thresh = und.agg(F.avg("w").alias("avg_w"))
+    # 1.5x mean keeps only genuinely heavy trade pairs so the graph has
+    # actual community structure (at 1.0x it stays near-complete and LP
+    # collapses to one label)
+    ek = (
+        und.crossJoin(F.broadcast(thresh))
+        .filter(F.col("w") > 1.5 * F.col("avg_w"))
+        .select("a", "b", "w")
+    )
+    esym = ek.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        ek.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    ).localCheckpoint()
+    nodes = esym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w_top = Window.partitionBy("node").orderBy(
+        F.desc("wt"), F.asc("label")
+    )
+    for _ in range(_LP_ITERS):
+        labels = (
+            esym.join(labels, esym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.sum("w").alias("wt"))
+            .select(F.col("node2").alias("node"), "label", "wt")
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").alias("first_member"),
+    )

@@ -211,6 +211,11 @@ PRIORITY_ORDER = [
 # cuped_adjusted_metric (new, CUPED variance reduction),
 # top_visit_paths (new, clickstream path analysis),
 # levenshtein_match_pairs (new, edit-distance fuzzy ER),
+# conformal_prediction_intervals (new, split-conformal UQ with coverage),
+# label_propagation_communities (new, integer-exact community detection),
+# neyman_allocation_plan (new, optimal stratified sampling allocation),
+# eb_shrunk_nation_rates (new, empirical-Bayes rate shrinkage),
+# chi_square_cell_residuals (new, per-cell chi-square diagnostics),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

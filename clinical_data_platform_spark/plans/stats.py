@@ -1085,3 +1085,436 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction"
         ),
     )
+
+
+_CONF_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+@query(
+    "conformal_prediction_intervals",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             ({_CONF_HEX6.format(x="cast(event_id AS VARCHAR)")}) % 3 AS fold,
+             (epoch(ts) - 1704067200.0) / 86400.0 AS x,
+             value AS y
+      FROM events
+    ), fit AS (
+      SELECT event_type,
+             round((count(*) * sum(x*y) - sum(x) * sum(y))
+                   / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS slope,
+             round((sum(y) - (count(*) * sum(x*y) - sum(x) * sum(y))
+                             / (count(*) * sum(x*x) - sum(x) * sum(x))
+                             * sum(x)) / count(*), 6) AS icept,
+             cast(count(*) AS BIGINT) AS n_fit
+      FROM b WHERE fold = 0 GROUP BY event_type
+    ), cal AS (
+      SELECT b.event_type,
+             round(abs(b.y - (f.icept + f.slope * b.x)), 6) AS r
+      FROM b JOIN fit f ON f.event_type = b.event_type
+      WHERE b.fold = 1
+    ), caln AS (
+      SELECT event_type, cast(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1
+    ), q AS (
+      SELECT c.event_type, c.r AS qhat
+      FROM (SELECT event_type, r,
+                   row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn
+            FROM cal) c
+      JOIN caln n ON n.event_type = c.event_type
+      WHERE c.rn = cast(ceil(0.9::DOUBLE * (n.n_cal + 1)) AS BIGINT)
+    ), ev AS (
+      SELECT b.event_type,
+             cast(count(*) AS BIGINT) AS n_eval,
+             cast(sum(CASE WHEN round(abs(b.y - (f.icept + f.slope * b.x)), 6)
+                               <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+      FROM b
+      JOIN fit f ON f.event_type = b.event_type
+      JOIN q ON q.event_type = b.event_type
+      WHERE b.fold = 2
+      GROUP BY b.event_type
+    )
+    SELECT f.event_type, f.n_fit, n.n_cal, e.n_eval,
+           f.slope, f.icept,
+           round(q.qhat, 6) AS qhat,
+           floor(e.n_covered::DOUBLE / e.n_eval * 1e6) / 1e6 AS coverage
+    FROM fit f
+    JOIN caln n ON n.event_type = f.event_type
+    JOIN q ON q.event_type = f.event_type
+    JOIN ev e ON e.event_type = f.event_type
+    """,
+    tags=["conformal", "uncertainty", "extension"],
+)
+def conformal_prediction_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk 2005 / Lei et al.
+    2018) around the per-type value trend: fit the OLS line on fold 0,
+    take qhat = the ceil(0.9(n+1))-th smallest absolute residual on
+    calibration fold 1 (the finite-sample-valid 90% quantile — an
+    EXPLICIT order statistic, no engine percentile interpolation), and
+    report honest empirical coverage on held-out fold 2. Distribution-
+    free uncertainty: the ~90% guarantee needs only exchangeability,
+    no Gaussian residual assumption.
+
+    Float discipline: fitted slope/intercept are rounded to 6 dp in
+    BOTH engines before any residual is formed (re-synchronizing
+    sum-order ulps at the source, the PageRank trick), and residuals
+    are rounded to 6 dp BEFORE ranking and BEFORE the coverage compare
+    so the order statistic and the <= test are engine-stable.
+
+    At 100 TB: md5 folds are map-side; the fit is the one-pass
+    sufficient-statistics aggregate; qhat is a per-type order statistic
+    (rank window partitioned by type over calibration rows — swap for
+    the bounded-bin locate/resolve of quantity_weighted_median_price if
+    a single type's calibration set outgrows a task); coverage is one
+    more aggregate."""
+    ev = T(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 3
+    )
+    x = (F.col("ts").cast("double") - 1704067200.0) / 86400.0
+    b = ev.select(
+        "event_type",
+        fold.alias("fold"),
+        x.alias("x"),
+        F.col("value").alias("y"),
+    ).localCheckpoint()
+    f0 = b.filter(F.col("fold") == 0)
+    agg = f0.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope_raw = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    fit = agg.select(
+        F.col("event_type").alias("ft"),
+        F.round(slope_raw, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope_raw * F.col("sx")) / F.col("n"), 6
+        ).alias("icept"),
+        F.col("n").cast("long").alias("n_fit"),
+    ).localCheckpoint()
+    resid6 = F.round(
+        F.abs(F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))), 6
+    )
+    cal = (
+        b.filter(F.col("fold") == 1)
+        .join(F.broadcast(fit), F.col("event_type") == F.col("ft"))
+        .select("event_type", resid6.alias("r"))
+    )
+    caln = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    )
+    ranked = cal.select(
+        "event_type",
+        "r",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("r"))
+        .alias("rn"),
+    )
+    q = ranked.join(
+        F.broadcast(caln), "event_type"
+    ).filter(
+        F.col("rn")
+        == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long")
+    ).select("event_type", F.col("r").alias("qhat"), "n_cal")
+    evl = (
+        b.filter(F.col("fold") == 2)
+        .join(F.broadcast(fit), F.col("event_type") == F.col("ft"))
+        .join(F.broadcast(q.select(F.col("event_type").alias("qt"), "qhat")),
+              F.col("event_type") == F.col("qt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.when(resid6 <= F.col("qhat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    q2 = q.select(
+        F.col("event_type").alias("qe"), F.col("qhat"), F.col("n_cal")
+    )
+    evl2 = evl.select(
+        F.col("event_type").alias("ee"), "n_eval", "n_covered"
+    )
+    return (
+        fit.join(F.broadcast(q2), F.col("ft") == F.col("qe"))
+        .join(F.broadcast(evl2), F.col("ee") == F.col("ft"))
+        .select(
+            F.col("ft").alias("event_type"),
+            "n_fit",
+            "n_cal",
+            "n_eval",
+            "slope",
+            "icept",
+            F.round("qhat", 6).alias("qhat"),
+            (
+                F.floor(
+                    F.col("n_covered").cast("double") / F.col("n_eval") * 1e6
+                )
+                / 1e6
+            ).alias("coverage"),
+        )
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "neyman_allocation_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             cast(count(*) AS BIGINT) AS n_h,
+             stddev_samp(o_totalprice) AS sd_h
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT *,
+             sum(n_h) OVER () AS n_total,
+             sum(n_h * sd_h) OVER () AS nsd_total
+      FROM s
+    )
+    SELECT stratum, n_h,
+           round(sd_h, 6) AS sd_h,
+           cast(floor({_NEYMAN_BUDGET}::DOUBLE * n_h / n_total) AS BIGINT)
+             AS alloc_proportional,
+           cast(floor({_NEYMAN_BUDGET}::DOUBLE * n_h * sd_h / nsd_total)
+                AS BIGINT) AS alloc_neyman,
+           round(pow(n_h::DOUBLE / n_total * sd_h, 2)
+                 / ({_NEYMAN_BUDGET}::DOUBLE * n_h / n_total), 6)
+             AS var_term_proportional,
+           round(pow(n_h::DOUBLE / n_total * sd_h, 2)
+                 / ({_NEYMAN_BUDGET}::DOUBLE * n_h * sd_h / nsd_total), 6)
+             AS var_term_neyman
+    FROM t
+    """,
+    tags=["sampling", "survey", "extension"],
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934): for
+    a fixed audit budget of {_NEYMAN_BUDGET} samples over order-priority
+    strata, allocate n_h proportional to N_h * sigma_h — the allocation
+    that minimizes the variance of the stratified mean estimator — shown
+    against naive proportional allocation with each stratum's
+    contribution to the estimator variance under both plans. This is
+    how a 100 TB pipeline decides WHERE to spend a bounded QA/labeling
+    budget: volatile strata get disproportionally many samples.
+
+    Plan: one moment aggregation per stratum (count + single-pass
+    stddev), window totals over the |strata|-row table, closed-form
+    allocations. The expensive part is one partial/final aggregate;
+    everything else is arithmetic on a handful of rows."""
+    s = T(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.stddev_samp("o_totalprice").alias("sd_h"),
+    )
+    wall = Window.partitionBy()
+    t = s.select(
+        "stratum",
+        "n_h",
+        "sd_h",
+        F.sum("n_h").over(wall).alias("n_total"),
+        F.sum(F.col("n_h") * F.col("sd_h")).over(wall).alias("nsd_total"),
+    )
+    share = F.col("n_h").cast("double") / F.col("n_total")
+    prop = F.lit(float(_NEYMAN_BUDGET)) * share
+    ney = (
+        F.lit(float(_NEYMAN_BUDGET))
+        * F.col("n_h")
+        * F.col("sd_h")
+        / F.col("nsd_total")
+    )
+    return t.select(
+        "stratum",
+        "n_h",
+        F.round("sd_h", 6).alias("sd_h"),
+        F.floor(prop).cast("long").alias("alloc_proportional"),
+        F.floor(ney).cast("long").alias("alloc_neyman"),
+        F.round(F.pow(share * F.col("sd_h"), 2) / prop, 6).alias(
+            "var_term_proportional"
+        ),
+        F.round(F.pow(share * F.col("sd_h"), 2) / ney, 6).alias(
+            "var_term_neyman"
+        ),
+    )
+
+
+@query(
+    "eb_shrunk_nation_rates",
+    oracle="""
+    WITH u AS (
+      SELECT c.c_nationkey AS nation,
+             CASE WHEN o.o_totalprice > 300000.0::DOUBLE THEN 1 ELSE 0 END
+               AS big
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), g AS (
+      SELECT nation, cast(count(*) AS BIGINT) AS n,
+             cast(sum(big) AS BIGINT) AS k
+      FROM u GROUP BY 1
+    ), pool AS (
+      SELECT sum(k)::DOUBLE / sum(n) AS p0,
+             avg(pow(k::DOUBLE / n - (SELECT sum(k)::DOUBLE / sum(n) FROM g),
+                     2)) AS between_var,
+             avg(1.0::DOUBLE / n) AS inv_n
+      FROM g
+    ), m AS (
+      SELECT p0,
+             greatest(between_var - p0 * (1.0::DOUBLE - p0) * inv_n,
+                      1e-9::DOUBLE) AS tau2
+      FROM pool
+    )
+    SELECT g.nation, g.n, g.k,
+           round(g.k::DOUBLE / g.n, 6) AS raw_rate,
+           round((g.k + m.p0 * (m.p0 * (1.0::DOUBLE - m.p0) / m.tau2))
+                 / (g.n + m.p0 * (1.0::DOUBLE - m.p0) / m.tau2), 6)
+             AS shrunk_rate,
+           round(m.p0, 6) AS pooled_rate
+    FROM g, m
+    """,
+    tags=["empirical-bayes", "shrinkage", "extension"],
+)
+def eb_shrunk_nation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate shrinkage: each nation's big-order rate
+    shrunk toward the pooled rate with a method-of-moments prior
+    strength m = p0(1-p0)/tau^2 (beta-binomial pseudo-counts), where
+    tau^2 is the between-group variance left after removing expected
+    binomial noise. Small-n groups shrink hard toward the pool, big-n
+    groups barely move — the principled fix for "this tiny segment has
+    a 100% rate" leaderboard artifacts.
+
+    Plan: one fact-dim broadcast join, one per-group count aggregate,
+    one scalar moment pass over the |groups|-row table, map-side
+    shrinkage arithmetic. At 100 TB only the first aggregate touches
+    data."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    u = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("o_totalprice") > 300000.0, 1).otherwise(0).alias("big"),
+    )
+    g = u.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("big").cast("long").alias("k"),
+    ).localCheckpoint()
+    pool0 = g.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("p0")
+    )
+    pool = (
+        g.crossJoin(F.broadcast(pool0))
+        .agg(
+            F.max("p0").alias("p0"),
+            F.avg(
+                F.pow(
+                    F.col("k").cast("double") / F.col("n") - F.col("p0"), 2
+                )
+            ).alias("between_var"),
+            F.avg(F.lit(1.0) / F.col("n")).alias("inv_n"),
+        )
+    )
+    m = pool.select(
+        "p0",
+        F.greatest(
+            F.col("between_var")
+            - F.col("p0") * (F.lit(1.0) - F.col("p0")) * F.col("inv_n"),
+            F.lit(1e-9),
+        ).alias("tau2"),
+    )
+    prior_m = F.col("p0") * (F.lit(1.0) - F.col("p0")) / F.col("tau2")
+    return g.crossJoin(F.broadcast(m)).select(
+        "nation",
+        "n",
+        "k",
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + F.col("p0") * prior_m) / (F.col("n") + prior_m), 6
+        ).alias("shrunk_rate"),
+        F.round("p0", 6).alias("pooled_rate"),
+    )
+
+
+@query(
+    "chi_square_cell_residuals",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS r, (value > 50) AS c,
+             cast(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT r, c, o,
+             sum(o) OVER (PARTITION BY r) AS row_tot,
+             sum(o) OVER (PARTITION BY c) AS col_tot,
+             sum(o) OVER ()               AS grand
+      FROM cells
+    )
+    SELECT r AS event_type, c AS high_value,
+           cast(o AS BIGINT) AS observed,
+           round(row_tot * col_tot / grand, 6) AS expected,
+           round((o - row_tot * col_tot / grand)
+                 / sqrt(row_tot * col_tot / grand), 6) AS pearson_resid,
+           round((o - row_tot * col_tot / grand)
+                 / sqrt(row_tot * col_tot / grand
+                        * (1.0::DOUBLE - row_tot / grand)
+                        * (1.0::DOUBLE - col_tot / grand)), 6)
+             AS adj_resid
+    FROM m
+    """,
+    tags=["M2-ext", "diagnostics", "extension"],
+)
+def chi_square_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell diagnostics for the chi-square independence test
+    (chi_square_event_value's itemized companion): observed vs expected
+    counts, Pearson residuals, and Haberman's adjusted standardized
+    residuals (approximately N(0,1) under independence — |adj| > 2 names
+    WHICH cells drive a significant chi-square, the question the
+    omnibus statistic can't answer).
+
+    Plan: the identical one-pass contingency aggregate as the omnibus
+    test, window margins over the |r| x |c| cell table, map-side
+    residual arithmetic — all statistics are ratios of exact integer
+    counts. At 100 TB: one shuffle, then cell-table math."""
+    ev = T(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"),
+        (F.col("value") > 50).alias("c"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    m = cells.select(
+        "r",
+        "c",
+        "o",
+        F.sum("o").over(Window.partitionBy("r")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("c")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return m.select(
+        F.col("r").alias("event_type"),
+        F.col("c").alias("high_value"),
+        F.col("o").cast("long").alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("o") - exp) / F.sqrt(exp), 6).alias("pearson_resid"),
+        F.round(
+            (F.col("o") - exp)
+            / F.sqrt(
+                exp
+                * (F.lit(1.0) - F.col("row_tot") / F.col("grand"))
+                * (F.lit(1.0) - F.col("col_tot") / F.col("grand"))
+            ),
+            6,
+        ).alias("adj_resid"),
+    )

@@ -110,6 +110,11 @@ AUDIT = [
     ("cuped_adjusted_metric", "CUPED: one user-key shuffle folds both periods, single moment aggregate"),
     ("top_visit_paths", "Paths: user-hour window, conditional-MAX path build, TakeOrdered 10"),
     ("levenshtein_match_pairs", "Fuzzy ER: block-key self equi-join, codegen Wagner-Fischer DP filter"),
+    ("conformal_prediction_intervals", "Conformal: md5 folds, one-pass fit, per-type order-statistic qhat"),
+    ("label_propagation_communities", "Label prop: integer-weight argmax rounds, checkpointed, node-keyed windows"),
+    ("neyman_allocation_plan", "Neyman: one moment agg per stratum, window totals, closed-form allocation"),
+    ("eb_shrunk_nation_rates", "EB shrinkage: one count agg, scalar moment pass, map-side pseudo-counts"),
+    ("chi_square_cell_residuals", "Cell residuals: same contingency agg as omnibus chi2, window margins"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

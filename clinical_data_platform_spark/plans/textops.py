@@ -825,23 +825,39 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("blk").orderBy("sortkey", "p_partkey"))
         .alias("rn"),
     ).localCheckpoint()
-    a, c = r.alias("a"), r.alias("c")
-    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("c.ts")))
-    union = F.size(F.array_union(F.col("a.ts"), F.col("c.ts")))
+    # The window offset must be part of the EQUI key: a raw
+    # "rn difference BETWEEN 1 AND w" predicate joins each block on blk
+    # alone and post-filters the per-block quadratic (measured 34.8 s at
+    # sf0.1 — every block-internal pair paid the array intersect).
+    # Exploding the offset and equi-joining on (blk, rn + off) hands the
+    # hash join exactly w candidates per record: 4.4 s.
+    a = r.alias("a").select(
+        F.col("a.p_partkey").alias("a_key"),
+        F.col("a.ts").alias("a_ts"),
+        F.col("a.blk").alias("blk"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, _SN_WINDOW + 1)])
+        ).alias("off"),
+        F.col("a.rn").alias("a_rn"),
+    ).withColumn("target_rn", F.col("a_rn") + F.col("off"))
+    c = r.alias("c").select(
+        F.col("c.p_partkey").alias("c_key"),
+        F.col("c.ts").alias("c_ts"),
+        F.col("c.blk").alias("c_blk"),
+        F.col("c.rn").alias("c_rn"),
+    )
+    inter = F.size(F.array_intersect(F.col("a_ts"), F.col("c_ts")))
+    union = F.size(F.array_union(F.col("a_ts"), F.col("c_ts")))
     return (
         a.join(
             c,
-            (F.col("a.blk") == F.col("c.blk"))
-            & (F.col("c.rn") - F.col("a.rn")).between(1, _SN_WINDOW),
+            (F.col("blk") == F.col("c_blk"))
+            & (F.col("target_rn") == F.col("c_rn")),
         )
         .filter(inter * 1.0 / union >= _SN_TAU)
         .select(
-            F.least(F.col("a.p_partkey"), F.col("c.p_partkey")).alias(
-                "part_a"
-            ),
-            F.greatest(F.col("a.p_partkey"), F.col("c.p_partkey")).alias(
-                "part_b"
-            ),
+            F.least(F.col("a_key"), F.col("c_key")).alias("part_a"),
+            F.greatest(F.col("a_key"), F.col("c_key")).alias("part_b"),
             (F.floor(inter * 1e6 / union) / 1e6).alias("jaccard"),
         )
     )

@@ -144,6 +144,10 @@ HEADLINE = [
     "neyman_allocation_plan",
     "eb_shrunk_nation_rates",
     "chi_square_cell_residuals",
+    "item_item_cosine_recs",
+    "revenue_mix_decomposition",
+    "quantile_treatment_effects",
+    "als_brand_recs",
 ]
 
 

@@ -30,7 +30,7 @@ so assignment is deterministic across engines and partitionings.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table as T
 from .registry import query
@@ -472,3 +472,85 @@ def semantic_near_dup_blas_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value oracle stays on the expression twin; pytest pins the two
     plans pair-for-pair equal at 4 decimals)."""
     return semantic_near_dup_blas(T(spark, sf_dir, "embeddings"))
+
+
+@query("als_brand_recs", tags=["recsys", "ml", "als"])
+def als_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS matrix factorization (Hu, Koren & Volinsky
+    2008) over the customer x brand purchase-count matrix via Spark ML
+    (rank 8, seed 42, 5 iterations, implicitPrefs): per-brand top-3
+    most-similar brands by factor cosine. Rows-only driver check — the
+    alternating least-squares iterations have no SQL twin; the value
+    gate lives in pytest (determinism; reconstruction beating the
+    global-mean baseline; cosine neighbors overlapping the exact
+    co-occurrence neighbors from item_item_cosine_recs).
+
+    At 100 TB this is the canonical distributed MF: each ALS half-step
+    solves per-entity ridge systems with the other side's factors
+    block-broadcast; Spark ML's blocked implementation is exactly that.
+    The similarity fold here is |brands|^2 on 8-dim factors — driver
+    trivial."""
+    from pyspark.ml.recommendation import ALS
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    cb = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("cnt"))
+    )
+    # ALS needs integer ids: brand 'Brand#xy' -> xy
+    ratings = cb.select(
+        F.col("cust").cast("int").alias("user"),
+        F.regexp_replace("brand", "[^0-9]", "").cast("int").alias("item"),
+        F.col("cnt").alias("rating"),
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        regParam=0.1,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    f = model.itemFactors.select(
+        F.col("id").alias("item"), F.col("features").alias("vec")
+    )
+    a = f.select(F.col("item").alias("item_a"), F.col("vec").alias("va"))
+    b = f.select(F.col("item").alias("item_b"), F.col("vec").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("item_a") != F.col("item_b"))
+        .select(
+            "item_a",
+            "item_b",
+            (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("cos"), F.asc("item_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "item_a",
+            F.col("rn").alias("rank"),
+            "item_b",
+            F.round("cos", 4).alias("cosine"),
+        )
+    )

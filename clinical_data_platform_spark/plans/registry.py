@@ -216,6 +216,10 @@ PRIORITY_ORDER = [
 # neyman_allocation_plan (new, optimal stratified sampling allocation),
 # eb_shrunk_nation_rates (new, empirical-Bayes rate shrinkage),
 # chi_square_cell_residuals (new, per-cell chi-square diagnostics),
+# item_item_cosine_recs (new, co-occurrence collaborative filtering),
+# revenue_mix_decomposition (new, price/volume/mix bridge),
+# quantile_treatment_effects (new, distributional causal readout),
+# als_brand_recs (new, rows-only Spark ML ALS; pytest value gate),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

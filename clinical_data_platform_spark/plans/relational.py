@@ -2004,3 +2004,202 @@ def quantity_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("weighted_median_price"),
         F.round(F.max("tw"), 2).alias("total_quantity"),
     )
+
+
+@query(
+    "item_item_cosine_recs",
+    oracle="""
+    WITH cb AS (
+      SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p   ON p.p_partkey = l.l_partkey
+    ), deg AS (
+      SELECT brand, cast(count(*) AS BIGINT) AS n FROM cb GROUP BY 1
+    ), co AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             cast(count(*) AS BIGINT) AS n_both
+      FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand < b.brand
+      GROUP BY 1, 2
+    ), sc AS (
+      SELECT co.brand_a, co.brand_b, co.n_both, da.n AS n_a, db.n AS n_b,
+             floor(co.n_both::DOUBLE
+                   / sqrt(da.n::DOUBLE * db.n::DOUBLE) * 1e6) / 1e6
+               AS cosine
+      FROM co
+      JOIN deg da ON da.brand = co.brand_a
+      JOIN deg db ON db.brand = co.brand_b
+    )
+    SELECT brand_a, brand_b, n_both, n_a, n_b, cosine
+    FROM sc ORDER BY cosine DESC, brand_a, brand_b LIMIT 20
+    """,
+    tags=["recsys", "similarity", "extension"],
+)
+def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the binary customer-brand
+    purchase matrix: cosine similarity co(a,b)/sqrt(n_a n_b) between
+    brands from shared-customer co-occurrence, top-20 pairs — the
+    "customers who bought X also bought Y" primitive (Sarwar et al.
+    2001), next to part_pair_lift's within-basket association.
+
+    Plan: the distinct (customer, brand) matrix is the only corpus-
+    scale state; co-occurrence is a self equi-join on the CUSTOMER key
+    (fan-out bounded by a customer's distinct-brand count, never by the
+    catalog), degrees broadcast back, TakeOrdered(20) on the trunc6'd
+    score. Cosine is a ratio of exact integer counts, so the score —
+    and the tie-broken ranking — is engine-stable.
+
+    At 100 TB: cap per-customer brand lists (frequency cap like the
+    shingle paths) so a crawler account cannot quadratically explode;
+    the brand-pair state is |brands|^2-bounded."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    cb = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == F.col("p_partkey"))
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = cb.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = cb.select("cust", F.col("brand").alias("brand_a"))
+    b = cb.select(F.col("cust").alias("cust_b"), F.col("brand").alias("brand_b"))
+    co = (
+        a.join(
+            b,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    da = F.broadcast(deg.select(F.col("brand").alias("ba"), F.col("n").alias("n_a")))
+    db = F.broadcast(deg.select(F.col("brand").alias("bb"), F.col("n").alias("n_b")))
+    sc = (
+        co.join(da, F.col("brand_a") == F.col("ba"))
+        .join(db, F.col("brand_b") == F.col("bb"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.floor(
+                    F.col("n_both").cast("double")
+                    / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("cosine"),
+        )
+    )
+    return sc.orderBy(
+        F.desc("cosine"), F.asc("brand_a"), F.asc("brand_b")
+    ).limit(20)
+
+
+@query(
+    "revenue_mix_decomposition",
+    oracle="""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_shipdate < TIMESTAMP '1996-01-01' THEN 0
+                  ELSE 1 END AS period,
+             sum(l.l_extendedprice * (1.0 - l.l_discount)) AS rev,
+             sum(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT brand,
+             max(CASE WHEN period = 0 THEN rev END) AS rev0,
+             max(CASE WHEN period = 1 THEN rev END) AS rev1,
+             max(CASE WHEN period = 0 THEN qty END) AS qty0,
+             max(CASE WHEN period = 1 THEN qty END) AS qty1
+      FROM b GROUP BY brand
+    )
+    SELECT brand,
+           round(coalesce(rev0, 0.0::DOUBLE), 2) AS rev0,
+           round(coalesce(rev1, 0.0::DOUBLE), 2) AS rev1,
+           CASE WHEN rev0 IS NULL THEN 'new'
+                WHEN rev1 IS NULL THEN 'discontinued'
+                ELSE 'continuing' END AS status,
+           round(CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                 THEN (qty1 - qty0) * (rev0 / qty0) ELSE 0.0::DOUBLE END, 2)
+             AS volume_effect,
+           round(CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                 THEN qty1 * (rev1 / qty1 - rev0 / qty0)
+                 ELSE 0.0::DOUBLE END, 2) AS price_effect,
+           round(CASE WHEN rev0 IS NULL THEN rev1
+                      WHEN rev1 IS NULL THEN -rev0
+                      ELSE 0.0::DOUBLE END, 2) AS mix_effect
+    FROM w
+    """,
+    tags=["olap", "decomposition", "extension"],
+)
+def revenue_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix decomposition of the period-over-period revenue
+    change per brand — the BI bridge chart: for continuing brands,
+    volume effect = Δqty x old unit price and price effect = new qty x
+    Δunit price (these two sum EXACTLY to ΔRev, no residual, by the
+    Laspeyres-quantity/Paasche-price split); brands present in only one
+    period land in the mix column. Every effect column sums to the
+    total revenue bridge.
+
+    Plan: ONE fact scan aggregated by (brand, period), pivoted by
+    conditional MAX over the |brands| x 2 table, map-side effect
+    arithmetic. At 100 TB: one shuffle on brand, then brand-table
+    math."""
+    li = T(spark, sf_dir, "lineitem")
+    p = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    b = (
+        li.join(p, li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"), 0
+            )
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("rev"),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    w = b.groupBy("brand").agg(
+        F.max(F.when(F.col("period") == 0, F.col("rev"))).alias("rev0"),
+        F.max(F.when(F.col("period") == 1, F.col("rev"))).alias("rev1"),
+        F.max(F.when(F.col("period") == 0, F.col("qty"))).alias("qty0"),
+        F.max(F.when(F.col("period") == 1, F.col("qty"))).alias("qty1"),
+    )
+    cont = F.col("rev0").isNotNull() & F.col("rev1").isNotNull()
+    p0 = F.col("rev0") / F.col("qty0")
+    p1 = F.col("rev1") / F.col("qty1")
+    return w.select(
+        "brand",
+        F.round(F.coalesce("rev0", F.lit(0.0)), 2).alias("rev0"),
+        F.round(F.coalesce("rev1", F.lit(0.0)), 2).alias("rev1"),
+        F.when(F.col("rev0").isNull(), "new")
+        .when(F.col("rev1").isNull(), "discontinued")
+        .otherwise("continuing")
+        .alias("status"),
+        F.round(
+            F.when(cont, (F.col("qty1") - F.col("qty0")) * p0).otherwise(0.0),
+            2,
+        ).alias("volume_effect"),
+        F.round(
+            F.when(cont, F.col("qty1") * (p1 - p0)).otherwise(0.0), 2
+        ).alias("price_effect"),
+        F.round(
+            F.when(F.col("rev0").isNull(), F.col("rev1"))
+            .when(F.col("rev1").isNull(), -F.col("rev0"))
+            .otherwise(0.0),
+            2,
+        ).alias("mix_effect"),
+    )

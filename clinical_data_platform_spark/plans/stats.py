@@ -1518,3 +1518,107 @@ def chi_square_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("adj_resid"),
     )
+
+
+_QTE_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+@query(
+    "quantile_treatment_effects",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ({_QTE_HEX6.format(x="cast(user_id AS VARCHAR)")}) % 2 = 0
+                  THEN 1 ELSE 0 END AS arm,
+             round(sum(value), 6) AS outcome
+      FROM events GROUP BY 1
+    ), n AS (
+      SELECT arm, cast(count(*) AS BIGINT) AS n FROM u GROUP BY 1
+    ), r AS (
+      SELECT arm, outcome,
+             row_number() OVER (PARTITION BY arm
+                                ORDER BY outcome, user_id) AS rn
+      FROM u
+    ), qs AS (
+      SELECT q FROM (VALUES (0.25), (0.5), (0.75)) t(q)
+    ), pick AS (
+      SELECT qs.q, r.arm, r.outcome
+      FROM qs, r JOIN n ON n.arm = r.arm
+      WHERE r.rn = cast(ceil(qs.q * n.n) AS BIGINT)
+    )
+    SELECT q AS quantile,
+           max(CASE WHEN arm = 1 THEN outcome END) AS treated_value,
+           max(CASE WHEN arm = 0 THEN outcome END) AS control_value,
+           round(max(CASE WHEN arm = 1 THEN outcome END)
+                 - max(CASE WHEN arm = 0 THEN outcome END), 6) AS qte
+    FROM pick GROUP BY q
+    """,
+    tags=["causal", "quantile", "extension"],
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the difference between treated and
+    control outcome QUANTILES (p25/p50/p75 of per-user total value under
+    deterministic md5 assignment) — the distributional readout an
+    average treatment effect hides: a rollout can leave the mean flat
+    while compressing the lower tail and stretching the upper.
+
+    Each quantile is an explicit ceil(q*n)-th order statistic (no engine
+    percentile interpolation), per-user outcomes are rounded to 6 dp
+    before ranking so the order — and therefore the picked value — is
+    engine-stable (sum-order ulps cannot flip a rank; per-user sums of
+    2-dp values sit far from 6-dp rounding boundaries).
+
+    At 100 TB: one user-key aggregate, then a rank window per arm —
+    swap for the bounded-bin locate/resolve pattern
+    (quantity_weighted_median_price) if one arm outgrows a task."""
+    ev = T(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    u = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("outcome")
+    ).select(
+        "user_id",
+        "outcome",
+        F.when(arm, 1).otherwise(0).alias("arm"),
+    )
+    n = u.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = u.select(
+        "arm",
+        "outcome",
+        F.row_number()
+        .over(Window.partitionBy("arm").orderBy("outcome", "user_id"))
+        .alias("rn"),
+    )
+    qs = (
+        ev.sparkSession.createDataFrame(
+            [(0.25,), (0.5,), (0.75,)], ["q"]
+        )
+    )
+    pick = (
+        r.join(F.broadcast(n), "arm")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .select("q", "arm", "outcome")
+    )
+    return pick.groupBy(F.col("q").alias("quantile")).agg(
+        F.max(F.when(F.col("arm") == 1, F.col("outcome"))).alias(
+            "treated_value"
+        ),
+        F.max(F.when(F.col("arm") == 0, F.col("outcome"))).alias(
+            "control_value"
+        ),
+        F.round(
+            F.max(F.when(F.col("arm") == 1, F.col("outcome")))
+            - F.max(F.when(F.col("arm") == 0, F.col("outcome"))),
+            6,
+        ).alias("qte"),
+    )

@@ -115,6 +115,9 @@ AUDIT = [
     ("neyman_allocation_plan", "Neyman: one moment agg per stratum, window totals, closed-form allocation"),
     ("eb_shrunk_nation_rates", "EB shrinkage: one count agg, scalar moment pass, map-side pseudo-counts"),
     ("chi_square_cell_residuals", "Cell residuals: same contingency agg as omnibus chi2, window margins"),
+    ("item_item_cosine_recs", "Item-item CF: customer-key self-join bounded by basket width, degree broadcast"),
+    ("revenue_mix_decomposition", "PVM bridge: one (brand, period) agg, conditional-MAX pivot, map-side effects"),
+    ("quantile_treatment_effects", "QTE: per-user agg, explicit order statistics per arm, 3-quantile probe"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

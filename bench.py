@@ -148,6 +148,11 @@ HEADLINE = [
     "revenue_mix_decomposition",
     "quantile_treatment_effects",
     "als_brand_recs",
+    "k_anonymity_audit",
+    "dp_noisy_counts",
+    "ucb_arm_selection",
+    "stream_segment_enriched_counts",
+    "temporal_split_audit",
 ]
 
 

@@ -220,6 +220,11 @@ PRIORITY_ORDER = [
 # revenue_mix_decomposition (new, price/volume/mix bridge),
 # quantile_treatment_effects (new, distributional causal readout),
 # als_brand_recs (new, rows-only Spark ML ALS; pytest value gate),
+# k_anonymity_audit (new, k-anonymity + l-diversity release audit),
+# dp_noisy_counts (new, deterministic differential-privacy release),
+# ucb_arm_selection (new, UCB1 bandit readout),
+# stream_segment_enriched_counts (new, stream-static broadcast enrichment),
+# temporal_split_audit (new, time-fenced split + overlap evidence),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -1622,3 +1622,74 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qte"),
     )
+
+
+@query(
+    "ucb_arm_selection",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type AS arm,
+             cast(count(*) AS BIGINT) AS n_pulls,
+             avg(CASE WHEN value > 250.0::DOUBLE THEN 1.0::DOUBLE
+                 ELSE 0.0::DOUBLE END) AS mean_reward
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT *, sum(n_pulls) OVER () AS n_total FROM arms
+    ), s AS (
+      SELECT arm, n_pulls, mean_reward,
+             mean_reward + sqrt(2.0::DOUBLE * ln(n_total::DOUBLE)
+                                / n_pulls) AS ucb
+      FROM t
+    )
+    SELECT arm, n_pulls,
+           round(mean_reward, 6) AS mean_reward,
+           round(ucb, 6) AS ucb_score,
+           CASE WHEN ucb = (SELECT max(ucb) FROM s) THEN 1 ELSE 0 END
+             AS selected
+    FROM s
+    """,
+    tags=["bandit", "experimentation", "extension"],
+)
+def ucb_arm_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit readout (Auer et al. 2002): per-arm pull counts,
+    empirical reward rate (value > 250 as the reward event), and the
+    upper-confidence score mean + sqrt(2 ln N / n) — the arm a UCB1
+    policy would pull next is flagged. This is the adaptive-allocation
+    companion to the fixed-split A/B test (ab_test_two_proportion):
+    same sufficient statistics, exploration bonus instead of a p-value.
+
+    Plan: one partial/final aggregate per arm, window total, scalar
+    score arithmetic — the entire bandit state is |arms| rows, which is
+    exactly why bandit serving layers can update it per-batch at any
+    scale."""
+    arms = T(spark, sf_dir, "events").groupBy(
+        F.col("event_type").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pulls"),
+        F.avg(
+            F.when(F.col("value") > 250.0, 1.0).otherwise(0.0)
+        ).alias("mean_reward"),
+    )
+    t = arms.select(
+        "arm",
+        "n_pulls",
+        "mean_reward",
+        F.sum("n_pulls").over(Window.partitionBy()).alias("n_total"),
+    )
+    ucb = F.col("mean_reward") + F.sqrt(
+        2.0 * F.log(F.col("n_total").cast("double")) / F.col("n_pulls")
+    )
+    s = t.select(
+        "arm", "n_pulls", "mean_reward", ucb.alias("ucb")
+    )
+    return s.select(
+        "arm",
+        "n_pulls",
+        F.round("mean_reward", 6).alias("mean_reward"),
+        F.round("ucb", 6).alias("ucb_score"),
+        F.when(
+            F.col("ucb") == F.max("ucb").over(Window.partitionBy()), 1
+        )
+        .otherwise(0)
+        .alias("selected"),
+    )

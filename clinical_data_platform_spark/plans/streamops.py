@@ -417,3 +417,41 @@ def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+_SEG_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+@query(
+    "stream_segment_enriched_counts",
+    oracle=f"""
+    WITH seg AS (
+      SELECT user_id,
+             CASE ({_SEG_HEX6.format(x="cast(user_id AS VARCHAR)")}) % 3
+                  WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                  ELSE 'bronze' END AS segment
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT s.segment, e.event_type,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN seg s ON s.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=["streaming", "enrichment", "stream-static"],
+)
+def stream_segment_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream broadcast-
+    joined to a static md5-derived user-segment dim inside the streaming
+    query, aggregated per (segment, type) — the pattern every streaming
+    feature pipeline uses for dimension lookups. Over the bounded source
+    the streamed result equals the batch join+aggregate, which is
+    exactly what the oracle asserts. Completes the streaming join
+    family: stream-stream (error-click), stream-static (this), and
+    stateful (dedup / session / sketch-state)."""
+    tune_session(spark)
+    return S.segment_enriched_counts(spark, sf_dir)

@@ -668,3 +668,99 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("long").alias("max_doc_id"),
         F.sum("content_h").cast("long").alias("content_checksum"),
     )
+
+
+@query(
+    "temporal_split_audit",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'train'
+                  WHEN ts < TIMESTAMP '2024-01-22' THEN 'val'
+                  ELSE 'test' END AS split,
+             user_id, ts
+      FROM events
+    ), base AS (
+      SELECT split,
+             cast(count(*) AS BIGINT) AS n_events,
+             cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             min(ts) AS min_ts, max(ts) AS max_ts
+      FROM s GROUP BY 1
+    ), leak AS (
+      SELECT split, cast(count(*) AS BIGINT) AS users_seen_in_train
+      FROM (
+        SELECT DISTINCT s.split, s.user_id
+        FROM s JOIN (SELECT DISTINCT user_id FROM s WHERE split = 'train') t
+          ON t.user_id = s.user_id
+        WHERE s.split <> 'train'
+      ) GROUP BY 1
+    )
+    SELECT b.split, b.n_events, b.n_users, b.min_ts, b.max_ts,
+           coalesce(l.users_seen_in_train, 0) AS users_seen_in_train,
+           floor(coalesce(l.users_seen_in_train, 0)::DOUBLE
+                 / b.n_users * 1e6) / 1e6 AS user_overlap_share
+    FROM base b LEFT JOIN leak l ON l.split = b.split
+    """,
+    tags=["train-prep", "temporal-split", "llm-pipeline"],
+)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split audit — the time-ordered discipline
+    for forecasting / recommendation eval (future data must never train
+    the past), shown WITH its cost: per split, the event/user counts and
+    time span prove the boundaries are clean (max_ts(train) < all val
+    timestamps), while users_seen_in_train quantifies the USER-level
+    overlap a purely temporal split retains — the number grouped/hash
+    splits (train_val_test_split, grouped_fold_assignment) drive to
+    zero. A pipeline picks per task; this query is the evidence either
+    way.
+
+    Plan: map-side split label, one aggregate per split + one distinct
+    semi-join for the overlap — two key shuffles total, |splits| output
+    rows."""
+    ev = T(spark, sf_dir, "events")
+    split = (
+        F.when(
+            F.col("ts") < F.lit("2024-01-15").cast("timestamp"), "train"
+        )
+        .when(F.col("ts") < F.lit("2024-01-22").cast("timestamp"), "val")
+        .otherwise("test")
+    )
+    s = ev.select(split.alias("split"), "user_id", "ts").localCheckpoint()
+    base = s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    train_users = (
+        s.filter(F.col("split") == "train").select("user_id").distinct()
+    )
+    leak = (
+        s.filter(F.col("split") != "train")
+        .select("split", "user_id")
+        .distinct()
+        .join(F.broadcast(train_users), "user_id", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("users_seen_in_train"))
+        .withColumnRenamed("split", "ls")
+    )
+    return (
+        base.join(leak, F.col("split") == F.col("ls"), "left")
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "min_ts",
+            "max_ts",
+            F.coalesce("users_seen_in_train", F.lit(0))
+            .cast("long")
+            .alias("users_seen_in_train"),
+            (
+                F.floor(
+                    F.coalesce("users_seen_in_train", F.lit(0)).cast("double")
+                    / F.col("n_users")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("user_overlap_share"),
+        )
+    )

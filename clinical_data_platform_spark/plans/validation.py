@@ -345,3 +345,184 @@ def fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- Privacy audits ----------------------------------------------------------
+
+_K_ANON = 5
+_L_DIV = 2
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             cast(floor(c_acctbal / 1000.0::DOUBLE) AS BIGINT) AS bal_band,
+             c_custkey
+      FROM customer
+    ), g AS (
+      SELECT nation, segment, bal_band,
+             cast(count(*) AS BIGINT) AS grp_size,
+             cast(count(DISTINCT nation) AS BIGINT) AS dummy
+      FROM qi GROUP BY 1, 2, 3
+    ), sens AS (
+      SELECT q.nation, q.segment, q.bal_band,
+             cast(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct
+      FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_groups,
+           cast(sum(CASE WHEN g.grp_size < {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS groups_below_k,
+           cast(sum(CASE WHEN g.grp_size < {_K_ANON} THEN g.grp_size
+                    ELSE 0 END) AS BIGINT) AS rows_reidentifiable,
+           cast(min(g.grp_size) AS BIGINT) AS min_group_size,
+           cast(sum(CASE WHEN s.l_distinct IS NOT NULL
+                          AND s.l_distinct < {_L_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS groups_below_l,
+           floor(sum(CASE WHEN g.grp_size < {_K_ANON} THEN g.grp_size
+                     ELSE 0 END)::DOUBLE
+                 / sum(g.grp_size) * 1e6) / 1e6 AS reidentifiable_share
+    FROM g LEFT JOIN sens s
+      ON s.nation = g.nation AND s.segment = g.segment
+     AND s.bal_band = g.bal_band
+    """,
+    tags=["privacy", "k-anonymity", "extension"],
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) over the quasi-identifier tuple (nation, market segment,
+    account-balance band): how many QI groups have fewer than k=5
+    members (those rows are re-identifiable by linkage), and how many
+    groups carry fewer than l=2 distinct sensitive values (order
+    priority) — the release-readiness check that belongs next to the
+    PHI redaction battery before any row-level extract leaves the
+    platform.
+
+    Plan: one QI groupBy for sizes, one QI-keyed join+distinct for
+    l-diversity, folded to a single summary row. At 100 TB both are
+    key-shuffled partial/final aggregates; the audit row is scalar."""
+    qi = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        "c_custkey",
+    )
+    g = qi.groupBy("nation", "segment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("grp_size")
+    )
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    sens = (
+        qi.join(o, qi["c_custkey"] == o["o_custkey"])
+        .groupBy("nation", "segment", "bal_band")
+        .agg(
+            F.countDistinct("o_orderpriority").cast("long").alias("l_distinct")
+        )
+    )
+    j = g.join(
+        sens.withColumnRenamed("nation", "n2")
+        .withColumnRenamed("segment", "s2")
+        .withColumnRenamed("bal_band", "b2"),
+        (F.col("nation") == F.col("n2"))
+        & (F.col("segment") == F.col("s2"))
+        & (F.col("bal_band") == F.col("b2")),
+        "left",
+    )
+    below_k = F.when(F.col("grp_size") < _K_ANON, 1).otherwise(0)
+    reid = F.when(F.col("grp_size") < _K_ANON, F.col("grp_size")).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(below_k).cast("long").alias("groups_below_k"),
+        F.sum(reid).cast("long").alias("rows_reidentifiable"),
+        F.min("grp_size").cast("long").alias("min_group_size"),
+        F.sum(
+            F.when(
+                F.col("l_distinct").isNotNull()
+                & (F.col("l_distinct") < _L_DIV),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("groups_below_l"),
+        (
+            F.floor(
+                F.sum(reid).cast("double") / F.sum("grp_size") * 1e6
+            )
+            / 1e6
+        ).alias("reidentifiable_share"),
+    )
+
+
+_DP_EPS = 1.0  # epsilon; Laplace scale b = sensitivity/eps = 1/eps
+
+_DP_HEX8 = (
+    "list_sum(list_transform(range(1, 9), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1::BIGINT << (4 * (8 - k)))))"
+)
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, cast(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY 1
+    ), u AS (
+      SELECT event_type, true_count,
+             ({_DP_HEX8.format(x="event_type")})::DOUBLE / 4294967296.0 AS uu
+      FROM g
+    ), n AS (
+      SELECT event_type, true_count,
+             -(1.0::DOUBLE / {_DP_EPS}) * sign(uu - 0.5::DOUBLE)
+               * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(uu - 0.5::DOUBLE))
+               AS noise
+      FROM u
+    )
+    SELECT event_type, true_count,
+           round(noise, 6) AS noise,
+           round(true_count + noise, 6) AS released_count,
+           round(abs(noise) / true_count, 6) AS relative_error
+    FROM n
+    """,
+    tags=["privacy", "differential-privacy", "extension"],
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork 2006): per-type event
+    counts plus Laplace(1/epsilon) noise via the inverse-CDF transform
+    of a deterministic md5 uniform — epsilon=1.0, sensitivity 1
+    (one user... one row for the demo; composition and clamping are the
+    deployment's job). The noise column is shown next to the truth so
+    the utility cost is visible; a production release would emit only
+    released_count.
+
+    Determinism is the point of the md5 uniform here: the SAME release
+    is reproducible run-to-run (and exactly oracle-checkable) instead
+    of resampling noise per query — resampling would let an observer
+    average the noise away, the classic DP deployment mistake.
+
+    Plan: one partial/final count, map-side noise arithmetic."""
+    g = T(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / 4294967296.0
+    )
+    noise = (
+        -(1.0 / _DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("released_count"),
+        F.round(F.abs(noise) / F.col("true_count"), 6).alias(
+            "relative_error"
+        ),
+    )

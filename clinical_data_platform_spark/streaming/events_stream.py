@@ -341,3 +341,49 @@ def cms_user_counters(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return _run_to_memory(counters, "complete")
+
+
+def segment_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the unbounded event stream enriched with a
+    static user-segment dimension (md5-derived, deterministic), then
+    aggregated per (segment, event_type). The static side is planned as
+    a broadcast against every micro-batch — the canonical streaming
+    enrichment shape (dimension lookups, feature joins) that needs no
+    watermark because the static side never changes mid-query."""
+    ev = _event_stream(spark, sf_dir)
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+    )
+    seg = users.select(
+        "user_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % 3
+            == 0,
+            "gold",
+        )
+        .when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % 3
+            == 1,
+            "silver",
+        )
+        .otherwise("bronze")
+        .alias("segment"),
+    )
+    joined = ev.join(F.broadcast(seg), "user_id")
+    agg = joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return _run_to_memory(agg, "complete")

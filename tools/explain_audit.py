@@ -118,6 +118,10 @@ AUDIT = [
     ("item_item_cosine_recs", "Item-item CF: customer-key self-join bounded by basket width, degree broadcast"),
     ("revenue_mix_decomposition", "PVM bridge: one (brand, period) agg, conditional-MAX pivot, map-side effects"),
     ("quantile_treatment_effects", "QTE: per-user agg, explicit order statistics per arm, 3-quantile probe"),
+    ("k_anonymity_audit", "k-anon/l-div: QI groupBy sizes + keyed distinct join, scalar audit row"),
+    ("dp_noisy_counts", "DP release: one count agg, map-side deterministic Laplace inverse-CDF"),
+    ("ucb_arm_selection", "UCB1: per-arm sufficient stats, window total, scalar exploration bonus"),
+    ("temporal_split_audit", "Temporal split: map-side fence label, per-split agg + overlap semi-join"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

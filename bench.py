@@ -153,6 +153,9 @@ HEADLINE = [
     "ucb_arm_selection",
     "stream_segment_enriched_counts",
     "temporal_split_audit",
+    "logrank_test_cohorts",
+    "spatial_grid_neighbor_pairs",
+    "subtree_value_rollup",
 ]
 
 

@@ -515,3 +515,105 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").alias("first_member"),
     )
+
+
+@query(
+    "subtree_value_rollup",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS node,
+             cast(round(c_acctbal * 100.0) AS BIGINT) AS cents
+      FROM customer
+    ), anc AS (
+      SELECT node AS descendant, (node - 1) // 2 AS ancestor
+      FROM nodes WHERE node >= 1
+      UNION ALL
+      SELECT a.descendant, (a.ancestor - 1) // 2
+      FROM anc a WHERE a.ancestor >= 1
+    ), roll AS (
+      SELECT a.ancestor AS node,
+             cast(count(*) AS BIGINT) AS n_desc,
+             cast(sum(d.cents) AS BIGINT) AS desc_cents
+      FROM anc a JOIN nodes d ON d.node = a.descendant
+      GROUP BY 1
+    )
+    SELECT n.node,
+           cast(1 + coalesce(r.n_desc, 0) AS BIGINT) AS subtree_size,
+           cast(n.cents + coalesce(r.desc_cents, 0) AS BIGINT)
+             AS subtree_value_cents
+    FROM nodes n LEFT JOIN roll r ON r.node = n.node
+    """,
+    tags=["graph", "hierarchy", "closure"],
+)
+def subtree_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree aggregation over the implicit customer hierarchy
+    (parent(k) = (k-1)//2): every node's subtree size and total account
+    balance — the org-chart / BOM / category-tree rollup ("total
+    headcount under each manager") that a sequential parent walk cannot
+    parallelize.
+
+    Distributed shape: the ancestor-descendant CLOSURE is built by
+    relation doubling — R_{r+1} = R_r UNION (R_r composed with R_r) —
+    so 5 checkpointed self-joins cover any tree up to depth 2^5 = 32
+    (i.e. 2^32 nodes); the closure has n x depth rows (n log n), and
+    the rollup is then ONE join + groupBy on the ancestor key. Values
+    roll up in integer cents, so every sum is exact. The oracle builds
+    the identical closure with a recursive CTE, value-proving the
+    doubling construction including the no-descendant leaves.
+
+    At 100 TB: each doubling round is a self equi-join on the
+    (ancestor = descendant) hinge — hash-partitioned both sides; depth
+    doubles per round, so even a 4-billion-node hierarchy closes in 5
+    shuffles where the naive walk takes depth-many."""
+    nodes = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        F.round(F.col("c_acctbal") * 100.0).cast("long").alias("cents"),
+    ).localCheckpoint()
+    anc = (
+        nodes.filter(F.col("node") >= 1)
+        .select(
+            F.col("node").alias("descendant"),
+            F.floor((F.col("node") - 1) / 2).cast("long").alias("ancestor"),
+        )
+        .localCheckpoint()
+    )
+    closure = anc
+    for _ in range(5):  # covers depth up to 2^5 = 32 (2^32 nodes)
+        hop = (
+            closure.alias("l")
+            .join(
+                closure.alias("r"),
+                F.col("l.ancestor") == F.col("r.descendant"),
+            )
+            .select(
+                F.col("l.descendant").alias("descendant"),
+                F.col("r.ancestor").alias("ancestor"),
+            )
+        )
+        closure = closure.unionByName(hop).distinct().localCheckpoint()
+    roll = (
+        closure.join(
+            nodes.select(
+                F.col("node").alias("descendant"),
+                F.col("cents").alias("d_cents"),
+            ),
+            "descendant",
+        )
+        .groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_desc"),
+            F.sum("d_cents").cast("long").alias("desc_cents"),
+        )
+    )
+    return (
+        nodes.join(roll, nodes["node"] == roll["ancestor"], "left")
+        .select(
+            "node",
+            (1 + F.coalesce("n_desc", F.lit(0))).cast("long").alias(
+                "subtree_size"
+            ),
+            (F.col("cents") + F.coalesce("desc_cents", F.lit(0)))
+            .cast("long")
+            .alias("subtree_value_cents"),
+        )
+    )

@@ -225,6 +225,9 @@ PRIORITY_ORDER = [
 # ucb_arm_selection (new, UCB1 bandit readout),
 # stream_segment_enriched_counts (new, stream-static broadcast enrichment),
 # temporal_split_audit (new, time-fenced split + overlap evidence),
+# logrank_test_cohorts (new, KM-companion survival hypothesis test),
+# spatial_grid_neighbor_pairs (new, integer-exact grid spatial join),
+# subtree_value_rollup (new, O(log n) closure-doubling tree rollup),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

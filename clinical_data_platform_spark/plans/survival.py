@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table as T
+from ..functions.scalars import NORMAL_SF_SQL
 from .registry import query
 
 # DuckDB twin of Spark's conv(substring(md5(x),1,6),16,10) — verified
@@ -605,4 +606,158 @@ def iptw_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("smd_weighted"),
+    )
+
+
+@query(
+    "logrank_test_cohorts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type FROM events
+    ), pu AS (
+      SELECT user_id, min(sec) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS t_evt
+      FROM ev GROUP BY 1
+    ), h AS (SELECT max(sec) AS t_max FROM ev),
+    d AS (
+      SELECT CASE WHEN ({_HEX6_SQL.format(x="cast(user_id AS VARCHAR)")}) % 2 = 0
+                  THEN 1 ELSE 0 END AS grp,
+             cast(floor((coalesce(t_evt, t_max) - t0)::DOUBLE
+                        / 3600.0::DOUBLE) AS BIGINT) AS dur,
+             CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS evt
+      FROM pu, h
+    ), tbl AS (
+      SELECT dur,
+             cast(sum(CASE WHEN grp = 1 THEN evt ELSE 0 END) AS BIGINT) AS d1,
+             cast(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             cast(sum(evt) AS BIGINT) AS d_all,
+             cast(count(*) AS BIGINT) AS a_all
+      FROM d GROUP BY 1
+    ), risk AS (
+      SELECT dur, d1, d_all,
+             sum(a1) OVER () - coalesce(sum(a1) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n1,
+             sum(a_all) OVER () - coalesce(sum(a_all) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_all
+      FROM tbl
+    ), terms AS (
+      SELECT d1, d_all, n1, n_all,
+             d_all::DOUBLE * n1 / n_all AS e1,
+             CASE WHEN n_all > 1 THEN
+               d_all::DOUBLE * (n1::DOUBLE / n_all)
+                 * (1.0::DOUBLE - n1::DOUBLE / n_all)
+                 * (n_all - d_all) / (n_all - 1)
+             ELSE 0.0::DOUBLE END AS v1
+      FROM risk WHERE d_all > 0
+    ), agg AS (
+      SELECT cast(sum(d1) AS BIGINT) AS o1,
+             sum(e1) AS e1, sum(v1) AS v1
+      FROM terms
+    ), z AS (
+      SELECT o1, e1, v1, (o1 - e1) / sqrt(v1) AS z_raw FROM agg
+    )
+    SELECT o1 AS observed_treated,
+           round(e1, 6) AS expected_treated,
+           round(z_raw * z_raw, 6) AS chi2,
+           round(__PSQL__, 6) AS p_value
+    FROM z
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["survival", "clinical", "logrank"],
+)
+def logrank_test_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966) comparing the two md5 cohorts'
+    time-to-purchase curves — THE hypothesis test reported beside every
+    Kaplan–Meier plot: at each event time, the treated group's observed
+    events vs the hypergeometric expectation given its at-risk share;
+    the standardized sum is chi-square(1).
+
+    Reuses kaplan_meier_survival's life-table discipline: one per-user
+    aggregation, then every statistic lives on the duration-bounded
+    table — expectations and variances are rationals of exact integer
+    counts summed in ascending-duration order on both engines; the
+    two-sided p comes from the shared A&S erf polynomial
+    (functions/scalars.NORMAL_SF_SQL — same closed form as the Welch
+    and chi-square tests). At 100 TB: identical scale shape to KM."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "event_type"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("t_evt"),
+    )
+    horizon = ev.agg(F.max("sec").alias("t_max"))
+    grp = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(0)
+    d = pu.crossJoin(F.broadcast(horizon)).select(
+        grp.alias("grp"),
+        F.floor(
+            (F.coalesce(F.col("t_evt"), F.col("t_max")) - F.col("t0"))
+            / F.lit(3600.0)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("evt"),
+    )
+    tbl = d.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("evt")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("a1"),
+        F.sum("evt").cast("long").alias("d_all"),
+        F.count(F.lit(1)).cast("long").alias("a_all"),
+    )
+    w_tot = Window.partitionBy()
+    w_prev = (
+        Window.partitionBy()
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = tbl.select(
+        "dur",
+        "d1",
+        "d_all",
+        (
+            F.sum("a1").over(w_tot)
+            - F.coalesce(F.sum("a1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum("a_all").over(w_tot)
+            - F.coalesce(F.sum("a_all").over(w_prev), F.lit(0))
+        ).alias("n_all"),
+    ).filter(F.col("d_all") > 0)
+    share = F.col("n1").cast("double") / F.col("n_all")
+    e1 = F.col("d_all").cast("double") * share
+    v1 = F.when(
+        F.col("n_all") > 1,
+        F.col("d_all").cast("double")
+        * share
+        * (F.lit(1.0) - share)
+        * (F.col("n_all") - F.col("d_all"))
+        / (F.col("n_all") - 1),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e1).alias("e1"),
+        F.sum(v1).alias("v1"),
+    )
+    z_raw = (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v1"))
+    from ..functions.scalars import normal_sf
+
+    return agg.select(
+        F.col("o1").alias("observed_treated"),
+        F.round("e1", 6).alias("expected_treated"),
+        F.round(z_raw * z_raw, 6).alias("chi2"),
+        F.round(normal_sf(z_raw), 6).alias("p_value"),
     )

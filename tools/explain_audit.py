@@ -122,6 +122,9 @@ AUDIT = [
     ("dp_noisy_counts", "DP release: one count agg, map-side deterministic Laplace inverse-CDF"),
     ("ucb_arm_selection", "UCB1: per-arm sufficient stats, window total, scalar exploration bonus"),
     ("temporal_split_audit", "Temporal split: map-side fence label, per-split agg + overlap semi-join"),
+    ("logrank_test_cohorts", "Log-rank: KM life table, hypergeometric O-E terms, erf p-value"),
+    ("spatial_grid_neighbor_pairs", "Spatial join: 3x3 cell equi-join, exact int64 distance refine"),
+    ("subtree_value_rollup", "Closure doubling: 5 checkpointed self-joins, ancestor-key rollup"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -1224,3 +1224,209 @@ def top_visit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_visits"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, min(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), touched AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS c_view,
+             max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+             max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) AS c_signup
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.ts < fp.first_purchase
+      GROUP BY e.user_id
+    ), coal AS (
+      SELECT c_view, c_click, c_signup,
+             cast(count(*) AS BIGINT) AS conversions
+      FROM touched GROUP BY 1, 2, 3
+    ), chan AS (
+      SELECT ch FROM (VALUES ('view'), ('click'), ('signup')) t(ch)
+    ), shap AS (
+      SELECT chan.ch,
+             sum(CASE
+               WHEN chan.ch = 'view' AND c_view = 1 THEN
+                 conversions::DOUBLE / (c_view + c_click + c_signup)
+               WHEN chan.ch = 'click' AND c_click = 1 THEN
+                 conversions::DOUBLE / (c_view + c_click + c_signup)
+               WHEN chan.ch = 'signup' AND c_signup = 1 THEN
+                 conversions::DOUBLE / (c_view + c_click + c_signup)
+               ELSE 0.0::DOUBLE END) AS credit
+      FROM chan, coal
+      WHERE c_view + c_click + c_signup > 0
+      GROUP BY chan.ch
+    ), tot AS (
+      SELECT sum(conversions) AS n_conv
+      FROM coal WHERE c_view + c_click + c_signup > 0
+    )
+    SELECT ch AS channel,
+           round(credit, 6) AS attributed_conversions,
+           floor(credit / n_conv * 1e6) / 1e6 AS credit_share
+    FROM shap, tot
+    """,
+    tags=["attribution", "marketing", "extension"],
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution over the pre-purchase touch
+    set {view, click, signup}: each conversion's credit splits EQUALLY
+    among the channels the user actually touched before first purchase
+    — which is exactly the Shapley value of the symmetric coalition
+    game v(S) = [S covers the user's touched set] (every touched
+    channel is interchangeable, untouched channels are null players).
+    The fair-division upgrade over last-touch (top_visit_paths shows
+    the raw sequences; this prices them).
+
+    Plan: one keyed MIN for first purchase, one pre-purchase touch-set
+    aggregate per converting user, then ALL Shapley arithmetic happens
+    on the 8-row coalition table — the per-user stage is the only
+    corpus-scale work, and credits are exact rationals of integer
+    counts. Credit conservation (sum = conversions with >= 1 touch) is
+    pinned in pytest."""
+    ev = T(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touched = (
+        ev.join(F.broadcast(fp).withColumnRenamed("user_id", "fu"),
+                (F.col("user_id") == F.col("fu"))
+                & (F.col("ts") < F.col("first_purchase")))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("c_view"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("c_click"),
+            F.max(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            ).alias("c_signup"),
+        )
+    )
+    coal = (
+        touched.groupBy("c_view", "c_click", "c_signup")
+        .agg(F.count(F.lit(1)).cast("long").alias("conversions"))
+        .filter(
+            F.col("c_view") + F.col("c_click") + F.col("c_signup") > 0
+        )
+        .localCheckpoint()
+    )
+    chans = coal.sparkSession.createDataFrame(
+        [("view",), ("click",), ("signup",)], ["channel"]
+    )
+    size = (F.col("c_view") + F.col("c_click") + F.col("c_signup")).cast(
+        "double"
+    )
+    member = (
+        F.when((F.col("channel") == "view") & (F.col("c_view") == 1), 1)
+        .when((F.col("channel") == "click") & (F.col("c_click") == 1), 1)
+        .when((F.col("channel") == "signup") & (F.col("c_signup") == 1), 1)
+        .otherwise(0)
+    )
+    shap = (
+        chans.crossJoin(coal)
+        .select(
+            "channel",
+            F.when(
+                member == 1, F.col("conversions").cast("double") / size
+            )
+            .otherwise(0.0)
+            .alias("term"),
+        )
+        .groupBy("channel")
+        .agg(F.sum("term").alias("credit"))
+    )
+    tot = coal.agg(F.sum("conversions").cast("double").alias("n_conv"))
+    return shap.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round("credit", 6).alias("attributed_conversions"),
+        (F.floor(F.col("credit") / F.col("n_conv") * 1e6) / 1e6).alias(
+            "credit_share"
+        ),
+    )
+
+
+_SPRT_P0 = "0.19"  # H0 purchase share
+_SPRT_P1 = "0.21"  # H1 purchase share (identical literals both engines)
+
+
+@query(
+    "sprt_daily_decision",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             cast(count(*) AS BIGINT) AS n_events,
+             cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purch
+      FROM events GROUP BY 1
+    ), llr AS (
+      SELECT day, n_events, n_purch,
+             sum(n_purch * ln({_SPRT_P1}::DOUBLE / {_SPRT_P0}::DOUBLE)
+                 + (n_events - n_purch)
+                   * ln((1.0::DOUBLE - {_SPRT_P1}::DOUBLE)
+                        / (1.0::DOUBLE - {_SPRT_P0}::DOUBLE)))
+               OVER (ORDER BY day) AS cum_llr
+      FROM d
+    )
+    SELECT day, n_events, n_purch,
+           round(cum_llr, 6) AS cum_llr,
+           CASE WHEN cum_llr >= ln(19.0::DOUBLE) THEN 'accept_h1'
+                WHEN cum_llr <= ln(1.0::DOUBLE / 19.0::DOUBLE)
+                  THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+    tags=["experimentation", "sequential", "extension"],
+)
+def sprt_daily_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) on the
+    daily purchase share — the always-valid alternative to fixed-n
+    testing: the cumulative log-likelihood-ratio walk (H1: share 0.21
+    vs H0: 0.19, alpha=beta=0.05 so the boundaries are ±ln 19) is
+    monitored per DAY, and the first boundary crossing ends the
+    experiment with guaranteed error rates no matter when you peek.
+
+    Scale discipline: the LLR walk is computed over the DAY-aggregated
+    table, not raw events — each day folds to (n, k) by one
+    partial/final aggregate and contributes k·ln(p1/p0) +
+    (n−k)·ln((1−p1)/(1−p0)), so the ordered cumulative window runs over
+    a days-bounded series (the same state argument as the KM life
+    table). p0/p1 are identical literals on both engines; counts are
+    exact integers; round 6 absorbs libm ulps on the two ln
+    constants."""
+    d = T(spark, sf_dir, "events").groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purch"),
+    )
+    p0, p1 = float(_SPRT_P0), float(_SPRT_P1)
+    term = F.col("n_purch") * F.log(F.lit(p1) / F.lit(p0)) + (
+        F.col("n_events") - F.col("n_purch")
+    ) * F.log((F.lit(1.0) - F.lit(p1)) / (F.lit(1.0) - F.lit(p0)))
+    llr = d.select(
+        "day",
+        "n_events",
+        "n_purch",
+        F.sum(term).over(Window.orderBy("day")).alias("cum_llr"),
+    )
+    upper = F.log(F.lit(19.0))
+    lower = F.log(F.lit(1.0) / 19.0)
+    return llr.select(
+        "day",
+        "n_events",
+        "n_purch",
+        F.round("cum_llr", 6).alias("cum_llr"),
+        F.when(F.col("cum_llr") >= upper, "accept_h1")
+        .when(F.col("cum_llr") <= lower, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

@@ -228,6 +228,10 @@ PRIORITY_ORDER = [
 # logrank_test_cohorts (new, KM-companion survival hypothesis test),
 # spatial_grid_neighbor_pairs (new, integer-exact grid spatial join),
 # subtree_value_rollup (new, O(log n) closure-doubling tree rollup),
+# shapley_channel_attribution (new, coalition-exact marketing credit),
+# sprt_daily_decision (new, Wald sequential test on daily aggregates),
+# rd_discontinuity_estimate (new, local-linear regression discontinuity),
+# power_sample_size_plan (new, two-proportion power/MDE planning),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

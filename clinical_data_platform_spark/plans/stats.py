@@ -1693,3 +1693,166 @@ def ucb_arm_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("selected"),
     )
+
+
+_RD_CUT = 200000.0  # o_totalprice cutoff
+_RD_BW = 100000.0  # local-linear bandwidth
+
+
+@query(
+    "rd_discontinuity_estimate",
+    oracle=f"""
+    WITH w AS (
+      SELECT CASE WHEN o_totalprice >= {_RD_CUT} THEN 1 ELSE 0 END AS side,
+             (o_totalprice - {_RD_CUT}) / {_RD_BW} AS x,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+      FROM orders
+      WHERE o_totalprice >= {_RD_CUT} - {_RD_BW}
+        AND o_totalprice < {_RD_CUT} + {_RD_BW}
+    ), fit AS (
+      SELECT side, cast(count(*) AS BIGINT) AS n,
+             (count(*) * sum(x*y) - sum(x) * sum(y))
+               / (count(*) * sum(x*x) - sum(x) * sum(x)) AS slope,
+             (sum(y) - (count(*) * sum(x*y) - sum(x) * sum(y))
+                       / (count(*) * sum(x*x) - sum(x) * sum(x))
+                       * sum(x)) / count(*) AS icept
+      FROM w GROUP BY side
+    )
+    SELECT cast(side AS BIGINT) AS side, n,
+           round(icept, 6) AS limit_at_cutoff,
+           round(slope, 6) AS local_slope,
+           round(max(icept) FILTER (side = 1) OVER ()
+                 - max(icept) FILTER (side = 0) OVER (), 6) AS rd_effect
+    FROM fit
+    """,
+    tags=["causal", "regression-discontinuity", "extension"],
+)
+def rd_discontinuity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960): the jump in the urgent-priority rate at the
+    200k order-value cutoff, from separate local-linear fits on each
+    side within a 100k bandwidth — each side's intercept IS its limit
+    at the cutoff (the running variable is centered), and their
+    difference is the RD effect. The third member of the causal
+    toolkit next to DiD (parallel trends) and IPTW (observed
+    confounders): RD needs only that nothing else jumps at the
+    threshold.
+
+    Plan: one pruned scan (the bandwidth filter reaches the parquet
+    scan), one sufficient-statistics aggregate per side — the same
+    one-pass closed-form OLS as ols_trend_by_event_type — then window
+    algebra on the 2-row fit table."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= _RD_CUT - _RD_BW)
+        & (F.col("o_totalprice") < _RD_CUT + _RD_BW)
+    )
+    w = o.select(
+        F.when(F.col("o_totalprice") >= _RD_CUT, 1).otherwise(0).alias("side"),
+        ((F.col("o_totalprice") - _RD_CUT) / _RD_BW).alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    fit = w.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    t = fit.select(
+        "side", F.col("n").cast("long").alias("n"),
+        icept.alias("icept"), slope.alias("slope"),
+    )
+    wall = Window.partitionBy()
+    return t.select(
+        F.col("side").cast("long").alias("side"),
+        "n",
+        F.round("icept", 6).alias("limit_at_cutoff"),
+        F.round("slope", 6).alias("local_slope"),
+        F.round(
+            F.max(F.when(F.col("side") == 1, F.col("icept"))).over(wall)
+            - F.max(F.when(F.col("side") == 0, F.col("icept"))).over(wall),
+            6,
+        ).alias("rd_effect"),
+    )
+
+
+# z quantiles pinned as identical literals on both sides (power calc)
+_Z_ALPHA = "1.959963984540054"  # Phi^-1(0.975)
+_Z_BETA = "0.8416212335729143"  # Phi^-1(0.80)
+
+
+@query(
+    "power_sample_size_plan",
+    oracle=f"""
+    WITH base AS (
+      SELECT avg(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS p0
+      FROM orders
+    ), mde AS (
+      SELECT p0, m.rel AS rel_mde, p0 * (1.0::DOUBLE + m.rel) AS p1
+      FROM base, (VALUES (0.02::DOUBLE), (0.05::DOUBLE),
+                         (0.10::DOUBLE)) m(rel)
+    )
+    SELECT rel_mde,
+           round(p0, 6) AS baseline_rate,
+           round(p1, 6) AS target_rate,
+           cast(ceil(pow({_Z_ALPHA}::DOUBLE * sqrt(2.0::DOUBLE * ((p0+p1)/2.0)
+                           * (1.0::DOUBLE - (p0+p1)/2.0))
+                         + {_Z_BETA}::DOUBLE
+                           * sqrt(p0*(1.0::DOUBLE-p0) + p1*(1.0::DOUBLE-p1)), 2)
+                     / pow(p1 - p0, 2)) AS BIGINT) AS n_per_arm
+    FROM mde
+    """,
+    tags=["experimentation", "power", "extension"],
+)
+def power_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design power calculation: per-arm sample size for a
+    two-proportion test at alpha=0.05 (two-sided), power=0.80, for
+    relative MDEs of 2/5/10% over the OBSERVED baseline urgent-order
+    rate — the pre-registration table an experimentation platform shows
+    before any test launches (the design-time companion to
+    ab_test_two_proportion's readout and ucb's adaptive allocation).
+
+    The normal quantiles are pinned 17-digit literals on both engines
+    (deriving them from erf would compound approximation error); the
+    baseline comes from one aggregate; everything else is scalar
+    closed-form arithmetic, so a 100 TB baseline costs one count."""
+    base = T(spark, sf_dir, "orders").agg(
+        F.avg(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0)
+        ).alias("p0")
+    )
+    mdes = base.sparkSession.createDataFrame(
+        [(0.02,), (0.05,), (0.10,)], ["rel_mde"]
+    )
+    t = base.crossJoin(F.broadcast(mdes)).withColumn(
+        "p1", F.col("p0") * (F.lit(1.0) + F.col("rel_mde"))
+    )
+    pbar = (F.col("p0") + F.col("p1")) / 2.0
+    za, zb = float(_Z_ALPHA), float(_Z_BETA)
+    num = F.pow(
+        F.lit(za) * F.sqrt(2.0 * pbar * (F.lit(1.0) - pbar))
+        + F.lit(zb)
+        * F.sqrt(
+            F.col("p0") * (F.lit(1.0) - F.col("p0"))
+            + F.col("p1") * (F.lit(1.0) - F.col("p1"))
+        ),
+        2,
+    )
+    return t.select(
+        "rel_mde",
+        F.round("p0", 6).alias("baseline_rate"),
+        F.round("p1", 6).alias("target_rate"),
+        F.ceil(num / F.pow(F.col("p1") - F.col("p0"), 2))
+        .cast("long")
+        .alias("n_per_arm"),
+    )

@@ -156,6 +156,15 @@ HEADLINE = [
     "logrank_test_cohorts",
     "spatial_grid_neighbor_pairs",
     "subtree_value_rollup",
+    "shapley_channel_attribution",
+    "sprt_daily_decision",
+    "rd_discontinuity_estimate",
+    "power_sample_size_plan",
+    "zone_map_skipping_audit",
+    "compaction_bin_packing",
+    "daily_open_orders_curve",
+    "distributed_auc_rank_sum",
+    "dup_cluster_canonical_docs",
 ]
 
 

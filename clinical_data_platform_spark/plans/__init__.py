@@ -33,3 +33,4 @@ from . import graphops  # noqa: E402,F401
 from . import matrixops  # noqa: E402,F401
 from . import survival  # noqa: E402,F401
 from . import spatial  # noqa: E402,F401
+from . import layout  # noqa: E402,F401

@@ -1,0 +1,204 @@
+"""Data-layout planning ops — the table-maintenance side of a 100 TB
+deployment.
+
+Two jobs every large parquet lake runs on a schedule, here expressed as
+exactly-oracled plans over synthetic "files":
+
+- ``zone_map_skipping_audit`` quantifies WHY you sort: it lays the same
+  rows out as files under arrival order vs sort-key order, computes each
+  file's min/max zone map, and reports what fraction of files a band
+  predicate can skip under each layout. The delta between the two rows
+  is the data-skipping argument for clustering (the same stats parquet
+  row groups / Delta file stats / Iceberg manifests keep).
+- ``compaction_bin_packing`` plans a small-file compaction: size-ordered
+  next-fit binning of per-(day, type) file sizes into target-sized
+  output files. The plan runs entirely on the FILE LIST (metadata-sized,
+  like a real table manifest), never on row data.
+
+Scale notes: the audit's file assignment needs a total order, which is
+intrinsic — assigning rows to sorted files IS a global sort; at scale
+that's ``repartitionByRange`` + per-partition offsets, and the point of
+the audit is to decide whether that sort pays for itself. The bin
+packer's window runs over the manifest, bounded by file count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table as T
+from .registry import query
+
+_FILE_ROWS = 1000  # rows per synthetic file in the zone-map audit
+_BAND_LO = 100000.0  # band predicate on o_totalprice
+_BAND_HI = 150000.0
+_BIN_TARGET = 4096  # compaction target size (units = event rows)
+
+
+@query(
+    "zone_map_skipping_audit",
+    oracle=f"""
+    WITH arrival AS (
+      SELECT o_totalprice,
+             cast(floor((row_number() OVER (ORDER BY o_orderkey) - 1)
+                        / {_FILE_ROWS}) AS BIGINT) AS file_id
+      FROM orders
+    ), srt AS (
+      SELECT o_totalprice,
+             cast(floor((row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                         - 1) / {_FILE_ROWS}) AS BIGINT) AS file_id
+      FROM orders
+    ), files AS (
+      SELECT 'arrival' AS layout, file_id,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+             cast(count(*) AS BIGINT) AS n_rows
+      FROM arrival GROUP BY 2
+      UNION ALL
+      SELECT 'sorted', file_id, min(o_totalprice), max(o_totalprice),
+             cast(count(*) AS BIGINT)
+      FROM srt GROUP BY 2
+    )
+    SELECT layout,
+           cast(count(*) AS BIGINT) AS n_files,
+           cast(sum(CASE WHEN hi >= {_BAND_LO} AND lo <= {_BAND_HI}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           floor((count(*) - sum(CASE WHEN hi >= {_BAND_LO}
+                                      AND lo <= {_BAND_HI}
+                                 THEN 1 ELSE 0 END))
+                 * 1e6 / count(*)) / 1e6 AS skip_fraction,
+           cast(sum(CASE WHEN hi >= {_BAND_LO} AND lo <= {_BAND_HI}
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+    FROM files
+    GROUP BY layout
+    """,
+    tags=["layout", "zone-map", "extension"],
+)
+def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file stats) effectiveness audit: the same
+    orders rows bucketed into 1000-row files under (a) arrival order
+    (o_orderkey) and (b) sort order (o_totalprice), then for the band
+    predicate 100k <= o_totalprice <= 150k, how many files a
+    stats-aware scan must read under each layout. Sorted layout
+    confines the band to contiguous files; arrival order touches
+    nearly all of them — the measured gap is the case for clustering
+    the table on its hot predicate column.
+
+    Zone-map intersection [lo,hi] ∩ [band_lo,band_hi] != ∅ is the
+    exact parquet row-group pruning rule; all counts are integers and
+    skip_fraction is a trunc6 integer ratio, so the audit is
+    value-exact cross-engine."""
+    o = T(spark, sf_dir, "orders")
+    arrival = o.select(
+        "o_totalprice",
+        F.floor(
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1)
+            / _FILE_ROWS
+        ).alias("file_id"),
+    ).withColumn("layout", F.lit("arrival"))
+    srt = o.select(
+        "o_totalprice",
+        F.floor(
+            (
+                F.row_number().over(
+                    Window.orderBy("o_totalprice", "o_orderkey")
+                )
+                - 1
+            )
+            / _FILE_ROWS
+        ).alias("file_id"),
+    ).withColumn("layout", F.lit("sorted"))
+    files = (
+        arrival.unionByName(srt)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    hit = F.when(
+        (F.col("hi") >= _BAND_LO) & (F.col("lo") <= _BAND_HI), 1
+    ).otherwise(0)
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(hit).cast("long").alias("files_scanned"),
+        (
+            F.floor(
+                (F.count(F.lit(1)) - F.sum(hit))
+                * F.lit(1e6)
+                / F.count(F.lit(1))
+            )
+            / 1e6
+        ).alias("skip_fraction"),
+        F.sum(F.when(hit == 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
+
+
+@query(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH f AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             cast(count(*) AS BIGINT) AS size_units
+      FROM events GROUP BY 1, 2
+    ), ordered AS (
+      SELECT *,
+             coalesce(sum(size_units) OVER (
+               ORDER BY size_units DESC, day, event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM f
+    ), binned AS (
+      SELECT *, cast(floor(cum_before / {_BIN_TARGET}) AS BIGINT) AS bin_id
+      FROM ordered
+    )
+    SELECT bin_id,
+           cast(count(*) AS BIGINT) AS n_files,
+           cast(sum(size_units) AS BIGINT) AS total_size_units,
+           cast(max(size_units) AS BIGINT) AS largest_file,
+           floor(sum(size_units) * 1e6 / {_BIN_TARGET}) / 1e6 AS fill_ratio
+    FROM binned
+    GROUP BY bin_id
+    """,
+    tags=["layout", "compaction", "extension"],
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: per-(day, event_type) event counts
+    stand in for a manifest of small files (size = row count); files
+    are packed size-descending into target-size output bins by
+    cumulative-sum next-fit — bin = floor(exclusive_cumsum / target) —
+    the deterministic, windowable cousin of first-fit-decreasing that
+    a distributed planner can compute in one pass over the manifest.
+    Output: per output file, how many inputs it merges and how full it
+    lands (fill_ratio ~ 1 +- largest_file/target by construction).
+
+    The window runs over the FILE LIST — at 100 TB that's the table
+    manifest (thousands of rows), not the data; the data movement the
+    plan prescribes is then one repartition keyed by bin_id."""
+    f = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("size_units"))
+    )
+    w = (
+        Window.orderBy(F.desc("size_units"), F.asc("day"), F.asc("event_type"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = f.withColumn(
+        "cum_before", F.coalesce(F.sum("size_units").over(w), F.lit(0))
+    ).withColumn(
+        "bin_id", F.floor(F.col("cum_before") / _BIN_TARGET).cast("long")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("size_units").cast("long").alias("total_size_units"),
+        F.max("size_units").cast("long").alias("largest_file"),
+        (
+            F.floor(F.sum("size_units") * F.lit(1e6) / _BIN_TARGET) / 1e6
+        ).alias("fill_ratio"),
+    )

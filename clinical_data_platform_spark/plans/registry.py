@@ -232,6 +232,11 @@ PRIORITY_ORDER = [
 # sprt_daily_decision (new, Wald sequential test on daily aggregates),
 # rd_discontinuity_estimate (new, local-linear regression discontinuity),
 # power_sample_size_plan (new, two-proportion power/MDE planning),
+# zone_map_skipping_audit (new, min/max file-stats pruning audit),
+# compaction_bin_packing (new, manifest-sized small-file compaction plan),
+# daily_open_orders_curve (new, sweep-line interval concurrency),
+# distributed_auc_rank_sum (new, sort-free Mann-Whitney AUC),
+# dup_cluster_canonical_docs (new, post-cluster survivorship keeper),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -2203,3 +2203,102 @@ def revenue_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("mix_effect"),
     )
+
+
+@query(
+    "daily_open_orders_curve",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey,
+             cast(o.o_orderdate AS DATE) AS start_day,
+             greatest(cast(o.o_orderdate AS DATE),
+                      cast(max(l.l_shipdate) AS DATE)) AS close_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(start_day) AS d0, max(close_day) AS d1 FROM iv
+    ), days AS (
+      SELECT cast(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), starts AS (
+      SELECT start_day AS day, cast(count(*) AS BIGINT) AS n_start
+      FROM iv GROUP BY 1
+    ), ends AS (
+      SELECT close_day + INTERVAL 1 DAY AS rel_day,
+             cast(count(*) AS BIGINT) AS n_close
+      FROM iv GROUP BY 1
+    ), merged AS (
+      SELECT days.day,
+             coalesce(n_start, 0) AS n_start,
+             coalesce(n_close, 0) AS n_released
+      FROM days
+      LEFT JOIN starts ON starts.day = days.day
+      LEFT JOIN ends ON ends.rel_day::DATE = days.day
+    )
+    SELECT day::TIMESTAMP AS day, n_start, n_released,
+           cast(sum(n_start - n_released)
+                OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM merged
+    """,
+    tags=["interval", "sweep-line", "extension"],
+)
+def daily_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency curve by the sweep-line / event-boundary
+    trick: each order is "open" from o_orderdate through its last
+    lineitem shipdate inclusive; instead of joining every day against
+    every overlapping interval (a range join that degenerates
+    quadratic), intervals fold to +1 at start_day and -1 the day after
+    close_day, and the open count is one cumulative sum over the
+    DAY-bounded series. The corpus-scale work is a single per-order
+    aggregate; the window state is bounded by the calendar span, never
+    the order count — the same state argument as the KM life table.
+
+    The day grid comes from one sequence() off the global min/max so
+    gap days report their carry-forward concurrency exactly."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+        )
+        .agg(
+            # the synthetic corpus has shipdates before orderdates;
+            # clamp so every interval is well-formed (open >= 1 day)
+            F.greatest(
+                F.to_date(F.first("o_orderdate")),
+                F.to_date(F.max("l_shipdate")),
+            ).alias("close_day")
+        )
+    )
+    bounds = iv.agg(
+        F.min("start_day").alias("d0"), F.max("close_day").alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    starts = iv.groupBy(F.col("start_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_start")
+    )
+    ends = iv.groupBy(
+        F.date_add(F.col("close_day"), 1).alias("rel_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_close"))
+    merged = (
+        days.join(starts, "day", "left")
+        .join(ends, days.day == ends.rel_day, "left")
+        .select(
+            "day",
+            F.coalesce("n_start", F.lit(0)).alias("n_start"),
+            F.coalesce("n_close", F.lit(0)).alias("n_released"),
+        )
+    )
+    return merged.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_start",
+        "n_released",
+        F.sum(F.col("n_start") - F.col("n_released"))
+        .over(Window.orderBy("day"))
+        .cast("long")
+        .alias("open_orders"),
+    )

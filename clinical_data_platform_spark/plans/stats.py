@@ -1856,3 +1856,97 @@ def power_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm"),
     )
+
+
+@query(
+    "distributed_auc_rank_sum",
+    oracle="""
+    WITH s AS (
+      SELECT cast(floor(o_totalprice) AS BIGINT) AS score,
+             cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT p, q,
+             coalesce(sum(q) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_q_before
+      FROM s
+    ), agg AS (
+      SELECT cast(sum(p * (2 * cum_q_before + q)) AS BIGINT) AS num2,
+             cast(sum(p) AS BIGINT) AS n_pos,
+             cast(sum(q) AS BIGINT) AS n_neg,
+             cast(count(*) AS BIGINT) AS n_scores
+      FROM c
+    )
+    SELECT n_pos, n_neg, n_scores,
+           floor(num2 * 1e6 / (2 * n_pos * n_neg)) / 1e6 AS auc,
+           floor((num2 - n_pos * n_neg) * 1e6
+                 / (n_pos * n_neg)) / 1e6 AS gini
+    FROM agg
+    """,
+    tags=["ml-eval", "auc", "extension"],
+)
+def distributed_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed AUC by the Mann-Whitney rank-sum identity: AUC =
+    P(score_pos > score_neg) + P(tie)/2, computed WITHOUT a global
+    per-row rank. Rows fold to a per-distinct-score (n_pos, n_neg)
+    table; one ordered exclusive cumsum of negatives gives, for each
+    score bin, how many negatives rank strictly below — so
+    2*AUC*P*N = sum_bins p*(2*cum_neg_below + n_neg_bin), with the
+    half-credit tie term exact because everything stays doubled
+    integers until one final trunc6. Gini = 2*AUC - 1 falls out of the
+    same integers.
+
+    Scale shape: one partial/final aggregate over the data, then a
+    window over the DISTINCT-SCORE table (score-cardinality-bounded —
+    quantize scores to bound it explicitly at 100 TB); never a global
+    row sort, which is how single-node AUC implementations die first."""
+    lbl = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    s = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice")).cast("long").alias("score")
+        )
+        .agg(
+            F.sum(lbl).cast("long").alias("p"),
+            F.sum(1 - lbl).cast("long").alias("q"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.withColumn(
+        "cum_q_before", F.coalesce(F.sum("q").over(w), F.lit(0))
+    )
+    agg = c.agg(
+        F.sum(
+            F.col("p") * (2 * F.col("cum_q_before") + F.col("q"))
+        )
+        .cast("long")
+        .alias("num2"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        (
+            F.floor(
+                F.col("num2") * F.lit(1e6) / (2 * F.col("n_pos") * F.col("n_neg"))
+            )
+            / 1e6
+        ).alias("auc"),
+        (
+            F.floor(
+                (F.col("num2") - F.col("n_pos") * F.col("n_neg"))
+                * F.lit(1e6)
+                / (F.col("n_pos") * F.col("n_neg"))
+            )
+            / 1e6
+        ).alias("gini"),
+    )

@@ -915,3 +915,103 @@ def levenshtein_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "dup_cluster_canonical_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.05
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), closure AS (
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM reach
+    ), clusters AS (
+      SELECT src AS node, least(min(dst), src) AS component
+      FROM closure GROUP BY src
+    ), ranked AS (
+      SELECT c.component, c.node, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.node) AS rk
+      FROM clusters c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT component AS cluster_id,
+           cast(count(*) AS BIGINT) AS n_members,
+           cast(count(*) - 1 AS BIGINT) AS n_dropped,
+           max(CASE WHEN rk = 1 THEN node END) AS canonical_doc,
+           cast(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+             AS canonical_chars,
+           cast(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_dropped
+    FROM ranked GROUP BY component
+    """,
+    tags=["dedup", "curation", "extension"],
+)
+def dup_cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation step AFTER near-dup clustering: within each
+    connected component pick the canonical keeper — longest document,
+    ties to the smallest doc_id — and report what the dedup pass drops
+    (member counts, discarded chars). This is the "keep the best copy"
+    policy every corpus dedup actually ships (vs near_dup_clusters'
+    min-id label, which identifies the cluster but not the keeper).
+
+    The component table is candidate-pair-sized; the keeper argmax is
+    one keyed window over it (cluster-size-bounded partitions). The
+    oracle re-derives clusters via the same recursive-CTE closure as
+    near_dup_clusters, so the whole pipeline — pairs, components,
+    survivorship — is value-verified end-to-end."""
+    from ..operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs_inverted,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_inverted(
+        d, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=None
+    )
+    clusters = connected_components(pairs)
+    ranked = clusters.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("n_chars"), F.asc("node")
+            )
+        ),
+    )
+    return ranked.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        F.max(F.when(F.col("rk") == 1, F.col("node"))).alias(
+            "canonical_doc"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+        .cast("long")
+        .alias("canonical_chars"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_dropped"),
+    )

@@ -465,9 +465,16 @@ def connected_components(
     Returns (node, component) where component = min node id reachable —
     the canonical "keep" document per near-duplicate cluster.
     """
+    # materialize the candidate pairs once: the two union branches below
+    # would otherwise each re-execute the (expensive) pair-generation
+    # subtree when the edges cache is first populated
+    pairs = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .distinct()
         .cache()
     )

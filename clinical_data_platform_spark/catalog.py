@@ -114,3 +114,31 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism)
     return df
+
+
+def iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage truncation for ITERATIVE plans (fixed-point loops with
+    self-joins): eager ``localCheckpoint`` plus a reset of the inherited
+    plan statistics.
+
+    ``Dataset.localCheckpoint`` deliberately carries the optimized plan's
+    statistics onto the resulting ``LogicalRDD`` (so broadcast decisions
+    survive a checkpoint). For a loop whose body self-joins the running
+    state that inheritance is a time bomb: Catalyst's size-only estimator
+    multiplies child ``sizeInBytes``, so the carried BigInt's bit-length
+    DOUBLES every round and stats estimation on the driver goes
+    exponential — measured 7x wall-clock growth per round from round ~9,
+    minutes by round 11, on a 100-row state table (the work is
+    ``BigInteger.multiplyToomCook3`` under
+    ``SizeInBytesOnlyStatsPlanVisitor``, executors idle). Rebuilding the
+    DataFrame from the checkpointed InternalRow RDD drops the origin
+    stats, so every round re-plans against the flat default estimate and
+    per-round cost stays constant. Loop state is never the broadcast side
+    at scale, so losing the inherited estimate costs nothing.
+    """
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    fresh = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, ck.sparkSession)

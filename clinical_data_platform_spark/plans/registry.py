@@ -237,6 +237,8 @@ PRIORITY_ORDER = [
 # daily_open_orders_curve (new, sweep-line interval concurrency),
 # distributed_auc_rank_sum (new, sort-free Mann-Whitney AUC),
 # dup_cluster_canonical_docs (new, post-cluster survivorship keeper),
+# dbscan_grid_clusters (new, density clustering: lossless grid candidates
+#   + fixed Shiloach-Vishkin rounds, whole chain value-oracled),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -30,6 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from ..catalog import fan_out_scan
 from ..catalog import table as T
 from ..functions.text import tokens
 from .registry import query
@@ -247,3 +248,179 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outcome_rate"),
         )
     )
+
+
+# --- Multinomial Naive Bayes language classifier -----------------------------
+
+
+def naive_bayes_confusion(d: DataFrame) -> DataFrame:
+    """Core NB train+score+confusion over (doc_id, lang, ws) rows: train
+    on even doc_ids, score odd doc_ids against every class, return the
+    (true_lang, pred_lang, n_docs) confusion matrix. Split out from the
+    registered query so tests can drive it on an injected separable
+    corpus (the shipped corpus draws every language from one shared
+    vocabulary, so there the posterior collapses to the prior — the
+    oracle still value-proves the arithmetic, the fixture proves the
+    learning)."""
+    train_tok = d.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.explode("ws").alias("w")
+    )
+    cwc = train_tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    nc = train_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = train_tok.select("w").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    pri = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = d.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    te = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode("ws").alias("w"),
+    )
+    classes = pri.select(F.col("lang").alias("c_lang"))
+    lp_term = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("n_tok").cast("double") + F.col("v"))
+    )
+    lp = (
+        te.crossJoin(F.broadcast(classes))
+        .join(
+            cwc.select(F.col("lang").alias("c_lang"), "w", "c"),
+            ["w", "c_lang"],
+            "left",
+        )
+        .join(
+            F.broadcast(nc.select(F.col("lang").alias("c_lang"), "n_tok")),
+            "c_lang",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "true_lang", "c_lang")
+        .agg(F.round(F.sum(lp_term), 8).alias("sum_lp"))
+    )
+    sc = (
+        lp.join(
+            F.broadcast(pri.select(F.col("lang").alias("c_lang"), "n_docs")),
+            "c_lang",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "true_lang",
+            "c_lang",
+            F.round(
+                F.col("sum_lp")
+                + F.log(F.col("n_docs").cast("double") / F.col("n")),
+                8,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("c_lang").asc()
+        )
+    )
+    return (
+        sc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("c_lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@query(
+    "naive_bayes_lang_confusion",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (
+      SELECT lang, unnest(ws) AS w FROM t WHERE doc_id % 2 = 0
+    ),
+    cwc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    nc AS (SELECT lang, count(*) AS n_tok FROM tok GROUP BY 1),
+    v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM tok),
+    pri AS (
+      SELECT lang, count(*) AS n_docs FROM t WHERE doc_id % 2 = 0
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*)::DOUBLE AS n FROM t WHERE doc_id % 2 = 0
+    ),
+    te AS (
+      SELECT doc_id, lang AS true_lang, unnest(ws) AS w
+      FROM t WHERE doc_id % 2 = 1
+    ),
+    lp AS (
+      SELECT te.doc_id, te.true_lang, p.lang AS c_lang,
+             round(sum(ln((coalesce(cwc.c, 0)::DOUBLE + 1.0::DOUBLE)
+                          / (nc.n_tok::DOUBLE + v.v))), 8) AS sum_lp
+      FROM te
+      CROSS JOIN pri p
+      LEFT JOIN cwc ON cwc.w = te.w AND cwc.lang = p.lang
+      JOIN nc ON nc.lang = p.lang
+      CROSS JOIN v
+      GROUP BY te.doc_id, te.true_lang, p.lang
+    ),
+    sc AS (
+      SELECT lp.doc_id, lp.true_lang, lp.c_lang,
+             round(lp.sum_lp + ln(p.n_docs::DOUBLE / tot.n), 8) AS score
+      FROM lp JOIN pri p ON p.lang = lp.c_lang CROSS JOIN tot
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, c_lang,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, c_lang ASC
+             ) AS rn
+      FROM sc
+    )
+    SELECT true_lang, c_lang AS pred_lang,
+           cast(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    tags=["text", "ml", "classifier", "llm-pipeline"],
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND evaluated distributed: add-1
+    token likelihoods per language from the even-doc_id half of the
+    corpus, every odd-doc_id document scored against every class
+    (log prior + summed token log-likelihoods), argmax prediction,
+    confusion matrix out. The trained-generative companion to the
+    hashed-feature linear scorer above — together they bracket the two
+    classifier families a curation pipeline actually ships.
+
+    Plan: model state is counts — a (lang, token) table (vocab-sized x
+    |langs|, Heaps-sublinear), a |langs|-row token-total/prior table,
+    and a 1-row vocab scalar — built in one exploded-token shuffle.
+    Scoring fans each test token out by the tiny class table (broadcast
+    cross join, |langs|x), left-joins the count table on (token, class),
+    and aggregates per (doc, class): no per-row Python, no model on the
+    driver. Float discipline: the per-(doc, class) log-likelihood sum is
+    rounded to 8 dp before the prior is added and again before the
+    argmax (engine sum-order re-sync, the bigram-LM pattern), and the
+    argmax breaks exact ties on the class name, so predictions are
+    engine-stable. At 100 TB the only row-proportional costs are the
+    token scans; everything model-sized broadcasts.
+
+    On the shipped corpus every language draws from the same shared
+    vocabulary (word salad), so the learned posterior collapses to the
+    prior and the confusion matrix concentrates on the majority class —
+    that degenerate matrix is still value-verified cross-engine; that
+    the classifier actually LEARNS is pinned on an injected separable
+    corpus in tests/test_contentfilter.py (the pii_signal_counts
+    pattern)."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", tokens(F.col("text")).alias("ws"))
+    return naive_bayes_confusion(d)

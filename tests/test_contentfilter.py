@@ -101,3 +101,41 @@ def test_bigram_lm_heldout_perplexity_higher(spark):
     assert by_lang
     for lang, d in by_lang.items():
         assert d["heldout"] > d["train"], (lang, d)
+
+
+def test_naive_bayes_learns_on_separable_corpus(spark):
+    """The registered query's corpus is word salad (shared vocabulary),
+    so NB there collapses to the prior; this fixture gives each 'lang'
+    a disjoint vocabulary plus shared filler and asserts the classifier
+    recovers the labels perfectly on the held-out half — and that the
+    confusion rows exactly partition the held-out docs."""
+    from clinical_data_platform_spark.plans.contentfilter import (
+        naive_bayes_confusion,
+    )
+
+    vocab = {
+        "aa": ["alpha", "anchor", "apple"],
+        "bb": ["bravo", "basket", "bridge"],
+        "cc": ["carbon", "circle", "copper"],
+    }
+    rows = []
+    doc_id = 0
+    for lang, words in vocab.items():
+        for i in range(20):
+            body = " ".join(words[(i + j) % 3] for j in range(6))
+            rows.append((doc_id, lang, f"{body} filler common"))
+            doc_id += 1
+    d = spark.createDataFrame(
+        rows, ["doc_id", "lang", "text"]
+    ).select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    got = naive_bayes_confusion(d).collect()
+    # perfect diagonal: every held-out doc predicted as its own lang
+    assert {(r.true_lang, r.pred_lang) for r in got} == {
+        (lg, lg) for lg in vocab
+    }
+    assert all(r.n_docs == 10 for r in got)
+    # determinism: a second run returns the identical matrix
+    again = naive_bayes_confusion(d).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -1950,3 +1950,134 @@ def distributed_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("gini"),
     )
+
+
+# --- Multiple linear regression via exact normal equations -------------------
+
+# Cramer solve of the 3x3 system X'X b = X'y written ONCE and injected
+# into both engines verbatim (selectExpr on the Spark side, a CTE
+# projection in the oracle): every input is a sufficient statistic that
+# was summed EXACTLY (128-bit decimal/hugeint integer sums) and cast to
+# double through one deterministic IEEE rounding, so the closed-form
+# arithmetic runs on bit-identical inputs on both sides.
+_MLR_DETS = [
+    """(n  * (s11 * s22 - s12 * s12)
+      - sx1 * (sx1 * s22 - s12 * sx2)
+      + sx2 * (sx1 * s12 - s11 * sx2)) AS det""",
+    """(sy  * (s11 * s22 - s12 * s12)
+      - sx1 * (s1y * s22 - s12 * s2y)
+      + sx2 * (s1y * s12 - s11 * s2y)) AS det0""",
+    """(n  * (s1y * s22 - s12 * s2y)
+      - sy * (sx1 * s22 - s12 * sx2)
+      + sx2 * (sx1 * s2y - s1y * sx2)) AS det1""",
+    """(n  * (s11 * s2y - s1y * s12)
+      - sx1 * (sx1 * s2y - s1y * sx2)
+      + sy * (sx1 * s12 - s11 * sx2)) AS det2""",
+]
+_MLR_SOLVE_SQL = "SELECT *, " + ", ".join(_MLR_DETS) + " FROM s"
+
+
+@query(
+    "order_price_multiple_ols",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_orderkey,
+             cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS x1,
+             count(*) AS x2
+      FROM lineitem GROUP BY 1
+    ),
+    d AS (
+      SELECT f.x1, f.x2,
+             cast(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM f JOIN orders o ON o.o_orderkey = f.l_orderkey
+    ),
+    s AS (
+      SELECT cast(count(*) AS DOUBLE) AS n,
+             cast(sum(x1) AS DOUBLE) AS sx1,
+             cast(sum(x2) AS DOUBLE) AS sx2,
+             cast(sum(y) AS DOUBLE) AS sy,
+             cast(sum(x1 * x1) AS DOUBLE) AS s11,
+             cast(sum(x1 * x2) AS DOUBLE) AS s12,
+             cast(sum(x2 * x2) AS DOUBLE) AS s22,
+             cast(sum(x1 * y) AS DOUBLE) AS s1y,
+             cast(sum(x2 * y) AS DOUBLE) AS s2y,
+             cast(sum(y * y) AS DOUBLE) AS syy
+      FROM d
+    ),
+    c AS ({_MLR_SOLVE_SQL})
+    SELECT cast(n AS BIGINT) AS n_orders,
+           round(det0 / det, 4) AS beta0_cents,
+           round(det1 / det, 4) AS beta1_cents_per_qty,
+           round(det2 / det, 4) AS beta2_cents_per_line,
+           round(((det0 / det) * sy + (det1 / det) * s1y
+                  + (det2 / det) * s2y - sy * sy / n)
+                 / (syy - sy * sy / n), 6) AS r2
+    FROM c
+    """,
+    tags=["M-ext", "ols", "ml"],
+)
+def order_price_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multiple linear regression in closed form: order
+    total price (cents) ~ intercept + total quantity + line count, fit
+    by the normal equations over EXACT sufficient statistics — the
+    10-number summary (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y,
+    Σy²) is summed in 128-bit integer arithmetic (Spark decimal(38,0),
+    DuckDB hugeint — Σy² reaches ~5e20 at sf0.1, past int64), then cast
+    to double through one deterministic rounding, and the 3x3 Cramer
+    solve + R² run on bit-identical scalars from the SAME injected
+    expression text on both engines. Compared to the float-sum OLS
+    (ols_trend_by_event_type) this removes sum-order ulp drift entirely
+    — the integer-fixed-point lesson from hourly_linear_interpolation
+    applied to model fitting.
+
+    At 100 TB: one lineitem shuffle keyed by order for the feature agg,
+    one order-key join, then a single partial/final aggregate reduces
+    everything to 10 numbers — the canonical "training is an
+    aggregation" shape; adding features grows the summary as O(p²),
+    never a second data pass. Plan-wise identical to any groupBy: the
+    closed-form solve is driver-free scalar math in the projection."""
+    li = T(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("x1"),
+        F.count(F.lit(1)).alias("x2"),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    d = f.join(o, f.l_orderkey == o.o_orderkey).select("x1", "x2", "y")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x1"))).cast("double").alias("sx1"),
+        F.sum(dec(F.col("x2"))).cast("double").alias("sx2"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).cast("double").alias("s11"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).cast("double").alias("s12"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).cast("double").alias("s22"),
+        F.sum(dec(F.col("x1") * F.col("y"))).cast("double").alias("s1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).cast("double").alias("s2y"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    c = s.selectExpr("*", *_MLR_DETS)
+    n, sy, s1y, s2y, syy = (
+        F.col("n"),
+        F.col("sy"),
+        F.col("s1y"),
+        F.col("s2y"),
+        F.col("syy"),
+    )
+    b0 = F.col("det0") / F.col("det")
+    b1 = F.col("det1") / F.col("det")
+    b2 = F.col("det2") / F.col("det")
+    return c.select(
+        n.cast("long").alias("n_orders"),
+        F.round(b0, 4).alias("beta0_cents"),
+        F.round(b1, 4).alias("beta1_cents_per_qty"),
+        F.round(b2, 4).alias("beta2_cents_per_line"),
+        F.round(
+            (b0 * sy + b1 * s1y + b2 * s2y - sy * sy / n)
+            / (syy - sy * sy / n),
+            6,
+        ).alias("r2"),
+    )

@@ -2081,3 +2081,151 @@ def order_price_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --- Logistic regression by fixed-round batch gradient descent ---------------
+
+_GD_ITERS = 6
+_GD_LR = "0.5::DOUBLE"
+
+
+def _gd_feature_sql() -> str:
+    return """
+      SELECT (value / 500.0::DOUBLE) AS x1,
+             (((epoch_us(ts) // 1000000) % 86400) // 3600)::DOUBLE
+               / 24.0::DOUBLE AS x2,
+             CASE WHEN event_type = 'purchase'
+                  THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+      FROM events
+    """
+
+
+def _gd_oracle() -> str:
+    """Chained-CTE GD: pass k aggregates gradient + log-loss at
+    beta^(k); update CTE b{k+1} applies the 12-dp-rounded step. Every
+    beta and every loss in the trajectory is value-compared."""
+    ctes = [
+        "d AS (" + _gd_feature_sql() + ")",
+        "b0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,"
+        " 0.0::DOUBLE AS w2)",
+    ]
+    for k in range(_GD_ITERS + 1):
+        ctes.append(f"""a{k} AS (
+          SELECT cast(count(*) AS DOUBLE) AS n,
+                 round(sum(1.0::DOUBLE / (1.0::DOUBLE
+                     + exp(-(b.w0 + b.w1 * d.x1 + b.w2 * d.x2))) - d.y),
+                   8) AS g0,
+                 round(sum((1.0::DOUBLE / (1.0::DOUBLE
+                     + exp(-(b.w0 + b.w1 * d.x1 + b.w2 * d.x2))) - d.y)
+                     * d.x1), 8) AS g1,
+                 round(sum((1.0::DOUBLE / (1.0::DOUBLE
+                     + exp(-(b.w0 + b.w1 * d.x1 + b.w2 * d.x2))) - d.y)
+                     * d.x2), 8) AS g2,
+                 floor(round(sum(-(d.y * ln(1.0::DOUBLE / (1.0::DOUBLE
+                     + exp(-(b.w0 + b.w1 * d.x1 + b.w2 * d.x2))))
+                     + (1.0::DOUBLE - d.y) * ln(1.0::DOUBLE
+                       - 1.0::DOUBLE / (1.0::DOUBLE
+                         + exp(-(b.w0 + b.w1 * d.x1 + b.w2 * d.x2)))))),
+                   6) / cast(count(*) AS DOUBLE) * 1e8) / 1e8 AS loss
+          FROM d CROSS JOIN b{k} b
+        )""")
+        if k < _GD_ITERS:
+            ctes.append(f"""b{k + 1} AS (
+          SELECT round(b.w0 - {_GD_LR} * a.g0 / a.n, 12) AS w0,
+                 round(b.w1 - {_GD_LR} * a.g1 / a.n, 12) AS w1,
+                 round(b.w2 - {_GD_LR} * a.g2 / a.n, 12) AS w2
+          FROM b{k} b CROSS JOIN a{k} a
+        )""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {k} AS iter, b.w0, b.w1, b.w2, a.loss"
+        f" FROM b{k} b CROSS JOIN a{k} a"
+        for k in range(_GD_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+@query(
+    "logreg_gd_trajectory",
+    oracle=_gd_oracle(),
+    tags=["M-ext", "ml", "iterative"],
+)
+def logreg_gd_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression trained by FIXED-round full-batch
+    gradient descent — "training is an aggregation, iterated": each pass
+    is one partial/final aggregate producing three 8-dp-rounded gradient
+    sums plus the log-loss; the driver holds only the 3-coefficient
+    vector (exactly Spark ML's execution shape) and re-injects it as
+    literals for the next pass. The returned table is the WHOLE
+    trajectory — beta^(k) and loss(beta^(k)) for k = 0..6 — so the
+    DuckDB chained-CTE oracle value-verifies every step of the descent,
+    not just the final fit (the PageRank discipline applied to ML
+    training: gradient sums re-synced at 8 dp, coefficient state at
+    12 dp, so float sum-order can never fork the trajectories; the
+    reported mean loss is floor-TRUNCATED at 8 dp because a 6-dp
+    loss sum divided by a round count lands on exact 1e-8 decimal
+    halves, where Spark's HALF_UP and DuckDB's HALF_EVEN round()
+    disagree — caught by the oracle on the first run).
+
+    Features (engine-identical by construction): value/500 (raw stored
+    double), hour-of-day/24 (integer floor-division of epoch seconds),
+    y = purchase indicator. The companion closed-form fit is
+    order_price_multiple_ols; this one demonstrates the iterative
+    family where no closed form exists. At 100 TB: k passes over a
+    cached/columnar scan, each a map-side-combined aggregate to a
+    4-number row — no shuffle grows with data, no per-row Python."""
+    ev = T(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("value") / 500.0).alias("x1"),
+        (
+            ((F.col("ts").cast("long") % 86400) / F.lit(3600)).cast("int")
+            .cast("double")
+            / 24.0
+        ).alias("x2"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = [0.0, 0.0, 0.0]
+    out = []
+    for k in range(_GD_ITERS + 1):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col(
+            "x2"
+        )
+        p = 1.0 / (1.0 + F.exp(-z))
+        r = d.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.round(F.sum(p - F.col("y")), 8).alias("g0"),
+            F.round(F.sum((p - F.col("y")) * F.col("x1")), 8).alias("g1"),
+            F.round(F.sum((p - F.col("y")) * F.col("x2")), 8).alias("g2"),
+            (
+                F.floor(
+                    F.round(
+                        F.sum(
+                            -(
+                                F.col("y") * F.log(p)
+                                + (1.0 - F.col("y")) * F.log(1.0 - p)
+                            )
+                        ),
+                        6,
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                    * 1e8
+                )
+                / 1e8
+            ).alias("loss"),
+        ).collect()[0]
+        out.append((k, w[0], w[1], w[2], r["loss"]))
+        if k < _GD_ITERS:
+            upd = d.sparkSession.createDataFrame(
+                [(w[0], w[1], w[2], r["g0"], r["g1"], r["g2"], r["n"])],
+                "w0 double, w1 double, w2 double, g0 double, g1 double,"
+                " g2 double, n double",
+            ).selectExpr(
+                f"round(w0 - {_GD_LR.replace('::DOUBLE', 'D')} * g0 / n, 12) AS w0",
+                f"round(w1 - {_GD_LR.replace('::DOUBLE', 'D')} * g1 / n, 12) AS w1",
+                f"round(w2 - {_GD_LR.replace('::DOUBLE', 'D')} * g2 / n, 12) AS w2",
+            ).collect()[0]
+            w = [upd["w0"], upd["w1"], upd["w2"]]
+    return d.sparkSession.createDataFrame(
+        out, "iter int, w0 double, w1 double, w2 double, loss double"
+    )

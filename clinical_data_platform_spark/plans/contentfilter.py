@@ -424,3 +424,119 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
     ).select("doc_id", "lang", tokens(F.col("text")).alias("ws"))
     return naive_bayes_confusion(d)
+
+
+# --- Chi-square token feature selection --------------------------------------
+
+
+@query(
+    "chi2_token_selection",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    dt AS (
+      SELECT DISTINCT doc_id, lang, unnest(ws) AS w FROM t
+    ),
+    cls AS (SELECT lang, count(*) AS n_c FROM t GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM t),
+    df AS (SELECT w, count(*) AS df FROM dt GROUP BY 1),
+    a AS (SELECT lang, w, count(*) AS a FROM dt GROUP BY 1, 2),
+    x AS (
+      SELECT a.lang, a.w,
+             a.a::DOUBLE AS ad,
+             (cls.n_c - a.a)::DOUBLE AS bd,
+             (df.df - a.a)::DOUBLE AS cd,
+             (tot.n - cls.n_c - df.df + a.a)::DOUBLE AS dd,
+             tot.n::DOUBLE AS nd
+      FROM a
+      JOIN cls ON cls.lang = a.lang
+      JOIN df ON df.w = a.w
+      CROSS JOIN tot
+    ),
+    s AS (
+      SELECT lang, w,
+             floor(nd * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+                   / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))
+                   * 1e6) / 1e6 AS chi2,
+             cast(ad AS BIGINT) AS df_in_class
+      FROM x
+      WHERE (ad + cd) < (SELECT n FROM tot)
+    ),
+    r AS (
+      SELECT lang, w, chi2, df_in_class,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY chi2 DESC, w ASC
+             ) AS rk
+      FROM s
+    )
+    SELECT lang, cast(rk AS BIGINT) AS rk, w AS token, chi2, df_in_class
+    FROM r WHERE rk <= 5
+    """,
+    tags=["text", "ml", "feature-selection", "llm-pipeline"],
+)
+def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection over document-frequency contingency
+    tables — the classic "which tokens discriminate this class" screen
+    run before training any text classifier (sklearn's chi2 scorer,
+    distributed): for every (class, token), the 2x2 table of
+    presence-in-class / presence-elsewhere document counts, scored
+    chi2 = N(AD-BC)^2 / ((A+B)(C+D)(A+C)(B+D)), top-5 tokens per class.
+    Tokens present in EVERY document are excluded (zero discriminative
+    power, and the denominator's (B+D)=0 would divide by zero).
+
+    Plan: one distinct (doc, class, token) explode, then three
+    vocabulary- or class-sized count tables joined back on token/class —
+    no per-document pairwise work, same shuffle shape as TF-IDF. All
+    counts are exact integers; the statistic is computed in double from
+    those integers with the same expression text on both engines (the
+    cross-products pass 2^63, so the cast happens BEFORE the products)
+    and trunc6'd ahead of the rank so the top-5 order is engine-stable.
+    The companion trained classifier is naive_bayes_lang_confusion."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", tokens(F.col("text")).alias("ws"))
+    dt = d.select(
+        "doc_id", "lang", F.explode("ws").alias("w")
+    ).distinct()
+    cls = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    df = dt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    a = dt.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("a"))
+    ad = F.col("a").cast("double")
+    bd = (F.col("n_c") - F.col("a")).cast("double")
+    cd = (F.col("df") - F.col("a")).cast("double")
+    dd = (F.col("n") - F.col("n_c") - F.col("df") + F.col("a")).cast(
+        "double"
+    )
+    nd = F.col("n").cast("double")
+    num = nd * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+    den = (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+    s = (
+        a.join(F.broadcast(cls), "lang")
+        .join(df, "w")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("df") < F.col("n"))
+        .select(
+            "lang",
+            "w",
+            (F.floor(num / den * 1e6) / 1e6).alias("chi2"),
+            F.col("a").cast("long").alias("df_in_class"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.col("chi2").desc(), F.col("w").asc()
+        )
+    )
+    return (
+        s.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", F.col("w").alias("token"), "chi2", "df_in_class")
+    )

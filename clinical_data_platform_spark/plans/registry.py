@@ -239,6 +239,14 @@ PRIORITY_ORDER = [
 # dup_cluster_canonical_docs (new, post-cluster survivorship keeper),
 # dbscan_grid_clusters (new, density clustering: lossless grid candidates
 #   + fixed Shiloach-Vishkin rounds, whole chain value-oracled),
+# naive_bayes_lang_confusion (new, trained generative text classifier,
+#   confusion matrix value-oracled; learning pinned on a fixture),
+# order_price_multiple_ols (new, closed-form multiple regression over
+#   exact 128-bit sufficient statistics),
+# logreg_gd_trajectory (new, iterative GD training with every step
+#   value-verified by a chained-CTE oracle),
+# chi2_token_selection (new, per-class discriminative-token screen),
+# gbdt_histogram_best_split (new, LightGBM-style histogram split search),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

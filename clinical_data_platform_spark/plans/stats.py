@@ -2229,3 +2229,161 @@ def logreg_gd_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sparkSession.createDataFrame(
         out, "iter int, w0 double, w1 double, w2 double, loss double"
     )
+
+
+# --- Histogram-based best-split search (tree induction step) -----------------
+
+
+@query(
+    "gbdt_histogram_best_split",
+    oracle="""
+    WITH e AS (
+      SELECT floor(value)::BIGINT AS value_bin,
+             ((epoch_us(ts) // 1000000) % 86400) // 3600 AS hour,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    longf AS (
+      SELECT 'value_bin' AS feature, value_bin AS bin, y FROM e
+      UNION ALL
+      SELECT 'hour' AS feature, hour AS bin, y FROM e
+    ),
+    b AS (
+      SELECT feature, bin, count(*) AS n,
+             cast(sum(y) AS BIGINT) AS p
+      FROM longf GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT feature, bin,
+             sum(n) OVER (PARTITION BY feature ORDER BY bin) AS n_l,
+             sum(p) OVER (PARTITION BY feature ORDER BY bin) AS p_l,
+             sum(n) OVER (PARTITION BY feature) AS nn,
+             sum(p) OVER (PARTITION BY feature) AS pp
+      FROM b
+    ),
+    g AS (
+      SELECT feature, bin,
+             cast(n_l AS BIGINT) AS n_left,
+             cast(p_l AS BIGINT) AS pos_left,
+             floor((
+               (1.0::DOUBLE
+                 - (pp::DOUBLE / nn::DOUBLE) * (pp::DOUBLE / nn::DOUBLE)
+                 - ((nn - pp)::DOUBLE / nn::DOUBLE)
+                   * ((nn - pp)::DOUBLE / nn::DOUBLE))
+               - (n_l::DOUBLE / nn::DOUBLE) * (1.0::DOUBLE
+                 - (p_l::DOUBLE / n_l::DOUBLE) * (p_l::DOUBLE / n_l::DOUBLE)
+                 - ((n_l - p_l)::DOUBLE / n_l::DOUBLE)
+                   * ((n_l - p_l)::DOUBLE / n_l::DOUBLE))
+               - ((nn - n_l)::DOUBLE / nn::DOUBLE) * (1.0::DOUBLE
+                 - ((pp - p_l)::DOUBLE / (nn - n_l)::DOUBLE)
+                   * ((pp - p_l)::DOUBLE / (nn - n_l)::DOUBLE)
+                 - ((nn - n_l - pp + p_l)::DOUBLE / (nn - n_l)::DOUBLE)
+                   * ((nn - n_l - pp + p_l)::DOUBLE / (nn - n_l)::DOUBLE))
+             ) * 1e9) / 1e9 AS gini_gain
+      FROM c WHERE n_l < nn
+    ),
+    r AS (
+      SELECT feature, bin, n_left, pos_left, gini_gain,
+             row_number() OVER (
+               PARTITION BY feature
+               ORDER BY gini_gain DESC, bin ASC
+             ) AS rk
+      FROM g
+    )
+    SELECT feature, cast(rk AS BIGINT) AS rk, bin AS threshold,
+           n_left, pos_left, gini_gain
+    FROM r WHERE rk <= 3
+    """,
+    tags=["M-ext", "ml", "tree"],
+)
+def gbdt_histogram_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based best-split search — the inner loop of distributed
+    gradient-boosted-tree training (LightGBM/XGBoost-hist): bin each
+    feature map-side (unit value bins, hour of day), aggregate one
+    (feature, bin) -> (count, positives) histogram, and evaluate EVERY
+    candidate threshold "x <= bin" from cumulative sums over that
+    histogram — Gini impurity reduction per split, top-3 per feature.
+
+    The scale argument is the same one LightGBM makes: candidate
+    evaluation runs on the HISTOGRAM (|features| x |bins| rows), never
+    on data rows, so the cumulative window is bounded by the bin count
+    — one map-side-combined shuffle over the events scan and the rest
+    is metadata-sized. Growing a whole tree = re-running this with the
+    node id in the grouping key. All histogram counts are exact
+    integers; the Gini algebra runs in double from identical integers
+    with the same expression text on both engines, floor-truncated at
+    1e-9 before the rank (gains here are tiny — the corpus target is
+    near-independent of both features — so the tie-break needs the
+    extra digits), and ties break on the bin value."""
+    ev = T(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    e = ev.select(
+        F.floor(F.col("value")).cast("long").alias("value_bin"),
+        ((F.col("ts").cast("long") % 86400) / F.lit(3600))
+        .cast("long")
+        .alias("hour"),
+        y.alias("y"),
+    )
+    longf = e.select(
+        F.lit("value_bin").alias("feature"),
+        F.col("value_bin").alias("bin"),
+        "y",
+    ).unionByName(
+        e.select(
+            F.lit("hour").alias("feature"), F.col("hour").alias("bin"), "y"
+        )
+    )
+    b = longf.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("p")
+    )
+    wcum = Window.partitionBy("feature").orderBy("bin")
+    wall = Window.partitionBy("feature")
+    c = b.select(
+        "feature",
+        "bin",
+        F.sum("n").over(wcum).alias("n_l"),
+        F.sum("p").over(wcum).alias("p_l"),
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("p").over(wall).alias("pp"),
+    )
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    parent = (
+        F.lit(1.0)
+        - (dd("pp") / dd("nn")) * (dd("pp") / dd("nn"))
+        - ((F.col("nn") - F.col("pp")).cast("double") / dd("nn"))
+        * ((F.col("nn") - F.col("pp")).cast("double") / dd("nn"))
+    )
+    left = (dd("n_l") / dd("nn")) * (
+        F.lit(1.0)
+        - (dd("p_l") / dd("n_l")) * (dd("p_l") / dd("n_l"))
+        - ((F.col("n_l") - F.col("p_l")).cast("double") / dd("n_l"))
+        * ((F.col("n_l") - F.col("p_l")).cast("double") / dd("n_l"))
+    )
+    nr = (F.col("nn") - F.col("n_l")).cast("double")
+    pr = (F.col("pp") - F.col("p_l")).cast("double")
+    qr = (F.col("nn") - F.col("n_l") - F.col("pp") + F.col("p_l")).cast(
+        "double"
+    )
+    right = (nr / dd("nn")) * (
+        F.lit(1.0) - (pr / nr) * (pr / nr) - (qr / nr) * (qr / nr)
+    )
+    g = c.filter(F.col("n_l") < F.col("nn")).select(
+        "feature",
+        "bin",
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("p_l").cast("long").alias("pos_left"),
+        (F.floor((parent - left - right) * 1e9) / 1e9).alias("gini_gain"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("feature").orderBy(
+            F.col("gini_gain").desc(), F.col("bin").asc()
+        )
+    )
+    return (
+        g.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "feature", "rk", F.col("bin").alias("threshold"),
+            "n_left", "pos_left", "gini_gain",
+        )
+    )

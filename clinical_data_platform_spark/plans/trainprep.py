@@ -764,3 +764,180 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("user_overlap_share"),
         )
     )
+
+
+# --- Leave-one-out target encoding -------------------------------------------
+
+_TE_SMOOTH = 20  # pseudo-observations pulled toward the global prior
+
+
+@query(
+    "loo_target_encoding",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             cast(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    c AS (
+      SELECT cat, count(*) AS n_c, cast(sum(y) AS BIGINT) AS s_c
+      FROM d GROUP BY 1
+    ),
+    g AS (
+      SELECT cast(sum(y) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS prior
+      FROM d
+    )
+    SELECT d.o_orderkey, d.cat, d.y AS y_cents,
+           CASE WHEN c.n_c > 1 THEN
+             floor((c.s_c - d.y)::DOUBLE / (c.n_c - 1)::DOUBLE * 1e6) / 1e6
+           END AS loo_enc,
+           floor(((c.s_c - d.y)::DOUBLE + {_TE_SMOOTH}.0::DOUBLE * g.prior)
+                 / (c.n_c - 1 + {_TE_SMOOTH})::DOUBLE * 1e6) / 1e6
+             AS smooth_enc
+    FROM d JOIN c USING (cat) CROSS JOIN g
+    """,
+    tags=["trainprep", "feature-engineering", "ml"],
+)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    leakage-safe way to turn a high-cardinality category into a numeric
+    feature: each row's encoding is the mean target of its category
+    EXCLUDING the row itself ((S_c - y_i)/(n_c - 1)), plus a smoothed
+    variant that shrinks small categories toward the global prior with
+    20 pseudo-observations (the CatBoost/Micci-Barreca scheme). Encoding
+    with the row included leaks the label into the feature; the oracle
+    value-pins the exclusion arithmetic row by row.
+
+    Plan: one category aggregate (broadcast back — category tables are
+    tiny even at 100 TB cardinalities) + one global scalar; the
+    per-row encoding is then a map-side expression, so the whole
+    operator costs one small shuffle regardless of data size. Targets
+    are exact integer cents (sums stay < 2^63 here; the decimal(38,0)
+    escalation in order_price_multiple_ols covers the squared-moment
+    case), quotients floor-truncated at 6 dp — a rational of integers
+    lands on exact decimal halves where engine round() semantics
+    diverge."""
+    d = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    c = d.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum("y").cast("long").alias("s_c"),
+    )
+    g = d.agg(
+        (
+            F.sum("y").cast("long").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("prior")
+    )
+    trunc6 = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
+    loo = (F.col("s_c") - F.col("y")).cast("double") / (
+        F.col("n_c") - 1
+    ).cast("double")
+    smooth = (
+        (F.col("s_c") - F.col("y")).cast("double")
+        + F.lit(float(_TE_SMOOTH)) * F.col("prior")
+    ) / (F.col("n_c") - 1 + _TE_SMOOTH).cast("double")
+    return (
+        d.join(F.broadcast(c), "cat")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "cat",
+            F.col("y").alias("y_cents"),
+            F.when(F.col("n_c") > 1, trunc6(loo)).alias("loo_enc"),
+            trunc6(smooth).alias("smooth_enc"),
+        )
+    )
+
+
+# --- Quantile normalization --------------------------------------------------
+
+
+@query(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+             ) AS r,
+             count(*) OVER (PARTITION BY lang) AS n_g
+      FROM d
+    ),
+    p AS (
+      SELECT n_chars AS v,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+      FROM d
+    ),
+    n AS (SELECT count(*) AS n FROM d)
+    SELECT r.doc_id, r.lang, r.n_chars,
+           p.v AS normalized_chars
+    FROM r CROSS JOIN n
+    JOIN p ON p.rk = ((2 * r.r - 1) * n.n + 2 * r.n_g - 1) // (2 * r.n_g)
+    """,
+    tags=["trainprep", "feature-engineering", "distribution"],
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across languages — the
+    microarray-normalization classic as feature prep: every document's
+    n_chars is replaced by the POOLED-distribution value at its
+    within-language quantile, so after the transform every language has
+    (as nearly as ranks allow) the same length distribution. The whole
+    operator is INTEGER arithmetic end to end: within-group rank r of
+    n_g maps to pooled rank k = ceil((2r-1)/(2n_g) * N) computed as
+    ((2r-1)N + 2n_g - 1) DIV (2n_g) — no float quantile anywhere — and
+    the k-th pooled order statistic is looked up exactly.
+
+    The scale move: the oracle finds the order statistic by globally
+    ranking every row (fine for DuckDB, a full sort at 100 TB); the
+    Spark plan instead builds the VALUE-BIN cumulative table — one
+    (n_chars, count) aggregate whose size is bounded by the value range,
+    not the row count (the quantity_weighted_median_price argument) —
+    and resolves k via an interval join against that broadcast-sized
+    table: cum - cnt < k <= cum. The green oracle row value-proves the
+    bin lookup equal to the explicit global-sort order statistic for
+    every single row. Within-group ranks keep one window partitioned by
+    language (per-group total order is the operator's semantic
+    contract; a skewed group would get the same bin treatment)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    r = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .alias("n_g"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    bins = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "v",
+            "cnt",
+            F.sum("cnt").over(Window.orderBy("v")).alias("cum"),
+        )
+    )
+    rows = r.crossJoin(F.broadcast(n)).selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "((2 * r - 1) * n + 2 * n_g - 1) DIV (2 * n_g) AS k",
+    )
+    return (
+        rows.join(
+            F.broadcast(bins),
+            (F.col("k") > F.col("cum") - F.col("cnt"))
+            & (F.col("k") <= F.col("cum")),
+        )
+        .select(
+            "doc_id", "lang", "n_chars", F.col("v").alias("normalized_chars")
+        )
+    )

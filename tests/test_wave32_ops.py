@@ -1,0 +1,69 @@
+"""Wave-32 plans: LOO target encoding + quantile normalization —
+recounts and semantic invariants beyond the DuckDB value oracle."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_loo_encoding_excludes_own_label(spark):
+    from clinical_data_platform_spark.plans.trainprep import (
+        _TE_SMOOTH,
+        loo_target_encoding,
+    )
+
+    rows = loo_target_encoding(spark, SF).collect()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    y = np.round(orders.o_totalprice.to_numpy() * 100).astype(np.int64)
+    cat = orders.o_orderpriority
+    sums = pd.Series(y).groupby(cat.values).sum()
+    cnts = cat.value_counts()
+    prior = y.sum() / len(y)
+    by_key = {r.o_orderkey: r for r in rows}
+    for ok, c, yi in zip(orders.o_orderkey, cat, y):
+        r = by_key[ok]
+        assert r.y_cents == yi
+        loo = (sums[c] - yi) / (cnts[c] - 1)
+        assert abs(r.loo_enc - math.floor(loo * 1e6) / 1e6) < 1e-9
+        sm = (sums[c] - yi + _TE_SMOOTH * prior) / (cnts[c] - 1 + _TE_SMOOTH)
+        assert abs(r.smooth_enc - math.floor(sm * 1e6) / 1e6) < 1e-9
+    # leakage check: the row's own label moves its encoding the right way
+    some = rows[0]
+    grp_mean = sums[some.cat] / cnts[some.cat]
+    if some.y_cents > grp_mean:
+        assert some.loo_enc < grp_mean
+    elif some.y_cents < grp_mean:
+        assert some.loo_enc > grp_mean
+
+
+def test_quantile_normalization_aligns_distributions(spark):
+    from clinical_data_platform_spark.plans.trainprep import (
+        quantile_normalize_doclen,
+    )
+
+    pdf = quantile_normalize_doclen(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(pdf) == len(docs)
+    pooled = np.sort(docs.n_chars.to_numpy())
+    n = len(pooled)
+    # every normalized value is the exact pooled order statistic at the
+    # row's within-group quantile
+    for lang, grp in pdf.groupby("lang"):
+        g = grp.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        n_g = len(g)
+        for i, v in enumerate(g.normalized_chars, start=1):
+            k = ((2 * i - 1) * n + 2 * n_g - 1) // (2 * n_g)
+            assert v == pooled[k - 1], (lang, i)
+    # after normalization the per-language medians coincide (rank grids
+    # differ, so allow one pooled step)
+    meds = pdf.groupby("lang").normalized_chars.median()
+    assert meds.max() - meds.min() <= np.diff(pooled).max()
+    # monotone within group: normalization preserves order
+    for _, grp in pdf.groupby("lang"):
+        g = grp.sort_values(["n_chars", "doc_id"])
+        assert g.normalized_chars.is_monotonic_increasing

@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..catalog import iter_checkpoint
 from ..catalog import table as T
 from .registry import query
 
@@ -616,4 +617,191 @@ def subtree_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("subtree_value_cents"),
         )
+    )
+
+
+# --- K-core decomposition by fixed-round peeling -----------------------------
+
+_KC_K = 5
+_KC_ROUNDS = 6
+
+_KC_EDGES_SQL = """
+    d0 AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b, sum(w) AS w
+      FROM d0 GROUP BY 1, 2
+    ),
+    thresh AS (SELECT avg(w) AS avg_w FROM und),
+    ek AS (SELECT a, b FROM und, thresh WHERE w > 1.2::DOUBLE * avg_w),
+    esym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM ek
+      UNION ALL SELECT b, a FROM ek
+    ),
+    s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM esym)
+"""
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, _KC_ROUNDS + 1):
+        rounds.append(f"""s{r} AS MATERIALIZED (
+      SELECT e.src AS node
+      FROM esym e
+      JOIN s{r - 1} a ON a.node = e.src
+      JOIN s{r - 1} b ON b.node = e.dst
+      GROUP BY e.src
+      HAVING count(*) >= {_KC_K}
+    )""")
+    flags = "\n".join(
+        f"    LEFT JOIN s{r} f{r} ON f{r}.node = n.node"
+        for r in range(1, _KC_ROUNDS + 1)
+    )
+    removed = " ".join(
+        f"WHEN f{r}.node IS NULL THEN {r}"
+        for r in range(1, _KC_ROUNDS + 1)
+    )
+    last = _KC_ROUNDS
+    return (
+        "WITH "
+        + _KC_EDGES_SQL
+        + "".join(",\n    " + r for r in rounds)
+        + f""",
+    coredeg AS (
+      SELECT e.src AS node, cast(count(*) AS BIGINT) AS core_degree
+      FROM esym e
+      JOIN s{last} a ON a.node = e.src
+      JOIN s{last} b ON b.node = e.dst
+      GROUP BY e.src
+    )
+    SELECT n.node,
+           (f{last}.node IS NOT NULL) AS in_core,
+           CASE {removed} END AS removed_round,
+           coredeg.core_degree
+    FROM s0 n
+{flags}
+    LEFT JOIN coredeg ON coredeg.node = n.node
+    """
+    )
+
+
+@query(
+    "trade_kcore_peeling",
+    oracle=_kcore_oracle(),
+    tags=["graph", "kcore", "iterative"],
+)
+def trade_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (Seidman 1983) of the thresholded
+    nation-trade graph by synchronous peeling: every round drops all
+    nodes whose degree WITHIN the surviving subgraph is below k=5, and
+    the cascade runs for 6 fixed rounds — enough for this graph to
+    reach its fixed point (pinned by the pytest recount), while the
+    fixed round count keeps both engines computing the identical
+    intermediate sets, so the chained-CTE oracle value-verifies the
+    whole peeling trajectory. Output: each node's removal round (the
+    "peeling depth" — NULL for core members) and its degree inside the
+    final core — the standard graph-robustness / influential-node
+    screen next to PageRank's flow view and label propagation's
+    community view.
+
+    Each round is one edge self-semi-join + degree aggregate (edge-
+    bounded shuffle, node-sized state) with catalog.iter_checkpoint
+    truncating lineage AND the inherited stats (the self-joining-loop
+    trap documented there). At 100 TB: identical shapes; rounds scale
+    as the peeling depth, not the node count."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    d0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        d0.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    thresh = und.agg(F.avg("w").alias("avg_w"))
+    ek = (
+        und.crossJoin(F.broadcast(thresh))
+        .filter(F.col("w") > 1.2 * F.col("avg_w"))
+        .select("a", "b")
+    )
+    esym = (
+        ek.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(ek.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = esym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    surv = [nodes]
+    for _ in range(_KC_ROUNDS):
+        prev = surv[-1]
+        nxt = iter_checkpoint(
+            esym.join(
+                prev.withColumnRenamed("node", "src"), "src"
+            )
+            .join(prev.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KC_K)
+            .select("node")
+        )
+        surv.append(nxt)
+    last = surv[-1]
+    coredeg = (
+        esym.join(last.withColumnRenamed("node", "src"), "src")
+        .join(last.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    out = nodes
+    for r in range(1, _KC_ROUNDS + 1):
+        out = out.join(
+            surv[r].withColumn(f"in{r}", F.lit(1)), "node", "left"
+        )
+    removed = None
+    for r in range(1, _KC_ROUNDS + 1):
+        cond = F.col(f"in{r}").isNull()
+        removed = (
+            F.when(cond, r) if removed is None else removed.when(cond, r)
+        )
+    return out.join(coredeg, "node", "left").select(
+        "node",
+        F.col(f"in{_KC_ROUNDS}").isNotNull().alias("in_core"),
+        removed.cast("int").alias("removed_round"),
+        "core_degree",
     )

@@ -4,6 +4,7 @@ recounts and semantic invariants beyond the DuckDB value oracle."""
 from __future__ import annotations
 
 import math
+from collections import Counter, defaultdict
 
 import numpy as np
 import pandas as pd
@@ -67,3 +68,69 @@ def test_quantile_normalization_aligns_distributions(spark):
     for _, grp in pdf.groupby("lang"):
         g = grp.sort_values(["n_chars", "doc_id"])
         assert g.normalized_chars.is_monotonic_increasing
+
+
+def test_kcore_peeling_recount(spark):
+    """Sequential recount: rebuild the thresholded trade graph in
+    pandas, peel to the true fixed point, and compare rounds, core
+    membership and core degrees — also proving 6 rounds suffice."""
+    from clinical_data_platform_spark.plans.graphops import (
+        _KC_K,
+        _KC_ROUNDS,
+        trade_kcore_peeling,
+    )
+
+    rows = {r.node: r for r in trade_kcore_peeling(spark, SF).collect()}
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    d = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(
+            nat.rename(columns={"n_nationkey": "k1", "n_name": "src"}),
+            left_on="s_nationkey",
+            right_on="k1",
+        )
+        .merge(
+            nat.rename(columns={"n_nationkey": "k2", "n_name": "dst"}),
+            left_on="c_nationkey",
+            right_on="k2",
+        )
+    )
+    d = d[d.src != d.dst]
+    und = Counter()
+    for s_, t_ in zip(d.src, d.dst):
+        und[(min(s_, t_), max(s_, t_))] += 1
+    avg_w = sum(und.values()) / len(und)
+    edges = [e for e, w in und.items() if w > 1.2 * avg_w]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    removed_round = {}
+    r = 0
+    while True:
+        r += 1
+        drop = {
+            n for n in alive if len(adj[n] & alive) < _KC_K
+        }
+        if not drop:
+            break
+        for n in drop:
+            removed_round[n] = r
+        alive -= drop
+    assert r <= _KC_ROUNDS, "6 rounds must reach the fixed point"
+    assert set(rows) == set(adj)
+    for n, row in rows.items():
+        assert row.in_core == (n in alive), n
+        assert row.removed_round == removed_round.get(n), n
+        if n in alive:
+            assert row.core_degree == len(adj[n] & alive), n
+        else:
+            assert row.core_degree is None or not row.in_core

@@ -174,6 +174,12 @@ HEADLINE = [
     "logreg_gd_trajectory",
     "chi2_token_selection",
     "gbdt_histogram_best_split",
+    # wave 32: feature prep, retrieval, graph
+    "loo_target_encoding",
+    "quantile_normalize_doclen",
+    "woe_value_bins",
+    "trade_kcore_peeling",
+    "phrase_search_positions",
 ]
 
 

@@ -247,6 +247,14 @@ PRIORITY_ORDER = [
 #   value-verified by a chained-CTE oracle),
 # chi2_token_selection (new, per-class discriminative-token screen),
 # gbdt_histogram_best_split (new, LightGBM-style histogram split search),
+# loo_target_encoding (new, leakage-safe categorical encoding + CatBoost
+#   smoothing),
+# quantile_normalize_doclen (new, integer-exact quantile normalization,
+#   bin-table order statistics vs the oracle's global sort),
+# woe_value_bins (new, weight-of-evidence/IV feature screen),
+# trade_kcore_peeling (new, k-core peeling with the whole trajectory
+#   value-verified),
+# phrase_search_positions (new, positional-index exact phrase retrieval),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

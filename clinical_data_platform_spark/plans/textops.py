@@ -1015,3 +1015,74 @@ def dup_cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_dropped"),
     )
+
+
+# --- Positional phrase search ------------------------------------------------
+
+_PHRASE = ("spark", "join")
+
+
+@query(
+    "phrase_search_positions",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           cast(len(list_filter(bigrams,
+                g -> g = '{_PHRASE[0]} {_PHRASE[1]}')) AS BIGINT)
+             AS n_occurrences,
+           cast(list_position(bigrams,
+                '{_PHRASE[0]} {_PHRASE[1]}') AS BIGINT) AS first_pos
+    FROM g
+    WHERE len(list_filter(bigrams,
+          g -> g = '{_PHRASE[0]} {_PHRASE[1]}')) > 0
+    """,
+    tags=["text", "retrieval", "llm-pipeline"],
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the
+    retrieval primitive BM25 (bag-of-words) cannot express: find every
+    document containing the two query terms ADJACENT and in order,
+    with the occurrence count and the first match position. The Spark
+    plan builds the real index shape: posexplode to (doc, position,
+    term) postings, filter to the QUERY terms before any join (state
+    is the matching postings lists, the BM25 discipline), then the
+    phrase constraint is an equi-join on (doc, next-position) — for an
+    n-term phrase, n-1 such joins, each keyed and partial-aggregated.
+    The DuckDB oracle takes the orthogonal route (per-document bigram
+    list scan), so the green row value-proves the postings-join plan
+    document by document.
+
+    At 100 TB: postings for two common terms are the only shuffled
+    rows; the position join is co-partitioned on doc_id after the
+    first shuffle, and everything downstream is per-doc counts."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "text")
+    ).select("doc_id", tokens(F.col("text")).alias("ws"))
+    tok = d.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    ).filter(F.col("w").isin(*_PHRASE))
+    a = tok.filter(F.col("w") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = tok.filter(F.col("w") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    hits = a.join(
+        b,
+        (a.doc_id == b.doc_id) & (F.col("pb") == F.col("pa") + 1),
+    ).select(a.doc_id, "pa")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        (F.min("pa") + 1).cast("long").alias("first_pos"),
+    )

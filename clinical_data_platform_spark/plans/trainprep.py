@@ -941,3 +941,86 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_chars", F.col("v").alias("normalized_chars")
         )
     )
+
+
+# --- Weight-of-evidence binning ----------------------------------------------
+
+
+@query(
+    "woe_value_bins",
+    oracle="""
+    WITH e AS (
+      SELECT least(floor(value / 50.0::DOUBLE), 9)::BIGINT AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT bin, count(*) AS n,
+             cast(sum(y) AS BIGINT) AS pos,
+             cast(count(*) - sum(y) AS BIGINT) AS neg
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT cast(sum(pos) AS BIGINT) AS gp, cast(sum(neg) AS BIGINT) AS gn
+      FROM b
+    )
+    SELECT b.bin, b.n, b.pos, b.neg,
+           round(ln(((b.pos::DOUBLE + 0.5::DOUBLE) / t.gp::DOUBLE)
+                    / ((b.neg::DOUBLE + 0.5::DOUBLE) / t.gn::DOUBLE)), 6)
+             AS woe,
+           round((b.pos::DOUBLE / t.gp::DOUBLE
+                  - b.neg::DOUBLE / t.gn::DOUBLE)
+                 * ln(((b.pos::DOUBLE + 0.5::DOUBLE) / t.gp::DOUBLE)
+                      / ((b.neg::DOUBLE + 0.5::DOUBLE) / t.gn::DOUBLE)), 6)
+             + 0.0::DOUBLE AS iv_term
+    FROM b CROSS JOIN t
+    """,
+    tags=["trainprep", "feature-engineering", "ml"],
+)
+def woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning — the credit-scoring encoding that
+    expresses each feature bin as the log-odds shift it carries:
+    WOE = ln((pos_share)/(neg_share)) per fixed-width value bin (0.5
+    Yates adjustment inside the log so empty bins stay finite), with
+    the per-bin Information Value term whose sum screens the feature
+    for predictive power (IV < 0.02 = useless is the standard rule).
+    The categorical-target sibling of loo_target_encoding: WOE feeds
+    scorecards/monotone models, LOO feeds gradient machines.
+
+    One map-side binning + one (bin) aggregate + one broadcast total:
+    shuffle bounded by the bin count. Every share is a ratio of exact
+    integer counts; ln runs on identical doubles (bit-stable cross-
+    engine, the bigram-LM precedent) and rounds at 6 dp — log outputs
+    never land on exact decimal halves, unlike the rationals trunc6
+    exists for."""
+    e = T(spark, sf_dir, "events").select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = e.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    t = b.agg(
+        F.sum("pos").cast("long").alias("gp"),
+        F.sum("neg").cast("long").alias("gn"),
+    )
+    ps = F.col("pos").cast("double") / F.col("gp").cast("double")
+    ns = F.col("neg").cast("double") / F.col("gn").cast("double")
+    # Yates 0.5 adjustment inside the log keeps empty bins finite (a
+    # value bin with zero purchases at small sf would be ln(0))
+    woe = F.log(
+        ((F.col("pos").cast("double") + 0.5) / F.col("gp").cast("double"))
+        / ((F.col("neg").cast("double") + 0.5) / F.col("gn").cast("double"))
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n",
+        "pos",
+        "neg",
+        F.round(woe, 6).alias("woe"),
+        (F.round((ps - ns) * woe, 6) + 0.0).alias("iv_term"),
+    )

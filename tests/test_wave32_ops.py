@@ -134,3 +134,45 @@ def test_kcore_peeling_recount(spark):
             assert row.core_degree == len(adj[n] & alive), n
         else:
             assert row.core_degree is None or not row.in_core
+
+
+def test_woe_iv_invariants(spark):
+    from clinical_data_platform_spark.plans.trainprep import woe_value_bins
+
+    rows = woe_value_bins(spark, SF).collect()
+    gp = sum(r.pos for r in rows)
+    gn = sum(r.neg for r in rows)
+    for r in rows:
+        expect = math.log(((r.pos + 0.5) / gp) / ((r.neg + 0.5) / gn))
+        assert abs(r.woe - round(expect, 6)) < 1e-9
+        # iv_term shares the sign of (pos_share - neg_share)
+        diff = r.pos / gp - r.neg / gn
+        if abs(diff) > 1e-9 and abs(r.woe) > 1e-6:
+            assert (r.iv_term > 0) == ((diff > 0) == (r.woe > 0))
+    # total IV is finite and non-pathological
+    iv = sum(r.iv_term for r in rows)
+    assert -1.0 < iv < 5.0
+
+
+def test_phrase_search_recount(spark):
+    from clinical_data_platform_spark.plans.textops import (
+        _PHRASE,
+        phrase_search_positions,
+    )
+
+    rows = {r.doc_id: r for r in phrase_search_positions(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    expect = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        ws = text.strip().split()
+        occ = [
+            i
+            for i in range(len(ws) - 1)
+            if ws[i] == _PHRASE[0] and ws[i + 1] == _PHRASE[1]
+        ]
+        if occ:
+            expect[doc_id] = (len(occ), occ[0] + 1)
+    assert set(rows) == set(expect)
+    for doc_id, (n, first) in expect.items():
+        assert rows[doc_id].n_occurrences == n
+        assert rows[doc_id].first_pos == first

@@ -180,6 +180,9 @@ HEADLINE = [
     "woe_value_bins",
     "trade_kcore_peeling",
     "phrase_search_positions",
+    # wave 33: mixture raking + recommender evaluation
+    "ipf_mixture_raking",
+    "rec_eval_precision_ndcg",
 ]
 
 

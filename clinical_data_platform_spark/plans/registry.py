@@ -255,6 +255,10 @@ PRIORITY_ORDER = [
 # trade_kcore_peeling (new, k-core peeling with the whole trajectory
 #   value-verified),
 # phrase_search_positions (new, positional-index exact phrase retrieval),
+# ipf_mixture_raking (new, Deming-Stephan raking to multi-axis margins,
+#   whole alternating-scaling trajectory value-verified),
+# rec_eval_precision_ndcg (new, train/test recommender evaluation with
+#   pinned-literal DCG weights),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

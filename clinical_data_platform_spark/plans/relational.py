@@ -2302,3 +2302,227 @@ def daily_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("open_orders"),
     )
+
+
+# --- Recommendation evaluation (precision@k / NDCG@k) ------------------------
+
+# DCG position weights 1/log2(pos+1) and ideal-DCG prefix sums, pinned
+# as 17-digit literals on BOTH engines so no log evaluation happens in
+# the scored path (the power_sample_size_plan z-quantile discipline).
+_DCG_W = {1: "1.0", 2: "0.6309297535714574", 3: "0.5"}
+_IDCG = {1: "1.0", 2: "1.6309297535714574", 3: "2.1309297535714574"}
+
+
+@query(
+    "rec_eval_precision_ndcg",
+    oracle=f"""
+    WITH cb AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p   ON p.p_partkey = l.l_partkey
+    ),
+    train AS MATERIALIZED (SELECT * FROM cb WHERE cust % 2 = 0),
+    test  AS MATERIALIZED (SELECT * FROM cb WHERE cust % 2 = 1),
+    deg AS (SELECT brand, count(*) AS n FROM train GROUP BY 1),
+    co AS (
+      SELECT a.brand AS ba, b.brand AS bb, count(*) AS n_both
+      FROM train a JOIN train b
+        ON a.cust = b.cust AND a.brand <> b.brand
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT co.ba, co.bb,
+             floor(co.n_both::DOUBLE
+                   / sqrt(da.n::DOUBLE * db.n::DOUBLE) * 1e6) / 1e6
+               AS cosine
+      FROM co
+      JOIN deg da ON da.brand = co.ba
+      JOIN deg db ON db.brand = co.bb
+    ),
+    recs AS MATERIALIZED (
+      SELECT ba AS anchor, bb AS rec, pos FROM (
+        SELECT ba, bb, cosine,
+               row_number() OVER (
+                 PARTITION BY ba ORDER BY cosine DESC, bb ASC
+               ) AS pos
+        FROM sc
+      ) WHERE pos <= 3
+    ),
+    cnt AS (SELECT cust, count(*) AS n_brands FROM test GROUP BY 1),
+    evals AS MATERIALIZED (
+      SELECT t.cust, t.brand AS anchor,
+             least(c.n_brands - 1, 3) AS k_ideal
+      FROM test t
+      JOIN cnt c ON c.cust = t.cust
+      WHERE c.n_brands >= 2
+        AND t.brand IN (SELECT DISTINCT anchor FROM recs)
+    ),
+    hits AS (
+      SELECT e.cust, e.anchor, r.pos
+      FROM evals e
+      JOIN recs r ON r.anchor = e.anchor
+      JOIN test h ON h.cust = e.cust AND h.brand = r.rec
+    ),
+    per_eval AS (
+      SELECT e.cust, e.anchor, e.k_ideal,
+             coalesce(h.n_hits, 0) AS n_hits,
+             coalesce(h.dcg, 0.0::DOUBLE) AS dcg
+      FROM evals e
+      LEFT JOIN (
+        SELECT cust, anchor, count(*) AS n_hits,
+               sum(CASE pos WHEN 1 THEN {_DCG_W[1]}::DOUBLE
+                            WHEN 2 THEN {_DCG_W[2]}::DOUBLE
+                            ELSE {_DCG_W[3]}::DOUBLE END) AS dcg
+        FROM hits GROUP BY 1, 2
+      ) h ON h.cust = e.cust AND h.anchor = e.anchor
+    )
+    SELECT anchor,
+           cast(count(*) AS BIGINT) AS n_evals,
+           floor(sum(n_hits)::DOUBLE / (3 * count(*))::DOUBLE * 1e6) / 1e6
+             AS precision_at_3,
+           floor(sum(dcg / CASE k_ideal WHEN 1 THEN {_IDCG[1]}::DOUBLE
+                                        WHEN 2 THEN {_IDCG[2]}::DOUBLE
+                                        ELSE {_IDCG[3]}::DOUBLE END)
+                 / count(*)::DOUBLE * 1e6) / 1e6 AS ndcg_at_3
+    FROM per_eval GROUP BY anchor
+    """,
+    tags=["recsys", "evaluation", "ml"],
+)
+def rec_eval_precision_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation with a real train/test protocol:
+    item-item cosine neighbors are fit on EVEN customers only, then for
+    every odd-customer (customer, anchor-brand) pair the anchor's top-3
+    recommendations are scored against the brands that customer
+    actually bought — precision@3 and NDCG@3 per anchor brand. This is
+    the evaluation half the recsys operators were missing: the leakage
+    discipline (disjoint train/eval users) mirrors
+    grouped_fold_assignment, and the metric table is what an offline
+    experiment reports before an online test.
+
+    All counts are exact integers; DCG position weights 1/log2(pos+1)
+    and the ideal-DCG prefix sums are 17-digit PINNED LITERALS on both
+    engines (no log evaluated anywhere in the scored path), so every
+    per-eval DCG/IDCG ratio is bit-identical and only the final
+    per-anchor means need the trunc6. Plan: the co-occurrence self-join
+    is customer-key-bounded (item_item_cosine_recs' shape), recs are a
+    |brands|x3 broadcast, and evaluation is two keyed joins — nothing
+    scales beyond the basket matrix."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    cb = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == F.col("p_partkey"))
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    train = cb.filter(F.col("cust") % 2 == 0)
+    test = cb.filter(F.col("cust") % 2 == 1).localCheckpoint()
+    deg = train.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = train.select("cust", F.col("brand").alias("ba"))
+    b = train.select(
+        F.col("cust").alias("cust_b"), F.col("brand").alias("bb")
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("ba") != F.col("bb")),
+        )
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sc = (
+        co.join(
+            F.broadcast(
+                deg.select(F.col("brand").alias("ba"), F.col("n").alias("n_a"))
+            ),
+            "ba",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("brand").alias("bb"), F.col("n").alias("n_b"))
+            ),
+            "bb",
+        )
+        .select(
+            "ba",
+            "bb",
+            (
+                F.floor(
+                    F.col("n_both").cast("double")
+                    / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("cosine"),
+        )
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("ba").orderBy(F.col("cosine").desc(), F.col("bb"))
+    )
+    recs = (
+        sc.withColumn("pos", pos)
+        .filter(F.col("pos") <= 3)
+        .select(F.col("ba").alias("anchor"), F.col("bb").alias("rec"), "pos")
+        .localCheckpoint()
+    )
+    cnt = test.groupBy("cust").agg(F.count(F.lit(1)).alias("n_brands"))
+    evals = (
+        test.join(cnt, "cust")
+        .filter(F.col("n_brands") >= 2)
+        .join(
+            F.broadcast(recs.select("anchor").distinct()),
+            test.brand == F.col("anchor"),
+        )
+        .select(
+            "cust",
+            F.col("anchor"),
+            F.least(F.col("n_brands") - 1, F.lit(3)).alias("k_ideal"),
+        )
+    )
+    w1, w2, w3 = (float(_DCG_W[i]) for i in (1, 2, 3))
+    hits = (
+        evals.join(F.broadcast(recs), "anchor")
+        .join(
+            test.select(
+                F.col("cust").alias("hc"), F.col("brand").alias("hb")
+            ),
+            (F.col("cust") == F.col("hc")) & (F.col("hb") == F.col("rec")),
+        )
+        .groupBy("cust", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(
+                F.when(F.col("pos") == 1, w1)
+                .when(F.col("pos") == 2, w2)
+                .otherwise(w3)
+            ).alias("dcg"),
+        )
+    )
+    i1, i2, i3 = (float(_IDCG[i]) for i in (1, 2, 3))
+    per_eval = evals.join(hits, ["cust", "anchor"], "left").select(
+        "anchor",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+        F.when(F.col("k_ideal") == 1, i1)
+        .when(F.col("k_ideal") == 2, i2)
+        .otherwise(i3)
+        .alias("idcg"),
+    )
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return per_eval.groupBy("anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        trunc6(
+            F.sum("n_hits").cast("double")
+            / (3 * F.count(F.lit(1))).cast("double")
+        ).alias("precision_at_3"),
+        trunc6(
+            F.sum(F.col("dcg") / F.col("idcg"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ndcg_at_3"),
+    )

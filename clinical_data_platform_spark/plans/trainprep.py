@@ -27,6 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..catalog import iter_checkpoint
 from ..catalog import table as T
 from .registry import query
 
@@ -1023,4 +1024,137 @@ def woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg",
         F.round(woe, 6).alias("woe"),
         (F.round((ps - ns) * woe, 6) + 0.0).alias("iv_term"),
+    )
+
+
+# --- Iterative proportional fitting (corpus raking) --------------------------
+
+_IPF_ROUNDS = 4  # full row+column rounds
+
+
+def _ipf_oracle() -> str:
+    """Chained-CTE IPF: alternating row/column scaling to uniform
+    margins, each half-step rounded at 9 dp (tiny-group float sums can
+    still differ in order across engines)."""
+    ctes = [
+        """c0 AS MATERIALIZED (
+      SELECT lang, source, count(*) AS n,
+             count(*)::DOUBLE AS w
+      FROM documents GROUP BY 1, 2
+    )""",
+        """t AS MATERIALIZED (
+      SELECT sum(n)::DOUBLE / count(DISTINCT lang)::DOUBLE AS t_lang,
+             sum(n)::DOUBLE / count(DISTINCT source)::DOUBLE AS t_src
+      FROM c0
+    )""",
+    ]
+    prev = "c0"
+    for k in range(1, _IPF_ROUNDS + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+      SELECT p.lang, p.source, p.n,
+             round(p.w * (t.t_lang / m.s), 9) AS w
+      FROM {prev} p
+      JOIN (SELECT lang, sum(w) AS s FROM {prev} GROUP BY 1) m
+        ON m.lang = p.lang
+      CROSS JOIN t
+    )""")
+        ctes.append(f"""s{k} AS MATERIALIZED (
+      SELECT p.lang, p.source, p.n,
+             round(p.w * (t.t_src / m.s), 9) AS w
+      FROM r{k} p
+      JOIN (SELECT source, sum(w) AS s FROM r{k} GROUP BY 1) m
+        ON m.source = p.source
+      CROSS JOIN t
+    )""")
+        prev = f"s{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lang, source, cast(n AS BIGINT) AS n_docs,
+           round(w, 6) AS weight,
+           round(w / n::DOUBLE, 6) AS per_doc_weight
+    FROM {prev}
+    """
+    )
+
+
+@query(
+    "ipf_mixture_raking",
+    oracle=_ipf_oracle(),
+    tags=["trainprep", "mixture", "iterative", "llm-pipeline"],
+)
+def ipf_mixture_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (Deming-Stephan raking) of the
+    (language, source) corpus cell table to UNIFORM language and source
+    margins — the multi-axis generalization of temperature mixture
+    resampling: when a training mix must hit target shares on several
+    attributes AT ONCE, per-axis reweighting can't do it, and IPF's
+    alternating row/column scaling converges to the unique
+    minimum-KL-divergence cell weights satisfying both margins. Output:
+    per-cell total weight and the per-document sampling weight a
+    downstream loader applies.
+
+    State is the CELL table (|langs| x |sources| rows — margin-bounded,
+    never data-bounded), so each of the 4 full rounds is two aggregates
+    and two broadcast joins over a handful of rows; the corpus is
+    touched exactly once to build the counts. Every half-step's weights
+    are rounded at 9 dp (tiny-group sums still have engine-dependent
+    order) and the whole 8-half-step trajectory is value-verified by
+    the chained-CTE oracle, MATERIALIZED per the k-core lesson."""
+    c = (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("lang", "source", "n", F.col("n").cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    t = F.broadcast(
+        c.agg(
+            (
+                F.sum("n").cast("double")
+                / F.countDistinct("lang").cast("double")
+            ).alias("t_lang"),
+            (
+                F.sum("n").cast("double")
+                / F.countDistinct("source").cast("double")
+            ).alias("t_src"),
+        ).localCheckpoint()
+    )
+    cur = c
+    for _ in range(_IPF_ROUNDS):
+        rowm = cur.groupBy("lang").agg(F.sum("w").alias("s"))
+        cur = (
+            cur.join(F.broadcast(rowm), "lang")
+            .crossJoin(t)
+            .select(
+                "lang",
+                "source",
+                "n",
+                F.round(
+                    F.col("w") * (F.col("t_lang") / F.col("s")), 9
+                ).alias("w"),
+            )
+        )
+        colm = cur.groupBy("source").agg(F.sum("w").alias("s"))
+        cur = iter_checkpoint(
+            cur.join(F.broadcast(colm), "source")
+            .crossJoin(t)
+            .select(
+                "lang",
+                "source",
+                "n",
+                F.round(
+                    F.col("w") * (F.col("t_src") / F.col("s")), 9
+                ).alias("w"),
+            )
+        )
+    return cur.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("w") / F.col("n").cast("double"), 6).alias(
+            "per_doc_weight"
+        ),
     )

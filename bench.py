@@ -183,6 +183,9 @@ HEADLINE = [
     # wave 33: mixture raking + recommender evaluation
     "ipf_mixture_raking",
     "rec_eval_precision_ndcg",
+    # wave 34: sequence patterns + concordance
+    "clean_purchase_sequences",
+    "kwic_concordance",
 ]
 
 

@@ -1430,3 +1430,83 @@ def sprt_daily_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+# --- Sequence-pattern matching (MATCH_RECOGNIZE-style) -----------------------
+
+
+@query(
+    "clean_purchase_sequences",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'error')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_gate
+      FROM events
+    )
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS n_purchases,
+           cast(sum(CASE WHEN prev_gate = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           min(CASE WHEN prev_gate = 'view'
+                    THEN (epoch_us(ts) // 1000000) END)::DOUBLE
+             AS first_clean_epoch
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=["events", "sequence", "match-recognize"],
+)
+def clean_purchase_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching in the MATCH_RECOGNIZE family — the
+    SQL-standard row-pattern feature Spark does not ship: a purchase is
+    "clean" iff the most recent preceding gate event (view or error) in
+    the SAME user's totally-ordered stream is a view — i.e. the pattern
+    VIEW (not ERROR)* PURCHASE matched ending at that row. The classic
+    per-row scan semantics compile to ONE user-partitioned window:
+    last_value over the gate-event projection with IGNORE NULLS — no
+    self-join, no per-user collect, and exactly the plan a
+    MATCH_RECOGNIZE implementation would lower to for patterns of this
+    lookback-1 class. Per user: purchase count, clean-purchase count,
+    first clean-purchase time.
+
+    The stream is totally ordered by (ts, event_id) so both engines
+    walk identical sequences. At 100 TB the single shuffle is the
+    user-key window partition — the same cost as any sessionization —
+    and state per row is one string."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gate = F.when(
+        F.col("event_type").isin("view", "error"), F.col("event_type")
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(gate, ignorenulls=True).over(w).alias("prev_gate"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.when(F.col("prev_gate") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean"),
+            F.min(
+                F.when(
+                    F.col("prev_gate") == "view",
+                    F.col("ts").cast("long"),
+                )
+            )
+            .cast("double")
+            .alias("first_clean_epoch"),
+        )
+    )

@@ -259,6 +259,9 @@ PRIORITY_ORDER = [
 #   whole alternating-scaling trajectory value-verified),
 # rec_eval_precision_ndcg (new, train/test recommender evaluation with
 #   pinned-literal DCG weights),
+# clean_purchase_sequences (new, MATCH_RECOGNIZE-style row-pattern match
+#   via one IGNORE NULLS lookback window),
+# kwic_concordance (new, keyword-in-context corpus inspection),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -115,3 +115,63 @@ def test_rec_eval_recount(spark):
         assert r.n_evals == n_ev
         assert abs(r.precision_at_3 - math.floor(nh / (3 * n_ev) * 1e6) / 1e6) < 1e-9
         assert abs(r.ndcg_at_3 - math.floor(nd / n_ev * 1e6) / 1e6) < 1e-6
+
+
+def test_clean_purchase_sequences_recount(spark):
+    from clinical_data_platform_spark.plans.events import (
+        clean_purchase_sequences,
+    )
+
+    rows = {r.user_id: r for r in clean_purchase_sequences(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    expect = {}
+    for uid, grp in ev.groupby("user_id"):
+        gate = None
+        n_p = n_c = 0
+        first = None
+        for r in grp.itertuples():
+            if r.event_type == "purchase":
+                n_p += 1
+                if gate == "view":
+                    n_c += 1
+                    if first is None:
+                        first = r.ts
+            if r.event_type in ("view", "error"):
+                gate = r.event_type
+        if n_p:
+            expect[uid] = (n_p, n_c, first)
+    assert set(rows) == set(expect)
+    for uid, (n_p, n_c, first) in expect.items():
+        r = rows[uid]
+        assert r.n_purchases == n_p
+        assert r.n_clean == n_c
+        if first is None:
+            assert r.first_clean_epoch is None or pd.isna(r.first_clean_epoch)
+        else:
+            # Timestamp.value is always ns; engines floor to whole seconds
+            assert int(r.first_clean_epoch) == first.value // 1_000_000_000
+
+
+def test_kwic_recount(spark):
+    from clinical_data_platform_spark.plans.textops import (
+        _KWIC_TERM,
+        _KWIC_WIN,
+        kwic_concordance,
+    )
+
+    got = {
+        (r.doc_id, r.pos): (r.left_ctx, r.right_ctx)
+        for r in kwic_concordance(spark, SF).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    expect = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        ws = text.strip().split()
+        for i, w in enumerate(ws, start=1):
+            if w == _KWIC_TERM:
+                left = " ".join(ws[max(i - 1 - _KWIC_WIN, 0) : i - 1])
+                right = " ".join(ws[i : i + _KWIC_WIN])
+                expect[(doc_id, i)] = (left, right)
+    assert got == expect

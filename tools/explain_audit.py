@@ -125,6 +125,19 @@ AUDIT = [
     ("logrank_test_cohorts", "Log-rank: KM life table, hypergeometric O-E terms, erf p-value"),
     ("spatial_grid_neighbor_pairs", "Spatial join: 3x3 cell equi-join, exact int64 distance refine"),
     ("subtree_value_rollup", "Closure doubling: 5 checkpointed self-joins, ancestor-key rollup"),
+    # waves 31-34
+    ("dbscan_grid_clusters", "DBSCAN: grid candidates, degree cores, 16 stats-reset checkpointed S-V rounds"),
+    ("order_price_multiple_ols", "Multiple OLS: decimal(38,0) exact moments, scalar Cramer solve"),
+    ("logreg_gd_trajectory", "Logistic GD: per-pass partial/final gradient agg, driver-held 3-vector"),
+    ("gbdt_histogram_best_split", "Histogram splits: map-side bins, cumsum over bin table only"),
+    ("chi2_token_selection", "Chi2 tokens: distinct postings, vocab-sized count joins, per-class top-5"),
+    ("quantile_normalize_doclen", "Quantile norm: integer rank map, broadcast bin-table order statistics"),
+    ("loo_target_encoding", "LOO encoding: broadcast category aggregate, map-side exclusion algebra"),
+    ("trade_kcore_peeling", "K-core: per-round survivor semi-joins, iter_checkpoint lineage+stats reset"),
+    ("phrase_search_positions", "Phrase search: term-filtered postings, (doc, pos+1) adjacency equi-join"),
+    ("ipf_mixture_raking", "IPF raking: margin-bounded cell state, alternating broadcast scaling rounds"),
+    ("rec_eval_precision_ndcg", "Rec eval: basket-bounded co-occurrence, |brands|x3 broadcast recs, keyed scoring"),
+    ("clean_purchase_sequences", "Row pattern: ONE user-partitioned IGNORE NULLS lookback window"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

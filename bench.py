@@ -186,6 +186,9 @@ HEADLINE = [
     # wave 34: sequence patterns + concordance
     "clean_purchase_sequences",
     "kwic_concordance",
+    # wave 35: evaluation + behavior
+    "nb_f1_report",
+    "user_burstiness_index",
 ]
 
 

@@ -540,3 +540,147 @@ def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "rk", F.col("w").alias("token"), "chi2", "df_in_class")
     )
+
+
+# --- Per-class precision/recall/F1 from the NB confusion ---------------------
+
+
+@query(
+    "nb_f1_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (
+      SELECT lang, unnest(ws) AS w FROM t WHERE doc_id % 2 = 0
+    ),
+    cwc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    nc AS (SELECT lang, count(*) AS n_tok FROM tok GROUP BY 1),
+    v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM tok),
+    pri AS (
+      SELECT lang, count(*) AS n_docs FROM t WHERE doc_id % 2 = 0
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*)::DOUBLE AS n FROM t WHERE doc_id % 2 = 0
+    ),
+    te AS (
+      SELECT doc_id, lang AS true_lang, unnest(ws) AS w
+      FROM t WHERE doc_id % 2 = 1
+    ),
+    lp AS (
+      SELECT te.doc_id, te.true_lang, p.lang AS c_lang,
+             round(sum(ln((coalesce(cwc.c, 0)::DOUBLE + 1.0::DOUBLE)
+                          / (nc.n_tok::DOUBLE + v.v))), 8) AS sum_lp
+      FROM te
+      CROSS JOIN pri p
+      LEFT JOIN cwc ON cwc.w = te.w AND cwc.lang = p.lang
+      JOIN nc ON nc.lang = p.lang
+      CROSS JOIN v
+      GROUP BY te.doc_id, te.true_lang, p.lang
+    ),
+    sc AS (
+      SELECT lp.doc_id, lp.true_lang, lp.c_lang,
+             round(lp.sum_lp + ln(p.n_docs::DOUBLE / tot.n), 8) AS score
+      FROM lp JOIN pri p ON p.lang = lp.c_lang CROSS JOIN tot
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, c_lang AS pred_lang
+      FROM (
+        SELECT doc_id, true_lang, c_lang,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, c_lang ASC
+               ) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ),
+    cls AS (SELECT DISTINCT lang FROM t),
+    m AS (
+      SELECT c.lang,
+             (SELECT count(*) FROM pred
+              WHERE true_lang = c.lang AND pred_lang = c.lang) AS tp,
+             (SELECT count(*) FROM pred
+              WHERE true_lang <> c.lang AND pred_lang = c.lang) AS fp,
+             (SELECT count(*) FROM pred
+              WHERE true_lang = c.lang AND pred_lang <> c.lang) AS fn
+      FROM cls c
+    )
+    SELECT lang, cast(tp AS BIGINT) AS tp, cast(fp AS BIGINT) AS fp,
+           cast(fn AS BIGINT) AS fn,
+           floor(tp::DOUBLE / greatest(tp + fp, 1)::DOUBLE * 1e6) / 1e6
+             AS precision,
+           floor(tp::DOUBLE / greatest(tp + fn, 1)::DOUBLE * 1e6) / 1e6
+             AS recall,
+           floor(2.0::DOUBLE * tp::DOUBLE
+                 / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1e6) / 1e6
+             AS f1
+    FROM m
+    """,
+    tags=["text", "ml", "evaluation"],
+)
+def nb_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the Naive Bayes language
+    classifier — the metric table a model card reports next to the raw
+    confusion matrix: TP/FP/FN per class from the SAME held-out
+    prediction pipeline as naive_bayes_lang_confusion, with F1 in its
+    division-robust 2TP/(2TP+FP+FN) form. Every metric is a trunc6'd
+    ratio of exact integer counts (greatest(...,1) guards the empty
+    denominators a degenerate class produces).
+
+    Plan: the prediction pipeline is count-shaped as before; the metric
+    derivation is a |classes|-row aggregation over the prediction
+    table. The evaluation family is now confusion -> calibration ->
+    AUC -> F1, all value-oracled."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", tokens(F.col("text")).alias("ws"))
+    conf = naive_bayes_confusion(d)
+    classes = d.select(F.col("lang")).distinct()
+    tp = conf.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("lang"), F.col("n_docs").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("true_lang") != F.col("pred_lang"))
+        .groupBy(F.col("pred_lang").alias("lang"))
+        .agg(F.sum("n_docs").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("true_lang") != F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.sum("n_docs").alias("fn"))
+    )
+    m = (
+        classes.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    tpd = F.col("tp").cast("double")
+    return m.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        trunc6(
+            tpd / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast("double")
+        ).alias("precision"),
+        trunc6(
+            tpd / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast("double")
+        ).alias("recall"),
+        trunc6(
+            2.0
+            * tpd
+            / F.greatest(
+                2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)
+            ).cast("double")
+        ).alias("f1"),
+    )

@@ -1510,3 +1510,83 @@ def clean_purchase_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_clean_epoch"),
         )
     )
+
+
+# --- Inter-arrival burstiness ------------------------------------------------
+
+
+@query(
+    "user_burstiness_index",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             (epoch_us(ts) // 1000000)
+             - lag(epoch_us(ts) // 1000000) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n_gaps,
+             cast(sum(gap) AS BIGINT) AS s1,
+             cast(sum(gap * gap) AS BIGINT) AS s2
+      FROM seq WHERE gap IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 5
+    )
+    SELECT user_id, n_gaps,
+           round(s1::DOUBLE / n_gaps::DOUBLE, 4) AS mean_gap_s,
+           round(sqrt(s2::DOUBLE / n_gaps::DOUBLE
+                      - (s1::DOUBLE / n_gaps::DOUBLE)
+                        * (s1::DOUBLE / n_gaps::DOUBLE)), 4) AS std_gap_s,
+           round((sqrt(s2::DOUBLE / n_gaps::DOUBLE
+                       - (s1::DOUBLE / n_gaps::DOUBLE)
+                         * (s1::DOUBLE / n_gaps::DOUBLE))
+                  - s1::DOUBLE / n_gaps::DOUBLE)
+                 / (sqrt(s2::DOUBLE / n_gaps::DOUBLE
+                         - (s1::DOUBLE / n_gaps::DOUBLE)
+                           * (s1::DOUBLE / n_gaps::DOUBLE))
+                    + s1::DOUBLE / n_gaps::DOUBLE), 4) AS burstiness
+    FROM g
+    """,
+    tags=["events", "time-series", "behavior"],
+)
+def user_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness (Goh & Barabasi 2008): per user, the
+    index B = (sigma - mu)/(sigma + mu) over the gaps between that
+    user's consecutive events — B -> -1 for a metronome, 0 for a
+    Poisson process, -> +1 for extreme bursts. The behavioral screen
+    that separates organic users from schedulers and scrapers, and the
+    time-axis companion to the hourly seasonality profile.
+
+    One user-partitioned lag window over integer epoch seconds (both
+    engines floor identically), then a moment aggregate: gaps are
+    exact integers, so the mean/std/burstiness algebra runs in double
+    from identical integer sums (s2 is row-bounded here; the
+    decimal(38,0) escalation exists for squared moments that are not).
+    Users with fewer than 5 gaps are excluded — B is noise there."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    seq = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    g = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").cast("long").alias("s1"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps").cast("double")
+    sig = F.sqrt(
+        F.col("s2").cast("double") / F.col("n_gaps").cast("double") - mu * mu
+    )
+    return g.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu, 4).alias("mean_gap_s"),
+        F.round(sig, 4).alias("std_gap_s"),
+        F.round((sig - mu) / (sig + mu), 4).alias("burstiness"),
+    )

@@ -262,6 +262,8 @@ PRIORITY_ORDER = [
 # clean_purchase_sequences (new, MATCH_RECOGNIZE-style row-pattern match
 #   via one IGNORE NULLS lookback window),
 # kwic_concordance (new, keyword-in-context corpus inspection),
+# nb_f1_report (new, per-class precision/recall/F1 metric table),
+# user_burstiness_index (new, inter-arrival burstiness screen),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -175,3 +175,57 @@ def test_kwic_recount(spark):
                 right = " ".join(ws[i : i + _KWIC_WIN])
                 expect[(doc_id, i)] = (left, right)
     assert got == expect
+
+
+def test_nb_f1_consistent_with_confusion(spark):
+    from clinical_data_platform_spark.plans.contentfilter import (
+        naive_bayes_lang_confusion,
+        nb_f1_report,
+    )
+
+    conf = naive_bayes_lang_confusion(spark, SF).collect()
+    f1 = {r.lang: r for r in nb_f1_report(spark, SF).collect()}
+    langs = {r.true_lang for r in conf} | {r.pred_lang for r in conf}
+    for lg in langs:
+        tp = sum(
+            r.n_docs for r in conf if r.true_lang == lg and r.pred_lang == lg
+        )
+        fp = sum(
+            r.n_docs for r in conf if r.true_lang != lg and r.pred_lang == lg
+        )
+        fn = sum(
+            r.n_docs for r in conf if r.true_lang == lg and r.pred_lang != lg
+        )
+        r = f1[lg]
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn), lg
+        p = tp / max(tp + fp, 1)
+        rec = tp / max(tp + fn, 1)
+        f = 2 * tp / max(2 * tp + fp + fn, 1)
+        assert abs(r.precision - math.floor(p * 1e6) / 1e6) < 1e-9
+        assert abs(r.recall - math.floor(rec * 1e6) / 1e6) < 1e-9
+        assert abs(r.f1 - math.floor(f * 1e6) / 1e6) < 1e-9
+
+
+def test_burstiness_recount(spark):
+    from clinical_data_platform_spark.plans.events import (
+        user_burstiness_index,
+    )
+
+    rows = {r.user_id: r for r in user_burstiness_index(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    for uid, grp in ev.groupby("user_id"):
+        sec = grp.ts.astype("int64") // 1_000_000
+        gaps = np.diff(sec.to_numpy())
+        if len(gaps) < 5:
+            assert uid not in rows
+            continue
+        mu = gaps.mean()
+        sig = math.sqrt((gaps.astype(float) ** 2).mean() - mu * mu)
+        r = rows[uid]
+        assert r.n_gaps == len(gaps)
+        assert abs(r.mean_gap_s - round(mu, 4)) < 1e-6
+        assert abs(r.std_gap_s - round(sig, 4)) < 1e-4
+        assert abs(r.burstiness - round((sig - mu) / (sig + mu), 4)) < 1e-4
+        assert -1.0 <= r.burstiness <= 1.0

@@ -59,6 +59,7 @@ def main() -> None:
     # --- serial per-query ---------------------------------------------------
     rows = []
     for name in names:
+        print(f"serial {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t_spark = time.time() - t0
@@ -73,9 +74,11 @@ def main() -> None:
         catalog.table(spark, sf_dir, t).count()
 
     def run_spark(name: str) -> None:
+        print(f"batch-spark {name}", file=sys.stderr, flush=True)
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     def run_duck(name: str) -> None:
+        print(f"batch-duck {name}", file=sys.stderr, flush=True)
         con.cursor().execute(oracles[name]).fetchall()
 
     t0 = time.time()

@@ -189,6 +189,10 @@ HEADLINE = [
     # wave 35: evaluation + behavior
     "nb_f1_report",
     "user_burstiness_index",
+    # wave 36: rank statistics at scale
+    "spearman_quantity_price",
+    "ks_test_price_by_status",
+    "anova_f_priority_price",
 ]
 
 

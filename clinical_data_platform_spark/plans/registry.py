@@ -264,6 +264,9 @@ PRIORITY_ORDER = [
 # kwic_concordance (new, keyword-in-context corpus inspection),
 # nb_f1_report (new, per-class precision/recall/F1 metric table),
 # user_burstiness_index (new, inter-arrival burstiness screen),
+# spearman_quantity_price (new, two-phase binned fractional ranks),
+# ks_test_price_by_status (new, distributed dual-ECDF KS test),
+# anova_f_priority_price (new, exact-sufficient-statistics ANOVA),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -10,7 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import fan_out_scan, table as T
-from ..functions.scalars import NORMAL_SF_SQL
+from ..functions.scalars import NORMAL_SF_SQL, normal_sf
 from ..operators.stats import chi_square_test, welch_t_test
 from .registry import query
 
@@ -2386,4 +2386,411 @@ def gbdt_histogram_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature", "rk", F.col("bin").alias("threshold"),
             "n_left", "pos_left", "gini_gain",
         )
+    )
+
+
+# --- Wave 36: rank statistics at scale ---------------------------------------
+
+
+def _frac_ranks2(df: DataFrame, group: str, val: str) -> DataFrame:
+    """Doubled fractional (average) ranks per group, computed WITHOUT a
+    per-group global sort: (1) value-level counts, (2) a cumulative
+    window over integer BINS (floor(value) — state bounded by the value
+    RANGE, not the row count, exactly like quantity_weighted_median_price's
+    LOCATE phase), (3) a within-bin window seats each distinct value at
+    bin_offset + local cumsum. Returns (group, val, r2) where
+    r2 = 2*cnt_less + cnt_eq + 1 = twice the average rank — an exact
+    integer, so downstream moments can sum in decimal(38,0)."""
+    vl = df.groupBy(group, val).agg(F.count(F.lit(1)).alias("cnt"))
+    vl = vl.withColumn("bin", F.floor(F.col(val)).cast("long"))
+    binc = vl.groupBy(group, "bin").agg(F.sum("cnt").alias("bc"))
+    wb = Window.partitionBy(group).orderBy("bin")
+    offs = binc.select(
+        group, "bin", (F.sum("bc").over(wb) - F.col("bc")).alias("off")
+    )
+    wl = Window.partitionBy(group, "bin").orderBy(val)
+    return (
+        vl.join(offs, [group, "bin"])
+        .select(
+            group,
+            val,
+            (
+                2 * (F.col("off") + F.sum("cnt").over(wl) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+    )
+
+
+_SPEARMAN_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag AS f, l_quantity AS x, l_extendedprice AS y,
+         cast(l_quantity AS BIGINT) AS xi,
+         cast(round(l_extendedprice * 100) AS BIGINT) AS yc
+  FROM lineitem
+),
+r AS (
+  SELECT f, xi, yc,
+         2 * rank() OVER (PARTITION BY f ORDER BY x)
+           + count(*) OVER (PARTITION BY f, x) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY f ORDER BY y)
+           + count(*) OVER (PARTITION BY f, y) - 1 AS ry
+  FROM b
+),
+s AS (
+  SELECT f, count(*) AS n,
+         sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+         sum(rx::HUGEINT * rx) AS sxx, sum(ry::HUGEINT * ry) AS syy,
+         sum(rx::HUGEINT * ry) AS sxy,
+         sum(xi::HUGEINT) AS px, sum(yc::HUGEINT) AS py,
+         sum(xi::HUGEINT * xi) AS pxx, sum(yc::HUGEINT * yc) AS pyy,
+         sum(xi::HUGEINT * yc) AS pxy
+  FROM r GROUP BY 1
+)
+SELECT f AS l_returnflag, cast(n AS BIGINT) AS n_rows,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             6) AS spearman_rho,
+       round((n::DOUBLE * pxy::DOUBLE - px::DOUBLE * py::DOUBLE)
+             / sqrt((n::DOUBLE * pxx::DOUBLE - px::DOUBLE * px::DOUBLE)
+                    * (n::DOUBLE * pyy::DOUBLE - py::DOUBLE * py::DOUBLE)),
+             6) AS pearson_rho
+FROM s
+"""
+
+
+@query(
+    "spearman_quantity_price",
+    oracle=_SPEARMAN_ORACLE,
+    tags=["M-ext", "rank-stats", "robust"],
+)
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with its Pearson contrast) between
+    quantity and extended price per return flag — the robust monotone-
+    association screen that survives the heavy-tailed price column where
+    Pearson is leverage-dominated.
+
+    The hard part at scale is RANKING: a naive per-group rank window
+    sorts a third of the table on one task. Here ranks come from the
+    two-phase binned cumsum (_frac_ranks2): value-level counts, a
+    cumulative window whose state is bounded by the integer value RANGE,
+    then bin-local seating — no data-sized sort anywhere. Average ranks
+    are kept DOUBLED (2*cnt_less + cnt_eq + 1) so every tie-adjusted
+    rank is an exact integer, the five rank moments sum losslessly in
+    decimal(38,0) (hugeint in the oracle), and rho is computed from
+    bit-identical doubles on both engines — the order_price_multiple_ols
+    exact-sufficient-statistics discipline applied to rank statistics.
+    The doubling cancels in the correlation ratio. Pearson runs on
+    integer quantity / integer cents through the same machinery."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").cast("long").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    rx = _frac_ranks2(li.select("f", "x"), "f", "x").withColumnRenamed(
+        "r2", "rx"
+    )
+    ry = _frac_ranks2(li.select("f", "y"), "f", "y").withColumnRenamed(
+        "r2", "ry"
+    )
+    rows = li.join(rx, ["f", "x"]).join(ry, ["f", "y"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = rows.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("rx"))).alias("sx"),
+        F.sum(dec(F.col("ry"))).alias("sy"),
+        F.sum(dec(F.col("rx") * F.col("rx"))).alias("sxx"),
+        F.sum(dec(F.col("ry") * F.col("ry"))).alias("syy"),
+        F.sum(dec(F.col("rx") * F.col("ry"))).alias("sxy"),
+        F.sum(dec(F.col("xi"))).alias("px"),
+        F.sum(dec(F.col("yc"))).alias("py"),
+        F.sum(dec(F.col("xi") * F.col("xi"))).alias("pxx"),
+        F.sum(dec(F.col("yc") * F.col("yc"))).alias("pyy"),
+        F.sum(dec(F.col("xi") * F.col("yc"))).alias("pxy"),
+    )
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+    n = d("n")
+
+    def corr(sx, sy, sxx, syy, sxy):
+        return (n * d(sxy) - d(sx) * d(sy)) / F.sqrt(
+            (n * d(sxx) - d(sx) * d(sx)) * (n * d(syy) - d(sy) * d(sy))
+        )
+
+    return s.select(
+        F.col("f").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(corr("sx", "sy", "sxx", "syy", "sxy"), 6).alias(
+            "spearman_rho"
+        ),
+        F.round(corr("px", "py", "pxx", "pyy", "pxy"), 6).alias(
+            "pearson_rho"
+        ),
+    )
+
+
+# --- Wave 36: two-sample Kolmogorov–Smirnov ----------------------------------
+
+_KS_P_SQL = (
+    "greatest(0.0::DOUBLE, least(1.0::DOUBLE, 2.0::DOUBLE * ("
+    "exp(-2.0::DOUBLE * ({lam}) * ({lam}))"
+    " - exp(-8.0::DOUBLE * ({lam}) * ({lam}))"
+    " + exp(-18.0::DOUBLE * ({lam}) * ({lam})))))"
+)
+
+_KS_ORACLE = """
+WITH d AS (
+  SELECT cast(round(o_totalprice * 100) AS BIGINT) AS p,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+v AS (
+  SELECT p, cast(sum(a) AS BIGINT) AS ca, cast(sum(b) AS BIGINT) AS cb
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT cast(sum(ca) AS BIGINT) AS na, cast(sum(cb) AS BIGINT) AS nb
+  FROM v
+),
+c AS (
+  SELECT p,
+         cast(sum(ca) OVER (ORDER BY p) AS BIGINT) AS cuma,
+         cast(sum(cb) OVER (ORDER BY p) AS BIGINT) AS cumb,
+         na, nb
+  FROM v CROSS JOIN t
+),
+m AS (
+  SELECT p, na, nb,
+         abs(cuma::HUGEINT * nb - cumb::HUGEINT * na) AS num
+  FROM c
+  ORDER BY num DESC, p ASC LIMIT 1
+),
+f AS (
+  SELECT na, nb,
+         num::DOUBLE / (na::DOUBLE * nb::DOUBLE) AS ksd,
+         p::DOUBLE / 100.0::DOUBLE AS loc,
+         sqrt(na::DOUBLE * nb::DOUBLE / (na::DOUBLE + nb::DOUBLE)) AS en
+  FROM m
+)
+SELECT na AS n_f, nb AS n_o,
+       round(ksd, 6) AS ks_d,
+       round(loc, 2) AS d_at_price,
+       round({p_sql}, 6) AS p_value
+FROM f
+""".format(
+    p_sql=_KS_P_SQL.format(
+        lam="(en + 0.12::DOUBLE + 0.11::DOUBLE / en) * ksd"
+    )
+)
+
+
+@query(
+    "ks_test_price_by_status",
+    oracle=_KS_ORACLE,
+    tags=["M-ext", "distribution-test", "monitoring"],
+)
+def ks_test_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test on order total price between
+    finished ('F') and open ('O') orders: D = sup |ECDF_F - ECDF_O|,
+    its location, and the asymptotic Kolmogorov p (Numerical-Recipes
+    lambda correction, 3-term alternating series) — the whole-shape
+    drift test that PSI's fixed bins blur.
+
+    Distributed ECDF without a global sort: prices collapse to distinct
+    cents with per-sample counts, the cumulative window runs over
+    $1000 BINS (state bounded by the price range), and bin offsets seat
+    the within-bin cumsums — the same LOCATE/RESOLVE shape as the
+    weighted median, applied to both ECDFs at once. The argmax is
+    exact-integer: maximizing |cumA*nB - cumB*nA| (decimal(38,0)) picks
+    the crossing without a single float comparison; ties break to the
+    lowest price via TakeOrdered(1). Only D itself and the p-value are
+    ever floats, derived from identical integers on both engines."""
+    d = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("a"),
+            (F.col("o_orderstatus") == "O").cast("int").alias("b"),
+        )
+    )
+    v = d.groupBy("p").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum("b").cast("long").alias("cb"),
+    )
+    tot = v.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    v = v.withColumn("bin", (F.col("p") / F.lit(100000)).cast("long"))
+    binc = v.groupBy("bin").agg(
+        F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
+    )
+    wb = Window.partitionBy(F.lit(0)).orderBy("bin")
+    offs = binc.select(
+        "bin",
+        (F.sum("bca").over(wb) - F.col("bca")).alias("offa"),
+        (F.sum("bcb").over(wb) - F.col("bcb")).alias("offb"),
+    )
+    wl = Window.partitionBy("bin").orderBy("p")
+    c = (
+        v.join(offs, "bin")
+        .select(
+            "p",
+            (F.col("offa") + F.sum("ca").over(wl)).alias("cuma"),
+            (F.col("offb") + F.sum("cb").over(wl)).alias("cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        c.select(
+            "p",
+            "na",
+            "nb",
+            F.abs(
+                dec(F.col("cuma")) * F.col("nb")
+                - dec(F.col("cumb")) * F.col("na")
+            ).alias("num"),
+        )
+        .orderBy(F.col("num").desc(), F.col("p").asc())
+        .limit(1)
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ksd = F.col("num").cast("double") / (nad * nbd)
+    en = F.sqrt(nad * nbd / (nad + nbd))
+    lam = (en + 0.12 + 0.11 / en) * ksd
+    p_val = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            2.0
+            * (
+                F.exp(-2.0 * lam * lam)
+                - F.exp(-8.0 * lam * lam)
+                + F.exp(-18.0 * lam * lam)
+            ),
+        ),
+    )
+    return m.select(
+        F.col("na").alias("n_f"),
+        F.col("nb").alias("n_o"),
+        F.round(ksd, 6).alias("ks_d"),
+        F.round(F.col("p").cast("double") / 100.0, 2).alias("d_at_price"),
+        F.round(p_val, 6).alias("p_value"),
+    )
+
+
+# --- Wave 36: one-way ANOVA --------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         sum(cast(round(o_totalprice * 100) AS BIGINT)::HUGEINT) AS s1,
+         sum(cast(round(o_totalprice * 100) AS BIGINT)::HUGEINT
+             * cast(round(o_totalprice * 100) AS BIGINT)) AS s2
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT count(*) AS k, cast(sum(n) AS BIGINT) AS nn,
+         sum(s1) AS ts1, sum(s2) AS ts2
+  FROM g
+),
+d AS (
+  SELECT max(k) AS k, max(nn) AS nn,
+         max(ts1::DOUBLE) AS ts1, max(ts2::DOUBLE) AS ts2,
+         sum(n::DOUBLE
+             * (s1::DOUBLE / n::DOUBLE - ts1::DOUBLE / nn::DOUBLE)
+             * (s1::DOUBLE / n::DOUBLE - ts1::DOUBLE / nn::DOUBLE)) AS ssb
+  FROM g CROSS JOIN t
+),
+f AS (
+  SELECT k, nn, ssb,
+         ts2 - ts1 * ts1 / nn::DOUBLE AS sst,
+         (ssb / (k - 1)::DOUBLE)
+           / ((ts2 - ts1 * ts1 / nn::DOUBLE - ssb)
+              / (nn - k)::DOUBLE) AS fstat
+  FROM d
+),
+z AS (
+  SELECT k, nn, fstat, ssb / sst AS eta,
+         (pow(fstat, 1.0::DOUBLE / 3.0::DOUBLE)
+          - (1.0::DOUBLE - 2.0::DOUBLE / (9.0::DOUBLE * (k - 1)::DOUBLE)))
+         / sqrt(2.0::DOUBLE / (9.0::DOUBLE * (k - 1)::DOUBLE)) AS zwh
+  FROM f
+)
+SELECT cast(k AS BIGINT) AS k_groups, nn AS n_orders,
+       round(fstat, 6) AS f_stat,
+       round(eta, 6) AS eta_sq,
+       round({p_sql}, 6) AS p_approx
+FROM z
+""".format(p_sql=NORMAL_SF_SQL.format(z="zwh"))
+
+
+@query(
+    "anova_f_priority_price",
+    oracle=_ANOVA_ORACLE,
+    tags=["M-ext", "anova", "experimentation"],
+)
+def anova_f_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order total price (cents) across the five order
+    priorities: F statistic, eta-squared effect size, and an upper-tail
+    p through the same Wilson–Hilferty cube-root normal route as
+    chi_square_test (for the huge within-group df here, (k-1)·F is
+    chi-square with k-1 df, so z plugs F straight into the WH formula —
+    documented approximation, identical expression text both engines).
+
+    Sufficient statistics are exact: per-group (n, Σcents, Σcents²) in
+    decimal(38,0)/hugeint. SSB uses the DEVIATION form Σ n_g·(m_g − M)²
+    rather than Σ s1²/n − S1²/N — the two huge nearly-equal terms of the
+    textbook form would cancel to float noise, while deviations keep
+    every addend near the answer's own magnitude (the only float sum is
+    k=5 terms wide). One groupBy + a 5-row broadcast — 'the test is an
+    aggregation' at any scale."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = T(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    mg = F.col("s1").cast("double") / F.col("n").cast("double")
+    mm = F.col("ts1").cast("double") / F.col("nn").cast("double")
+    d = j.agg(
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+        F.max(F.col("ts1").cast("double")).alias("ts1"),
+        F.max(F.col("ts2").cast("double")).alias("ts2"),
+        F.sum(F.col("n").cast("double") * (mg - mm) * (mg - mm)).alias(
+            "ssb"
+        ),
+    )
+    kd = (F.col("k") - 1).cast("double")
+    sst = F.col("ts2") - F.col("ts1") * F.col("ts1") / F.col("nn").cast(
+        "double"
+    )
+    fstat = (F.col("ssb") / kd) / (
+        (sst - F.col("ssb")) / (F.col("nn") - F.col("k")).cast("double")
+    )
+    zwh = (fstat ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * kd))) / F.sqrt(
+        2.0 / (9.0 * kd)
+    )
+    return d.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").alias("n_orders"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(F.col("ssb") / sst, 6).alias("eta_sq"),
+        F.round(normal_sf(zwh), 6).alias("p_approx"),
     )

@@ -193,6 +193,9 @@ HEADLINE = [
     "spearman_quantity_price",
     "ks_test_price_by_status",
     "anova_f_priority_price",
+    # wave 37: multiple testing + data selection
+    "bh_fdr_nation_price",
+    "dsir_importance_topk",
 ]
 
 

@@ -2794,3 +2794,149 @@ def anova_f_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ssb") / sst, 6).alias("eta_sq"),
         F.round(normal_sf(zwh), 6).alias("p_approx"),
     )
+
+
+# --- Wave 37: multiple-testing correction ------------------------------------
+
+_BH_ORACLE = """
+WITH oc AS (
+  SELECT n.n_name AS nation,
+         cast(round(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+g AS (
+  SELECT nation, count(*) AS n,
+         sum(y::HUGEINT) AS s1, sum(y::HUGEINT * y) AS s2
+  FROM oc GROUP BY 1
+),
+t AS (
+  SELECT cast(sum(n) AS BIGINT) AS nn, sum(s1) AS ts1, sum(s2) AS ts2,
+         count(*) AS m
+  FROM g
+),
+w AS (
+  SELECT nation, n AS n1, (nn - n) AS n2, m,
+         s1::DOUBLE / n::DOUBLE AS m1,
+         (ts1 - s1)::DOUBLE / (nn - n)::DOUBLE AS m2,
+         (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+           / (n - 1)::DOUBLE AS v1,
+         ((ts2 - s2)::DOUBLE
+          - (ts1 - s1)::DOUBLE * (ts1 - s1)::DOUBLE / (nn - n)::DOUBLE)
+           / (nn - n - 1)::DOUBLE AS v2
+  FROM g CROSS JOIN t
+),
+p AS (
+  SELECT nation, n1, m,
+         (m1 - m2) / sqrt(v1 / n1::DOUBLE + v2 / n2::DOUBLE) AS z
+  FROM w
+),
+pp AS (SELECT nation, n1, m, {p_sql} AS pv FROM p),
+r AS (
+  SELECT nation, n1, m, pv,
+         row_number() OVER (ORDER BY pv, nation) AS rnk
+  FROM pp
+),
+adj AS (
+  SELECT nation, n1, pv, rnk,
+         least(1.0::DOUBLE,
+               min(m::DOUBLE * pv / rnk::DOUBLE)
+                 OVER (ORDER BY rnk DESC)) AS padj
+  FROM r
+)
+SELECT nation, cast(n1 AS BIGINT) AS n_orders,
+       cast(rnk AS BIGINT) AS p_rank,
+       round(pv, 6) AS p_value,
+       round(padj, 6) AS p_adj,
+       (padj <= 0.05::DOUBLE) AS rejected
+FROM adj
+""".format(p_sql=NORMAL_SF_SQL.format(z="z"))
+
+
+@query(
+    "bh_fdr_nation_price",
+    oracle=_BH_ORACLE,
+    tags=["M-ext", "multiple-testing", "experimentation"],
+)
+def bh_fdr_nation_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a 25-way hypothesis
+    screen: each nation's order prices Welch-tested against all other
+    nations (one-vs-rest), then the whole p-value family adjusted by the
+    step-up procedure — the guard every per-segment dashboard needs
+    before coloring 25 cells red at alpha=0.05.
+
+    Per-nation sufficient statistics (n, Σcents, Σcents²) are exact
+    decimal/hugeint; the REST group is derived by subtraction in
+    integer space BEFORE any double cast, so both engines hand the
+    same 6 numbers to the Welch z. The BH step-up is the reversed
+    running minimum min_{j>=i}(m·p_(j)/j): one window over m=25 rows
+    ordered by p-rank descending — state bounded by the category count,
+    nothing data-sized. p-values through the shared A&S normal_sf."""
+    oc = (
+        T(spark, sf_dir, "orders")
+        .join(
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "nation",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = oc.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("y"))).alias("s1"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("s2"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    d = lambda c: c.cast("double")  # noqa: E731
+    n1 = F.col("n")
+    n2 = F.col("nn") - F.col("n")
+    m1 = d(F.col("s1")) / d(n1)
+    m2 = d(F.col("ts1") - F.col("s1")) / d(n2)
+    v1 = (d(F.col("s2")) - d(F.col("s1")) * d(F.col("s1")) / d(n1)) / d(
+        n1 - 1
+    )
+    r1 = d(F.col("ts1") - F.col("s1"))
+    v2 = (d(F.col("ts2") - F.col("s2")) - r1 * r1 / d(n2)) / d(n2 - 1)
+    z = (m1 - m2) / F.sqrt(v1 / d(n1) + v2 / d(n2))
+    pp = j.select(
+        "nation",
+        F.col("n").alias("n1"),
+        "m",
+        normal_sf(z).alias("pv"),
+    )
+    r = pp.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("pv").asc(), F.col("nation").asc())),
+    )
+    padj = F.least(
+        F.lit(1.0),
+        F.min(
+            F.col("m").cast("double") * F.col("pv") / F.col("rnk").cast("double")
+        ).over(Window.orderBy(F.col("rnk").desc())),
+    )
+    return r.select(
+        "nation",
+        F.col("n1").cast("long").alias("n_orders"),
+        F.col("rnk").cast("long").alias("p_rank"),
+        F.round("pv", 6).alias("p_value"),
+        F.round(padj, 6).alias("p_adj"),
+        (padj <= 0.05).alias("rejected"),
+    )

@@ -1158,3 +1158,144 @@ def ipf_mixture_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_doc_weight"
         ),
     )
+
+
+# --- Wave 37: importance-resampling data selection ---------------------------
+
+_DSIR_BUCKETS = 64
+
+# DuckDB twin of Spark's conv(substring(md5(x),1,6),16,10) — digit-fold
+# parity verified in plans/sketches.py / plans/survival.py.
+_DSIR_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+_DSIR_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id, lang, ({hex6}) % {nb} AS b
+  FROM (SELECT doc_id, lang, unnest(ws) AS w FROM t)
+),
+tc AS (SELECT b, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT b, count(*) AS c FROM tok GROUP BY 1),
+tt AS (SELECT cast(count(*) AS BIGINT) AS n FROM tok WHERE lang = 'en'),
+rt AS (SELECT cast(count(*) AS BIGINT) AS n FROM tok),
+lr AS (
+  SELECT rc.b,
+         cast(round((ln((coalesce(tc.c, 0)::DOUBLE + 1.0::DOUBLE)
+                        / (tt.n::DOUBLE + {nb}.0::DOUBLE))
+                     - ln((rc.c::DOUBLE + 1.0::DOUBLE)
+                          / (rt.n::DOUBLE + {nb}.0::DOUBLE)))
+                    * 1000000000.0::DOUBLE) AS BIGINT) AS lri
+  FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tt CROSS JOIN rt
+),
+db AS (SELECT doc_id, b, count(*) AS cnt FROM tok GROUP BY 1, 2),
+sc AS (
+  SELECT db.doc_id,
+         cast(sum(db.cnt * lr.lri) AS BIGINT) AS si,
+         cast(sum(db.cnt) AS BIGINT) AS ntok
+  FROM db JOIN lr ON lr.b = db.b GROUP BY 1
+)
+SELECT sc.doc_id, d.lang, ntok AS n_tokens,
+       round(si::DOUBLE / 1000000000.0::DOUBLE, 6) AS dsir_score
+FROM sc JOIN t d ON d.doc_id = sc.doc_id
+ORDER BY si DESC, sc.doc_id ASC LIMIT 20
+""".format(hex6=_DSIR_HEX6.format(x="w"), nb=_DSIR_BUCKETS)
+
+
+@query(
+    "dsir_importance_topk",
+    oracle=_DSIR_ORACLE,
+    tags=["llm-pipeline", "trainprep", "data-selection"],
+)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    scores: rank raw-corpus documents by how target-like their hashed
+    n-gram profile is. Features are unigrams hashed to 64 md5 buckets;
+    each bucket carries the add-1-smoothed log-likelihood ratio
+    ln(p_target/p_raw) (target = the 'en' slice standing in for a
+    high-quality target corpus), and a document's importance weight is
+    the count-weighted sum of its buckets' ratios — the score DSIR
+    resamples against when composing pretraining mixtures. Top 20 here;
+    the full-score table is the real product.
+
+    Determinism at scale: per-bucket log-ratios are computed once from
+    exact integer counts, scaled to 1e-9-granular INTEGERS, and every
+    per-document score is an exact integer dot product — no float sum
+    ever crosses a partial-aggregation boundary, so partial/final order
+    can't move a score (the fixed-point lesson applied to importance
+    weighting). Plan: one token pass fans out, two bounded aggregates
+    (64 buckets), a broadcast join of the 64-row ratio table, one
+    groupBy(doc), TakeOrdered(20) on the integer score."""
+    from ..catalog import fan_out_scan
+    from ..functions.text import tokens
+
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", "text")
+    )
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 6), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    tok = tok.localCheckpoint()
+    tc = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    rc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tt = tok.filter(F.col("lang") == "en").count()
+    rt = tok.count()
+    nb = float(_DSIR_BUCKETS)
+    lr = (
+        rc.join(tc, "b", "left")
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)).cast("double") + 1.0)
+                        / F.lit(float(tt) + nb)
+                    )
+                    - F.log(
+                        (F.col("rc").cast("double") + 1.0)
+                        / F.lit(float(rt) + nb)
+                    )
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("lri"),
+        )
+    )
+    db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    sc = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lri")).cast("long").alias("si"),
+            F.sum("cnt").cast("long").alias("ntok"),
+        )
+    )
+    return (
+        sc.join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("si").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("ntok").alias("n_tokens"),
+            F.round(F.col("si").cast("double") / 1e9, 6).alias("dsir_score"),
+        )
+    )

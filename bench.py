@@ -196,6 +196,9 @@ HEADLINE = [
     # wave 37: multiple testing + data selection
     "bh_fdr_nation_price",
     "dsir_importance_topk",
+    # wave 38: corpus scaling laws + readability
+    "heaps_law_fit",
+    "flesch_readability_by_source",
 ]
 
 

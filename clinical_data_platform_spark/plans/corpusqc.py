@@ -1010,3 +1010,246 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --- Wave 38: Heaps' law vocabulary growth -----------------------------------
+
+_HEAPS_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split_regex(trim(text), '\s+'),
+                               w -> lower(w))) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+nd AS (SELECT doc_id, count(*) AS ntok FROM tk GROUP BY 1),
+fo AS (SELECT min(doc_id) AS d0 FROM tk GROUP BY tok),
+nn AS (SELECT d0 AS doc_id, count(*) AS nnew FROM fo GROUP BY 1),
+base AS (
+  SELECT nd.doc_id, nd.ntok, coalesce(nn.nnew, 0) AS nnew
+  FROM nd LEFT JOIN nn ON nn.doc_id = nd.doc_id
+),
+cum AS (
+  SELECT doc_id,
+         cast(sum(ntok) OVER (ORDER BY doc_id) AS BIGINT) AS cn,
+         cast(sum(nnew) OVER (ORDER BY doc_id) AS BIGINT) AS cv
+  FROM base
+),
+pts AS (
+  SELECT cast(round(ln(cn::DOUBLE) * 1000000000.0::DOUBLE) AS BIGINT) AS x,
+         cast(round(ln(cv::DOUBLE) * 1000000000.0::DOUBLE) AS BIGINT) AS y
+  FROM cum
+),
+a AS (
+  SELECT count(*) AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+         sum(y::HUGEINT * y) AS syy,
+         (SELECT max(cn) FROM cum) AS tokens_total,
+         (SELECT max(cv) FROM cum) AS vocab_total
+  FROM pts
+),
+f AS (
+  SELECT n, tokens_total, vocab_total,
+         sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS beta,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS r2
+  FROM a
+)
+SELECT cast(n AS BIGINT) AS n_docs, tokens_total, vocab_total,
+       round(beta, 6) AS heaps_beta,
+       round(exp(((syd - beta * sxd) / n::DOUBLE)
+                 / 1000000000.0::DOUBLE), 4) AS heaps_k,
+       round(r2, 6) AS r2
+FROM f
+"""
+
+
+@query(
+    "heaps_law_fit",
+    oracle=_HEAPS_ORACLE,
+    tags=["corpus-stats", "heaps", "llm-pipeline"],
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = K·N^beta of vocabulary growth against
+    corpus size: log-log OLS over the (cumulative tokens, cumulative
+    distinct types) curve sampled at every document boundary. The
+    companion to zipf_law_fit on the other axis — beta (~0.4-0.8 for
+    natural text) and K are the knobs that predict vocabulary (and so
+    tokenizer/embedding-table) size at 100 TB from a small crawl, and a
+    curve that flattens early is the fingerprint of a template-heavy or
+    deduplicated-to-death slice.
+
+    Each doc contributes two integers: its token count and the number
+    of types whose FIRST occurrence (min doc_id over a vocab-sized
+    aggregate) lands in it. Both prefix sums run two-phase — per-bin
+    subtotals, a window over the bounded bin table, bin-local seating —
+    so no data-sized sort anywhere (same machinery as the wave-36 rank
+    statistics). The log points are rounded to 1e-9 fixed-point
+    INTEGERS and the OLS moments summed in decimal(38,0)/hugeint
+    (~5e23 at sf0.1), so unlike the 500-point zipf fit this regression
+    stays exact at any point count."""
+    tk = fan_out_scan(
+        T(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
+    ).select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens(F.col("text")), lambda w: F.lower(w))
+        ).alias("tok"),
+    )
+    nd = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok"))
+    nn = (
+        tk.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nnew"))
+    )
+    base = nd.join(nn, "doc_id", "left").select(
+        "doc_id", "ntok", F.coalesce("nnew", F.lit(0)).alias("nnew")
+    )
+    from pyspark.sql import Window
+
+    base = base.withColumn("bin", (F.col("doc_id") / F.lit(256)).cast("long"))
+    binc = base.groupBy("bin").agg(
+        F.sum("ntok").alias("bt"), F.sum("nnew").alias("bv")
+    )
+    wb = Window.orderBy("bin")
+    offs = binc.select(
+        "bin",
+        (F.sum("bt").over(wb) - F.col("bt")).alias("offt"),
+        (F.sum("bv").over(wb) - F.col("bv")).alias("offv"),
+    )
+    wl = Window.partitionBy("bin").orderBy("doc_id")
+    cum = base.join(offs, "bin").select(
+        (F.col("offt") + F.sum("ntok").over(wl)).cast("long").alias("cn"),
+        (F.col("offv") + F.sum("nnew").over(wl)).cast("long").alias("cv"),
+    )
+    pts = cum.select(
+        F.round(F.log(F.col("cn").cast("double")) * 1e9)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cv").cast("double")) * 1e9)
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    ).crossJoin(
+        F.broadcast(
+            cum.agg(
+                F.max("cn").alias("tokens_total"),
+                F.max("cv").alias("vocab_total"),
+            )
+        )
+    )
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+    n = d("n")
+    num = n * d("sxy") - d("sx") * d("sy")
+    denx = n * d("sxx") - d("sx") * d("sx")
+    deny = n * d("syy") - d("sy") * d("sy")
+    beta = num / denx
+    return a.select(
+        F.col("n").cast("long").alias("n_docs"),
+        "tokens_total",
+        "vocab_total",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(((d("sy") - beta * d("sx")) / n) / 1e9), 4).alias(
+            "heaps_k"
+        ),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+# --- Wave 38: readability ----------------------------------------------------
+
+_FLESCH_ORACLE = r"""
+WITH d AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\s+')) AS words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syls,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents
+  FROM documents WHERE length(trim(text)) > 0
+),
+g AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(words) AS BIGINT) AS w,
+         cast(sum(syls) AS BIGINT) AS s,
+         cast(sum(sents) AS BIGINT) AS t
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, w AS total_words,
+       floor(w::DOUBLE / t::DOUBLE * 1e6) / 1e6 AS words_per_sentence,
+       floor(s::DOUBLE / w::DOUBLE * 1e6) / 1e6 AS syllables_per_word,
+       round(206.835::DOUBLE
+             - 1.015::DOUBLE * (w::DOUBLE / t::DOUBLE)
+             - 84.6::DOUBLE * (s::DOUBLE / w::DOUBLE), 4) AS flesch_ease
+FROM g
+"""
+
+
+@query(
+    "flesch_readability_by_source",
+    oracle=_FLESCH_ORACLE,
+    tags=["text", "quality", "llm-pipeline"],
+)
+def flesch_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source, POOLED: 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words) computed from source-level
+    integer totals, not averaged per-doc scores — pooling keeps every
+    input an exact integer sum (no float mean of floats, no sum-order
+    drift) and weights long documents by their length, which is what a
+    corpus-level readability dashboard wants. Syllables are the
+    standard vowel-group proxy (runs of [aeiouy]); sentences are
+    [.!?]+ runs floored at 1 per doc. The quality-screen companion to
+    gopher_quality_filter: sources whose pooled ease drifts far from
+    prose norms (~60-80) are boilerplate, code, or tables.
+
+    Plan: one fanned-out scan, three regexp counters per doc (JVM
+    expressions, whole-stage codegen), one bounded groupBy(source).
+    Ratios are trunc6'd (exact-integer ratio rule); only the final
+    Flesch combination uses round (float linear combination)."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
+    ).select(
+        "source",
+        F.size(tokens(F.col("text"))).alias("words"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).alias(
+            "syls"
+        ),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        ).alias("sents"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").cast("long").alias("w"),
+        F.sum("syls").cast("long").alias("s"),
+        F.sum("sents").cast("long").alias("t"),
+    )
+    wd = F.col("w").cast("double")
+    sd = F.col("s").cast("double")
+    td = F.col("t").cast("double")
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return g.select(
+        "source",
+        "n_docs",
+        F.col("w").alias("total_words"),
+        trunc6(wd / td).alias("words_per_sentence"),
+        trunc6(sd / wd).alias("syllables_per_word"),
+        F.round(
+            206.835 - 1.015 * (wd / td) - 84.6 * (sd / wd), 4
+        ).alias("flesch_ease"),
+    )

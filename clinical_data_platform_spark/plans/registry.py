@@ -269,6 +269,8 @@ PRIORITY_ORDER = [
 # anova_f_priority_price (new, exact-sufficient-statistics ANOVA),
 # bh_fdr_nation_price (new, BH step-up over a one-vs-rest Welch screen),
 # dsir_importance_topk (new, fixed-point DSIR importance scores),
+# heaps_law_fit (new, fixed-point vocabulary-growth OLS),
+# flesch_readability_by_source (new, pooled readability screen),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

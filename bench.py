@@ -199,6 +199,19 @@ HEADLINE = [
     # wave 38: corpus scaling laws + readability
     "heaps_law_fit",
     "flesch_readability_by_source",
+    # wave 39: directional link analysis
+    "trade_hits_scores",
+    # wave 40: isotonic calibration
+    "isotonic_calibration_bins",
+    # wave 41: multi-dimensional clustering + hybrid retrieval
+    "zorder_layout_audit",
+    "hybrid_search_rrf",
+    # wave 42: evidence-weighted collocations + probabilistic linkage
+    "dunning_g2_collocations",
+    "fellegi_sunter_weights",
+    # wave 43: link prediction + sequential drift detection
+    "trade_link_prediction",
+    "page_hinkley_drift",
 ]
 
 

@@ -339,3 +339,124 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("ppl"), 4).alias("avg_ppl"),
         )
     )
+
+
+# --- Wave 42: Dunning log-likelihood collocations -----------------------------
+
+
+@query(
+    "dunning_g2_collocations",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[2] AS w2,
+             count(*) AS c
+      FROM (SELECT unnest({_gram_sql(2)}) AS g FROM t)
+      GROUP BY 1, 2
+    ),
+    lm AS (SELECT w1, cast(sum(c) AS BIGINT) AS lc FROM bg GROUP BY w1),
+    rm AS (SELECT w2, cast(sum(c) AS BIGINT) AS rc FROM bg GROUP BY w2),
+    n AS (SELECT cast(sum(c) AS BIGINT) AS total FROM bg),
+    cells AS (
+      SELECT bg.w1, bg.w2, bg.c AS o11,
+             lm.lc - bg.c AS o12,
+             rm.rc - bg.c AS o21,
+             n.total - lm.lc - rm.rc + bg.c AS o22,
+             lm.lc AS lc, rm.rc AS rc, n.total AS total
+      FROM bg JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
+      WHERE bg.c >= {_MIN_PAIR}
+    ),
+    scored AS (
+      SELECT w1, w2, o11,
+             2.0::DOUBLE * (
+               (CASE WHEN o11 > 0 THEN o11 * ln(o11 * 1.0 * total / (lc * rc)) ELSE 0.0::DOUBLE END)
+             + (CASE WHEN o12 > 0 THEN o12 * ln(o12 * 1.0 * total / (lc * (total - rc))) ELSE 0.0::DOUBLE END)
+             + (CASE WHEN o21 > 0 THEN o21 * ln(o21 * 1.0 * total / ((total - lc) * rc)) ELSE 0.0::DOUBLE END)
+             + (CASE WHEN o22 > 0 THEN o22 * ln(o22 * 1.0 * total / ((total - lc) * (total - rc))) ELSE 0.0::DOUBLE END)
+             ) AS g2
+      FROM cells
+    )
+    SELECT w1, w2, cast(o11 AS BIGINT) AS n_pair, round(g2, 4) AS g2
+    FROM scored
+    ORDER BY g2 DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=["text", "collocation", "llm-pipeline"],
+)
+def dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by Dunning's log-likelihood ratio (Dunning
+    1993) — the statistically honest counterpart to PMI, which
+    over-rewards rare pairs (a 5/5 pair outscores a 5000/6000 one); G2
+    weighs the evidence by count, so high-volume collocations surface.
+
+    2x2 contingency per bigram in BIGRAM-position marginals (left
+    marginal = bigrams starting with w1, right = bigrams ending with
+    w2), G2 = 2*sum O*ln(O/E) with the O=0 terms exactly zero.
+
+    Plan: ONE bigram count table feeds the cell counts and both
+    marginals (two grouped re-aggregations of the counted table — no
+    second corpus scan); the support filter (>= {mp}) runs before the
+    marginal joins; every O and margin is an exact integer, ln() runs
+    on identical integer-ratio doubles with round4 before the sort so
+    the top-20 tie-break is engine-stable; TakeOrderedAndProject caps
+    the output.""".format(mp=_MIN_PAIR)
+    d = _doc_tokens(spark, sf_dir)
+    bg = (
+        d.select(F.explode(_grams(F.col("ws"), 2)).alias("g"))
+        .select(
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = bg.localCheckpoint()  # feeds cells + both marginals
+    lm = bg.groupBy("w1").agg(F.sum("c").cast("long").alias("lc"))
+    rm = bg.groupBy("w2").agg(F.sum("c").cast("long").alias("rc"))
+    n = bg.agg(F.sum("c").cast("long").alias("total"))
+    cells = (
+        bg.filter(F.col("c") >= _MIN_PAIR)
+        .join(lm, "w1")
+        .join(rm, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("o11"),
+            (F.col("lc") - F.col("c")).alias("o12"),
+            (F.col("rc") - F.col("c")).alias("o21"),
+            (F.col("total") - F.col("lc") - F.col("rc") + F.col("c")).alias(
+                "o22"
+            ),
+            "lc",
+            "rc",
+            "total",
+        )
+    )
+
+    def term(o, num, den):
+        return F.when(
+            o > 0, o * F.log(o * F.lit(1.0) * F.col("total") / (num * den))
+        ).otherwise(F.lit(0.0))
+
+    tot, lc, rc = F.col("total"), F.col("lc"), F.col("rc")
+    g2 = 2.0 * (
+        term(F.col("o11"), lc, rc)
+        + term(F.col("o12"), lc, tot - rc)
+        + term(F.col("o21"), tot - lc, rc)
+        + term(F.col("o22"), tot - lc, tot - rc)
+    )
+    return (
+        cells.select(
+            "w1",
+            "w2",
+            F.col("o11").cast("long").alias("n_pair"),
+            F.round(g2, 4).alias("g2"),
+        )
+        .orderBy(F.desc("g2"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -28,7 +28,7 @@ this module is the detection/monitoring side a release gate reads.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import fan_out_scan
 from ..catalog import table as T
@@ -683,4 +683,156 @@ def nb_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)
             ).cast("double")
         ).alias("f1"),
+    )
+
+
+# --- Wave 40: isotonic calibration (PAV via the minimax identity) ------------
+
+# Shared bin-table SQL: the decile reliability rows (bin, n, pos) the
+# isotonic fit regresses over — identical to classifier_calibration_bins'
+# grouping, kept as integers so every downstream quotient is exact.
+_ISO_BINS_SQL = f"""
+    t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    sc AS (
+      SELECT floor((1.0 / (1.0 + exp(-4.0 *
+               (list_sum(list_transform(ws, w -> {_WEIGHT_SQL.format(w='w')}))
+                / greatest(len(ws), 1))))) * 1e6) / 1e6 AS keep_prob,
+             len(list_intersect(ws, {_CAL_STOPWORDS!r})) > 0 AS outcome
+      FROM t
+    ),
+    bins AS (
+      SELECT least(floor(keep_prob * 10), 9)::BIGINT AS bin,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(CASE WHEN outcome THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM sc GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n, pos,
+             sum(n)   OVER (ORDER BY bin) AS cn,
+             sum(pos) OVER (ORDER BY bin) AS cp
+      FROM bins
+    ),
+    segs AS (
+      SELECT a.bin AS i, b.bin AS j,
+             (b.cp - (a.cp - a.pos))::DOUBLE
+               / (b.cn - (a.cn - a.n)) AS segavg
+      FROM cum a JOIN cum b ON a.bin <= b.bin
+    ),
+    inner_min AS (
+      SELECT s.i, k.bin,
+             min(s.segavg) AS m
+      FROM segs s JOIN bins k ON s.i <= k.bin AND s.j >= k.bin
+      GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "isotonic_calibration_bins",
+    oracle=(
+        "WITH "
+        + _ISO_BINS_SQL
+        + """
+    SELECT k.bin,
+           k.n AS n_docs,
+           floor(k.pos::DOUBLE / k.n * 1e6) / 1e6 AS outcome_rate,
+           round(max(im.m), 6) AS iso_rate
+    FROM bins k JOIN inner_min im ON im.bin = k.bin
+    GROUP BY 1, 2, 3
+    """
+    ),
+    tags=["ml", "calibration", "isotonic", "extension"],
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the quality classifier — the
+    post-hoc monotone mapping from predicted probability to observed
+    rate that Platt/temperature scaling can't express when the
+    miscalibration isn't sigmoid-shaped (Zadrozny & Elkan 2002).
+
+    Pool-adjacent-violators is usually presented as a sequential stack
+    sweep, which doesn't distribute. This plan instead uses the exact
+    minimax identity iso(k) = max_{i<=k} min_{j>=k} avg(pos, i..j):
+    the corpus-scale work is ONE map-side decile aggregation (the same
+    least(floor(p*10),9) binning as classifier_calibration_bins — no
+    global sort); everything after runs on the BOUNDED bin table (<=10
+    rows → <=55 segments), so the fit costs the same at 100 TB as at
+    1 MB. Every segment average is an exact-integer quotient (one IEEE
+    division, engine-identical), min/max over identical doubles is
+    order-stable, and only the final iso_rate is rounded — so the whole
+    fit is value-oracled, and monotonicity + the PAV recount are pinned
+    in pytest."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    total = F.aggregate(
+        F.transform(F.col("ws"), _token_weight),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    prob = 1.0 / (
+        1.0 + F.exp(-4.0 * (total / F.greatest(F.size("ws"), F.lit(1))))
+    )
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    bins = (
+        d.select(
+            trunc6(prob).alias("keep_prob"),
+            F.arrays_overlap(
+                "ws", F.array(*[F.lit(w) for w in _CAL_STOPWORDS])
+            ).alias("outcome"),
+        )
+        .groupBy(
+            F.least(F.floor(F.col("keep_prob") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("outcome"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    # Bounded from here down: the window's global sort orders <=10 rows.
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    a = cum.select(
+        F.col("bin").alias("i"),
+        (F.col("cp") - F.col("pos")).alias("cp_prev"),
+        (F.col("cn") - F.col("n")).alias("cn_prev"),
+    )
+    b = cum.select(
+        F.col("bin").alias("j"), F.col("cp"), F.col("cn")
+    )
+    segs = a.join(b, F.col("i") <= F.col("j")).select(
+        "i", "j",
+        (
+            (F.col("cp") - F.col("cp_prev")).cast("double")
+            / (F.col("cn") - F.col("cn_prev"))
+        ).alias("segavg"),
+    )
+    k = bins.select(
+        F.col("bin"), F.col("n").alias("n_docs"),
+        (F.floor(F.col("pos").cast("double") / F.col("n") * 1e6) / 1e6)
+        .alias("outcome_rate"),
+    )
+    inner_min = (
+        segs.join(
+            k.select("bin"),
+            (F.col("i") <= F.col("bin")) & (F.col("j") >= F.col("bin")),
+        )
+        .groupBy("i", "bin")
+        .agg(F.min("segavg").alias("m"))
+    )
+    return (
+        k.join(inner_min, "bin")
+        .groupBy("bin", "n_docs", "outcome_rate")
+        .agg(F.round(F.max("m"), 6).alias("iso_rate"))
     )

@@ -1590,3 +1590,117 @@ def user_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sig, 4).alias("std_gap_s"),
         F.round((sig - mu) / (sig + mu), 4).alias("burstiness"),
     )
+
+
+# --- Wave 43: Page-Hinkley drift detection ------------------------------------
+
+_PH_LAMBDA_FP = 50_000_000_000  # alarm threshold ($500), cents x 1e6 fixed-point
+
+
+@query(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             sum(CAST(round(value * 100.0) AS BIGINT)) AS xi
+      FROM events GROUP BY 1, 2
+    ),
+    walk AS (
+      SELECT event_type, hour, xi,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t,
+             sum(xi) OVER (PARTITION BY event_type ORDER BY hour) AS s
+      FROM h
+    ),
+    inc AS (
+      SELECT event_type, hour,
+             CAST(floor((xi - s::DOUBLE / t) * 1e6) AS BIGINT) AS inc_fp
+      FROM walk
+    ),
+    m AS (
+      SELECT event_type, hour,
+             sum(inc_fp) OVER (PARTITION BY event_type ORDER BY hour) AS m_fp
+      FROM inc
+    ),
+    ph AS (
+      SELECT event_type, hour,
+             m_fp - min(m_fp) OVER (PARTITION BY event_type ORDER BY hour)
+               AS ph_fp
+      FROM m
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n_hours,
+           cast(sum(CASE WHEN ph_fp > {_PH_LAMBDA_FP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           cast(coalesce(min(CASE WHEN ph_fp > {_PH_LAMBDA_FP}
+                              THEN cast(floor(epoch(hour)) AS BIGINT) END), 0)
+                AS BIGINT) AS first_alarm_epoch_s,
+           floor(max(ph_fp) / 1e6) / 100.0 AS max_ph_stat
+    FROM ph
+    GROUP BY event_type
+    """,
+    tags=["time-series", "drift", "monitoring", "extension"],
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detection (Page 1954; the test behind
+    most streaming concept-drift monitors, e.g. river/MOA): per event
+    type, the hourly revenue series x_t is folded into the PH walk
+    m_t = sum_{i<=t} (x_i - mean_i) and the alarm statistic
+    PH_t = m_t - min_{i<=t} m_i; PH_t exceeding lambda means the series
+    has run persistently ABOVE its own historical mean — a level drift,
+    not a one-hour spike (which CUSUM-style accumulation absorbs).
+
+    The classic formulation is a sequential recursion; here every piece
+    is a cumulative window over the (type, hour) series: running count/
+    sum give mean_i, the per-step increment is floor-truncated into
+    1e-6-cent FIXED-POINT int64 so the walk, its running min, and the
+    alarm comparisons are pure integer arithmetic — no float-sum
+    ordering anywhere after one exact double subtraction per row (the
+    hourly_linear_interpolation lesson applied to a recursion). Output
+    is the per-type summary: hours observed, alarms fired, first alarm
+    time (whole-second epoch; 0 = never), max PH in dollars.
+
+    At 100 TB the corpus-scale work is the one (type, hour) rollup; the
+    windows run over the hours-bounded series per type."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("xi")
+    )
+    series = Window.partitionBy("event_type").orderBy("hour")
+    cum = series.rowsBetween(Window.unboundedPreceding, 0)
+    walk = h.select(
+        "event_type",
+        "hour",
+        "xi",
+        F.row_number().over(series).alias("t"),
+        F.sum("xi").over(cum).alias("s"),
+    )
+    inc = walk.select(
+        "event_type",
+        "hour",
+        F.floor(
+            (F.col("xi") - F.col("s").cast("double") / F.col("t")) * 1e6
+        )
+        .cast("long")
+        .alias("inc_fp"),
+    )
+    m = inc.select(
+        "event_type", "hour", F.sum("inc_fp").over(cum).alias("m_fp")
+    )
+    ph = m.select(
+        "event_type",
+        "hour",
+        (F.col("m_fp") - F.min("m_fp").over(cum)).alias("ph_fp"),
+    )
+    alarm = F.col("ph_fp") > _PH_LAMBDA_FP
+    return ph.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("hour").cast("long"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_alarm_epoch_s"),
+        (F.floor(F.max("ph_fp") / 1e6) / 100.0).alias("max_ph_stat"),
+    )

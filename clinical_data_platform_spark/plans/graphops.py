@@ -805,3 +805,301 @@ def trade_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         removed.cast("int").alias("removed_round"),
         "core_degree",
     )
+
+
+# --- Wave 39: HITS hubs & authorities ----------------------------------------
+
+_HITS_ITERS = 5
+
+# MATERIALIZED throughout: DuckDB's default CTE inlining would re-evaluate
+# the 5-way edge build once per reference — 2^iters re-scans of the parquet
+# inputs, which both explodes runtime and exhausts file descriptors (the
+# same trap trade_kcore_peeling hit; see its plan note).
+_HITS_EDGES_SQL = """
+    e AS MATERIALIZED (
+      SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS h FROM nodes)
+"""
+
+
+def _hits_iter_sql(k: int) -> str:
+    return f"""
+    a{k}r AS MATERIALIZED (
+      SELECT e.dst AS node, sum(p.h * e.w) AS raw
+      FROM e JOIN h{k - 1} p ON p.node = e.src GROUP BY 1
+    ),
+    a{k} AS MATERIALIZED (
+      SELECT nd.node,
+             round(coalesce(r.raw, 0.0::DOUBLE)
+                   / (SELECT max(raw) FROM a{k}r), 12) AS a
+      FROM nodes nd LEFT JOIN a{k}r r ON r.node = nd.node
+    ),
+    h{k}r AS MATERIALIZED (
+      SELECT e.src AS node, sum(e.w * q.a) AS raw
+      FROM e JOIN a{k} q ON q.node = e.dst GROUP BY 1
+    ),
+    h{k} AS MATERIALIZED (
+      SELECT nd.node,
+             round(coalesce(r.raw, 0.0::DOUBLE)
+                   / (SELECT max(raw) FROM h{k}r), 12) AS h
+      FROM nodes nd LEFT JOIN h{k}r r ON r.node = nd.node
+    )"""
+
+
+@query(
+    "trade_hits_scores",
+    oracle=(
+        "WITH "
+        + _HITS_EDGES_SQL
+        + ","
+        + ",".join(_hits_iter_sql(k) for k in range(1, _HITS_ITERS + 1))
+        + f"""
+    SELECT a{_HITS_ITERS}.node AS nation,
+           round(h{_HITS_ITERS}.h, 6) AS hub,
+           round(a{_HITS_ITERS}.a, 6) AS authority
+    FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS}
+      ON h{_HITS_ITERS}.node = a{_HITS_ITERS}.node
+    """
+    ),
+    tags=["graph", "iterative", "extension"],
+)
+def trade_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg 1999) over the weighted
+    nation trade graph — PageRank's directional sibling: a nation is a
+    strong HUB when it supplies the big buyers and a strong AUTHORITY
+    when the big suppliers sell into it, the classic mutual-
+    reinforcement pair the single PageRank score conflates.
+
+    {iters} synchronous a/h rounds. Instead of the textbook L2 (or L1)
+    normalization — whose norm is itself a float SUM whose partial-agg
+    order Spark doesn't pin — each vector is normalized by its MAX,
+    which is order-deterministic on identical doubles, leaves the
+    ranking and the fixed point's direction unchanged (scaling in HITS
+    is arbitrary), and lets the 12-dp per-round rounding re-synchronize
+    both engines exactly as in nation_trade_pagerank. Edge list and
+    node set localCheckpoint once before the loop; each round is two
+    node-keyed join+agg shuffles — broadcastable at this node count,
+    hash-co-located at web scale.""".format(iters=_HITS_ITERS)
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    e = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # The max-normalizer comes from an UNPARTITIONED window over the
+    # node-level score table: that table is bounded by the node count
+    # (graph vertices, not edges/rows), so the single window task holds
+    # |V| rows — fine for entity-level graphs; for web-scale |V| swap in
+    # an agg + broadcast-join scalar (costs one extra tiny job/round).
+    wall = Window.partitionBy()
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            e.join(h, e.src == h.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("raw"))
+        )
+        a = (
+            nodes.join(ar, nodes.node == ar.dst, "left")
+            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            .select(
+                "node",
+                F.round(
+                    F.col("raw") / F.max("raw").over(wall), 12
+                ).alias("a"),
+            )
+        )
+        hr = (
+            e.join(a, e.dst == a.node)
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("raw"))
+        )
+        h = (
+            nodes.join(hr, nodes.node == hr.src, "left")
+            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            .select(
+                "node",
+                F.round(
+                    F.col("raw") / F.max("raw").over(wall), 12
+                ).alias("h"),
+            )
+        )
+    return (
+        a.join(h, "node")
+        .select(
+            F.col("node").alias("nation"),
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )
+
+
+# --- Wave 43: common-neighbor link prediction ---------------------------------
+
+
+@query(
+    "trade_link_prediction",
+    oracle=(
+        "WITH "
+        + _LP_EDGES_SQL
+        + """,
+    deg AS (SELECT src AS node, count(*) AS d FROM esym GROUP BY 1),
+    cn AS (
+      SELECT e1.src AS a, e2.src AS b, count(*) AS n_common
+      FROM esym e1 JOIN esym e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT cn.a, cn.b, cn.n_common
+      FROM cn
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ek WHERE ek.a = cn.a AND ek.b = cn.b
+      )
+    )
+    SELECT ne.a, ne.b,
+           cast(ne.n_common AS BIGINT) AS n_common,
+           floor(ne.n_common * 1e6 / (da.d + db.d - ne.n_common)) / 1e6
+             AS jaccard
+    FROM nonedge ne
+    JOIN deg da ON da.node = ne.a
+    JOIN deg db ON db.node = ne.b
+    ORDER BY jaccard DESC, ne.a, ne.b
+    LIMIT 10
+    """
+    ),
+    tags=["graph", "link-prediction", "extension"],
+)
+def trade_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard (Liben-Nowell & Kleinberg
+    2003) on the thresholded undirected trade graph (the same 1.5x-mean
+    edge build as label_propagation_communities): for every NON-adjacent
+    node pair sharing at least one neighbor, score = |N(a) cap N(b)| /
+    |N(a) cup N(b)| — the "who should be trading but isn't" candidate
+    list, and the classic cheap feature under every graph-ML link
+    recommender.
+
+    Plan: candidate pairs come from the two-hop self-join on the shared
+    neighbor (wedge enumeration — the trade_triangle_counts shape, fan-out
+    bounded by degree, never node-count squared), existing edges drop out
+    via one left-anti join on the canonical (a < b) edge list, degrees
+    arrive from a node-sized aggregate, and the Jaccard is an exact
+    integer ratio trunc6'd before the TakeOrdered(10) so the tie-break is
+    engine-stable."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    d0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        d0.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    thresh = und.agg(F.avg("w").alias("avg_w"))
+    ek = (
+        und.crossJoin(F.broadcast(thresh))
+        .filter(F.col("w") > 1.5 * F.col("avg_w"))
+        .select("a", "b")
+        .localCheckpoint()  # feeds esym, the anti-join, and (via esym) deg
+    )
+    esym = ek.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        ek.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = esym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = esym.select(F.col("src").alias("a"), F.col("dst").alias("x"))
+    e2 = esym.select(F.col("src").alias("b"), F.col("dst").alias("x"))
+    cn = (
+        e1.join(e2, (e1.x == e2.x) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonedge = cn.join(F.broadcast(ek), ["a", "b"], "left_anti")
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
+    return (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.floor(
+                    F.col("n_common")
+                    * F.lit(1e6)
+                    / (F.col("da") + F.col("db") - F.col("n_common"))
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(10)
+    )

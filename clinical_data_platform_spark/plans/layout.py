@@ -202,3 +202,194 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("size_units") * F.lit(1e6) / _BIN_TARGET) / 1e6
         ).alias("fill_ratio"),
     )
+
+
+# --- Wave 41: Z-order (Morton) clustering audit -------------------------------
+
+_Z_BITS = 12  # 12 bits/dimension covers ~2557 order dates and price/150 bins
+_Z_FILE_ROWS = 1000
+_Z_EPOCH = "1992-01-01"
+_Z_PRICE_SCALE = 150.0
+# the 2-D predicate the layouts compete on
+_Z_D_LO, _Z_D_HI = "1995-03-01", "1995-05-31"
+_Z_P_LO, _Z_P_HI = 100000.0, 150000.0
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    """DuckDB: Morton-interleave two _Z_BITS-wide ints (x gets the odd
+    bit positions). Pure integer shifts — engine-exact."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_interleave_col(x, y):
+    """Spark twin of _z_interleave_sql (literal shift counts only)."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        ) + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i)
+    return z
+
+
+@query(
+    "zorder_layout_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '{_Z_EPOCH}',
+                      cast(o_orderdate AS DATE))::BIGINT AS d,
+             o_totalprice,
+             least(floor(o_totalprice / {_Z_PRICE_SCALE}::DOUBLE),
+                   {(1 << _Z_BITS) - 1})::BIGINT AS p
+      FROM orders
+    ),
+    keyed AS (
+      SELECT *, {_z_interleave_sql('d', 'p')} AS z FROM base
+    ),
+    assigned AS (
+      SELECT 'date_sorted' AS layout, d, o_totalprice,
+             cast(floor((row_number() OVER (ORDER BY d, o_orderkey) - 1)
+                        / {_Z_FILE_ROWS}) AS BIGINT) AS file_id
+      FROM keyed
+      UNION ALL
+      SELECT 'price_sorted', d, o_totalprice,
+             cast(floor((row_number() OVER
+                          (ORDER BY o_totalprice, o_orderkey) - 1)
+                        / {_Z_FILE_ROWS}) AS BIGINT)
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder', d, o_totalprice,
+             cast(floor((row_number() OVER (ORDER BY z, o_orderkey) - 1)
+                        / {_Z_FILE_ROWS}) AS BIGINT)
+      FROM keyed
+    ),
+    files AS (
+      SELECT layout, file_id,
+             min(d) AS d_lo, max(d) AS d_hi,
+             min(o_totalprice) AS p_lo, max(o_totalprice) AS p_hi,
+             cast(count(*) AS BIGINT) AS n_rows
+      FROM assigned GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN d_hi >= datediff('day', DATE '{_Z_EPOCH}',
+                                        DATE '{_Z_D_LO}')
+                   AND d_lo <= datediff('day', DATE '{_Z_EPOCH}',
+                                        DATE '{_Z_D_HI}')
+                   AND p_hi >= {_Z_P_LO}::DOUBLE
+                   AND p_lo <= {_Z_P_HI}::DOUBLE
+                  THEN 1 ELSE 0 END AS hit
+      FROM files
+    )
+    SELECT layout,
+           cast(count(*) AS BIGINT) AS n_files,
+           cast(sum(hit) AS BIGINT) AS files_scanned,
+           floor((count(*) - sum(hit)) * 1e6 / count(*)) / 1e6
+             AS skip_fraction,
+           cast(sum(CASE WHEN hit = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned
+    FROM flagged
+    GROUP BY layout
+    """,
+    tags=["layout", "zorder", "zone-map", "extension"],
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit — zone_map_skipping_audit's
+    two-dimensional sequel, and the measured argument behind Delta
+    OPTIMIZE ZORDER BY / Iceberg sort orders: a single-column sort makes
+    one predicate column prunable and leaves the other scattered; bit-
+    interleaving both columns into one Morton key gives BOTH range
+    predicates locality at once.
+
+    The same orders rows are laid into {rows}-row files under three
+    layouts (date-sorted, price-sorted, Z-order of 12-bit day index x
+    12-bit price bin), per-file min/max zone maps are kept on BOTH raw
+    predicate columns, and a 2-D band predicate (one quarter of 1995 AND
+    a price band) is priced under each: files_scanned / skip_fraction /
+    rows_scanned per layout.
+
+    Exactness: day index and price bin are integer arithmetic, the
+    Morton key is pure shifts/adds, zone-map overlap is integer/double
+    comparison, skip_fraction a trunc6 integer ratio — value-identical
+    cross-engine. The file assignment's global sort is intrinsic (it IS
+    the layout being priced); at scale it's repartitionByRange over the
+    Morton key, which is exactly how OPTIMIZE ZORDER executes.""".format(
+        rows=_Z_FILE_ROWS
+    )
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+        "o_totalprice",
+        F.least(
+            F.floor(F.col("o_totalprice") / _Z_PRICE_SCALE),
+            F.lit((1 << _Z_BITS) - 1),
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    keyed = base.withColumn(
+        "z", _z_interleave_col(F.col("d"), F.col("p"))
+    )
+
+    def assign(layout: str, *order_cols) -> DataFrame:
+        return keyed.select(
+            F.lit(layout).alias("layout"),
+            "d",
+            "o_totalprice",
+            F.floor(
+                (F.row_number().over(Window.orderBy(*order_cols)) - 1)
+                / _Z_FILE_ROWS
+            )
+            .cast("long")
+            .alias("file_id"),
+        )
+
+    assigned = (
+        assign("date_sorted", "d", "o_orderkey")
+        .unionByName(assign("price_sorted", "o_totalprice", "o_orderkey"))
+        .unionByName(assign("zorder", "z", "o_orderkey"))
+    )
+    files = assigned.groupBy("layout", "file_id").agg(
+        F.min("d").alias("d_lo"),
+        F.max("d").alias("d_hi"),
+        F.min("o_totalprice").alias("p_lo"),
+        F.max("o_totalprice").alias("p_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    d_lo_band = F.datediff(
+        F.lit(_Z_D_LO).cast("date"), F.lit(_Z_EPOCH).cast("date")
+    )
+    d_hi_band = F.datediff(
+        F.lit(_Z_D_HI).cast("date"), F.lit(_Z_EPOCH).cast("date")
+    )
+    hit = F.when(
+        (F.col("d_hi") >= d_lo_band)
+        & (F.col("d_lo") <= d_hi_band)
+        & (F.col("p_hi") >= _Z_P_LO)
+        & (F.col("p_lo") <= _Z_P_HI),
+        1,
+    ).otherwise(0)
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(hit).cast("long").alias("files_scanned"),
+        (
+            F.floor(
+                (F.count(F.lit(1)) - F.sum(hit))
+                * F.lit(1e6)
+                / F.count(F.lit(1))
+            )
+            / 1e6
+        ).alias("skip_fraction"),
+        F.sum(F.when(hit == 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )

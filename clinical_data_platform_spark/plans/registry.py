@@ -271,6 +271,26 @@ PRIORITY_ORDER = [
 # dsir_importance_topk (new, fixed-point DSIR importance scores),
 # heaps_law_fit (new, fixed-point vocabulary-growth OLS),
 # flesch_readability_by_source (new, pooled readability screen),
+# trade_hits_scores (new, HITS hubs/authorities — the whole 5-round
+#   mutual-reinforcement chain value-verified by a chained materialized-
+#   CTE oracle, max-normalized so the rounding re-sync is order-stable),
+# isotonic_calibration_bins (new, PAV isotonic calibration via the exact
+#   minimax identity — corpus work is one map-side decile agg, the fit
+#   runs on the bounded bin table, sequential-PAV recount in pytest),
+# zorder_layout_audit (new, Morton-curve clustering priced against both
+#   single-column sorts under a 2-D predicate — the OPTIMIZE ZORDER
+#   argument, integer bit-interleave so value-exact cross-engine),
+# hybrid_search_rrf (new, reciprocal-rank fusion of BM25 and ln-tf-idf
+#   rankings — rank-only fusion over the posting-bounded candidate set),
+# dunning_g2_collocations (new, log-likelihood-ratio collocations — the
+#   count-weighted companion to bigram_pmi_top20),
+# fellegi_sunter_weights (new, probabilistic record-linkage agreement
+#   patterns with data-estimated u-probabilities over the blocked
+#   candidate pairs),
+# trade_link_prediction (new, neighbor-set Jaccard link prediction via
+#   wedge enumeration + edge anti-join on the thresholded trade graph),
+# page_hinkley_drift (new, sequential PH drift test as cumulative
+#   windows in 1e-6-cent integer fixed-point — no float-sum ordering),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -1151,3 +1151,326 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("ws"), pos + 1, F.lit(_KWIC_WIN)), " "
         ).alias("right_ctx"),
     )
+
+
+# --- Wave 41: reciprocal-rank fusion hybrid retrieval -------------------------
+
+_RRF_K = 60  # the standard Cormack et al. constant
+_RRF_TOP = 10
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ws) AS doclen FROM t),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM t)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tok, count(*) AS df,
+             ln(1.0::DOUBLE + (s.n_docs - count(*) + 0.5::DOUBLE)
+                / (count(*) + 0.5::DOUBLE)) AS bm25_idf,
+             ln(s.n_docs::DOUBLE / count(*)) AS tfidf_idf
+      FROM tf, stats s GROUP BY tok, s.n_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             floor(sum(idf.bm25_idf * tf.tf
+                 / (tf.tf + {_BM25_K1}::DOUBLE
+                    * (1.0::DOUBLE - {_BM25_B}::DOUBLE
+                       + {_BM25_B}::DOUBLE * dl.doclen / s.avgdl)))
+                   * 1e6) / 1e6 AS bm25,
+             floor(sum(ln(1.0::DOUBLE + tf.tf) * idf.tfidf_idf)
+                   * 1e6) / 1e6 AS tfidf
+      FROM tf
+      JOIN idf USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, bm25, tfidf,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25,
+             row_number() OVER (ORDER BY tfidf DESC, doc_id) AS r_tfidf
+      FROM scored
+    )
+    SELECT doc_id,
+           cast(r_bm25 AS BIGINT) AS r_bm25,
+           cast(r_tfidf AS BIGINT) AS r_tfidf,
+           round(1.0::DOUBLE / ({_RRF_K} + r_bm25)
+                 + 1.0::DOUBLE / ({_RRF_K} + r_tfidf), 6) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_RRF_TOP}
+    """,
+    tags=["retrieval", "rrf", "hybrid", "llm-pipeline"],
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-search combiner: each retriever contributes
+    1/(k + rank) with k=60, so fusion needs only RANKS, never
+    comparable scores, which is exactly why RRF is the default way to
+    merge a lexical ranking with an ANN ranking in production retrieval
+    stacks. Here it fuses two genuinely different lexical rankers over
+    the same fixed query — BM25 (tf-saturating, length-normalized) and
+    classic ln(1+tf)*idf (neither) — which disagree enough on this
+    corpus to reorder the fused top-10.
+
+    Plan shape: one term-filtered posting scan feeds both scorers (the
+    tf table is |query terms| x matching docs); both ranks come from
+    row_number over the CANDIDATE set (posting-bounded, not the corpus
+    — the unpartitioned window holds only docs matching >= 1 term; at
+    larger candidate sets, rank only each retriever's top-N as real
+    fusion stacks do); trunc6 lands on each score BEFORE its rank so
+    tie-breaks are engine-stable, and the fused score is rational
+    arithmetic on integer ranks."""
+    d = fan_out_scan(T(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("bm25_idf"),
+            F.log(F.col("n_docs").cast("double") / F.col("df")).alias(
+                "tfidf_idf"
+            ),
+        )
+    )
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    bm25_term = F.col("bm25_idf") * F.col("tf") / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl"))
+    )
+    tfidf_term = F.log(1.0 + F.col("tf")) * F.col("tfidf_idf")
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            trunc6(F.sum(bm25_term)).alias("bm25"),
+            trunc6(F.sum(tfidf_term)).alias("tfidf"),
+        )
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_bm25"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("tfidf"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_tfidf"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "r_bm25",
+            "r_tfidf",
+            F.round(
+                1.0 / (_RRF_K + F.col("r_bm25"))
+                + 1.0 / (_RRF_K + F.col("r_tfidf")),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+
+
+# --- Wave 42: Fellegi-Sunter record-linkage weights ---------------------------
+
+_FS_M = 0.9  # assumed per-field agreement prob among true matches
+_FS_1M = 0.1  # 1 - _FS_M, written as a literal on BOTH engines (ulp parity)
+_FS_FIELDS = ("p_brand", "p_type", "p_size")
+
+
+def _fs_u_sql(f: str) -> str:
+    # u = P(two random records agree on f) = sum_v (n_v/N)^2, exact ints
+    return f"""(
+      SELECT sum(c * c)::DOUBLE / (sum(c) * sum(c))
+      FROM (SELECT count(*) AS c FROM part GROUP BY {f})
+    )"""
+
+
+@query(
+    "fellegi_sunter_weights",
+    oracle=f"""
+    WITH u AS (
+      SELECT {_fs_u_sql('p_brand')} AS u_brand,
+             {_fs_u_sql('p_type')} AS u_type,
+             {_fs_u_sql('p_size')} AS u_size
+    ),
+    w AS (
+      SELECT round(log2({_FS_M}::DOUBLE / u_brand), 6) AS wa_brand,
+             round(log2({_FS_1M}::DOUBLE / (1.0::DOUBLE - u_brand)), 6) AS wd_brand,
+             round(log2({_FS_M}::DOUBLE / u_type), 6) AS wa_type,
+             round(log2({_FS_1M}::DOUBLE / (1.0::DOUBLE - u_type)), 6) AS wd_type,
+             round(log2({_FS_M}::DOUBLE / u_size), 6) AS wa_size,
+             round(log2({_FS_1M}::DOUBLE / (1.0::DOUBLE - u_size)), 6) AS wd_size
+      FROM u
+    ),
+    t AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             list_sort(list_distinct(string_split(
+               lower(p_name || ' ' || p_brand || ' ' || p_type), ' '))) AS ts
+      FROM part
+    ),
+    b AS (
+      SELECT *, ts[1] || ' ' || ts[2] AS blk FROM t WHERE len(ts) >= 2
+    ),
+    pairs AS (
+      SELECT a.p_brand = c.p_brand AS brand_agree,
+             a.p_type = c.p_type AS type_agree,
+             a.p_size = c.p_size AS size_agree
+      FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+    )
+    SELECT brand_agree, type_agree, size_agree,
+           cast(count(*) AS BIGINT) AS n_pairs,
+           (CASE WHEN brand_agree THEN w.wa_brand ELSE w.wd_brand END
+            + CASE WHEN type_agree THEN w.wa_type ELSE w.wd_type END
+            + CASE WHEN size_agree THEN w.wa_size ELSE w.wd_size END)
+             AS match_weight
+    FROM pairs CROSS JOIN w
+    GROUP BY brand_agree, type_agree, size_agree, match_weight
+    """,
+    tags=["dedup", "entity-resolution", "fellegi-sunter"],
+)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter (1969) probabilistic record linkage over the
+    er_blocking candidate pairs: every within-block pair's agreement
+    pattern on (brand, type, size) scored by the classic log2(m/u) /
+    log2((1-m)/(1-u)) field weights — the decision-theoretic layer that
+    turns raw agreement bits into a calibrated match/possible/non-match
+    score, and the model behind Splink and most production linkers.
+
+    u-probabilities (chance agreement) are estimated from the data as
+    sum_v (n_v/N)^2 per field — one tiny value-count aggregate each, no
+    labeled pairs needed; m is the conventional 0.9 prior. Output is the
+    BOUNDED pattern table (<= 8 rows): pattern bits, pair count, total
+    match weight.
+
+    Exactness: u is a quotient of exact integer sums; each field weight
+    is round6'd right after its single log2 (identical doubles in), and
+    the pattern weight sums <= 3 rounded scalars in fixed order. The
+    blocked self-join is the same vocabulary-bounded candidate generator
+    as er_blocking_part_pairs — at 100 TB the weights come from
+    metadata-sized aggregates and the pairs shuffle on the block key."""
+    p = T(spark, sf_dir, "part")
+
+    def u_of(f: str):
+        vc = p.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+        return vc.agg(
+            (
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.sum("c") * F.sum("c"))
+            ).alias(f"u_{f[2:]}")
+        )
+
+    u = (
+        u_of("p_brand")
+        .crossJoin(u_of("p_type"))
+        .crossJoin(u_of("p_size"))
+    )
+    w = u.select(
+        *[
+            c
+            for f in ("brand", "type", "size")
+            for c in (
+                F.round(F.log2(F.lit(_FS_M) / F.col(f"u_{f}")), 6).alias(
+                    f"wa_{f}"
+                ),
+                F.round(
+                    F.log2(F.lit(_FS_1M) / (F.lit(1.0) - F.col(f"u_{f}"))), 6
+                ).alias(f"wd_{f}"),
+            )
+        ]
+    )
+    ts = F.array_sort(
+        F.array_distinct(
+            F.split(
+                F.lower(
+                    F.concat_ws(
+                        " ", F.col("p_name"), F.col("p_brand"), F.col("p_type")
+                    )
+                ),
+                " ",
+            )
+        )
+    )
+    b = (
+        p.select("p_partkey", "p_brand", "p_type", "p_size", ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .withColumn(
+            "blk",
+            F.concat_ws(" ", F.element_at("ts", 1), F.element_at("ts", 2)),
+        )
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.blk") == F.col("c.blk"))
+        & (F.col("a.p_partkey") < F.col("c.p_partkey")),
+    ).select(
+        (F.col("a.p_brand") == F.col("c.p_brand")).alias("brand_agree"),
+        (F.col("a.p_type") == F.col("c.p_type")).alias("type_agree"),
+        (F.col("a.p_size") == F.col("c.p_size")).alias("size_agree"),
+    )
+    weight = (
+        F.when(F.col("brand_agree"), F.col("wa_brand")).otherwise(
+            F.col("wd_brand")
+        )
+        + F.when(F.col("type_agree"), F.col("wa_type")).otherwise(
+            F.col("wd_type")
+        )
+        + F.when(F.col("size_agree"), F.col("wa_size")).otherwise(
+            F.col("wd_size")
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(w))
+        .groupBy(
+            "brand_agree",
+            "type_agree",
+            "size_agree",
+            weight.alias("match_weight"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "brand_agree",
+            "type_agree",
+            "size_agree",
+            "n_pairs",
+            "match_weight",
+        )
+    )

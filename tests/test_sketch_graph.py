@@ -305,3 +305,58 @@ def test_join_size_cms_one_sided_and_exact(spark):
     assert r.exact_join_size == expected
     assert r.cms_estimate >= r.exact_join_size  # one-sided overcount
     assert r.rel_overcount >= 0.0
+
+
+def test_hits_max_normalized_and_deterministic(spark):
+    """Max normalization pins both vectors to [0, 1] with at least one
+    exact 1.0 in each; two evaluations agree exactly (per-round rounding
+    re-synchronizes float sum order, as in PageRank)."""
+    from clinical_data_platform_spark.plans.graphops import trade_hits_scores
+
+    rows = trade_hits_scores(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    hubs = [r.hub for r in rows]
+    auths = [r.authority for r in rows]
+    assert max(hubs) == 1.0 and max(auths) == 1.0
+    assert all(0.0 <= v <= 1.0 for v in hubs + auths)
+    again = {r.nation: (r.hub, r.authority) for r in trade_hits_scores(spark, SF_DIR).collect()}
+    assert {r.nation: (r.hub, r.authority) for r in rows} == again
+
+
+def test_hits_tracks_brute_force(spark):
+    """The distributed a/h rounds match a driver-side numpy power
+    iteration on the same weighted adjacency matrix."""
+    import numpy as np
+
+    from clinical_data_platform_spark.plans.graphops import trade_hits_scores
+
+    rows = trade_hits_scores(spark, SF_DIR).collect()
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey", "o_custkey")
+    s = spark.read.parquet(f"{SF_DIR}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select("c_custkey", "c_nationkey")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet").select("n_nationkey", "n_name")
+    edges = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n.withColumnRenamed("n_name", "src"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .drop("n_nationkey")
+        .join(n.withColumnRenamed("n_name", "dst"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("src", "dst")
+        .count()
+        .collect()
+    )
+    names = sorted({e.src for e in edges} | {e.dst for e in edges})
+    idx = {nm: i for i, nm in enumerate(names)}
+    W = np.zeros((len(names), len(names)))
+    for e in edges:
+        W[idx[e.src], idx[e.dst]] = e["count"]
+    h = np.ones(len(names))
+    for _ in range(5):
+        a = np.round(W.T @ h / (W.T @ h).max(), 12)
+        h = np.round(W @ a / (W @ a).max(), 12)
+    got = {r.nation: (r.hub, r.authority) for r in rows}
+    for nm in names:
+        assert abs(got[nm][0] - round(h[idx[nm]], 6)) < 2e-6, nm
+        assert abs(got[nm][1] - round(a[idx[nm]], 6)) < 2e-6, nm

@@ -212,6 +212,9 @@ HEADLINE = [
     # wave 43: link prediction + sequential drift detection
     "trade_link_prediction",
     "page_hinkley_drift",
+    # wave 44: paired-rater testing + matching estimator
+    "mcnemar_filter_test",
+    "psm_matched_att",
 ]
 
 

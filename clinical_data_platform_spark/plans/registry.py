@@ -291,6 +291,11 @@ PRIORITY_ORDER = [
 #   wedge enumeration + edge anti-join on the thresholded trade graph),
 # page_hinkley_drift (new, sequential PH drift test as cumulative
 #   windows in 1e-6-cent integer fixed-point — no float-sum ordering),
+# mcnemar_filter_test (new, paired-rater strictness test on the kappa
+#   raters — discordant-cell chi2 with continuity correction),
+# psm_matched_att (new, propensity caliper matching by deterministic
+#   rank pairing in fixed-point buckets — the matching estimator
+#   completing the causal family),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

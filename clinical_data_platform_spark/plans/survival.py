@@ -761,3 +761,273 @@ def logrank_test_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z_raw * z_raw, 6).alias("chi2"),
         F.round(normal_sf(z_raw), 6).alias("p_value"),
     )
+
+
+# --- Wave 44: McNemar's test on the paired rater verdicts ---------------------
+
+
+@query(
+    "mcnemar_filter_test",
+    oracle="""
+    WITH r AS (
+      SELECT lang,
+             CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) <= 0.1::DOUBLE
+                  THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+                       AND list_sum(list_transform(
+                             string_split_regex(trim(text), '\\s+'),
+                             t -> length(t)))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+'))
+                           BETWEEN 3.0::DOUBLE AND 12.0::DOUBLE
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ), cells AS (
+      SELECT lang,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(ra * (1 - rb)) AS BIGINT) AS a_only,
+             cast(sum((1 - ra) * rb) AS BIGINT) AS b_only
+      FROM r GROUP BY 1
+    ), stat AS (
+      SELECT lang, n, a_only, b_only,
+             CASE WHEN a_only + b_only > 0 THEN
+               (abs(a_only - b_only) - 1.0::DOUBLE)
+                 * (abs(a_only - b_only) - 1.0::DOUBLE)
+                 / (a_only + b_only)
+             ELSE 0.0::DOUBLE END AS chi2
+      FROM cells
+    ), z AS (
+      SELECT *, sqrt(chi2) AS z_raw FROM stat
+    )
+    SELECT lang, n, a_only, b_only,
+           round(chi2, 6) AS chi2,
+           CASE WHEN a_only + b_only > 0
+                THEN round(__PSQL__, 6) ELSE 1.0::DOUBLE END AS p_value
+    FROM z
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["agreement", "mcnemar", "extension"],
+)
+def mcnemar_filter_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947, with Edwards' continuity correction) on the
+    same paired rater verdicts filter_agreement_kappa measures: kappa
+    answers "do the two quality filters AGREE beyond chance"; McNemar
+    answers the complementary release question "is one filter
+    systematically STRICTER" — only the discordant cells carry
+    information, chi2(1) = (|b - c| - 1)^2 / (b + c).
+
+    Same plan shape as kappa: one narrow map computes both verdicts,
+    one per-lang partial/final aggregate, then scalar arithmetic on
+    exact integer cells; sqrt/erf run on identical doubles with round6
+    output (the shared A&S polynomial, as in Welch/chi-square/logrank).
+    Zero-discordance groups are guarded to chi2=0, p=1 identically on
+    both engines."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sym_ratio = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / F.size(toks)
+    r = d.select(
+        "lang",
+        F.when(sym_ratio <= 0.1, 1).otherwise(0).alias("ra"),
+        F.when(
+            (F.size(toks) >= 20) & mean_tok_len.between(3.0, 12.0), 1
+        )
+        .otherwise(0)
+        .alias("rb"),
+    )
+    cells = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("a_only"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("b_only"),
+    )
+    disc = F.col("a_only") + F.col("b_only")
+    dev = F.abs(F.col("a_only") - F.col("b_only")) - F.lit(1.0)
+    chi2 = F.when(disc > 0, dev * dev / disc).otherwise(F.lit(0.0))
+    stat = cells.select(
+        "lang", "n", "a_only", "b_only", chi2.alias("chi2_raw")
+    )
+    from ..functions.scalars import normal_sf
+
+    return stat.select(
+        "lang",
+        "n",
+        "a_only",
+        "b_only",
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.when(
+            F.col("a_only") + F.col("b_only") > 0,
+            F.round(normal_sf(F.sqrt(F.col("chi2_raw"))), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("p_value"),
+    )
+
+
+# --- Wave 44: propensity-score caliper matching -------------------------------
+
+_PSM_SQL_UNITS = """
+    oc AS (
+      SELECT o_custkey AS oc_key,
+             cast(count(*) AS BIGINT) AS n_orders,
+             CASE WHEN sum(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) >= 3
+                  THEN 1 ELSE 0 END AS treated,
+             cast(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS y_cents
+      FROM orders GROUP BY 1
+    ),
+    u AS (
+      SELECT c.c_custkey,
+             coalesce(oc.treated, 0) AS t,
+             coalesce(oc.y_cents, 0) AS y_cents,
+             CAST(floor(1e6 / (1.0::DOUBLE + exp(-(
+               -1.0::DOUBLE
+               + 0.0002::DOUBLE * c.c_acctbal
+               + 0.03::DOUBLE * c.c_nationkey
+               + 0.2::DOUBLE * coalesce(oc.n_orders, 0))))) AS BIGINT)
+               AS ps_fp
+      FROM customer c LEFT JOIN oc ON c.c_custkey = oc.oc_key
+    ),
+    ranked AS (
+      SELECT *, ps_fp // 10000 AS bucket,
+             row_number() OVER (PARTITION BY ps_fp // 10000, t
+                                ORDER BY ps_fp, c_custkey) AS rn
+      FROM u
+    )
+"""
+
+
+@query(
+    "psm_matched_att",
+    oracle=(
+        "WITH "
+        + _PSM_SQL_UNITS
+        + """,
+    pairs AS (
+      SELECT tr.y_cents AS y_t, co.y_cents AS y_c,
+             abs(tr.ps_fp - co.ps_fp) AS ps_gap_fp
+      FROM ranked tr JOIN ranked co
+        ON tr.bucket = co.bucket AND tr.rn = co.rn
+       AND tr.t = 1 AND co.t = 0
+    ),
+    tot AS (SELECT cast(sum(t) AS BIGINT) AS n_treated FROM u)
+    SELECT tot.n_treated,
+           cast(count(*) AS BIGINT) AS n_matched,
+           floor(count(*) * 1e6 / tot.n_treated) / 1e6 AS match_rate,
+           floor(sum(y_t - y_c) * 1e4 / count(*)) / 1e6 AS att_dollars,
+           floor(sum(ps_gap_fp) * 1.0 / count(*)) / 1e6 AS mean_ps_gap
+    FROM pairs, tot
+    GROUP BY tot.n_treated
+    """
+    ),
+    tags=["causal", "matching", "extension"],
+)
+def psm_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching ATT (Rosenbaum & Rubin 1983) — the
+    matching estimator that completes the causal family next to IPTW,
+    DiD, CUPED and RD: treated customers (>= 3 urgent orders — rare
+    enough that a real control pool exists, unlike the saturating
+    any-urgent flag; cf. the se=0 lesson in the verify gotchas) are paired
+    1:1 with controls inside 1%-propensity caliper buckets, and the
+    average treated-minus-control spend over matched pairs estimates
+    the effect of urgency on customer value.
+
+    Greedy nearest-neighbor matching is sequential; the distributable
+    deterministic form used here is RANK PAIRING: within each (bucket,
+    arm) the units are ranked by propensity, and the i-th treated
+    matches the i-th control of the same bucket — one window per arm +
+    one (bucket, rank) equi-join, no driver loop, match count =
+    min(treated, controls) per bucket by construction. The propensity
+    is the same fixed-coefficient logistic as iptw_covariate_balance,
+    floor-truncated into 1e-6 FIXED-POINT int64 the moment it is
+    computed, so bucket assignment, rank order, pair gaps, and every
+    reported average are pure integer arithmetic (exact cross-engine);
+    outcomes are integer cents. At 100 TB: one orders rollup, one
+    customer join, windows partitioned by (bucket, arm) — use finer
+    calipers if single buckets grow pathological."""
+    oc = T(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("oc_key")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.when(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            >= 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("y_cents"),
+    )
+    ps = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(-1.0)
+                + F.lit(0.0002) * F.col("c_acctbal")
+                + F.lit(0.03) * F.col("c_nationkey")
+                + F.lit(0.2) * F.coalesce("n_orders", F.lit(0))
+            )
+        )
+    )
+    u = (
+        T(spark, sf_dir, "customer")
+        .join(oc, F.col("c_custkey") == F.col("oc_key"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce("treated", F.lit(0)).alias("t"),
+            F.coalesce("y_cents", F.lit(0)).alias("y_cents"),
+            F.floor(F.lit(1e6) * ps).cast("long").alias("ps_fp"),
+        )
+    )
+    ranked = u.select(
+        "*",
+        (F.col("ps_fp") / 10000).cast("long").alias("bucket"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(
+                (F.col("ps_fp") / 10000).cast("long"), "t"
+            ).orderBy("ps_fp", "c_custkey")
+        ),
+    )
+    tr = ranked.filter(F.col("t") == 1).select(
+        "bucket", "rn",
+        F.col("y_cents").alias("y_t"), F.col("ps_fp").alias("ps_t"),
+    )
+    co = ranked.filter(F.col("t") == 0).select(
+        "bucket", "rn",
+        F.col("y_cents").alias("y_c"), F.col("ps_fp").alias("ps_c"),
+    )
+    pairs = tr.join(co, ["bucket", "rn"])
+    n_treated = u.agg(F.sum("t").cast("long").alias("n_treated"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum(F.col("y_t") - F.col("y_c")).alias("att_num"),
+            F.sum(F.abs(F.col("ps_t") - F.col("ps_c"))).alias("gap_num"),
+        )
+        .crossJoin(F.broadcast(n_treated))
+        .select(
+            "n_treated",
+            "n_matched",
+            (
+                F.floor(F.col("n_matched") * F.lit(1e6) / F.col("n_treated"))
+                / 1e6
+            ).alias("match_rate"),
+            (
+                F.floor(F.col("att_num") * F.lit(1e4) / F.col("n_matched"))
+                / 1e6
+            ).alias("att_dollars"),
+            (
+                F.floor(F.col("gap_num") * F.lit(1.0) / F.col("n_matched"))
+                / 1e6
+            ).alias("mean_ps_gap"),
+        )
+    )

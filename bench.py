@@ -215,6 +215,9 @@ HEADLINE = [
     # wave 44: paired-rater testing + matching estimator
     "mcnemar_filter_test",
     "psm_matched_att",
+    # wave 45: AUC uncertainty + consistent hashing
+    "delong_auc_ci",
+    "shard_rebalance_audit",
 ]
 
 

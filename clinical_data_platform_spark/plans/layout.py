@@ -393,3 +393,143 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_scanned"),
     )
+
+
+# --- Wave 45: consistent-hashing shard rebalance audit -------------------------
+
+_SHARDS_BEFORE = 8
+_SHARDS_AFTER = 9
+
+# DuckDB twin of Spark's conv(substring(md5(x),1,6),16,10) — the
+# digit-fold whose parity is pinned in plans/trainprep.py/sketches.py.
+_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+def _hrw_sql(k: int) -> str:
+    h = _HEX6.format(x=f"user_id::VARCHAR || ':' || s::VARCHAR")
+    return (
+        f"(list_position(list_transform(range(0, {k}), s -> {h}),"
+        f" list_max(list_transform(range(0, {k}), s -> {h}))) - 1)"
+    )
+
+
+@query(
+    "shard_rebalance_audit",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (
+      SELECT user_id,
+             user_id % {_SHARDS_BEFORE} AS mod_before,
+             user_id % {_SHARDS_AFTER} AS mod_after,
+             {_hrw_sql(_SHARDS_BEFORE)} AS hrw_before,
+             {_hrw_sql(_SHARDS_AFTER)} AS hrw_after
+      FROM u
+    ),
+    m AS (
+      SELECT 'modulo' AS method,
+             cast(count(*) AS BIGINT) AS n_users,
+             cast(sum(CASE WHEN mod_before <> mod_after THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved,
+             cast(max(cnt_after) AS BIGINT) AS max_shard
+      FROM a JOIN (
+        SELECT mod_after AS sh, count(*) AS cnt_after FROM a GROUP BY 1
+      ) c ON c.sh = a.mod_after
+      UNION ALL
+      SELECT 'rendezvous',
+             cast(count(*) AS BIGINT),
+             cast(sum(CASE WHEN hrw_before <> hrw_after THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             cast(max(cnt_after) AS BIGINT)
+      FROM a JOIN (
+        SELECT hrw_after AS sh, count(*) AS cnt_after FROM a GROUP BY 1
+      ) c ON c.sh = a.hrw_after
+    )
+    SELECT method, n_users, n_moved,
+           floor(n_moved * 1e6 / n_users) / 1e6 AS moved_fraction,
+           floor(max_shard * 1e6 / n_users) / 1e6 AS max_shard_share
+    FROM m
+    """,
+    tags=["layout", "sharding", "consistent-hashing", "extension"],
+)
+def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent hashing measured (the argument, not the folklore):
+    every user is assigned to {kb} shards and then to {ka} under (a)
+    modulo hashing and (b) highest-random-weight / rendezvous hashing
+    (Thaler & Ravishankar 1998 — the scheme behind most shard routers
+    where a ring is overkill). Modulo reassigns ~{kb}/{ka} of all keys
+    on scale-out; HRW reassigns ~1/{ka} — the minimum possible — while
+    keeping shard sizes balanced. The audit reports both moved fractions
+    and the post-rebalance largest-shard share, which is exactly the
+    data-movement bill a stateful service (or a bucketed table layout)
+    pays for adding one shard.
+
+    HRW per key = argmax over shards of md5(key:shard), computed as one
+    map-side array expression (first-index-of-max in BOTH engines, so
+    the tie-break is pinned); everything downstream is integer counts.
+    One distinct + one aggregate — no joins on the data path.""".format(
+        kb=_SHARDS_BEFORE, ka=_SHARDS_AFTER
+    )
+
+    def hrw(k: int):
+        def h(s):
+            return F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("user_id").cast("string"),
+                            s.cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+
+        hl = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), h)
+        return (F.array_position(hl, F.array_max(hl)) - 1).cast("long")
+
+    u = T(spark, sf_dir, "events").select("user_id").distinct()
+    a = u.select(
+        "user_id",
+        (F.col("user_id") % _SHARDS_BEFORE).alias("mod_before"),
+        (F.col("user_id") % _SHARDS_AFTER).alias("mod_after"),
+        hrw(_SHARDS_BEFORE).alias("hrw_before"),
+        hrw(_SHARDS_AFTER).alias("hrw_after"),
+    ).localCheckpoint()  # feeds both method rows + both shard-size aggs
+
+    def audit(method: str, before: str, after: str) -> DataFrame:
+        sizes = a.groupBy(F.col(after).alias("sh")).agg(
+            F.count(F.lit(1)).alias("cnt_after")
+        )
+        return (
+            a.join(F.broadcast(sizes), a[after] == sizes.sh)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum(
+                    F.when(F.col(before) != F.col(after), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_moved"),
+                F.max("cnt_after").cast("long").alias("max_shard"),
+            )
+            .select(F.lit(method).alias("method"), "*")
+        )
+
+    m = audit("modulo", "mod_before", "mod_after").unionByName(
+        audit("rendezvous", "hrw_before", "hrw_after")
+    )
+    return m.select(
+        "method",
+        "n_users",
+        "n_moved",
+        (F.floor(F.col("n_moved") * F.lit(1e6) / F.col("n_users")) / 1e6)
+        .alias("moved_fraction"),
+        (F.floor(F.col("max_shard") * F.lit(1e6) / F.col("n_users")) / 1e6)
+        .alias("max_shard_share"),
+    )

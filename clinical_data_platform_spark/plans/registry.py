@@ -296,6 +296,10 @@ PRIORITY_ORDER = [
 # psm_matched_att (new, propensity caliper matching by deterministic
 #   rank pairing in fixed-point buckets — the matching estimator
 #   completing the causal family),
+# delong_auc_ci (new, DeLong AUC variance/CI from bin-weighted integer
+#   placement moments on the distinct-score table — no per-row loop),
+# shard_rebalance_audit (new, modulo vs rendezvous hashing priced on a
+#   +1-shard scale-out: moved fraction + post-rebalance skew),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -2940,3 +2940,135 @@ def bh_fdr_nation_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(padj, 6).alias("p_adj"),
         (padj <= 0.05).alias("rejected"),
     )
+
+
+# --- Wave 45: DeLong variance / CI for the AUC --------------------------------
+
+_Z975 = "1.959963984540054"  # Phi^-1(0.975), pinned literal on both engines
+
+
+@query(
+    "delong_auc_ci",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS score,
+             cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT *,
+             coalesce(sum(q) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cq,
+             coalesce(sum(p) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cp
+      FROM s
+    ),
+    tot AS (
+      SELECT cast(sum(p) AS BIGINT) AS pp, cast(sum(q) AS BIGINT) AS nn
+      FROM s
+    ),
+    moments AS (
+      SELECT tot.pp, tot.nn,
+             cast(sum(p * (2 * cq + q)) AS BIGINT) AS num2,
+             cast(sum(p * (2 * cq + q) * (2 * cq + q)) AS BIGINT) AS sa2,
+             cast(sum(q * (2 * (tot.pp - cp - p) + p)
+                        * (2 * (tot.pp - cp - p) + p)) AS BIGINT) AS sb2
+      FROM c, tot GROUP BY tot.pp, tot.nn
+    ),
+    stat AS (
+      SELECT pp, nn,
+             num2 * 1.0 / (2 * pp * nn) AS auc,
+             (sa2 * 1.0 / (4.0 * nn * nn)
+              - pp * (num2 * 1.0 / (2 * pp * nn))
+                   * (num2 * 1.0 / (2 * pp * nn))) / (pp - 1) AS s10,
+             (sb2 * 1.0 / (4.0 * pp * pp)
+              - nn * (num2 * 1.0 / (2 * pp * nn))
+                   * (num2 * 1.0 / (2 * pp * nn))) / (nn - 1) AS s01
+      FROM moments
+    )
+    SELECT pp AS n_pos, nn AS n_neg,
+           floor(auc * 1e6) / 1e6 AS auc,
+           round(sqrt(s10 / pp + s01 / nn), 6) AS se,
+           round(auc - {_Z975} * sqrt(s10 / pp + s01 / nn), 6) AS ci_lo,
+           round(auc + {_Z975} * sqrt(s10 / pp + s01 / nn), 6) AS ci_hi
+    FROM stat
+    """,
+    tags=["ml", "auc", "delong", "extension"],
+)
+def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong's nonparametric AUC variance and 95% CI (DeLong, DeLong &
+    Clarke-Pearson 1988) — the statistically honest companion to
+    distributed_auc_rank_sum's point estimate: is AUC 0.52 actually
+    distinguishable from coin-flipping at this sample size?
+
+    DeLong's estimator is usually coded as per-observation placement
+    loops; here both placement families come from the SAME
+    distinct-score table as the AUC itself: a positive's placement
+    V10 = (2*neg_below + neg_tied)/(2N) is constant within a score bin,
+    so the second moments are bin-weighted integer sums — sum p*a^2 and
+    sum q*b^2 with a, b the DOUBLED placement numerators (int64-safe
+    through sf0.1's ~1.5M distinct doubled counts; move to decimal(38,0)
+    beyond ~2^31 rows per class). S10/S01 then resolve driver-side from
+    five exact integers — no float enters until the final scalar row, so
+    the whole CI is value-oracled. z_{{0.975}} is the pinned 17-digit
+    literal on both engines.
+
+    Scale shape identical to the AUC query: one partial/final agg, one
+    window over the distinct-score table, scalar closed form."""
+    lbl = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    s = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice")).cast("long").alias("score"))
+        .agg(
+            F.sum(lbl).cast("long").alias("p"),
+            F.sum(1 - lbl).cast("long").alias("q"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.select(
+        "*",
+        F.coalesce(F.sum("q").over(w), F.lit(0)).alias("cq"),
+        F.coalesce(F.sum("p").over(w), F.lit(0)).alias("cp"),
+    )
+    tot = s.agg(
+        F.sum("p").cast("long").alias("pp"),
+        F.sum("q").cast("long").alias("nn"),
+    )
+    a = 2 * F.col("cq") + F.col("q")
+    b = 2 * (F.col("pp") - F.col("cp") - F.col("p")) + F.col("p")
+    moments = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("pp").alias("pp"),
+            F.max("nn").alias("nn"),
+            F.sum(F.col("p") * a).cast("long").alias("num2"),
+            F.sum(F.col("p") * a * a).cast("long").alias("sa2"),
+            F.sum(F.col("q") * b * b).cast("long").alias("sb2"),
+        )
+    )
+    auc = F.col("num2") * F.lit(1.0) / (2 * F.col("pp") * F.col("nn"))
+    s10 = (
+        F.col("sa2") * F.lit(1.0) / (F.lit(4.0) * F.col("nn") * F.col("nn"))
+        - F.col("pp") * auc * auc
+    ) / (F.col("pp") - 1)
+    s01 = (
+        F.col("sb2") * F.lit(1.0) / (F.lit(4.0) * F.col("pp") * F.col("pp"))
+        - F.col("nn") * auc * auc
+    ) / (F.col("nn") - 1)
+    se = F.sqrt(s10 / F.col("pp") + s01 / F.col("nn"))
+    z = F.lit(float(_Z975))
+    return moments.select(
+        F.col("pp").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (F.floor(auc * 1e6) / 1e6).alias("auc"),
+        F.round(se, 6).alias("se"),
+        F.round(auc - z * se, 6).alias("ci_lo"),
+        F.round(auc + z * se, 6).alias("ci_hi"),
+    )

@@ -218,6 +218,9 @@ HEADLINE = [
     # wave 45: AUC uncertainty + consistent hashing
     "delong_auc_ci",
     "shard_rebalance_audit",
+    # wave 46: ordered-alternative testing + count models
+    "cochran_armitage_trend",
+    "negbin_overdispersion",
 ]
 
 

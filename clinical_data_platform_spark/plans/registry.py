@@ -300,6 +300,10 @@ PRIORITY_ORDER = [
 #   placement moments on the distinct-score table — no per-row loop),
 # shard_rebalance_audit (new, modulo vs rendezvous hashing priced on a
 #   +1-shard scale-out: moved fraction + post-rebalance skew),
+# cochran_armitage_trend (new, trend-in-proportions test spending one df
+#   on the ordered alternative — exact per-group integer inputs),
+# negbin_overdispersion (new, Poisson dispersion chi-square + MoM
+#   negative-binomial size from exact sufficient statistics),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

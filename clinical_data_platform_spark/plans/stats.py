@@ -3072,3 +3072,192 @@ def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc - z * se, 6).alias("ci_lo"),
         F.round(auc + z * se, 6).alias("ci_hi"),
     )
+
+
+# --- Wave 46: trend in proportions + count overdispersion ----------------------
+
+
+@query(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(CASE WHEN o_totalprice > 150000.0::DOUBLE
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT cast(count(*) AS BIGINT) AS k,
+             cast(sum(n) AS BIGINT) AS nn,
+             cast(sum(r) AS BIGINT) AS rr,
+             cast(sum(r * w) AS BIGINT) AS srw,
+             cast(sum(n * w) AS BIGINT) AS snw,
+             cast(sum(n * w * w) AS BIGINT) AS snw2
+      FROM g
+    ),
+    z AS (
+      SELECT k, nn, rr,
+             (srw - rr * 1.0 * snw / nn) AS tstat,
+             (rr * 1.0 / nn) * (1.0::DOUBLE - rr * 1.0 / nn)
+               * (snw2 - snw * 1.0 * snw / nn) AS vart
+      FROM t
+    ),
+    s AS (SELECT k, nn, rr, tstat, tstat / sqrt(vart) AS z_raw FROM z)
+    SELECT k AS k_groups, nn AS n_orders, rr AS n_high,
+           round(tstat, 6) AS trend_stat,
+           round(z_raw, 6) AS z,
+           round(__PSQL__, 6) AS p_value
+    FROM s
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["M-ext", "trend-test", "experimentation"],
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for trend (Cochran 1954, Armitage 1955) —
+    does the probability of a high-value order move MONOTONICALLY with
+    order priority? The omnibus chi-square only says the proportions
+    differ somewhere; the trend test spends its single degree of freedom
+    on the ordered alternative, which is the question dose-response,
+    severity-grade, and priority-tier analyses actually ask.
+
+    Scores w = the priority's leading digit (1..5); T = sum_i w_i (r_i -
+    n_i p_bar), Var T = p_bar (1-p_bar) (sum n w^2 - (sum n w)^2 / N).
+    Every input is an exact per-group integer (one partial/final agg);
+    the five-row group table folds to one scalar row, z and the A&S erf
+    p are single-expression doubles, round6 at output. One shuffle."""
+    g = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("long")
+            .alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("r") * F.col("w")).cast("long").alias("srw"),
+        F.sum(F.col("n") * F.col("w")).cast("long").alias("snw"),
+        F.sum(F.col("n") * F.col("w") * F.col("w"))
+        .cast("long")
+        .alias("snw2"),
+    )
+    tstat = F.col("srw") - F.col("rr") * F.lit(1.0) * F.col("snw") / F.col("nn")
+    pbar = F.col("rr") * F.lit(1.0) / F.col("nn")
+    vart = pbar * (F.lit(1.0) - pbar) * (
+        F.col("snw2") - F.col("snw") * F.lit(1.0) * F.col("snw") / F.col("nn")
+    )
+    z = tstat / F.sqrt(vart)
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_orders"),
+        F.col("rr").alias("n_high"),
+        F.round(tstat, 6).alias("trend_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(normal_sf(z), 6).alias("p_value"),
+    )
+
+
+@query(
+    "negbin_overdispersion",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(x) AS BIGINT) AS s1,
+             cast(sum(x * x) AS BIGINT) AS s2
+      FROM h GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n, s1,
+             s1 * 1.0 / n AS mean_x,
+             (s2 - s1 * 1.0 * s1 / n) / (n - 1) AS var_x
+      FROM g
+    ),
+    s AS (
+      SELECT *,
+             var_x / mean_x AS dispersion,
+             (n - 1) * var_x / mean_x AS chi2,
+             CASE WHEN var_x > mean_x
+                  THEN mean_x * mean_x / (var_x - mean_x) END AS nb_r,
+             (pow((n - 1) * var_x / mean_x / (n - 1)::DOUBLE,
+                  1.0::DOUBLE / 3.0::DOUBLE)
+              - (1.0::DOUBLE - 2.0::DOUBLE / (9.0::DOUBLE * (n - 1))))
+             / sqrt(2.0::DOUBLE / (9.0::DOUBLE * (n - 1))) AS zwh
+      FROM m
+    )
+    SELECT event_type, n AS n_hours, s1 AS n_events,
+           floor(mean_x * 1e6) / 1e6 AS mean_per_hour,
+           round(var_x, 6) AS var_per_hour,
+           round(dispersion, 6) AS dispersion,
+           round(nb_r, 6) AS nb_r,
+           round(__PSQL__, 6) AS poisson_p
+    FROM s
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="zwh")),
+    tags=["M-ext", "count-model", "monitoring"],
+)
+def negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count overdispersion audit with a negative-binomial fallback fit:
+    per event type, hourly arrival counts are tested against the Poisson
+    assumption (variance == mean) via the dispersion chi-square
+    (n-1)s^2/m with a Wilson-Hilferty normal p — the check that decides
+    whether rate alerts/CIs can use Poisson math or need NB — and, when
+    overdispersed, the method-of-moments NB size r = m^2/(s^2 - m)
+    (NULL when not overdispersed, identically on both engines).
+
+    mean/variance come from exact integer (n, S1, S2) sufficient
+    statistics (one partial/final agg over the hours-bounded series);
+    every reported number is a single-expression double of exact-int
+    inputs, so round6/trunc6 outputs match cross-engine. The WH cube
+    root uses pow(), whose bit-parity on identical doubles is pinned in
+    the verify gotchas (same route as anova_f_priority_price)."""
+    h = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    g = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    mean_x = F.col("s1") * F.lit(1.0) / F.col("n")
+    var_x = (
+        F.col("s2") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    dispersion = var_x / mean_x
+    chi2_over_df = (F.col("n") - 1) * var_x / mean_x / (F.col("n") - 1).cast(
+        "double"
+    )
+    nb_r = F.when(
+        var_x > mean_x, mean_x * mean_x / (var_x - mean_x)
+    )
+    df = (F.col("n") - 1).cast("double")
+    zwh = (
+        F.pow(chi2_over_df, F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * df))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * df))
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s1").alias("n_events"),
+        (F.floor(mean_x * 1e6) / 1e6).alias("mean_per_hour"),
+        F.round(var_x, 6).alias("var_per_hour"),
+        F.round(dispersion, 6).alias("dispersion"),
+        F.round(nb_r, 6).alias("nb_r"),
+        F.round(normal_sf(zwh), 6).alias("poisson_p"),
+    )

@@ -221,6 +221,9 @@ HEADLINE = [
     # wave 46: ordered-alternative testing + count models
     "cochran_armitage_trend",
     "negbin_overdispersion",
+    # wave 47: pair-concordance correlation + meta-analysis
+    "kendall_tau_quantity_price",
+    "fixed_effect_meta",
 ]
 
 

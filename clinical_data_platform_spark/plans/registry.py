@@ -304,6 +304,10 @@ PRIORITY_ORDER = [
 #   on the ordered alternative — exact per-group integer inputs),
 # negbin_overdispersion (new, Poisson dispersion chi-square + MoM
 #   negative-binomial size from exact sufficient statistics),
+# kendall_tau_quantity_price (new, tau-b by cell-grid pair counting —
+#   bounded |grid|^2 comparisons, int64-exact until the final ratio),
+# fixed_effect_meta (new, inverse-variance pooling + Cochran Q / I^2
+#   with every k-bounded float sum floor-truncated to fixed-point),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

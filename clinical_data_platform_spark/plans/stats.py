@@ -3261,3 +3261,316 @@ def negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nb_r, 6).alias("nb_r"),
         F.round(normal_sf(zwh), 6).alias("poisson_p"),
     )
+
+
+# --- Wave 47: Kendall's tau-b on the bounded cell grid -------------------------
+
+
+@query(
+    "kendall_tau_quantity_price",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice / 1000.0::DOUBLE) AS BIGINT) AS y,
+             cast(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT
+        cast(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)
+          AS conc,
+        cast(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)
+          AS disc
+      FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    ties AS (
+      SELECT cast(sum(c) AS BIGINT) AS n,
+             cast(sum(c * (c - 1)) AS BIGINT) AS t_xy2
+      FROM cells
+    ),
+    tx AS (
+      SELECT cast(sum(cx * (cx - 1)) AS BIGINT) AS t_x2
+      FROM (SELECT sum(c) AS cx FROM cells GROUP BY x)
+    ),
+    ty AS (
+      SELECT cast(sum(cy * (cy - 1)) AS BIGINT) AS t_y2
+      FROM (SELECT sum(c) AS cy FROM cells GROUP BY y)
+    ),
+    s AS (
+      SELECT n, conc, disc,
+             n * (n - 1) AS n02,
+             t_x2, t_y2
+      FROM pairs, ties, tx, ty
+    )
+    SELECT n AS n_rows, conc AS concordant, disc AS discordant,
+           round((conc - disc) * 2.0
+                 / (sqrt((n02 - t_x2)::DOUBLE)
+                    * sqrt((n02 - t_y2)::DOUBLE)), 6) AS tau_b
+    FROM s
+    """,
+    tags=["M-ext", "rank-correlation", "kendall"],
+)
+def kendall_tau_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between line-item quantity and (1k-binned)
+    extended price — the pair-concordance rank correlation that
+    completes the correlation family next to Pearson (corr) and
+    Spearman (spearman_quantity_price). Naive Kendall is O(n^2) over
+    ROWS and unrunnable at scale; both variables here are
+    value-range-bounded, so rows fold to a (x, y) CELL GRID first and
+    all pair counting happens on the grid: concordant/discordant =
+    sum a.c*b.c over cell pairs with a.x < b.x, split by the y order —
+    a bounded |grid|^2 comparison (<= ~5.5k cells at any SF — the
+    quantize-to-bound-the-grid move the verify gotchas prescribe for
+    rank machinery), never a row-pair join. Tie corrections n1/n2 come
+    from the grid's marginals.
+
+    Everything is int64-exact until the final tau (doubled pair counts;
+    (n0-n1)(n0-n2) would pass 2^63 at sf0.1 so each factor takes its
+    sqrt in double separately, identical expression text both engines).
+    One corpus aggregation + bounded-grid arithmetic."""
+    cells = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") / 1000.0)
+            .cast("long")
+            .alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds pairs + ties + both marginals
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).agg(
+        F.sum(
+            F.when(
+                F.col("a.y") < F.col("b.y"), F.col("a.c") * F.col("b.c")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                F.col("a.y") > F.col("b.y"), F.col("a.c") * F.col("b.c")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    ties = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .agg(
+            F.sum(F.col("cx") * (F.col("cx") - 1)).cast("long").alias("t_x2")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .agg(
+            F.sum(F.col("cy") * (F.col("cy") - 1)).cast("long").alias("t_y2")
+        )
+    )
+    s = (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n02 = F.col("n") * (F.col("n") - 1)
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            * F.lit(2.0)
+            / (
+                F.sqrt((n02 - F.col("t_x2")).cast("double"))
+                * F.sqrt((n02 - F.col("t_y2")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# --- Wave 47: fixed-effect meta-analysis with Cochran's Q / I^2 ----------------
+
+
+@query(
+    "fixed_effect_meta",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS nation,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+             cast(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT nation,
+             cast(sum(t) AS BIGINT) AS n1,
+             cast(sum(1 - t) AS BIGINT) AS n0,
+             sum(CASE WHEN t = 1 THEN cents::HUGEINT ELSE 0 END) AS s1,
+             sum(CASE WHEN t = 0 THEN cents::HUGEINT ELSE 0 END) AS s0,
+             sum(CASE WHEN t = 1 THEN cents::HUGEINT * cents ELSE 0 END) AS q1,
+             sum(CASE WHEN t = 0 THEN cents::HUGEINT * cents ELSE 0 END) AS q0
+      FROM o GROUP BY 1
+      HAVING sum(t) >= 2 AND sum(1 - t) >= 2
+    ),
+    eff AS (
+      SELECT nation,
+             (s1::DOUBLE / n1 - s0::DOUBLE / n0) / 100.0 AS e,
+             ((q1::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n1)) / (n1 - 1) / n1
+              + (q0::DOUBLE - s0::DOUBLE * (s0::DOUBLE / n0)) / (n0 - 1) / n0)
+               / 10000.0 AS var_e
+      FROM g
+    ),
+    fp AS (
+      SELECT nation, e, var_e,
+             CAST(floor(1e15 / var_e) AS BIGINT) AS w_fp,
+             CAST(floor(e * 1e9 / var_e) AS BIGINT) AS we_fp
+      FROM eff
+    ),
+    pool AS (
+      SELECT cast(count(*) AS BIGINT) AS k,
+             cast(sum(w_fp) AS BIGINT) AS sw,
+             cast(sum(we_fp) AS BIGINT) AS swe
+      FROM fp
+    ),
+    pooled AS (
+      SELECT k, sw, swe, swe * 1e6 / sw AS mu FROM pool
+    ),
+    qterm AS (
+      SELECT p.k, p.sw, p.mu,
+             cast(sum(CAST(floor((f.e - p.mu) * (f.e - p.mu) * 1e6 / f.var_e)
+                           AS BIGINT)) AS BIGINT) AS q_fp
+      FROM fp f CROSS JOIN pooled p
+      GROUP BY p.k, p.sw, p.mu
+    ),
+    final AS (
+      SELECT k, mu, q_fp / 1e6 AS q,
+             sqrt(1e15 / sw) AS se
+      FROM qterm
+    )
+    SELECT k AS k_studies,
+           round(mu, 6) AS pooled_effect,
+           round(se, 6) AS se,
+           round(mu / se, 6) AS z,
+           round(q, 6) AS cochran_q,
+           CASE WHEN q > (k - 1) THEN floor((q - (k - 1)) * 1e6 / q) / 1e6
+                ELSE 0.0::DOUBLE END AS i_squared
+    FROM final
+    """,
+    tags=["M-ext", "meta-analysis", "experimentation"],
+)
+def fixed_effect_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect (inverse-variance) meta-analysis with Cochran's Q
+    and Higgins' I^2 — every nation is a "study" estimating the urgent
+    vs non-urgent order-value effect, and the pooled estimate answers
+    whether the effect replicates across segments while I^2 says how
+    much of the between-study spread is real heterogeneity rather than
+    sampling noise. This is the multi-site/multi-segment readout layer
+    above the per-segment Welch screen (bh_fdr_nation_price).
+
+    Per-study moments come from exact HUGEINT/decimal(38,0) cents
+    sufficient statistics (the ANOVA route — sum of cents^2 passes
+    int64); each study's effect and Welch variance are then single
+    double expressions. The k-bounded pooling sums are the float-sum
+    trap, so every summand is floor-truncated into FIXED-POINT int64
+    (w at 1e-15, w*e at 1e-9, Q terms at 1e-6) before summation —
+    integer sums are order-free, making the whole pool value-exact
+    cross-engine. Studies need >= 2 orders per arm (HAVING, identical
+    both engines)."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("t"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = (
+        o.groupBy("nation")
+        .agg(
+            F.sum("t").cast("long").alias("n1"),
+            F.sum(1 - F.col("t")).cast("long").alias("n0"),
+            F.sum(F.when(F.col("t") == 1, dec(F.col("cents"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )).alias("s1"),
+            F.sum(F.when(F.col("t") == 0, dec(F.col("cents"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )).alias("s0"),
+            F.sum(
+                F.when(
+                    F.col("t") == 1, dec(F.col("cents")) * F.col("cents")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("q1"),
+            F.sum(
+                F.when(
+                    F.col("t") == 0, dec(F.col("cents")) * F.col("cents")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("q0"),
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n0") >= 2))
+    )
+    s1d, s0d = F.col("s1").cast("double"), F.col("s0").cast("double")
+    q1d, q0d = F.col("q1").cast("double"), F.col("q0").cast("double")
+    e = (s1d / F.col("n1") - s0d / F.col("n0")) / F.lit(100.0)
+    var_e = (
+        (q1d - s1d * (s1d / F.col("n1"))) / (F.col("n1") - 1) / F.col("n1")
+        + (q0d - s0d * (s0d / F.col("n0"))) / (F.col("n0") - 1) / F.col("n0")
+    ) / F.lit(10000.0)
+    fp = g.select(
+        "nation",
+        e.alias("e"),
+        var_e.alias("var_e"),
+        F.floor(F.lit(1e15) / var_e).cast("long").alias("w_fp"),
+        F.floor(e * F.lit(1e9) / var_e).cast("long").alias("we_fp"),
+    ).localCheckpoint()  # feeds the pool scalars AND the Q re-scan
+    pool = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("w_fp").cast("long").alias("sw"),
+        F.sum("we_fp").cast("long").alias("swe"),
+    )
+    pooled = pool.select(
+        "k", "sw", (F.col("swe") * F.lit(1e6) / F.col("sw")).alias("mu")
+    )
+    qterm = (
+        fp.crossJoin(F.broadcast(pooled))
+        .groupBy("k", "sw", "mu")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("e") - F.col("mu"))
+                    * (F.col("e") - F.col("mu"))
+                    * F.lit(1e6)
+                    / F.col("var_e")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("q_fp")
+        )
+    )
+    q = F.col("q_fp") / F.lit(1e6)
+    se = F.sqrt(F.lit(1e15) / F.col("sw"))
+    kd = F.col("k") - 1
+    return qterm.select(
+        F.col("k").alias("k_studies"),
+        F.round(F.col("mu"), 6).alias("pooled_effect"),
+        F.round(se, 6).alias("se"),
+        F.round(F.col("mu") / se, 6).alias("z"),
+        F.round(q, 6).alias("cochran_q"),
+        F.when(q > kd, F.floor((q - kd) * F.lit(1e6) / q) / 1e6)
+        .otherwise(F.lit(0.0))
+        .alias("i_squared"),
+    )

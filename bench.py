@@ -224,6 +224,9 @@ HEADLINE = [
     # wave 47: pair-concordance correlation + meta-analysis
     "kendall_tau_quantity_price",
     "fixed_effect_meta",
+    # wave 48: distribution-free trend testing
+    "mann_kendall_trend",
+    "theil_sen_slope",
 ]
 
 

@@ -308,6 +308,10 @@ PRIORITY_ORDER = [
 #   bounded |grid|^2 comparisons, int64-exact until the final ratio),
 # fixed_effect_meta (new, inverse-variance pooling + Cochran Q / I^2
 #   with every k-bounded float sum floor-truncated to fixed-point),
+# mann_kendall_trend (new, distribution-free monotone-trend test with
+#   tie-aware variance, series-span-bounded pair join),
+# theil_sen_slope (new, median-of-pairwise-slopes robust trend with
+#   explicit order-statistic median),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

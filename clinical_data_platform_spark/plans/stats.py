@@ -3574,3 +3574,215 @@ def fixed_effect_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("i_squared"),
     )
+
+
+# --- Wave 48: Mann-Kendall trend + Theil-Sen slope ------------------------------
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             cast(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS t,
+             sum(CAST(round(value * 100.0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             cast(count(*) AS BIGINT) AS n_pairs,
+             cast(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS mk_s
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.t < b.t
+      GROUP BY 1
+    ),
+    n AS (SELECT event_type, cast(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             cast(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, x, count(*) AS c FROM h GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT s.event_type, n.n, s.mk_s,
+             (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0 AS var_s,
+             CASE WHEN s.mk_s > 0 THEN (s.mk_s - 1)
+                  WHEN s.mk_s < 0 THEN (s.mk_s + 1)
+                  ELSE 0 END
+               / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term)
+                      / 18.0) AS z_raw
+      FROM s JOIN n USING (event_type) JOIN ties USING (event_type)
+    )
+    SELECT event_type, n AS n_hours, mk_s,
+           round(z_raw, 6) AS z,
+           round(__PSQL__, 6) AS p_value
+    FROM z
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["time-series", "trend", "mann-kendall"],
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type on the hourly
+    revenue series — the distribution-free "is this metric drifting"
+    test used on exactly this kind of telemetry (no linearity or
+    normality assumed, ties handled): S = sum of sign(x_j - x_i) over
+    ordered hour pairs, continuity-corrected normal z with the tie-aware
+    variance.
+
+    The pair join LOOKS quadratic but is bounded by the TIME SPAN per
+    type (hours, not rows — the same argument as the interval sweep and
+    the changepoint windows): the corpus-scale work is one (type, hour)
+    rollup; the series-pair join is |hours|^2 per type with integer
+    cents values, so S, the tie term, and Var numerators are all exact
+    integers — the single erf p is the only transcendental. Output one
+    row per type."""
+    ev = T(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.floor(
+                F.col("ts").cast("long") / 3600
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("x")
+        )
+        .localCheckpoint()  # feeds the pair join, n, and the tie table
+    )
+    a, b = h.alias("a"), h.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("mk_s"),
+        )
+    )
+    n = h.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        h.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    z = s.join(n, "event_type").join(ties, "event_type")
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    s_cc = (
+        F.when(F.col("mk_s") > 0, F.col("mk_s") - 1)
+        .when(F.col("mk_s") < 0, F.col("mk_s") + 1)
+        .otherwise(0)
+    )
+    z_raw = s_cc / F.sqrt(var_s)
+    return z.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        "mk_s",
+        F.round(z_raw, 6).alias("z"),
+        F.round(normal_sf(z_raw), 6).alias("p_value"),
+    )
+
+
+@query(
+    "theil_sen_slope",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             cast(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS t,
+             sum(CAST(round(value * 100.0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.x - a.x) * 1.0 / (b.t - a.t) AS m
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.t < b.t
+    ),
+    ranked AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM slopes
+    )
+    SELECT event_type,
+           cast(max(np) AS BIGINT) AS n_pairs,
+           floor(avg(m) * 1e4) / 1e6 AS sen_slope
+    FROM ranked
+    WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    GROUP BY event_type
+    """,
+    tags=["time-series", "robust", "theil-sen"],
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type — the median of all
+    pairwise slopes (Sen 1968), the magnitude estimate reported beside
+    the Mann-Kendall p: immune to the outlier hours that wreck an OLS
+    slope (29% breakdown point).
+
+    Same bounded shape as Mann-Kendall: the slope set is |hours|^2 per
+    type, each slope an exact integer-cents / integer-hours quotient
+    (identical doubles cross-engine), and the median is the explicit
+    rank-(n+1)/2 / rank-(n+2)/2 average over the per-type window — an
+    engine-interpolation-free order statistic (the conformal-intervals
+    rule). Output slope in dollars/hour (trunc after the 2-element
+    mean: floor(avg*1e4)/1e6 = cents rounded at 1e-4 then shown in
+    dollars)."""
+    ev = T(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("x")
+        )
+        .localCheckpoint()
+    )
+    a, b = h.alias("a"), h.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.x") - F.col("a.x"))
+            * F.lit(1.0)
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("m"),
+    )
+    wtype = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "m",
+        F.row_number().over(wtype.orderBy("m")).alias("rn"),
+        F.count(F.lit(1)).over(wtype).alias("np"),
+    )
+    lo = (F.col("np") + 1).cast("long") / F.lit(2)
+    return (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            (F.floor(F.avg("m") * 1e4) / 1e6).alias("sen_slope"),
+        )
+    )

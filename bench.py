@@ -227,6 +227,9 @@ HEADLINE = [
     # wave 48: distribution-free trend testing
     "mann_kendall_trend",
     "theil_sen_slope",
+    # wave 49: inequality + market concentration
+    "theil_inequality_decomposition",
+    "hhi_market_concentration",
 ]
 
 

@@ -312,6 +312,10 @@ PRIORITY_ORDER = [
 #   tie-aware variance, series-span-bounded pair join),
 # theil_sen_slope (new, median-of-pairwise-slopes robust trend with
 #   explicit order-statistic median),
+# theil_inequality_decomposition (new, additive between/within-nation
+#   Theil T with per-row ln terms in 1e-9 fixed-point int64),
+# hhi_market_concentration (new, Herfindahl index per region with
+#   fixed-point squared-share sums),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

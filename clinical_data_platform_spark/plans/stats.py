@@ -3786,3 +3786,211 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.avg("m") * 1e4) / 1e6).alias("sen_slope"),
         )
     )
+
+
+# --- Wave 49: Theil inequality decomposition ------------------------------------
+
+
+@query(
+    "theil_inequality_decomposition",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS nation,
+             cast(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    tot AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(cents) AS BIGINT) AS s
+      FROM o
+    ),
+    rowterm AS (
+      SELECT cast(sum(CAST(floor(
+               (cents * 1.0 * tot.n / tot.s)
+               * ln(cents * 1.0 * tot.n / tot.s) * 1e9) AS BIGINT))
+             AS BIGINT) AS t_fp
+      FROM o, tot
+    ),
+    grp AS (
+      SELECT nation,
+             cast(count(*) AS BIGINT) AS ng,
+             cast(sum(cents) AS BIGINT) AS sg
+      FROM o GROUP BY 1
+    ),
+    betw AS (
+      SELECT cast(sum(CAST(floor(
+               (sg * 1.0 / tot.s)
+               * ln((sg * 1.0 / tot.s) / (ng * 1.0 / tot.n)) * 1e9)
+             AS BIGINT)) AS BIGINT) AS b_fp
+      FROM grp, tot
+    )
+    SELECT tot.n AS n_orders,
+           floor(rowterm.t_fp / tot.n / 1e3) / 1e6 AS theil_total,
+           floor(betw.b_fp / 1e3) / 1e6 AS theil_between,
+           floor((rowterm.t_fp / tot.n - betw.b_fp) / 1e3) / 1e6
+             AS theil_within
+    FROM tot, rowterm, betw
+    """,
+    tags=["M-ext", "inequality", "economics"],
+)
+def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with the between/within-nation
+    decomposition (Theil 1967) — the inequality measure that, unlike
+    Gini, decomposes ADDITIVELY: T = T_between + sum_g share_g T_g, so
+    the report says how much order-value concentration lives across
+    nations vs inside them. Completes the concentration family next to
+    user_value_lorenz_deciles.
+
+    T = (1/N) sum (x_i/mu) ln(x_i/mu) needs a per-row transcendental
+    summed corpus-wide — THE float-sum-order trap — so every row term is
+    floor-truncated into 1e-9 FIXED-POINT int64 before the sum (exact,
+    order-free; truncation bias < 1e-9/row is invisible at 6 output dp
+    against the 1e3 descale). The between term runs on the nation-
+    bounded group table the same way. x_i/mu is computed as the exact
+    integer ratio cents*N/S so both engines feed ln identical doubles.
+    Two aggregates over one scan + one group table; scalar output."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .localCheckpoint()  # feeds tot, the row-term scan, and grp
+    )
+    tot = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    ratio = F.col("cents") * F.lit(1.0) * F.col("n") / F.col("s")
+    rowterm = (
+        o.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(ratio * F.log(ratio) * F.lit(1e9)).cast("long")
+            )
+            .cast("long")
+            .alias("t_fp")
+        )
+    )
+    grp = o.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("cents").cast("long").alias("sg"),
+    )
+    sshare = F.col("sg") * F.lit(1.0) / F.col("s")
+    nshare = F.col("ng") * F.lit(1.0) / F.col("n")
+    betw = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(sshare * F.log(sshare / nshare) * F.lit(1e9)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("b_fp")
+        )
+    )
+    out = tot.crossJoin(rowterm).crossJoin(betw)
+    return out.select(
+        F.col("n").alias("n_orders"),
+        (F.floor(F.col("t_fp") / F.col("n") / F.lit(1e3)) / 1e6).alias(
+            "theil_total"
+        ),
+        (F.floor(F.col("b_fp") / F.lit(1e3)) / 1e6).alias("theil_between"),
+        (
+            F.floor(
+                (F.col("t_fp") / F.col("n") - F.col("b_fp")) / F.lit(1e3)
+            )
+            / 1e6
+        ).alias("theil_within"),
+    )
+
+
+@query(
+    "hhi_market_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, s.s_suppkey,
+             cast(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT region, cast(sum(cents) AS BIGINT) AS total FROM rev GROUP BY 1)
+    SELECT rev.region,
+           cast(count(*) AS BIGINT) AS n_suppliers,
+           cast(sum(CAST(floor(
+             (rev.cents * 1.0 / tot.total)
+             * (rev.cents * 1.0 / tot.total) * 1e12) AS BIGINT))
+             AS BIGINT) * 1.0 / 1e8 AS hhi,
+           floor(max(rev.cents) * 1e6 / tot.total) / 1e6 AS top_share
+    FROM rev JOIN tot USING (region)
+    GROUP BY rev.region, tot.total
+    """,
+    tags=["M-ext", "concentration", "economics"],
+)
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per region —
+    the antitrust/market-structure screen (HHI in the conventional
+    0-10,000 points scale: sum of squared percentage shares) plus the
+    largest supplier's share. The squared-share sum is per-region
+    float-sum territory, so each squared share is floor-truncated into
+    1e-12 fixed-point int64 before summation (then descaled to points),
+    keeping the index value-exact cross-engine.
+
+    One fact-side rollup to (region, supplier) revenue with broadcast
+    dims (the q5 join shape), one region-total join, one bounded
+    aggregate."""
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(
+        T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    r = F.broadcast(
+        T(spark, sf_dir, "region").select(
+            "r_regionkey", F.col("r_name").alias("region")
+        )
+    )
+    rev = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("region", "s_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("region").agg(
+        F.sum("cents").cast("long").alias("total")
+    )
+    share = F.col("cents") * F.lit(1.0) / F.col("total")
+    return (
+        rev.join(F.broadcast(tot), "region")
+        .groupBy("region", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            (
+                F.sum(
+                    F.floor(share * share * F.lit(1e12)).cast("long")
+                ).cast("long")
+                * F.lit(1.0)
+                / 1e8
+            ).alias("hhi"),
+            (F.floor(F.max("cents") * F.lit(1e6) / F.col("total")) / 1e6)
+            .alias("top_share"),
+        )
+        .drop("total")
+    )

@@ -230,6 +230,8 @@ HEADLINE = [
     # wave 49: inequality + market concentration
     "theil_inequality_decomposition",
     "hhi_market_concentration",
+    # wave 50: spectral embedding kernel
+    "token_spectral_centrality",
 ]
 
 

@@ -30,7 +30,7 @@ grams before the exchange).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import fan_out_scan, table as T
 from ..functions.text import tokens, word_shingles
@@ -458,5 +458,176 @@ def dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(g2, 4).alias("g2"),
         )
         .orderBy(F.desc("g2"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+# --- Wave 50: spectral centrality of the PPMI co-occurrence graph ---------------
+
+_SPEC_ITERS = 4
+
+_SPEC_EDGES_SQL = f"""
+    t AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    uni AS MATERIALIZED (
+      SELECT w, cast(count(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w
+    ),
+    n1 AS MATERIALIZED (SELECT cast(sum(cu) AS BIGINT) AS total1 FROM uni),
+    bg0 AS MATERIALIZED (
+      SELECT string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[2] AS w2,
+             count(*) AS c
+      FROM (SELECT unnest({{gram}}) AS g FROM t)
+      GROUP BY 1, 2
+      HAVING string_split(g, ' ')[1] <> string_split(g, ' ')[2]
+    ),
+    n2 AS MATERIALIZED (SELECT cast(sum(c) AS BIGINT) AS total2 FROM bg0),
+    ed AS MATERIALIZED (
+      SELECT b.w1, b.w2,
+             round(ln((b.c * 1.0 / n2.total2)
+                      / ((u1.cu * 1.0 / n1.total1)
+                         * (u2.cu * 1.0 / n1.total1))), 9) AS ppmi
+      FROM bg0 b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE b.c >= {{minc}}
+        AND ln((b.c * 1.0 / n2.total2)
+               / ((u1.cu * 1.0 / n1.total1)
+                  * (u2.cu * 1.0 / n1.total1))) > 0
+    ),
+    e AS MATERIALIZED (
+      SELECT w1, w2, ppmi FROM ed
+      UNION ALL SELECT w2, w1, ppmi FROM ed
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT w1 AS node FROM e),
+    v0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS v FROM nodes)
+"""
+
+
+def _spec_iter_sql(k: int) -> str:
+    return f"""
+    v{k}r AS MATERIALIZED (
+      SELECT e.w1 AS node, sum(e.ppmi * p.v) AS raw
+      FROM e JOIN v{k - 1} p ON p.node = e.w2 GROUP BY 1
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT nd.node,
+             round(coalesce(r.raw, 0.0::DOUBLE)
+                   / (SELECT max(raw) FROM v{k}r), 12) AS v
+      FROM nodes nd LEFT JOIN v{k}r r ON r.node = nd.node
+    )"""
+
+
+@query(
+    "token_spectral_centrality",
+    oracle=(
+        "WITH "
+        + _SPEC_EDGES_SQL.format(gram=_gram_sql(2), minc=_MIN_PAIR)
+        + ","
+        + ",".join(_spec_iter_sql(k) for k in range(1, _SPEC_ITERS + 1))
+        + f"""
+    SELECT node AS token, round(v, 6) AS loading
+    FROM v{_SPEC_ITERS}
+    ORDER BY loading DESC, token
+    LIMIT 20
+    """
+    ),
+    tags=["text", "spectral", "iterative", "llm-pipeline"],
+)
+def token_spectral_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-eigenvector centrality of the PPMI token co-occurrence
+    graph by power iteration — the 1-D version of the spectral token
+    embedding behind PMI-SVD word vectors (Levy & Goldberg 2014): build
+    the positive-PMI adjacency over adjacent-token pairs (the CLASSIC
+    unigram-marginal PMI of bigram_pmi_top20; kept edges need support
+    >= {minc} AND PMI > 0, self-loops dropped, then symmetrized — the
+    first cut normalized against edge-table marginals, which shifts
+    every supported pair negative on near-independent text), then
+    iterate v <- A v {it} times. The
+    top loadings name the tokens most central to the corpus' strongest
+    collocation structure, and the machinery IS the mat-vec kernel any
+    spectral embedding needs at scale.
+
+    Exactness: edge PPMI weights are ln() of exact integer ratios
+    rounded to 9 dp at birth; each iteration max-normalizes (the
+    order-deterministic HITS normalizer — scaling is arbitrary for the
+    eigendirection) and re-syncs at 12 dp, so the ENTIRE iteration
+    chain is value-verified by a chained MATERIALIZED-CTE oracle (the
+    inlining/file-handle lesson from trade_hits_scores). Per iteration:
+    one node-keyed join + one partial/final agg — edge-bounded shuffle,
+    vocab-bounded state, exactly PageRank's scale shape.""".format(
+        minc=_MIN_PAIR, it=_SPEC_ITERS
+    )
+    d = _doc_tokens(spark, sf_dir)
+    uni = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    n1 = uni.agg(F.sum("cu").cast("long").alias("total1"))
+    bg = (
+        d.select(F.explode(_grams(F.col("ws"), 2)).alias("g"))
+        .select(
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+        )
+        .filter(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n2 = bg.agg(F.sum("c").cast("long").alias("total2"))
+    pmi = F.log(
+        (F.col("c") * F.lit(1.0) / F.col("total2"))
+        / (
+            (F.col("cu1") * F.lit(1.0) / F.col("total1"))
+            * (F.col("cu2") * F.lit(1.0) / F.col("total1"))
+        )
+    )
+    ed = (
+        bg.filter(F.col("c") >= _MIN_PAIR)
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .filter(pmi > 0)
+        .select("w1", "w2", F.round(pmi, 9).alias("ppmi"))
+    )
+    e = ed.unionAll(
+        ed.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"), "ppmi")
+    ).localCheckpoint()
+    nodes = e.select(F.col("w1").alias("node")).distinct().localCheckpoint()
+    wall = Window.partitionBy()
+    v = nodes.select("node", F.lit(1.0).alias("v"))
+    for _ in range(_SPEC_ITERS):
+        vr = (
+            e.join(v, e.w2 == v.node)
+            .groupBy("w1")
+            .agg(F.sum(F.col("ppmi") * F.col("v")).alias("raw"))
+        )
+        v = (
+            nodes.join(vr, nodes.node == vr.w1, "left")
+            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            .select(
+                "node",
+                F.round(F.col("raw") / F.max("raw").over(wall), 12).alias("v"),
+            )
+        )
+    return (
+        v.select(F.col("node").alias("token"), F.round("v", 6).alias("loading"))
+        .orderBy(F.desc("loading"), F.asc("token"))
         .limit(20)
     )

@@ -316,6 +316,9 @@ PRIORITY_ORDER = [
 #   Theil T with per-row ln terms in 1e-9 fixed-point int64),
 # hhi_market_concentration (new, Herfindahl index per region with
 #   fixed-point squared-share sums),
+# token_spectral_centrality (new, power iteration on the positive-PMI
+#   co-occurrence graph — the PMI-SVD mat-vec kernel, whole chain
+#   value-verified via the HITS normalizer/rounding machinery),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -232,6 +232,9 @@ HEADLINE = [
     "hhi_market_concentration",
     # wave 50: spectral embedding kernel
     "token_spectral_centrality",
+    # wave 51: effect size + dedup-recall estimation
+    "cramers_v_type_band",
+    "dedup_capture_recapture",
 ]
 
 

@@ -319,6 +319,11 @@ PRIORITY_ORDER = [
 # token_spectral_centrality (new, power iteration on the positive-PMI
 #   co-occurrence graph — the PMI-SVD mat-vec kernel, whole chain
 #   value-verified via the HITS normalizer/rounding machinery),
+# cramers_v_type_band (new, scale-free chi-square effect size on the
+#   bounded contingency — the anti-"everything is significant" number),
+# dedup_capture_recapture (new, Chapman mark-recapture estimate of
+#   total dup pairs + per-detector recall from LSH vs exact-Jaccard
+#   catch overlap, one shared shingle scan),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

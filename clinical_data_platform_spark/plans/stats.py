@@ -3994,3 +3994,96 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+# --- Wave 51: Cramer's V effect size --------------------------------------------
+
+
+@query(
+    "cramers_v_type_band",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x,
+             least(cast(floor(value / 100.0::DOUBLE) AS BIGINT), 4) AS y,
+             cast(count(*) AS BIGINT) AS nxy
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT x, y, nxy,
+             cast(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+             cast(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+             cast(sum(nxy) OVER () AS BIGINT) AS n
+      FROM cells
+    ), chi AS (
+      SELECT cast(max(n) AS BIGINT) AS n_events,
+             cast(count(DISTINCT x) AS BIGINT) AS r,
+             cast(count(DISTINCT y) AS BIGINT) AS c,
+             sum((nxy * 1.0 * n / (nx * 1.0 * ny) - 1.0::DOUBLE)
+                 * (nxy * 1.0 * n / (nx * 1.0 * ny) - 1.0::DOUBLE)
+                 * (nx * 1.0 * ny / n)) AS chi2
+      FROM m
+    )
+    SELECT n_events, r AS n_rows_levels, c AS n_col_levels,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n_events * least(r - 1, c - 1))), 6)
+             AS cramers_v
+    FROM chi
+    """,
+    tags=["M-ext", "effect-size", "chi-square"],
+)
+def cramers_v_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the event_type x value-band
+    contingency — the scale-free [0,1] companion to the chi-square
+    p-value (which saturates at any big-data sample size: everything
+    is "significant" at 600M rows) and to column_mutual_information's
+    nats. V = sqrt(chi2 / (N min(r-1, c-1))) over the same bounded
+    contingency table.
+
+    Per-cell chi-square contribution is computed as
+    (O/E - 1)^2 * E with O/E the exact ratio n_xy*N/(n_x*n_y), the
+    cell sum is bounded by |types| x |bands| (<= 25 doubles summed —
+    the ANOVA-scale bounded float sum, ordered identically by the
+    single-partition fold on both engines), round6 output."""
+    cells = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("x"),
+            F.least(
+                F.floor(F.col("value") / 100.0).cast("long"), F.lit(4)
+            ).alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    )
+    m = cells.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x")).cast("long").alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).cast("long").alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    oe = F.col("nxy") * F.lit(1.0) * F.col("n") / (
+        F.col("nx") * F.lit(1.0) * F.col("ny")
+    )
+    chi = m.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.countDistinct("x").cast("long").alias("r"),
+        F.countDistinct("y").cast("long").alias("c"),
+        F.sum(
+            (oe - F.lit(1.0))
+            * (oe - F.lit(1.0))
+            * (F.col("nx") * F.lit(1.0) * F.col("ny") / F.col("n"))
+        ).alias("chi2"),
+    )
+    return chi.select(
+        "n_events",
+        F.col("r").alias("n_rows_levels"),
+        F.col("c").alias("n_col_levels"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n_events") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

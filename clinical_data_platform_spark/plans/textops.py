@@ -1474,3 +1474,122 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_weight",
         )
     )
+
+
+# --- Wave 51: capture-recapture dedup-coverage estimation -----------------------
+
+
+@query(
+    "dedup_capture_recapture",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.05
+    ), h AS (
+      SELECT doc_id, i,
+             min(md5(cast(i AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh, unnest(generate_series(0, 15)) AS u(i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, cast(floor(i / 4.0) AS BIGINT) AS band,
+             string_agg(mh, ',' ORDER BY i) AS sig
+      FROM h GROUP BY 1, 2
+    ), lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ), counts AS (
+      SELECT (SELECT cast(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+             (SELECT cast(count(*) AS BIGINT) FROM jac) AS n_jac,
+             (SELECT cast(count(*) AS BIGINT)
+              FROM lsh JOIN jac USING (id_a, id_b)) AS n_both
+    )
+    SELECT n_lsh, n_jac, n_both,
+           floor(((n_lsh + 1) * 1.0 * (n_jac + 1) / (n_both + 1) - 1.0)
+                 * 1e6) / 1e6 AS chapman_estimate,
+           floor(n_lsh * 1e6
+                 / (((n_lsh + 1) * 1.0 * (n_jac + 1) / (n_both + 1)) - 1.0))
+             / 1e6 AS lsh_coverage,
+           floor(n_jac * 1e6
+                 / (((n_lsh + 1) * 1.0 * (n_jac + 1) / (n_both + 1)) - 1.0))
+             / 1e6 AS jaccard_coverage
+    FROM counts
+    """,
+    tags=["dedup", "capture-recapture", "llm-pipeline"],
+)
+def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimation of TOTAL near-duplicate pairs and
+    each detector's coverage (Chapman's estimator, the ecology
+    mark-recapture method applied to data quality): detector A =
+    MinHash-LSH candidates (16 md5 hashes, 4 bands), detector B = the
+    exact inverted-index Jaccard >= 0.05 pairs; from |A|, |B| and
+    |A intersect B| the Chapman estimate N = (|A|+1)(|B|+1)/(|AB|+1)-1
+    says how many dup pairs EXIST (including ones neither caught), so
+    each detector's recall is measurable without ground truth. The
+    independence assumption is imperfect here (both detectors key on
+    the same shingles — stated, as in any two-list study); the operator
+    is the estimation machinery.
+
+    Plan: ONE shingle table feeds both detectors (the corpus is
+    scanned once); the overlap is a pair-key equi-join; everything
+    after is exact-integer scalar arithmetic, trunc6 at output."""
+    from ..operators.dedup import (
+        minhash_md5_candidates,
+        ngram_jaccard_pairs_inverted,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    lsh = minhash_md5_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4
+    ).select("id_a", "id_b").localCheckpoint()
+    jac = (
+        ngram_jaccard_pairs_inverted(
+            docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=None
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    counts = (
+        lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+        .crossJoin(jac.agg(F.count(F.lit(1)).cast("long").alias("n_jac")))
+        .crossJoin(
+            lsh.join(jac, ["id_a", "id_b"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        )
+    )
+    chapman = (
+        (F.col("n_lsh") + 1)
+        * F.lit(1.0)
+        * (F.col("n_jac") + 1)
+        / (F.col("n_both") + 1)
+        - F.lit(1.0)
+    )
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return counts.select(
+        "n_lsh",
+        "n_jac",
+        "n_both",
+        t6(chapman).alias("chapman_estimate"),
+        (F.floor(F.col("n_lsh") * F.lit(1e6) / chapman) / 1e6).alias(
+            "lsh_coverage"
+        ),
+        (F.floor(F.col("n_jac") * F.lit(1e6) / chapman) / 1e6).alias(
+            "jaccard_coverage"
+        ),
+    )

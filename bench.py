@@ -235,6 +235,9 @@ HEADLINE = [
     # wave 51: effect size + dedup-recall estimation
     "cramers_v_type_band",
     "dedup_capture_recapture",
+    # wave 52: survival uncertainty + stratified association
+    "km_greenwood_ci",
+    "mantel_haenszel_or",
 ]
 
 

@@ -324,6 +324,10 @@ PRIORITY_ORDER = [
 # dedup_capture_recapture (new, Chapman mark-recapture estimate of
 #   total dup pairs + per-detector recall from LSH vs exact-Jaccard
 #   catch overlap, one shared shingle scan),
+# km_greenwood_ci (new, Greenwood pointwise 95% bands on the KM curve
+#   — one more duration-ordered cumulative sum on the life table),
+# mantel_haenszel_or (new, stratified common odds ratio + CMH test
+#   with fixed-point cross-stratum sums),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

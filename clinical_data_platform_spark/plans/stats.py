@@ -4087,3 +4087,158 @@ def cramers_v_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --- Wave 52: Mantel-Haenszel stratified odds ratio + CMH test -------------------
+
+
+@query(
+    "mantel_haenszel_or",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS stratum,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+             CASE WHEN o.o_totalprice > 150000.0::DOUBLE THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT stratum,
+             cast(sum(t * y) AS BIGINT) AS a,
+             cast(sum(t * (1 - y)) AS BIGINT) AS b,
+             cast(sum((1 - t) * y) AS BIGINT) AS c,
+             cast(sum((1 - t) * (1 - y)) AS BIGINT) AS d,
+             cast(count(*) AS BIGINT) AS n
+      FROM o GROUP BY 1
+      HAVING count(*) >= 2
+    ),
+    fp AS (
+      SELECT stratum,
+             CAST(floor(a * 1.0 * d / n * 1e6) AS BIGINT) AS ad_fp,
+             CAST(floor(b * 1.0 * c / n * 1e6) AS BIGINT) AS bc_fp,
+             a,
+             CAST(floor((a + b) * 1.0 * (a + c) / n * 1e6) AS BIGINT) AS e_fp,
+             CAST(floor((a + b) * 1.0 * (c + d) * (a + c) * (b + d)
+                        / (n * 1.0 * n * (n - 1)) * 1e6) AS BIGINT) AS v_fp
+      FROM g
+    ),
+    s AS (
+      SELECT cast(count(*) AS BIGINT) AS k,
+             cast(sum(a) AS BIGINT) AS sa,
+             cast(sum(ad_fp) AS BIGINT) AS sad,
+             cast(sum(bc_fp) AS BIGINT) AS sbc,
+             cast(sum(e_fp) AS BIGINT) AS se_,
+             cast(sum(v_fp) AS BIGINT) AS sv
+      FROM fp
+    ),
+    z AS (
+      SELECT k, sa, sad, sbc,
+             sad * 1.0 / sbc AS mh_or,
+             (abs(sa * 1e6 - se_) - 0.5e6)
+               * (abs(sa * 1e6 - se_) - 0.5e6) / (sv * 1e6) AS chi2
+      FROM s
+    ),
+    p AS (SELECT *, sqrt(chi2) AS z_raw FROM z)
+    SELECT k AS k_strata,
+           floor(mh_or * 1e6) / 1e6 AS mh_odds_ratio,
+           round(chi2, 6) AS cmh_chi2,
+           round(__PSQL__, 6) AS p_value
+    FROM p
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["M-ext", "epidemiology", "stratified"],
+)
+def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio and the CMH chi-square (Mantel
+    & Haenszel 1959) — the stratified 2x2 analysis that asks whether
+    urgency associates with high order value AFTER controlling for
+    nation (the confounder-adjusted cousin of the pooled chi-square,
+    and the epidemiology workhorse the causal family was missing):
+    OR_MH = sum(a_i d_i / n_i) / sum(b_i c_i / n_i), CMH chi2 =
+    (|sum a - sum E| - 1/2)^2 / sum V with the hypergeometric E and V
+    per stratum.
+
+    Every stratum statistic is a single expression of exact integer
+    cells; the k-bounded cross-stratum sums are floor-truncated to 1e-6
+    fixed-point int64 before summation (the meta-analysis discipline),
+    and sum(a) enters the continuity-corrected numerator pre-scaled by
+    1e6 so the subtraction stays integer. One key shuffle, one group
+    table, scalar output."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("stratum"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("t"),
+            F.when(F.col("o_totalprice") > 150000.0, 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    g = (
+        o.groupBy("stratum")
+        .agg(
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("a"),
+            F.sum(F.col("t") * (1 - F.col("y"))).cast("long").alias("b"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("c"),
+            F.sum((1 - F.col("t")) * (1 - F.col("y")))
+            .cast("long")
+            .alias("d"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    fp = g.select(
+        F.col("a"),
+        F.floor(F.col("a") * F.lit(1.0) * F.col("d") / F.col("n") * 1e6)
+        .cast("long")
+        .alias("ad_fp"),
+        F.floor(F.col("b") * F.lit(1.0) * F.col("c") / F.col("n") * 1e6)
+        .cast("long")
+        .alias("bc_fp"),
+        F.floor(
+            (F.col("a") + F.col("b"))
+            * F.lit(1.0)
+            * (F.col("a") + F.col("c"))
+            / F.col("n")
+            * 1e6
+        )
+        .cast("long")
+        .alias("e_fp"),
+        F.floor(
+            (F.col("a") + F.col("b"))
+            * F.lit(1.0)
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nd * nd * (F.col("n") - 1))
+            * 1e6
+        )
+        .cast("long")
+        .alias("v_fp"),
+    )
+    s = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("ad_fp").cast("long").alias("sad"),
+        F.sum("bc_fp").cast("long").alias("sbc"),
+        F.sum("e_fp").cast("long").alias("se_"),
+        F.sum("v_fp").cast("long").alias("sv"),
+    )
+    dev = F.abs(F.col("sa") * F.lit(1e6) - F.col("se_")) - F.lit(0.5e6)
+    chi2 = dev * dev / (F.col("sv") * F.lit(1e6))
+    z = F.sqrt(chi2)
+    return s.select(
+        F.col("k").alias("k_strata"),
+        (F.floor(F.col("sad") * F.lit(1.0) / F.col("sbc") * 1e6) / 1e6).alias(
+            "mh_odds_ratio"
+        ),
+        F.round(chi2, 6).alias("cmh_chi2"),
+        F.round(normal_sf(z), 6).alias("p_value"),
+    )

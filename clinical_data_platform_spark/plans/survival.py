@@ -1031,3 +1031,166 @@ def psm_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_ps_gap"),
         )
     )
+
+
+# --- Wave 52: Greenwood confidence bands on the KM curve ------------------------
+
+
+@query(
+    "km_greenwood_ci",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type FROM events
+    ), pu AS (
+      SELECT user_id, min(sec) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS t_evt
+      FROM ev GROUP BY 1
+    ), h AS (SELECT max(sec) AS t_max FROM ev),
+    d AS (
+      SELECT CASE WHEN ({{hex6}}) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS cohort,
+             cast(floor((coalesce(t_evt, t_max) - t0)::DOUBLE
+                        / 3600.0::DOUBLE) AS BIGINT) AS dur,
+             CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS evt
+      FROM pu, h
+    ), tbl AS (
+      SELECT cohort, dur,
+             cast(sum(evt) AS BIGINT) AS d_i,
+             cast(sum(1 - evt) AS BIGINT) AS c_i
+      FROM d GROUP BY 1, 2
+    ), risk AS (
+      SELECT cohort, dur, d_i,
+             sum(d_i + c_i) OVER (PARTITION BY cohort)
+               - coalesce(sum(d_i + c_i) OVER (
+                   PARTITION BY cohort ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_i
+      FROM tbl
+    ), km AS (
+      SELECT cohort, dur, d_i, n_i,
+             CASE WHEN d_i = n_i THEN 0.0::DOUBLE
+                  ELSE exp(sum(CASE WHEN d_i < n_i
+                               THEN ln((n_i - d_i)::DOUBLE / n_i::DOUBLE)
+                               ELSE 0.0::DOUBLE END) OVER (
+                      PARTITION BY cohort ORDER BY dur))
+             END AS surv,
+             sum(CASE WHEN d_i < n_i
+                 THEN d_i::DOUBLE / (n_i::DOUBLE * (n_i - d_i))
+                 ELSE 0.0::DOUBLE END) OVER (
+               PARTITION BY cohort ORDER BY dur) AS gw
+      FROM risk
+    )
+    SELECT cohort, dur AS duration_hours,
+           cast(n_i AS BIGINT) AS n_at_risk,
+           cast(d_i AS BIGINT) AS n_events,
+           round(surv, 6) AS survival,
+           round(surv * sqrt(gw), 6) AS se,
+           round(greatest(surv - 1.959963984540054 * surv * sqrt(gw),
+                          0.0::DOUBLE), 6) AS ci_lo,
+           round(least(surv + 1.959963984540054 * surv * sqrt(gw),
+                       1.0::DOUBLE), 6) AS ci_hi
+    FROM km WHERE d_i > 0
+    """.format(hex6=_HEX6_SQL.format(x="cast(user_id AS VARCHAR)")),
+    tags=["survival", "clinical", "greenwood"],
+)
+def km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier curve with Greenwood (1926) pointwise 95% bands —
+    the uncertainty layer every published KM plot carries: Var S(t) =
+    S(t)^2 * sum d/(n(n-d)) over steps so far, CI = S +- 1.96 se,
+    clamped to [0, 1] (the plain — not log-log — form, stated).
+
+    Reuses kaplan_meier_survival's life-table discipline end to end:
+    one per-user aggregation, then everything on the duration-bounded
+    table; the Greenwood accumulator is one more ascending-duration
+    cumulative sum of exact integer ratios (d=n terminal rows excluded
+    from the sum exactly as the ln term is), z pinned as the 17-digit
+    literal. Same scale shape as KM."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "event_type"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("t_evt"),
+    )
+    horizon = ev.agg(F.max("sec").alias("t_max"))
+    cohort = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    d = pu.crossJoin(F.broadcast(horizon)).select(
+        cohort.alias("cohort"),
+        F.floor(
+            (F.coalesce(F.col("t_evt"), F.col("t_max")) - F.col("t0"))
+            / F.lit(3600.0)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("evt"),
+    )
+    tbl = d.groupBy("cohort", "dur").agg(
+        F.sum("evt").cast("long").alias("d_i"),
+        F.sum(F.lit(1) - F.col("evt")).cast("long").alias("c_i"),
+    )
+    w_tot = Window.partitionBy("cohort")
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("cohort").orderBy("dur")
+    risk = tbl.select(
+        "cohort",
+        "dur",
+        "d_i",
+        (
+            F.sum(F.col("d_i") + F.col("c_i")).over(w_tot)
+            - F.coalesce(
+                F.sum(F.col("d_i") + F.col("c_i")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_i"),
+    )
+    surv = F.when(F.col("d_i") == F.col("n_i"), F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d_i") < F.col("n_i"),
+                    F.log(
+                        (F.col("n_i") - F.col("d_i")).cast("double")
+                        / F.col("n_i").cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w_run)
+        )
+    )
+    gw = F.sum(
+        F.when(
+            F.col("d_i") < F.col("n_i"),
+            F.col("d_i").cast("double")
+            / (F.col("n_i").cast("double") * (F.col("n_i") - F.col("d_i"))),
+        ).otherwise(F.lit(0.0))
+    ).over(w_run)
+    km = risk.select(
+        "cohort", "dur", "d_i", "n_i", surv.alias("surv"), gw.alias("gw")
+    )
+    z = F.lit(1.959963984540054)
+    se = F.col("surv") * F.sqrt(F.col("gw"))
+    return km.filter(F.col("d_i") > 0).select(
+        "cohort",
+        F.col("dur").alias("duration_hours"),
+        F.col("n_i").alias("n_at_risk"),
+        F.col("d_i").alias("n_events"),
+        F.round("surv", 6).alias("survival"),
+        F.round(se, 6).alias("se"),
+        F.round(F.greatest(F.col("surv") - z * se, F.lit(0.0)), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.least(F.col("surv") + z * se, F.lit(1.0)), 6).alias(
+            "ci_hi"
+        ),
+    )

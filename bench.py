@@ -238,6 +238,9 @@ HEADLINE = [
     # wave 52: survival uncertainty + stratified association
     "km_greenwood_ci",
     "mantel_haenszel_or",
+    # wave 53: ratio-metric uncertainty + relevance feedback
+    "ratio_metric_jackknife",
+    "rm3_query_expansion",
 ]
 
 

@@ -328,6 +328,10 @@ PRIORITY_ORDER = [
 #   — one more duration-ordered cumulative sum on the life table),
 # mantel_haenszel_or (new, stratified common odds ratio + CMH test
 #   with fixed-point cross-stratum sums),
+# ratio_metric_jackknife (new, delete-one-bucket jackknife SE for a
+#   ratio-of-sums metric — the A/B-platform variance standard),
+# rm3_query_expansion (new, pseudo-relevance feedback: RM1 model over
+#   the BM25 top-10, expanded-query rescoring with original ranks),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

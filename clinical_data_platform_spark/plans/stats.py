@@ -4242,3 +4242,146 @@ def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("cmh_chi2"),
         F.round(normal_sf(z), 6).alias("p_value"),
     )
+
+
+# --- Wave 53: delete-one-bucket jackknife for ratio metrics ----------------------
+
+_JK_BUCKETS = 20
+
+
+@query(
+    "ratio_metric_jackknife",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             cast(count(*) AS BIGINT) AS n_events,
+             cast(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT (list_sum(list_transform(range(1, 7), k ->
+               (strpos('0123456789abcdef',
+                       substr(md5(cast(user_id AS VARCHAR)), k, 1)) - 1)
+               * (1 << (4 * (6 - k))))) % {_JK_BUCKETS}) AS bucket,
+             cast(sum(n_events) AS BIGINT) AS ne,
+             cast(sum(cents) AS BIGINT) AS ce
+      FROM u GROUP BY 1
+    ),
+    tot AS (
+      SELECT cast(count(*) AS BIGINT) AS k,
+             cast(sum(ne) AS BIGINT) AS tn,
+             cast(sum(ce) AS BIGINT) AS tc
+      FROM b
+    ),
+    loo AS (
+      SELECT b.bucket,
+             CAST(floor((tot.tc - b.ce) * 1.0
+                        / (tot.tn - b.ne) * 1e6) AS BIGINT) AS r_fp
+      FROM b, tot
+    ),
+    m AS (
+      SELECT cast(sum(r_fp) AS BIGINT) AS sr,
+             cast(count(*) AS BIGINT) AS k
+      FROM loo
+    ),
+    v AS (
+      SELECT m.k,
+             cast(sum(CAST(floor((loo.r_fp - m.sr * 1.0 / m.k)
+                                 * (loo.r_fp - m.sr * 1.0 / m.k) / 1e6)
+                           AS BIGINT)) AS BIGINT) AS ss_fp
+      FROM loo, m GROUP BY m.k
+    )
+    SELECT tot.k AS k_buckets,
+           tot.tn AS n_events,
+           floor(tot.tc * 1.0 / tot.tn * 1e4) / 1e6 AS ratio_dollars,
+           round(sqrt((v.k - 1.0) / v.k * v.ss_fp / 1e6) / 1e4, 6)
+             AS jackknife_se_dollars
+    FROM tot, v
+    """,
+    tags=["M-ext", "experimentation", "jackknife"],
+)
+def ratio_metric_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a RATIO metric
+    (revenue per event) — the experimentation-platform standard for
+    metrics whose numerator and denominator are both random (a ratio of
+    sums is NOT a mean of per-user ratios, so the t-test variance is
+    wrong; the jackknife over user buckets is how production A/B
+    platforms get honest CIs for rates and averages-per-session):
+    users hash into {nb} md5 buckets, R_(i) = (C - c_i)/(N - n_i) for
+    each left-out bucket, se = sqrt((k-1)/k * sum (R_i - Rbar)^2).
+
+    Each leave-one-out ratio is floor-truncated to 1e-6-cent
+    fixed-point int64 at birth; deviations from the bucket mean are
+    squared and re-truncated before the k-bounded sum, so the entire
+    variance pipeline is integer arithmetic (order-free) and the only
+    float ops are the final sqrt/round. One user rollup + one
+    bucket-bounded fold."""
+    u = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % _JK_BUCKETS
+    )
+    b = u.groupBy(bucket.alias("bucket")).agg(
+        F.sum("n_events").cast("long").alias("ne"),
+        F.sum("cents").cast("long").alias("ce"),
+    ).localCheckpoint()  # feeds tot and the leave-one-out scan
+    tot = b.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ne").cast("long").alias("tn"),
+        F.sum("ce").cast("long").alias("tc"),
+    )
+    loo = b.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("tc") - F.col("ce"))
+            * F.lit(1.0)
+            / (F.col("tn") - F.col("ne"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("r_fp"),
+    ).localCheckpoint()  # feeds the mean and the deviation scan
+    m = loo.agg(
+        F.sum("r_fp").cast("long").alias("sr"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    dev = F.col("r_fp") - F.col("sr") * F.lit(1.0) / F.col("k")
+    v = (
+        loo.crossJoin(F.broadcast(m))
+        .groupBy("k")
+        .agg(
+            F.sum(F.floor(dev * dev / F.lit(1e6)).cast("long"))
+            .cast("long")
+            .alias("ss_fp")
+        )
+    )
+    return (
+        tot.crossJoin(v.select(F.col("k").alias("k2"), "ss_fp"))
+        .select(
+            F.col("k").alias("k_buckets"),
+            F.col("tn").alias("n_events"),
+            (F.floor(F.col("tc") * F.lit(1.0) / F.col("tn") * 1e4) / 1e6)
+            .alias("ratio_dollars"),
+            F.round(
+                F.sqrt(
+                    (F.col("k2") - F.lit(1.0))
+                    / F.col("k2")
+                    * F.col("ss_fp")
+                    / F.lit(1e6)
+                )
+                / F.lit(1e4),
+                6,
+            ).alias("jackknife_se_dollars"),
+        )
+    )

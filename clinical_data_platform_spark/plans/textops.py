@@ -1593,3 +1593,193 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_coverage"
         ),
     )
+
+
+# --- Wave 53: RM3 pseudo-relevance-feedback query expansion ----------------------
+
+_RM3_FB_DOCS = 10  # feedback depth
+_RM3_EXP_TERMS = 5  # expansion terms kept
+
+
+@query(
+    "rm3_query_expansion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ws) AS doclen FROM t),
+    stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+    post AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM t)
+      GROUP BY 1, 2
+    ),
+    tf0 AS (SELECT * FROM post WHERE tok IN {_BM25_TERMS!r}),
+    idf0 AS (
+      SELECT tok, ln(1.0::DOUBLE + (s.n_docs - count(*) + 0.5::DOUBLE)
+                     / (count(*) + 0.5::DOUBLE)) AS idf
+      FROM tf0, stats s GROUP BY tok, s.n_docs
+    ),
+    scored0 AS (
+      SELECT tf0.doc_id,
+             floor(sum(idf0.idf * tf0.tf
+                 / (tf0.tf + {_BM25_K1}::DOUBLE
+                    * (1.0::DOUBLE - {_BM25_B}::DOUBLE
+                       + {_BM25_B}::DOUBLE * dl.doclen / s.avgdl)))
+                   * 1e6) / 1e6 AS bm25
+      FROM tf0 JOIN idf0 USING (tok) JOIN dl ON dl.doc_id = tf0.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf0.doc_id
+    ),
+    rank0 AS (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r0
+      FROM scored0
+    ),
+    fb AS (SELECT doc_id FROM rank0 WHERE r0 <= {_RM3_FB_DOCS}),
+    rm1 AS (
+      SELECT p.tok,
+             floor(sum(p.tf * 1.0 / dl.doclen) * 1e6) / 1e6 AS w
+      FROM post p JOIN fb USING (doc_id) JOIN dl ON dl.doc_id = p.doc_id
+      GROUP BY p.tok
+    ),
+    exp AS (
+      SELECT rm1.tok FROM rm1
+      WHERE rm1.tok NOT IN {_BM25_TERMS!r}
+      ORDER BY rm1.w DESC, rm1.tok
+      LIMIT {_RM3_EXP_TERMS}
+    ),
+    qterms AS (
+      SELECT tok FROM exp
+      UNION ALL SELECT unnest({list(_BM25_TERMS)!r})
+    ),
+    tf1 AS (SELECT post.* FROM post JOIN qterms USING (tok)),
+    idf1 AS (
+      SELECT tok, ln(1.0::DOUBLE + (s.n_docs - count(*) + 0.5::DOUBLE)
+                     / (count(*) + 0.5::DOUBLE)) AS idf
+      FROM tf1, stats s GROUP BY tok, s.n_docs
+    ),
+    scored1 AS (
+      SELECT tf1.doc_id,
+             floor(sum(idf1.idf * tf1.tf
+                 / (tf1.tf + {_BM25_K1}::DOUBLE
+                    * (1.0::DOUBLE - {_BM25_B}::DOUBLE
+                       + {_BM25_B}::DOUBLE * dl.doclen / s.avgdl)))
+                   * 1e6) / 1e6 AS bm25_expanded,
+             cast(count(*) AS BIGINT) AS n_terms_hit
+      FROM tf1 JOIN idf1 USING (tok) JOIN dl ON dl.doc_id = tf1.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf1.doc_id
+    )
+    SELECT s1.doc_id, s1.n_terms_hit, s1.bm25_expanded,
+           cast(coalesce(r.r0, 0) AS BIGINT) AS rank_original
+    FROM scored1 s1 LEFT JOIN rank0 r ON r.doc_id = s1.doc_id
+    ORDER BY s1.bm25_expanded DESC, s1.doc_id
+    LIMIT {_RM3_FB_DOCS}
+    """,
+    tags=["retrieval", "rm3", "query-expansion", "llm-pipeline"],
+)
+def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001; the
+    classic recall lever in retrieval stacks and hard-negative miners):
+    run the base BM25 query, treat its top-{fb} documents as relevant,
+    estimate a relevance language model w(t) = sum_d tf(t,d)/|d| over
+    that feedback set, keep the top-{et} non-query terms (textbook RM1
+    — no df stopword guard: this corpus' 31-term shared vocabulary
+    makes any df threshold degenerate, keeping <= 1 term; production
+    corpora reintroduce one), and rescore the corpus with the
+    expanded term set. Output: the expanded top-{fb} with each doc's
+    original rank (0 = not retrieved by the base query at all — the
+    recall the expansion bought).
+
+    Plan: ONE posting table (doc, tok, tf) feeds the base scorer, the
+    feedback model, the df guard, and the rescoring pass; both scorers
+    are the bm25_topk_docs shape (term-filter before the tf lookup,
+    scalars broadcast); trunc6 lands on every score and on the RM1
+    weights BEFORE their ranks so all tie-breaks are engine-stable."""
+    d = fan_out_scan(T(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("doclen")).localCheckpoint()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    post = (
+        d.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # feeds base scorer, df guard, RM1, rescorer
+    )
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+
+    def bm25_score(tf_tbl: DataFrame, out: str) -> DataFrame:
+        idf = (
+            tf_tbl.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("dfq"))
+            .crossJoin(F.broadcast(stats.select("n_docs")))
+            .select(
+                "tok",
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("dfq") + 0.5)
+                    / (F.col("dfq") + 0.5)
+                ).alias("idf"),
+            )
+        )
+        term = F.col("idf") * F.col("tf") / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl"))
+        )
+        return (
+            tf_tbl.join(F.broadcast(idf), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(
+                trunc6(F.sum(term)).alias(out),
+                F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            )
+        )
+
+    tf0 = post.filter(F.col("tok").isin(*_BM25_TERMS))
+    rank0 = bm25_score(tf0, "bm25").select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r0"),
+    ).localCheckpoint()  # feeds the feedback set and the final rank join
+    fb = rank0.filter(F.col("r0") <= _RM3_FB_DOCS).select("doc_id")
+    rm1 = (
+        post.join(F.broadcast(fb), "doc_id")
+        .join(dl, "doc_id")
+        .groupBy("tok")
+        .agg(trunc6(F.sum(F.col("tf") * F.lit(1.0) / F.col("doclen"))).alias("w"))
+    )
+    exp = (
+        rm1.filter(~F.col("tok").isin(*_BM25_TERMS))
+        .orderBy(F.desc("w"), F.asc("tok"))
+        .limit(_RM3_EXP_TERMS)
+        .select("tok")
+    )
+    qterms = exp.unionAll(
+        d.sparkSession.createDataFrame(
+            [(t,) for t in _BM25_TERMS], ["tok"]
+        )
+    )
+    tf1 = post.join(F.broadcast(qterms), "tok")
+    scored1 = bm25_score(tf1, "bm25_expanded")
+    return (
+        scored1.join(rank0, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            "bm25_expanded",
+            F.coalesce("r0", F.lit(0)).cast("long").alias("rank_original"),
+        )
+        .orderBy(F.desc("bm25_expanded"), F.asc("doc_id"))
+        .limit(_RM3_FB_DOCS)
+    )

@@ -241,6 +241,9 @@ HEADLINE = [
     # wave 53: ratio-metric uncertainty + relevance feedback
     "ratio_metric_jackknife",
     "rm3_query_expansion",
+    # wave 54: graph mixing + inventory quantiles
+    "trade_degree_assortativity",
+    "newsvendor_stock_levels",
 ]
 
 

@@ -1103,3 +1103,131 @@ def trade_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
         .limit(10)
     )
+
+
+# --- Wave 54: degree assortativity ---------------------------------------------
+
+
+@query(
+    "trade_degree_assortativity",
+    oracle=(
+        "WITH "
+        + _LP_EDGES_SQL
+        + """,
+    deg AS (SELECT src AS node, cast(count(*) AS BIGINT) AS d
+            FROM esym GROUP BY 1),
+    de AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM esym e
+      JOIN deg da ON da.node = e.src
+      JOIN deg db ON db.node = e.dst
+    ),
+    s AS (
+      SELECT cast(count(*) AS BIGINT) AS m,
+             cast(sum(du) AS BIGINT) AS su,
+             cast(sum(dv) AS BIGINT) AS sv,
+             cast(sum(du * dv) AS BIGINT) AS suv,
+             cast(sum(du * du) AS BIGINT) AS su2,
+             cast(sum(dv * dv) AS BIGINT) AS sv2
+      FROM de
+    )
+    SELECT m AS n_directed_edges,
+           round((m * suv - su * sv)
+                 / (sqrt((m * su2 - su * su)::DOUBLE)
+                    * sqrt((m * sv2 - sv * sv)::DOUBLE)), 6)
+             AS assortativity
+    FROM s
+    """
+    ),
+    tags=["graph", "assortativity", "extension"],
+)
+def trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the thresholded trade
+    graph: the Pearson correlation of endpoint degrees over all
+    directed edge instances — positive means hubs trade with hubs
+    (core-periphery absent), negative means hubs fan out to the
+    periphery, the single number that says which scaling regime a graph
+    lives in (and hence whether degree-based partitioning will skew).
+
+    Sufficient statistics (M, sum du, sum dv, sum du*dv, sum du^2,
+    sum dv^2) are exact integers from one degree join over the
+    symmetric edge list; the correlation is one closed-form double
+    (each variance factor takes its sqrt separately — the Kendall
+    overflow lesson). Same edge build as label_propagation/k-core."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    d0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        d0.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    thresh = und.agg(F.avg("w").alias("avg_w"))
+    ek = (
+        und.crossJoin(F.broadcast(thresh))
+        .filter(F.col("w") > 1.5 * F.col("avg_w"))
+        .select("a", "b")
+    )
+    esym = ek.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        ek.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    deg = esym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    de = (
+        esym.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("du"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))),
+            "dst",
+        )
+    )
+    st = de.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("du").cast("long").alias("su"),
+        F.sum("dv").cast("long").alias("sv"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("suv"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("su2"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("sv2"),
+    )
+    num = F.col("m") * F.col("suv") - F.col("su") * F.col("sv")
+    den = F.sqrt(
+        (F.col("m") * F.col("su2") - F.col("su") * F.col("su")).cast("double")
+    ) * F.sqrt(
+        (F.col("m") * F.col("sv2") - F.col("sv") * F.col("sv")).cast("double")
+    )
+    return st.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -332,6 +332,10 @@ PRIORITY_ORDER = [
 #   ratio-of-sums metric — the A/B-platform variance standard),
 # rm3_query_expansion (new, pseudo-relevance feedback: RM1 model over
 #   the BM25 top-10, expanded-query rescoring with original ranks),
+# trade_degree_assortativity (new, Newman degree-mixing coefficient
+#   from exact integer edge-degree sufficient statistics),
+# newsvendor_stock_levels (new, critical-ratio demand quantile per
+#   brand as an explicit order statistic),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

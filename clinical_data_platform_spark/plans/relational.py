@@ -2526,3 +2526,96 @@ def rec_eval_precision_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("ndcg_at_3"),
     )
+
+
+# --- Wave 54: newsvendor stock quantiles ------------------------------------------
+
+_NV_CRITICAL = 0.8  # critical ratio cu/(cu+co)
+
+
+@query(
+    "newsvendor_stock_levels",
+    oracle=f"""
+    WITH d AS (
+      SELECT p.p_brand AS brand,
+             cast(l.l_shipdate AS DATE) AS day,
+             cast(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT brand, demand,
+             row_number() OVER (PARTITION BY brand
+                                ORDER BY demand, day) AS rn,
+             count(*) OVER (PARTITION BY brand) AS nd
+      FROM d
+    ),
+    tot AS (
+      SELECT brand,
+             cast(max(nd) AS BIGINT) AS n_days,
+             cast(sum(demand) AS BIGINT) AS total
+      FROM r GROUP BY 1
+    )
+    SELECT r.brand, tot.n_days,
+           floor(tot.total * 1e6 / tot.n_days) / 1e6 AS mean_daily_demand,
+           cast(r.demand AS BIGINT) AS stock_p80
+    FROM r JOIN tot ON tot.brand = r.brand
+    WHERE r.rn = least(cast(ceil({_NV_CRITICAL}::DOUBLE * (tot.n_days + 1))
+                            AS BIGINT), tot.n_days)
+    """,
+    tags=["operations", "newsvendor", "extension"],
+)
+def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor order-up-to levels per brand: the profit-maximizing
+    stock for uncertain single-period demand is the critical-ratio
+    quantile of the demand distribution (Arrow-Harris-Marschak 1951) —
+    at cu/(cu+co) = {cr} that is the {cr:.0%} demand quantile. Per
+    brand, daily shipped quantity forms the empirical distribution and
+    the answer is the explicit ceil({cr}(n+1))-th order statistic (the
+    conformal-intervals rule: never an engine-interpolated percentile),
+    tie-broken by day so the picked row is engine-stable.
+
+    One fact-side (brand, day) rollup with a broadcast part dim; the
+    rank window partitions by brand over the day-bounded demand series.
+    Demand and the picked quantile stay exact integers; only the mean
+    is a trunc6 ratio.""".format(cr=_NV_CRITICAL)
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate"
+    )
+    p = F.broadcast(
+        T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    d = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("demand"))
+    )
+    wb = Window.partitionBy("brand")
+    r = d.select(
+        "brand",
+        "demand",
+        F.row_number().over(wb.orderBy("demand", "day")).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("nd"),
+    )
+    tot = r.groupBy("brand").agg(
+        F.max("nd").cast("long").alias("n_days"),
+        F.sum("demand").cast("long").alias("total"),
+    )
+    k = F.least(
+        F.ceil(F.lit(_NV_CRITICAL) * (F.col("n_days") + 1)).cast("long"),
+        F.col("n_days"),
+    )
+    return (
+        r.join(tot, "brand")
+        .filter(F.col("rn") == k)
+        .select(
+            "brand",
+            "n_days",
+            (F.floor(F.col("total") * F.lit(1e6) / F.col("n_days")) / 1e6)
+            .alias("mean_daily_demand"),
+            F.col("demand").cast("long").alias("stock_p80"),
+        )
+    )

@@ -244,6 +244,9 @@ HEADLINE = [
     # wave 54: graph mixing + inventory quantiles
     "trade_degree_assortativity",
     "newsvendor_stock_levels",
+    # wave 55: calibration summaries + community quality
+    "calibration_error_summary",
+    "lp_community_modularity",
 ]
 
 

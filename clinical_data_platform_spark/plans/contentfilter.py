@@ -836,3 +836,137 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin", "n_docs", "outcome_rate")
         .agg(F.round(F.max("m"), 6).alias("iso_rate"))
     )
+
+
+# --- Wave 55: one-number calibration summaries ---------------------------------
+
+
+@query(
+    "calibration_error_summary",
+    oracle=(
+        "WITH "
+        + _ISO_BINS_SQL
+        + """,
+    tot AS (
+      SELECT cast(sum(n) AS BIGINT) AS nn,
+             cast(sum(pos) AS BIGINT) AS np
+      FROM bins
+    ),
+    conf AS (
+      SELECT least(floor(keep_prob * 10), 9)::BIGINT AS bin,
+             floor(avg(keep_prob) * 1e6) / 1e6 AS mean_p
+      FROM sc GROUP BY 1
+    ),
+    terms AS (
+      SELECT b.bin, b.n, b.pos, c.mean_p, tot.nn, tot.np,
+             b.pos * 1.0 / b.n AS acc,
+             CAST(floor(abs(c.mean_p - b.pos * 1.0 / b.n)
+                        * b.n * 1e6) AS BIGINT) AS ece_fp,
+             CAST(floor((c.mean_p - b.pos * 1.0 / b.n)
+                        * (c.mean_p - b.pos * 1.0 / b.n)
+                        * b.n * 1e6) AS BIGINT) AS rel_fp,
+             CAST(floor((b.pos * 1.0 / b.n - tot.np * 1.0 / tot.nn)
+                        * (b.pos * 1.0 / b.n - tot.np * 1.0 / tot.nn)
+                        * b.n * 1e6) AS BIGINT) AS res_fp
+      FROM bins b JOIN conf c ON c.bin = b.bin CROSS JOIN tot
+    )
+    SELECT max(nn) AS n_docs,
+           floor(sum(ece_fp) * 1.0 / max(nn)) / 1e6 AS ece,
+           floor(sum(rel_fp) * 1.0 / max(nn)) / 1e6 AS reliability,
+           floor(sum(res_fp) * 1.0 / max(nn)) / 1e6 AS resolution,
+           floor((max(np) * 1.0 / max(nn))
+                 * (1.0::DOUBLE - max(np) * 1.0 / max(nn)) * 1e6) / 1e6
+             AS uncertainty
+    FROM terms
+    """
+    ),
+    tags=["ml", "calibration", "brier", "extension"],
+)
+def calibration_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-number calibration summaries over the same deciles as
+    classifier_calibration_bins / isotonic_calibration_bins: Expected
+    Calibration Error (the weighted |confidence - accuracy| gap the
+    model-card reports) and Murphy's (1973) decomposition of the binned
+    Brier score — reliability (calibration badness, lower better),
+    resolution (discrimination, higher better), and the irreducible
+    outcome uncertainty p(1-p); Brier ~ reliability - resolution +
+    uncertainty.
+
+    Every bin term is a single expression of exact integer counts and
+    the bin's trunc6 mean confidence, floor-truncated to 1e-6 weighted
+    fixed-point before the 10-bounded sum (order-free); the outputs are
+    exact-integer-ratio descales. Same single corpus aggregation as the
+    calibration table."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    total = F.aggregate(
+        F.transform(F.col("ws"), _token_weight),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    prob = 1.0 / (
+        1.0 + F.exp(-4.0 * (total / F.greatest(F.size("ws"), F.lit(1))))
+    )
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    sc = d.select(
+        trunc6(prob).alias("keep_prob"),
+        F.arrays_overlap(
+            "ws", F.array(*[F.lit(w) for w in _CAL_STOPWORDS])
+        ).alias("outcome"),
+    )
+    bins = sc.groupBy(
+        F.least(F.floor(F.col("keep_prob") * 10), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("outcome"), 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+        trunc6(F.avg("keep_prob")).alias("mean_p"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    acc = F.col("pos") * F.lit(1.0) / F.col("n")
+    base = F.col("np") * F.lit(1.0) / F.col("nn")
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "nn",
+        "np",
+        F.floor(F.abs(F.col("mean_p") - acc) * F.col("n") * F.lit(1e6))
+        .cast("long")
+        .alias("ece_fp"),
+        F.floor(
+            (F.col("mean_p") - acc)
+            * (F.col("mean_p") - acc)
+            * F.col("n")
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("rel_fp"),
+        F.floor((acc - base) * (acc - base) * F.col("n") * F.lit(1e6))
+        .cast("long")
+        .alias("res_fp"),
+    )
+    return terms.agg(
+        F.max("nn").alias("n_docs"),
+        (F.floor(F.sum("ece_fp") * F.lit(1.0) / F.max("nn")) / 1e6).alias(
+            "ece"
+        ),
+        (F.floor(F.sum("rel_fp") * F.lit(1.0) / F.max("nn")) / 1e6).alias(
+            "reliability"
+        ),
+        (F.floor(F.sum("res_fp") * F.lit(1.0) / F.max("nn")) / 1e6).alias(
+            "resolution"
+        ),
+        (
+            F.floor(
+                (F.max("np") * F.lit(1.0) / F.max("nn"))
+                * (F.lit(1.0) - F.max("np") * F.lit(1.0) / F.max("nn"))
+                * F.lit(1e6)
+            )
+            / 1e6
+        ).alias("uncertainty"),
+    )

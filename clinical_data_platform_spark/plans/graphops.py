@@ -1231,3 +1231,161 @@ def trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_directed_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# --- Wave 55: modularity of the label-propagation partition ----------------------
+
+
+@query(
+    "lp_community_modularity",
+    oracle=(
+        "WITH "
+        + _LP_EDGES_SQL
+        + ",\n    lp0 AS (SELECT node, node AS label FROM nodes)"
+        + "".join("," + _lp_iter_sql(k) for k in range(1, _LP_ITERS + 1))
+        + f""",
+    lab AS (SELECT node, label FROM lp{_LP_ITERS}),
+    wtot AS (SELECT cast(sum(w) AS BIGINT) AS ww FROM esym),
+    intra AS (
+      SELECT la.label,
+             cast(sum(e.w) AS BIGINT) AS w_in
+      FROM esym e
+      JOIN lab la ON la.node = e.src
+      JOIN lab lb ON lb.node = e.dst
+      WHERE la.label = lb.label
+      GROUP BY 1
+    ),
+    strength AS (
+      SELECT la.label, cast(sum(e.w) AS BIGINT) AS s_c
+      FROM esym e JOIN lab la ON la.node = e.src
+      GROUP BY 1
+    ),
+    terms AS (
+      SELECT s.label, wtot.ww,
+             CAST(floor((coalesce(i.w_in, 0) * 1.0 / wtot.ww
+                         - (s.s_c * 1.0 / wtot.ww)
+                           * (s.s_c * 1.0 / wtot.ww)) * 1e9) AS BIGINT)
+               AS q_fp
+      FROM strength s
+      LEFT JOIN intra i ON i.label = s.label
+      CROSS JOIN wtot
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_communities,
+           floor(sum(q_fp) / 1e3) / 1e6 AS modularity
+    FROM terms
+    """
+    ),
+    tags=["graph", "community", "modularity"],
+)
+def lp_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity Q of the label-propagation partition —
+    the quality score that says whether the communities LP found are
+    real structure or noise (Q near 0): Q = sum_c (w_in_c / W -
+    (s_c / W)^2) over the symmetric weighted edge list, computed on the
+    SAME deterministic 3-round LP labels the oracle chain verifies, so
+    the whole pipeline (edge build -> iterations -> partition -> score)
+    is value-checked end to end.
+
+    Intra-community weight and community strength come from two label
+    joins over the edge list (integer weights — exact); each
+    community's Q term is floor-truncated to 1e-9 fixed-point before
+    the community-bounded sum. At 100 TB the label joins shuffle on the
+    node key like every LP round."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    d0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        d0.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    thresh = und.agg(F.avg("w").alias("avg_w"))
+    ek = (
+        und.crossJoin(F.broadcast(thresh))
+        .filter(F.col("w") > 1.5 * F.col("avg_w"))
+        .select("a", "b", "w")
+    )
+    esym = ek.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        ek.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    ).localCheckpoint()
+    nodes = esym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w_top = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+    for _ in range(_LP_ITERS):
+        labels = (
+            esym.join(labels, esym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.sum("w").alias("wt"))
+            .select(F.col("node2").alias("node"), "label", "wt")
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    la = F.broadcast(
+        labels.select(F.col("node").alias("src"), F.col("label").alias("l_src"))
+    )
+    lb = F.broadcast(
+        labels.select(F.col("node").alias("dst"), F.col("label").alias("l_dst"))
+    )
+    joined = esym.join(la, "src").join(lb, "dst").localCheckpoint()
+    wtot = joined.agg(F.sum("w").cast("long").alias("ww"))
+    intra = (
+        joined.filter(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("label"))
+        .agg(F.sum("w").cast("long").alias("w_in"))
+    )
+    strength = joined.groupBy(F.col("l_src").alias("label")).agg(
+        F.sum("w").cast("long").alias("s_c")
+    )
+    terms = (
+        strength.join(intra, "label", "left")
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            F.floor(
+                (
+                    F.coalesce("w_in", F.lit(0)) * F.lit(1.0) / F.col("ww")
+                    - (F.col("s_c") * F.lit(1.0) / F.col("ww"))
+                    * (F.col("s_c") * F.lit(1.0) / F.col("ww"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("q_fp")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        (F.floor(F.sum("q_fp") / F.lit(1e3)) / 1e6).alias("modularity"),
+    )

@@ -336,6 +336,11 @@ PRIORITY_ORDER = [
 #   from exact integer edge-degree sufficient statistics),
 # newsvendor_stock_levels (new, critical-ratio demand quantile per
 #   brand as an explicit order statistic),
+# calibration_error_summary (new, ECE + Murphy Brier decomposition
+#   over the calibration deciles in weighted fixed-point),
+# lp_community_modularity (new, Newman-Girvan Q of the value-verified
+#   LP partition — edge build -> rounds -> partition -> score all
+#   oracled end to end),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

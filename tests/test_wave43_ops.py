@@ -36,6 +36,33 @@ def _trade_graph():
     return {p for p, w in und.items() if w > 1.5 * avg_w}
 
 
+def _trade_graph_weighted():
+    """Thresholded undirected trade edges WITH weights (shared by the
+    wave-55 modularity recount)."""
+    l = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    s = pd.read_parquet(f"{SF}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    c = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = (
+        l.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n.rename(columns={"n_name": "src"}), left_on="s_nationkey", right_on="n_nationkey")
+        .merge(
+            n.rename(columns={"n_name": "dst", "n_nationkey": "nk2"}),
+            left_on="c_nationkey",
+            right_on="nk2",
+        )
+    )
+    j = j[j.src != j.dst]
+    und = Counter()
+    for r in j.itertuples():
+        und[(min(r.src, r.dst), max(r.src, r.dst))] += 1
+    avg_w = sum(und.values()) / len(und)
+    return {p: w for p, w in und.items() if w > 1.5 * avg_w}
+
+
 def test_link_prediction_recount(spark):
     from clinical_data_platform_spark.plans.graphops import trade_link_prediction
 

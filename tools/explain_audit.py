@@ -138,6 +138,30 @@ AUDIT = [
     ("ipf_mixture_raking", "IPF raking: margin-bounded cell state, alternating broadcast scaling rounds"),
     ("rec_eval_precision_ndcg", "Rec eval: basket-bounded co-occurrence, |brands|x3 broadcast recs, keyed scoring"),
     ("clean_purchase_sequences", "Row pattern: ONE user-partitioned IGNORE NULLS lookback window"),
+    # waves 39-55
+    ("trade_hits_scores", "HITS: checkpointed edge list, 2 node-keyed join+agg rounds per iter, window-max normalizer"),
+    ("isotonic_calibration_bins", "Isotonic PAV: one map-side decile agg, minimax fit on the bounded bin table"),
+    ("zorder_layout_audit", "Z-order: integer Morton key, three layout sorts (the audited cost), 2-col zone maps"),
+    ("hybrid_search_rrf", "RRF: one term-filtered posting scan feeds both scorers, ranks on the candidate set"),
+    ("dunning_g2_collocations", "G2: ONE counted bigram table (checkpointed) feeds cells + both marginals"),
+    ("fellegi_sunter_weights", "FS linkage: metadata-sized u-prob aggs, blocked pair join, bounded pattern output"),
+    ("trade_link_prediction", "Link prediction: wedge enumeration (degree-bounded), edge anti-join, TakeOrdered"),
+    ("page_hinkley_drift", "Page-Hinkley: one (type, hour) rollup, cumulative windows in int64 fixed-point"),
+    ("psm_matched_att", "PSM: fixed-point propensity, per-(bucket, arm) rank windows, one pair equi-join"),
+    ("delong_auc_ci", "DeLong: distinct-score bin moments (doubled-integer placements), scalar CI"),
+    ("shard_rebalance_audit", "HRW audit: map-side argmax array expression, one distinct + bounded aggs"),
+    ("kendall_tau_quantity_price", "Kendall tau-b: rows fold to a value-bounded cell grid; |grid|^2 pair join"),
+    ("fixed_effect_meta", "Meta-analysis: HUGEINT/decimal study moments, fixed-point pooled sums"),
+    ("mann_kendall_trend", "Mann-Kendall: time-span-bounded pair join per type, integer S and variance"),
+    ("theil_inequality_decomposition", "Theil T: per-row ln terms in 1e-9 fixed-point, nation-bounded between term"),
+    ("token_spectral_centrality", "Spectral: PPMI edges once, 4 checkpoint-free mat-vec rounds, window-max normalizer"),
+    ("dedup_capture_recapture", "Capture-recapture: ONE shingle scan feeds both detectors, pair-key overlap join"),
+    ("km_greenwood_ci", "Greenwood: KM life table + one more duration-ordered cumulative sum"),
+    ("mantel_haenszel_or", "MH/CMH: per-stratum integer 2x2 cells, fixed-point cross-stratum sums"),
+    ("ratio_metric_jackknife", "Jackknife: one user rollup, bucket-bounded leave-one-out fold in fixed-point"),
+    ("rm3_query_expansion", "RM3: one posting table feeds base scorer, RM1 model, and rescorer"),
+    ("newsvendor_stock_levels", "Newsvendor: (brand, day) rollup, per-brand order-statistic pick"),
+    ("lp_community_modularity", "Modularity: LP label joins over the edge list, fixed-point community terms"),
 ]
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -247,6 +247,12 @@ HEADLINE = [
     # wave 55: calibration summaries + community quality
     "calibration_error_summary",
     "lp_community_modularity",
+    # wave 56: heavy tails + exact inequality
+    "hill_tail_index",
+    "exact_gini_coefficient",
+    # wave 57: vocabulary coverage + LSH planning
+    "vocab_coverage_estimates",
+    "lsh_scurve_planner",
 ]
 
 

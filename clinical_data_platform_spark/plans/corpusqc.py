@@ -1253,3 +1253,92 @@ def flesch_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             206.835 - 1.015 * (wd / td) - 84.6 * (sd / wd), 4
         ).alias("flesch_ease"),
     )
+
+
+# --- Wave 57: unseen-vocabulary coverage estimates --------------------------------
+
+
+@query(
+    "vocab_coverage_estimates",
+    oracle="""
+    WITH t AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (
+      SELECT lang, w, cast(count(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(ws) AS w FROM t)
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT lang,
+             cast(count(*) AS BIGINT) AS vocab,
+             cast(sum(c) AS BIGINT) AS n_tokens,
+             cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             cast(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM cnt GROUP BY 1
+    )
+    SELECT lang, vocab, n_tokens, n1, n2,
+           floor(n1 * 1e6 / n_tokens) / 1e6 AS unseen_mass,
+           CASE WHEN n2 > 0
+                THEN floor((vocab + n1 * 1.0 * n1 / (2 * n2)) * 1e6) / 1e6
+                ELSE vocab * 1.0 END AS chao1_vocab
+    FROM s
+    """,
+    tags=["text", "coverage", "good-turing", "llm-pipeline"],
+)
+def vocab_coverage_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much vocabulary has the corpus NOT seen yet — the two
+    standard estimates, per language: the Good-Turing unseen-probability
+    mass P0 = N1/N (Gale & Sampson 1995 — the share of the next tokens
+    expected to be new types, i.e. the tokenizer/LM OOV rate a crawl
+    slice implies) and the Chao1 richness estimator V + N1^2/(2 N2)
+    (Chao 1984 — a lower bound on the TOTAL vocabulary including unseen
+    types). Together with heaps_law_fit these say whether more crawling
+    buys vocabulary or just repetition.
+
+    One token-count shuffle; everything after is exact integers on the
+    per-lang frequency-of-frequencies (N1, N2), trunc6 ratios at
+    output; the N2=0 degenerate case pins chao1 to the observed vocab
+    identically on both engines."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents").select("lang", "text")
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
+    cnt = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = cnt.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    return s.select(
+        "lang",
+        "vocab",
+        "n_tokens",
+        "n1",
+        "n2",
+        (F.floor(F.col("n1") * F.lit(1e6) / F.col("n_tokens")) / 1e6).alias(
+            "unseen_mass"
+        ),
+        F.when(
+            F.col("n2") > 0,
+            F.floor(
+                (
+                    F.col("vocab")
+                    + F.col("n1") * F.lit(1.0) * F.col("n1") / (2 * F.col("n2"))
+                )
+                * F.lit(1e6)
+            )
+            / 1e6,
+        )
+        .otherwise(F.col("vocab") * F.lit(1.0))
+        .alias("chao1_vocab"),
+    )

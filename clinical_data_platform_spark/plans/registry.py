@@ -341,6 +341,14 @@ PRIORITY_ORDER = [
 # lp_community_modularity (new, Newman-Girvan Q of the value-verified
 #   LP partition — edge build -> rounds -> partition -> score all
 #   oracled end to end),
+# hill_tail_index (new, Pareto tail-index estimator over the top-k
+#   order statistics — TakeOrdered, never a global sort),
+# exact_gini_coefficient (new, exact Gini with global ranks collapsed
+#   onto the distinct-value table, HUGEINT/decimal weighted sums),
+# vocab_coverage_estimates (new, Good-Turing unseen mass + Chao1
+#   richness from the per-lang frequency-of-frequencies),
+# lsh_scurve_planner (new, the analytic LSH parameter table — collision
+#   probability and threshold per (hashes, bands), data-free),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

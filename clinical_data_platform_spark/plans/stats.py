@@ -4385,3 +4385,174 @@ def ratio_metric_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jackknife_se_dollars"),
         )
     )
+
+
+# --- Wave 56: Hill tail index + exact Gini ---------------------------------------
+
+_HILL_K = 200  # tail order statistics used
+
+
+@query(
+    "hill_tail_index",
+    oracle=f"""
+    WITH v AS (
+      SELECT cast(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    topk AS (
+      SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rn
+      FROM v QUALIFY rn <= {_HILL_K + 1}
+    ),
+    thresh AS (SELECT cents AS x_k1 FROM topk WHERE rn = {_HILL_K + 1}),
+    terms AS (
+      SELECT CAST(floor(ln(t.cents * 1.0 / th.x_k1) * 1e9) AS BIGINT)
+               AS l_fp
+      FROM topk t, thresh th WHERE t.rn <= {_HILL_K}
+    )
+    SELECT cast(count(*) AS BIGINT) AS k_tail,
+           floor(sum(l_fp) * 1.0 / count(*) / 1e3) / 1e6 AS hill_gamma,
+           floor(count(*) * 1e6 / (sum(l_fp) * 1.0 / 1e9)) / 1e6
+             AS tail_index_alpha
+    FROM terms
+    """,
+    tags=["M-ext", "heavy-tail", "hill"],
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill (1975) estimator of the Pareto tail index of order values —
+    the heavy-tail screen that decides whether means/variances of a
+    value column are even stable (alpha <= 2: infinite variance, every
+    'average revenue' metric is fiction) and what extreme quantiles
+    cost; the extreme-value companion to zipf_law_fit and
+    benford_first_digit_audit: gamma = (1/k) sum ln(x_(i)/x_(k+1)) over
+    the top-k order statistics, alpha = 1/gamma.
+
+    The only ranked object is the top-(k+1) set — TakeOrdered, never a
+    global sort; each log term is ln of an exact integer-cents ratio,
+    floor-truncated to 1e-9 fixed-point before the k-bounded sum.
+    Output: k, gamma, alpha."""
+    v = T(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    topk = (
+        v.orderBy(F.desc("cents"))
+        .limit(_HILL_K + 1)
+        .select(
+            "cents",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cents")))
+            .alias("rn"),
+        )
+    ).localCheckpoint()  # bounded (k+1 rows); feeds threshold + terms
+    thresh = topk.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("cents").alias("x_k1")
+    )
+    terms = (
+        topk.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            F.floor(
+                F.log(F.col("cents") * F.lit(1.0) / F.col("x_k1")) * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("l_fp")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_tail"),
+        (
+            F.floor(F.sum("l_fp") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e3))
+            / 1e6
+        ).alias("hill_gamma"),
+        (
+            F.floor(
+                F.count(F.lit(1))
+                * F.lit(1e6)
+                / (F.sum("l_fp") * F.lit(1.0) / F.lit(1e9))
+            )
+            / 1e6
+        ).alias("tail_index_alpha"),
+    )
+
+
+@query(
+    "exact_gini_coefficient",
+    oracle="""
+    WITH v AS (
+      SELECT cast(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT cents, cast(count(*) AS BIGINT) AS c FROM v GROUP BY 1
+    ),
+    r AS (
+      SELECT cents, c,
+             coalesce(sum(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
+      FROM g
+    ),
+    tot AS (
+      SELECT cast(sum(c) AS BIGINT) AS n,
+             sum(cents::HUGEINT * c) AS s
+      FROM g
+    ),
+    num AS (
+      -- sum over rows of (2i - n - 1) x_(i); within one distinct value
+      -- the rank range [rb+1, rb+c] gives sum(2i - n - 1) = c(2rb + c - n)
+      SELECT sum(r.cents::HUGEINT * r.c * (2 * r.rb + r.c - tot.n)) AS w
+      FROM r, tot
+    )
+    SELECT tot.n AS n_orders,
+           floor(num.w * 1e6 / (tot.n::HUGEINT * tot.s)) / 1e6 AS gini
+    FROM tot, num
+    """,
+    tags=["M-ext", "inequality", "gini"],
+)
+def exact_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of order values — not the decile
+    approximation user_value_lorenz_deciles draws: G = sum (2i - n - 1)
+    x_(i) / (n sum x) needs every row's global rank, which is the
+    classic single-node sort; here ranks collapse onto the DISTINCT
+    VALUE table (the AUC/rank machinery): a value v with count c
+    occupying ranks [rb+1, rb+c] contributes the closed-form
+    c(2rb + c - n), so one cumulative window over the value-bounded
+    distinct table replaces the global row sort.
+
+    The weighted sum reaches ~1e20 at sf0.1 (rank x cents x rows), so
+    it accumulates in HUGEINT/decimal(38,0) — every quantity is integer
+    until the single trunc6 division. The inequality-family capstone
+    next to Theil (additive decomposition) and Lorenz (the curve)."""
+    v = T(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    g = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_prev = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.select(
+        "cents", "c", F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("rb")
+    ).localCheckpoint()  # feeds tot and the weighted fold
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    tot = r.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(dec(F.col("cents")) * F.col("c")).alias("s"),
+    )
+    num = r.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            dec(F.col("cents"))
+            * F.col("c")
+            * (2 * F.col("rb") + F.col("c") - F.col("n"))
+        ).alias("w"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+    )
+    return num.select(
+        F.col("n").alias("n_orders"),
+        (
+            F.floor(
+                F.col("w")
+                * F.lit(1e6)
+                / (dec(F.col("n")) * F.col("s")).cast("double")
+            )
+            / 1e6
+        ).alias("gini"),
+    )

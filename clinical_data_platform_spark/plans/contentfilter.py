@@ -970,3 +970,109 @@ def calibration_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("uncertainty"),
     )
+
+
+# --- Wave 58: cumulative gains / lift table ---------------------------------------
+
+
+@query(
+    "classifier_gains_table",
+    oracle=(
+        "WITH "
+        + _ISO_BINS_SQL
+        + """,
+    tot AS (
+      SELECT cast(sum(n) AS BIGINT) AS nn, cast(sum(pos) AS BIGINT) AS np
+      FROM bins
+    ),
+    cum AS (
+      SELECT bin, n, pos,
+             sum(n) OVER (ORDER BY bin DESC) AS cum_n,
+             sum(pos) OVER (ORDER BY bin DESC) AS cum_pos
+      FROM bins
+    )
+    SELECT cum.bin,
+           cast(cum.n AS BIGINT) AS n_docs,
+           cast(cum.cum_n AS BIGINT) AS cum_docs,
+           floor(cum.cum_n * 1e6 / tot.nn) / 1e6 AS depth,
+           floor(cum.cum_pos * 1e6 / tot.np) / 1e6 AS gain,
+           floor((cum.cum_pos * 1.0 / tot.np)
+                 / (cum.cum_n * 1.0 / tot.nn) * 1e6) / 1e6 AS lift
+    FROM cum, tot
+    """
+    ),
+    tags=["ml", "gains", "lift", "extension"],
+)
+def classifier_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by predicted-probability decile — the
+    targeting readout next to AUC (how much of the outcome do I capture
+    if I act on the top 10%/20%... of scores) and the curve behind
+    every "model vs random" marketing chart: descending-bin cumulative
+    positives over the same deciles as the calibration family, gain =
+    captured-positive share at each depth, lift = gain/depth.
+
+    One map-side decile aggregation; the cumulative window runs over
+    <= 10 bin rows; every output is a trunc6 exact-integer ratio."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    total = F.aggregate(
+        F.transform(F.col("ws"), _token_weight),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    prob = 1.0 / (
+        1.0 + F.exp(-4.0 * (total / F.greatest(F.size("ws"), F.lit(1))))
+    )
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    bins = (
+        d.select(
+            trunc6(prob).alias("keep_prob"),
+            F.arrays_overlap(
+                "ws", F.array(*[F.lit(w) for w in _CAL_STOPWORDS])
+            ).alias("outcome"),
+        )
+        .groupBy(
+            F.least(F.floor(F.col("keep_prob") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("outcome"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    wdesc = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bins.select(
+        "bin",
+        F.col("n").alias("n_docs"),
+        F.sum("n").over(wdesc).alias("cum_n"),
+        F.sum("pos").over(wdesc).alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_docs",
+        F.col("cum_n").cast("long").alias("cum_docs"),
+        (F.floor(F.col("cum_n") * F.lit(1e6) / F.col("nn")) / 1e6).alias(
+            "depth"
+        ),
+        (F.floor(F.col("cum_pos") * F.lit(1e6) / F.col("np")) / 1e6).alias(
+            "gain"
+        ),
+        (
+            F.floor(
+                (F.col("cum_pos") * F.lit(1.0) / F.col("np"))
+                / (F.col("cum_n") * F.lit(1.0) / F.col("nn"))
+                * F.lit(1e6)
+            )
+            / 1e6
+        ).alias("lift"),
+    )

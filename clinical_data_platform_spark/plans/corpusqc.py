@@ -1342,3 +1342,112 @@ def vocab_coverage_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("vocab") * F.lit(1.0))
         .alias("chao1_vocab"),
     )
+
+
+# --- Wave 58: top-k vocabulary overlap between sources ------------------------------
+
+_TOPK_TOKENS = 100
+
+
+@query(
+    "source_topk_token_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (
+      SELECT source, w, cast(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(ws) AS w FROM t)
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT source, w
+      FROM (
+        SELECT source, w,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, w) AS rn
+        FROM cnt
+      ) WHERE rn <= {_TOPK_TOKENS}
+    ),
+    sizes AS (
+      SELECT source, cast(count(*) AS BIGINT) AS k FROM topk GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             cast(count(*) AS BIGINT) AS n_common
+      FROM topk a JOIN topk b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           floor(i.n_common * 1e6 / (sa.k + sb.k - i.n_common)) / 1e6
+             AS topk_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    tags=["text", "drift", "vocabulary", "llm-pipeline"],
+)
+def source_topk_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary overlap between corpus sources: Jaccard of each
+    source pair's top-{k} tokens by frequency (ties broken
+    lexicographically so the cut is deterministic) — the cheap "are
+    these slices the same register/domain" screen that catches a
+    template farm or a topic shift before the heavier KL/perplexity
+    drift ops run; near-1 overlap also warns that a per-source mixture
+    weighting won't diversify anything.
+
+    One token-count shuffle; the top-k window is per-source over the
+    vocabulary-bounded count table; the pair join is over k-bounded
+    top-k sets (|sources|^2 x k worst case). All integers, trunc6
+    Jaccard.""".format(k=_TOPK_TOKENS)
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents").select("source", "text")
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
+    cnt = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    topk = (
+        cnt.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+            ),
+        )
+        .filter(F.col("rn") <= _TOPK_TOKENS)
+        .select("source", "w")
+        .localCheckpoint()  # feeds sizes and both sides of the pair join
+    )
+    sizes = topk.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    a = topk.select(F.col("source").alias("source_a"), "w")
+    b = topk.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, (a.w == b.w) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("source").alias("source_a"), F.col("k").alias("ka"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("source").alias("source_b"), F.col("k").alias("kb"))
+    )
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.floor(
+                    F.col("n_common")
+                    * F.lit(1e6)
+                    / (F.col("ka") + F.col("kb") - F.col("n_common"))
+                )
+                / 1e6
+            ).alias("topk_jaccard"),
+        )
+    )

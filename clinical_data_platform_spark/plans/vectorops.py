@@ -668,11 +668,25 @@ def lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     Data-free by design (the plan is the deliverable): a constant-
     folded grid x similarity cross join, pow() on identical doubles
     (bit-parity pinned in the verify gotchas), round6 output."""
-    grid = spark.createDataFrame(
-        [(h, b) for h, b in _SCURVE_GRID], ["num_hashes", "bands"]
-    )
-    sims = spark.createDataFrame(
-        [(s,) for s in _SCURVE_SIMS], ["jaccard"]
+    # literal arrays exploded from one row — createDataFrame spread these
+    # 24 rows over defaultParallelism x shuffle partitions (1024 tasks,
+    # 13 s for a data-free query); this form is one task
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("num_hashes"), F.lit(b).alias("bands")
+                    )
+                    for h, b in _SCURVE_GRID
+                ]
+            )
+        ).alias("g")
+    ).select("g.num_hashes", "g.bands")
+    sims = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s) for s in _SCURVE_SIMS])
+        ).alias("jaccard")
     )
     r = (F.col("num_hashes") / F.col("bands")).cast("long")
     p_cand = 1.0 - F.pow(

@@ -77,9 +77,29 @@ def main() -> None:
         print(f"batch-spark {name}", file=sys.stderr, flush=True)
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # One INDEPENDENT connection per worker thread: cursors of a shared
+    # connection contend on its lock/memory budget, and the 8-cursor
+    # batched phase livelocked for >1 h on a mix that runs in ~4 min
+    # serially (observed on the full 290-oracle suite; per-connection
+    # workers finish normally).
+    import threading
+
+    _tls = threading.local()
+
+    def _duck() -> duckdb.DuckDBPyConnection:
+        if not hasattr(_tls, "con"):
+            c = duckdb.connect()
+            for t in catalog.TABLES:
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            _tls.con = c
+        return _tls.con
+
     def run_duck(name: str) -> None:
         print(f"batch-duck {name}", file=sys.stderr, flush=True)
-        con.cursor().execute(oracles[name]).fetchall()
+        _duck().execute(oracles[name]).fetchall()
 
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=threads) as pool:

@@ -253,6 +253,9 @@ HEADLINE = [
     # wave 57: vocabulary coverage + LSH planning
     "vocab_coverage_estimates",
     "lsh_scurve_planner",
+    # wave 58: targeting gains + head-vocabulary drift
+    "classifier_gains_table",
+    "source_topk_token_overlap",
 ]
 
 

@@ -985,20 +985,20 @@ def calibration_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cast(sum(n) AS BIGINT) AS nn, cast(sum(pos) AS BIGINT) AS np
       FROM bins
     ),
-    cum AS (
+    gcum AS (
       SELECT bin, n, pos,
              sum(n) OVER (ORDER BY bin DESC) AS cum_n,
              sum(pos) OVER (ORDER BY bin DESC) AS cum_pos
       FROM bins
     )
-    SELECT cum.bin,
-           cast(cum.n AS BIGINT) AS n_docs,
-           cast(cum.cum_n AS BIGINT) AS cum_docs,
-           floor(cum.cum_n * 1e6 / tot.nn) / 1e6 AS depth,
-           floor(cum.cum_pos * 1e6 / tot.np) / 1e6 AS gain,
-           floor((cum.cum_pos * 1.0 / tot.np)
-                 / (cum.cum_n * 1.0 / tot.nn) * 1e6) / 1e6 AS lift
-    FROM cum, tot
+    SELECT gcum.bin,
+           cast(gcum.n AS BIGINT) AS n_docs,
+           cast(gcum.cum_n AS BIGINT) AS cum_docs,
+           floor(gcum.cum_n * 1e6 / tot.nn) / 1e6 AS depth,
+           floor(gcum.cum_pos * 1e6 / tot.np) / 1e6 AS gain,
+           floor((gcum.cum_pos * 1.0 / tot.np)
+                 / (gcum.cum_n * 1.0 / tot.nn) * 1e6) / 1e6 AS lift
+    FROM gcum, tot
     """
     ),
     tags=["ml", "gains", "lift", "extension"],

@@ -38,7 +38,7 @@ the corpus side.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import fan_out_scan, table as T
 from ..functions.text import STOPWORDS, tokens, word_shingles

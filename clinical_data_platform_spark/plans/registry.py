@@ -349,6 +349,10 @@ PRIORITY_ORDER = [
 #   richness from the per-lang frequency-of-frequencies),
 # lsh_scurve_planner (new, the analytic LSH parameter table — collision
 #   probability and threshold per (hashes, bands), data-free),
+# classifier_gains_table (new, cumulative gains/lift by predicted-
+#   probability decile — the targeting readout beside AUC),
+# source_topk_token_overlap (new, Jaccard of per-source top-100 token
+#   sets — the cheap register/domain drift screen),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

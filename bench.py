@@ -256,6 +256,9 @@ HEADLINE = [
     # wave 58: targeting gains + head-vocabulary drift
     "classifier_gains_table",
     "source_topk_token_overlap",
+    # wave 59: intensity testing + randomness screening
+    "poisson_rate_ratio_test",
+    "runs_test_hourly",
 ]
 
 

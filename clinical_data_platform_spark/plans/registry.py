@@ -353,6 +353,10 @@ PRIORITY_ORDER = [
 #   probability decile — the targeting readout beside AUC),
 # source_topk_token_overlap (new, Jaccard of per-source top-100 token
 #   sets — the cheap register/domain drift screen),
+# poisson_rate_ratio_test (new, two-period intensity test on the
+#   integer-microsecond midpoint split),
+# runs_test_hourly (new, Wald-Wolfowitz randomness screen on the
+#   hourly series — explicit order-statistic median, lag run count),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -4556,3 +4556,225 @@ def exact_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("gini"),
     )
+
+
+# --- Wave 59: rate-ratio test + runs test ------------------------------------------
+
+
+@query(
+    "poisson_rate_ratio_test",
+    oracle="""
+    WITH b AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    lab AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < b.mid_us THEN 1 ELSE 2 END AS half
+      FROM events, b
+    ),
+    g AS (
+      SELECT event_type,
+             cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             cast(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM lab GROUP BY 1
+    ),
+    z AS (
+      SELECT event_type, c1, c2,
+             ln(c1 * 1.0 / c2)
+               / sqrt(1.0::DOUBLE / c1 + 1.0::DOUBLE / c2) AS z_raw
+      FROM g WHERE c1 > 0 AND c2 > 0
+    )
+    SELECT event_type, c1 AS n_first_half, c2 AS n_second_half,
+           floor(c1 * 1e6 / c2) / 1e6 AS rate_ratio,
+           round(z_raw, 6) AS z,
+           round(__PSQL__, 6) AS p_value
+    FROM z
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["M-ext", "rates", "monitoring"],
+)
+def poisson_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio test per event type between the corpus' two
+    halves (equal exposure windows, so the ratio of counts IS the rate
+    ratio): did this event's arrival rate CHANGE, with the standard
+    log-rate-ratio z = ln(c1/c2)/sqrt(1/c1 + 1/c2) — the two-period
+    alarm arithmetic behind error-budget and traffic-shift monitors,
+    complementing the distributional drift ops (PSI/KL) with a pure
+    intensity test.
+
+    The half boundary is the integer-microsecond midpoint of min/max
+    timestamps (one broadcast scalar row; floor division identical in
+    both engines); counts are one partial/final aggregate; z and the A&S erf
+    p are scalar doubles of exact integers; zero-count halves drop
+    identically via the WHERE guard."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    b = ev.agg(
+        F.floor((F.min("us") + F.max("us")) / 2).cast("long").alias("mid_us")
+    )
+    lab = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.col("us") < F.col("mid_us"), 1).otherwise(2).alias("half"),
+    )
+    g = lab.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    z = F.log(F.col("c1") * F.lit(1.0) / F.col("c2")) / F.sqrt(
+        F.lit(1.0) / F.col("c1") + F.lit(1.0) / F.col("c2")
+    )
+    return (
+        g.filter((F.col("c1") > 0) & (F.col("c2") > 0))
+        .select(
+            "event_type",
+            F.col("c1").alias("n_first_half"),
+            F.col("c2").alias("n_second_half"),
+            (F.floor(F.col("c1") * F.lit(1e6) / F.col("c2")) / 1e6).alias(
+                "rate_ratio"
+            ),
+            F.round(z, 6).alias("z"),
+            F.round(normal_sf(z), 6).alias("p_value"),
+        )
+    )
+
+
+@query(
+    "runs_test_hourly",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             sum(CAST(round(value * 100.0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, hour)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    m AS (
+      SELECT event_type, x AS median_x
+      FROM med WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+      SELECT h.event_type, h.hour,
+             CASE WHEN h.x > m.median_x THEN 1 ELSE 0 END AS s
+      FROM h JOIN m ON m.event_type = h.event_type
+      WHERE h.x <> m.median_x
+    ),
+    runs AS (
+      SELECT event_type,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(s) AS BIGINT) AS n_pos,
+             cast(1 + sum(CASE WHEN s <> prev_s THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM (
+        SELECT event_type, s,
+               lag(s) OVER (PARTITION BY event_type ORDER BY hour) AS prev_s
+        FROM signs
+      )
+      WHERE prev_s IS NOT NULL OR prev_s IS NULL
+      GROUP BY event_type
+    ),
+    z AS (
+      SELECT event_type, n, n_pos, n - n_pos AS n_neg, r,
+             1.0::DOUBLE + 2.0::DOUBLE * n_pos * (n - n_pos) / n AS er,
+             (2.0::DOUBLE * n_pos * (n - n_pos)
+              * (2.0::DOUBLE * n_pos * (n - n_pos) - n))
+               / (n * 1.0 * n * (n - 1)) AS vr
+      FROM runs
+    )
+    SELECT event_type, n AS n_hours, n_pos, n_neg, r AS n_runs,
+           round(er, 6) AS expected_runs,
+           round((r - er) / sqrt(vr), 6) AS z,
+           round(__PSQL__, 6) AS p_value
+    FROM (SELECT *, (r - er) / sqrt(vr) AS z_raw FROM z)
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["M-ext", "randomness", "runs-test"],
+)
+def runs_test_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type on the hourly revenue
+    series: are above/below-median hours randomly interleaved, or does
+    the series cluster (fewer runs = positive autocorrelation /
+    regime-sitting; more runs = oscillation)? The model-free
+    autocorrelation screen that says whether the i.i.d. assumptions
+    behind the simpler monitors hold at all.
+
+    Median = the explicit (n+1)//2-th order statistic (tie-broken by
+    hour, engine-stable); median-equal hours are dropped identically on
+    both engines (the textbook treatment); the run count is one lag()
+    comparison summed over the hours-bounded series; E[R] and Var[R]
+    are closed forms of exact integer counts, the z and erf p scalar
+    doubles. One corpus rollup; everything after is series-bounded."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("x")
+    ).localCheckpoint()  # feeds the median pick and the sign walk
+    wtype = Window.partitionBy("event_type")
+    med = (
+        h.select(
+            "event_type",
+            "x",
+            F.row_number().over(wtype.orderBy("x", "hour")).alias("rn"),
+            F.count(F.lit(1)).over(wtype).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("x").alias("median_x"))
+    )
+    signs = (
+        h.join(F.broadcast(med), "event_type")
+        .filter(F.col("x") != F.col("median_x"))
+        .select(
+            "event_type",
+            "hour",
+            F.when(F.col("x") > F.col("median_x"), 1).otherwise(0).alias("s"),
+        )
+    )
+    lagged = signs.select(
+        "event_type",
+        "s",
+        F.lag("s").over(wtype.orderBy("hour")).alias("prev_s"),
+    )
+    runs = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n_pos"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    npnn = F.col("n_pos") * (F.col("n") - F.col("n_pos"))
+    er = F.lit(1.0) + F.lit(2.0) * npnn / F.col("n")
+    vr = (
+        F.lit(2.0)
+        * npnn
+        * (F.lit(2.0) * npnn - F.col("n"))
+        / (F.col("n") * F.lit(1.0) * F.col("n") * (F.col("n") - 1))
+    )
+    z = (F.col("r") - er) / F.sqrt(vr)
+    return runs.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.col("r").alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z"),
+        F.round(normal_sf(z), 6).alias("p_value"),
+    )

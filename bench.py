@@ -259,6 +259,9 @@ HEADLINE = [
     # wave 59: intensity testing + randomness screening
     "poisson_rate_ratio_test",
     "runs_test_hourly",
+    # wave 60: parameter sensitivity + transport drift
+    "session_gap_sensitivity",
+    "wasserstein_value_drift",
 ]
 
 

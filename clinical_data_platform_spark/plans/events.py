@@ -1704,3 +1704,97 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_alarm_epoch_s"),
         (F.floor(F.max("ph_fp") / 1e6) / 100.0).alias("max_ph_stat"),
     )
+
+
+# --- Wave 60: session-gap sensitivity audit -----------------------------------------
+
+_GAP_THRESHOLDS_S = (900, 1800, 3600)  # 15 min / 30 min / 60 min
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, cast(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS gap
+      FROM e
+    ),
+    agg AS (
+      SELECT cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             cast(count(*) AS BIGINT) AS n_events,
+             {", ".join(
+                 f"cast(sum(CASE WHEN gap > {t} THEN 1 ELSE 0 END) AS BIGINT)"
+                 f" AS brk_{t}" for t in _GAP_THRESHOLDS_S)}
+      FROM gaps
+    )
+    SELECT u.gap_s, agg.n_users,
+           cast(agg.n_users + CASE u.gap_s
+             {" ".join(f"WHEN {t} THEN agg.brk_{t}" for t in _GAP_THRESHOLDS_S)}
+           END AS BIGINT) AS n_sessions,
+           floor(agg.n_events * 1e6
+                 / (agg.n_users + CASE u.gap_s
+                    {" ".join(f"WHEN {t} THEN agg.brk_{t}" for t in _GAP_THRESHOLDS_S)}
+                    END)) / 1e6 AS events_per_session
+    FROM agg, (SELECT unnest({list(_GAP_THRESHOLDS_S)!r}) AS gap_s) u
+    """,
+    tags=["sessionization", "sensitivity", "monitoring"],
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-count sensitivity to the inactivity-gap parameter — the
+    audit run BEFORE anyone publishes a sessions metric: every
+    sessionizer picks a gap (15/30/60 min), sessions = users + gaps
+    exceeding the threshold, and if the count swings hard across
+    reasonable gaps the metric is an artifact of the parameter, not the
+    behavior. ONE inter-arrival scan (user-partitioned lag on whole
+    seconds, the user_session_stats discipline) feeds every threshold
+    as a conditional sum — adding a threshold costs one counter, never
+    a rescan. Output per gap: session count and events/session
+    (trunc6). All integers until the final ratio."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec")
+    )
+    gaps = e.select(
+        "user_id",
+        (
+            F.col("sec")
+            - F.lag("sec").over(
+                Window.partitionBy("user_id").orderBy("sec")
+            )
+        ).alias("gap"),
+    )
+    agg = gaps.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[
+            F.sum(F.when(F.col("gap") > t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"brk_{t}")
+            for t in _GAP_THRESHOLDS_S
+        ],
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _GAP_THRESHOLDS_S])
+        ).alias("gap_s")
+    )
+    out = agg.crossJoin(F.broadcast(thr))
+    sessions = F.col("n_users")
+    expr = None
+    for t in _GAP_THRESHOLDS_S:
+        cond = F.when(F.col("gap_s") == t, F.col(f"brk_{t}"))
+        expr = cond if expr is None else expr.when(
+            F.col("gap_s") == t, F.col(f"brk_{t}")
+        )
+    n_sessions = (F.col("n_users") + expr).cast("long")
+    return out.select(
+        "gap_s",
+        "n_users",
+        n_sessions.alias("n_sessions"),
+        (
+            F.floor(F.col("n_events") * F.lit(1e6) / n_sessions) / 1e6
+        ).alias("events_per_session"),
+    )

@@ -357,6 +357,10 @@ PRIORITY_ORDER = [
 #   integer-microsecond midpoint split),
 # runs_test_hourly (new, Wald-Wolfowitz randomness screen on the
 #   hourly series — explicit order-statistic median, lag run count),
+# session_gap_sensitivity (new, sessions-vs-gap-parameter audit from
+#   one inter-arrival scan),
+# wasserstein_value_drift (new, exact W1 on the distinct-cents grid —
+#   drift in metric units, completing PSI/KL/KS with transport),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -4778,3 +4778,136 @@ def runs_test_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.round(normal_sf(z), 6).alias("p_value"),
     )
+
+
+# --- Wave 60: Wasserstein-1 distributional drift --------------------------------------
+
+
+@query(
+    "wasserstein_value_drift",
+    oracle="""
+    WITH b AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    v AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < b.mid_us THEN 1 ELSE 2 END AS half,
+             cast(round(value * 100.0) AS BIGINT) AS cents
+      FROM events, b
+    ),
+    g AS (
+      SELECT event_type, cents,
+             cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             cast(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM v GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type,
+             cast(sum(c1) AS BIGINT) AS n1,
+             cast(sum(c2) AS BIGINT) AS n2
+      FROM g GROUP BY 1
+    ),
+    grid AS (
+      SELECT g.event_type, g.cents,
+             sum(g.c1) OVER (PARTITION BY g.event_type ORDER BY g.cents)
+               AS cum1,
+             sum(g.c2) OVER (PARTITION BY g.event_type ORDER BY g.cents)
+               AS cum2,
+             lead(g.cents) OVER (PARTITION BY g.event_type ORDER BY g.cents)
+               AS next_cents
+      FROM g
+    ),
+    terms AS (
+      SELECT grid.event_type,
+             CAST(floor(abs(grid.cum1 * 1.0 / n.n1 - grid.cum2 * 1.0 / n.n2)
+                        * (grid.next_cents - grid.cents) * 1e6) AS BIGINT)
+               AS w_fp
+      FROM grid JOIN n USING (event_type)
+      WHERE grid.next_cents IS NOT NULL
+    )
+    SELECT t.event_type, n.n1 AS n_first_half, n.n2 AS n_second_half,
+           floor(sum(t.w_fp) / 1e4) / 1e4 AS w1_dollars
+    FROM terms t JOIN n USING (event_type)
+    GROUP BY t.event_type, n.n1, n.n2
+    """,
+    tags=["M-ext", "drift", "wasserstein"],
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between each event type's
+    first-half and second-half value distributions — the drift measure
+    in the UNITS OF THE METRIC (dollars of distribution movement),
+    which PSI and KL cannot give (both are binning-sensitive and
+    unitless) and KS truncates to the single worst point: W1 =
+    integral |F1 - F2| dv, computed exactly on the distinct-cents grid
+    as sum |cum1/n1 - cum2/n2| * (next_value - value).
+
+    The grid is value-range-bounded (distinct cents), the CDFs are one
+    ordered cumulative window of integer counts per type, each grid
+    term is floor-truncated to fixed-point int64 before the (possibly
+    large) grid sum — order-free — and the split boundary is the same
+    integer-microsecond midpoint as poisson_rate_ratio_test. Completes
+    the drift family: PSI (binned), KL/JS (likelihood), KS (sup-norm),
+    W1 (transport)."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    b = ev.agg(
+        F.floor((F.min("us") + F.max("us")) / 2).cast("long").alias("mid_us")
+    )
+    v = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.col("us") < F.col("mid_us"), 1).otherwise(2).alias("half"),
+        "cents",
+    )
+    g = v.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    ).localCheckpoint()  # feeds totals and the grid walk
+    n = g.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("cents")
+    cum = wt.rowsBetween(Window.unboundedPreceding, 0)
+    grid = g.select(
+        "event_type",
+        "cents",
+        F.sum("c1").over(cum).alias("cum1"),
+        F.sum("c2").over(cum).alias("cum2"),
+        F.lead("cents").over(wt).alias("next_cents"),
+    )
+    terms = (
+        grid.filter(F.col("next_cents").isNotNull())
+        .join(F.broadcast(n), "event_type")
+        .select(
+            "event_type",
+            F.floor(
+                F.abs(
+                    F.col("cum1") * F.lit(1.0) / F.col("n1")
+                    - F.col("cum2") * F.lit(1.0) / F.col("n2")
+                )
+                * (F.col("next_cents") - F.col("cents"))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("w_fp"),
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.sum("w_fp").cast("long").alias("w_sum"))
+        .join(F.broadcast(n), "event_type")
+        .select(
+            "event_type",
+            F.col("n1").alias("n_first_half"),
+            F.col("n2").alias("n_second_half"),
+            (F.floor(F.col("w_sum") / F.lit(1e4)) / 1e4).alias("w1_dollars"),
+        )
+    )

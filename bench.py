@@ -262,6 +262,9 @@ HEADLINE = [
     # wave 60: parameter sensitivity + transport drift
     "session_gap_sensitivity",
     "wasserstein_value_drift",
+    # wave 61: seasonal trend + extreme values
+    "seasonal_mann_kendall",
+    "gumbel_block_maxima",
 ]
 
 

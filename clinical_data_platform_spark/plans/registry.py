@@ -361,6 +361,10 @@ PRIORITY_ORDER = [
 #   one inter-arrival scan),
 # wasserstein_value_drift (new, exact W1 on the distinct-cents grid —
 #   drift in metric units, completing PSI/KL/KS with transport),
+# seasonal_mann_kendall (new, within-season MK sum — diurnal cycle
+#   cannot masquerade as drift; 24x smaller pair count than plain MK),
+# gumbel_block_maxima (new, MoM extreme-value fit on daily maxima with
+#   the 100-day return level; pinned sqrt(6)/pi and Euler literals),
 # plus the r2-green rows that ceded slots late in r3: knn_join_top5,
 # boilerplate_lines_top20, hourly_gap_fill_locf,
 # funnel_view_click_purchase, daily_cohort_retention,

@@ -4911,3 +4911,227 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("w_sum") / F.lit(1e4)) / 1e4).alias("w1_dollars"),
         )
     )
+
+
+# --- Wave 61: seasonal Mann-Kendall + Gumbel block maxima ---------------------------
+
+
+@query(
+    "seasonal_mann_kendall",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             cast(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS t,
+             cast(floor(epoch(date_trunc('hour', ts)) / 3600) % 24
+                  AS BIGINT) AS season,
+             sum(CAST(round(value * 100.0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT a.event_type, a.season,
+             cast(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_h,
+             cast(count(*) AS BIGINT) AS n_pairs
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.season = b.season AND a.t < b.t
+      GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type, season, cast(count(*) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2
+    ),
+    pert AS (
+      SELECT s.event_type,
+             cast(sum(s.s_h) AS BIGINT) AS s_tot,
+             sum(n.n * 1.0 * (n.n - 1) * (2 * n.n + 5) / 18.0) AS var_tot,
+             cast(count(*) AS BIGINT) AS k_seasons
+      FROM s JOIN n USING (event_type, season)
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT event_type, s_tot, k_seasons,
+             CASE WHEN s_tot > 0 THEN (s_tot - 1)
+                  WHEN s_tot < 0 THEN (s_tot + 1) ELSE 0 END
+               / sqrt(var_tot) AS z_raw
+      FROM pert
+    )
+    SELECT event_type, k_seasons, s_tot,
+           round(z_raw, 6) AS z,
+           round(__PSQL__, 6) AS p_value
+    FROM z
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["time-series", "trend", "seasonal"],
+)
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984) per event type: the
+    MK statistic computed WITHIN each hour-of-day season and summed —
+    so a strong diurnal cycle (which inflates plain MK's pair count
+    with cross-season comparisons that are cycle, not trend) cannot
+    masquerade as drift. S_total = sum_h S_h; Var = sum_h n_h(n_h-1)
+    (2n_h+5)/18 (no ties correction needed here: integer cents on
+    sparse hourly sums — the tie term is retained in plain
+    mann_kendall_trend where it matters); continuity-corrected z.
+
+    The pair join is season-bounded (|hours-per-season|^2 x 24 — a 24x
+    reduction of plain MK's pair count); S per season is an exact
+    integer; the variance is a k-bounded sum folded in one aggregate.
+    Reads beside mann_kendall_trend: agreement says the trend is real,
+    divergence says it was the cycle."""
+    ev = T(spark, sf_dir, "events")
+    hour_idx = F.floor(F.col("ts").cast("long") / 3600)
+    h = (
+        ev.groupBy(
+            "event_type",
+            hour_idx.alias("t"),
+            (hour_idx % 24).alias("season"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("x")
+        )
+        .localCheckpoint()
+    )
+    a, b = h.alias("a"), h.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.season") == F.col("b.season"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.season").alias("season"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_h")
+        )
+    )
+    n = h.groupBy("event_type", "season").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pert = (
+        s.join(n, ["event_type", "season"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("s_h").cast("long").alias("s_tot"),
+            F.sum(
+                F.col("n")
+                * F.lit(1.0)
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                / F.lit(18.0)
+            ).alias("var_tot"),
+            F.count(F.lit(1)).cast("long").alias("k_seasons"),
+        )
+    )
+    s_cc = (
+        F.when(F.col("s_tot") > 0, F.col("s_tot") - 1)
+        .when(F.col("s_tot") < 0, F.col("s_tot") + 1)
+        .otherwise(0)
+    )
+    z = s_cc / F.sqrt(F.col("var_tot"))
+    return pert.select(
+        "event_type",
+        "k_seasons",
+        "s_tot",
+        F.round(z, 6).alias("z"),
+        F.round(normal_sf(z), 6).alias("p_value"),
+    )
+
+
+# Pinned 17-digit literals (identical text on both engines)
+_GUMBEL_SQRT6_PI = "0.7796968012336761"  # sqrt(6)/pi
+_GUMBEL_EULER = "0.5772156649015329"  # Euler-Mascheroni gamma
+_GUMBEL_RETURN_T = 100  # return period in blocks (days)
+
+
+@query(
+    "gumbel_block_maxima",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             max(CAST(round(value * 100.0) AS BIGINT)) AS mx
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             cast(count(*) AS BIGINT) AS n_days,
+             cast(sum(mx) AS BIGINT) AS s1,
+             sum(mx::HUGEINT * mx) AS s2
+      FROM d GROUP BY 1
+    ),
+    fit AS (
+      SELECT event_type, n_days,
+             s1 * 1.0 / n_days / 100.0 AS mean_max,
+             sqrt((s2::DOUBLE - s1 * 1.0 * s1 / n_days) / (n_days - 1))
+               / 100.0 AS sd_max
+      FROM g
+    ),
+    p AS (
+      SELECT event_type, n_days, mean_max, sd_max,
+             {_GUMBEL_SQRT6_PI} * sd_max AS beta,
+             mean_max - {_GUMBEL_EULER} * ({_GUMBEL_SQRT6_PI} * sd_max) AS mu
+      FROM fit
+    )
+    SELECT event_type, n_days,
+           round(mu, 6) AS gumbel_mu,
+           round(beta, 6) AS gumbel_beta,
+           round(mu - beta * ln(-ln(1.0::DOUBLE
+                 - 1.0::DOUBLE / {_GUMBEL_RETURN_T})), 6)
+             AS return_level_{_GUMBEL_RETURN_T}d
+    FROM p
+    """,
+    tags=["M-ext", "extreme-value", "gumbel"],
+)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on daily block maxima per event type
+    (Gumbel 1958, method of moments: beta = sd sqrt(6)/pi, mu = mean -
+    gamma beta) with the {t}-day return level mu - beta ln(-ln(1-1/T))
+    — the capacity-planning question ("what single-event value should
+    we expect once per {t} days") that tail quantiles of the POOLED
+    distribution answer wrongly, and the block-maxima companion to
+    hill_tail_index's threshold view.
+
+    One (type, day) max rollup; mean/sd from exact integer-cents
+    (HUGEINT second moment); sqrt(6)/pi and Euler's gamma are 17-digit
+    pinned literals so the closed forms are engine-identical; round6
+    outputs.""".format(t=_GUMBEL_RETURN_T)
+    ev = T(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max(F.round(F.col("value") * 100.0).cast("long")).alias("mx"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(dec(F.col("mx")) * F.col("mx")).alias("s2"),
+    )
+    mean_max = F.col("s1") * F.lit(1.0) / F.col("n_days") / F.lit(100.0)
+    sd_max = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("n_days")
+        )
+        / (F.col("n_days") - 1)
+    ) / F.lit(100.0)
+    beta = F.lit(float(_GUMBEL_SQRT6_PI)) * sd_max
+    mu = mean_max - F.lit(float(_GUMBEL_EULER)) * (
+        F.lit(float(_GUMBEL_SQRT6_PI)) * sd_max
+    )
+    rl = mu - beta * F.log(
+        -F.log(F.lit(1.0) - F.lit(1.0) / F.lit(_GUMBEL_RETURN_T))
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(rl, 6).alias(f"return_level_{_GUMBEL_RETURN_T}d"),
+    )

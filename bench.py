@@ -1,6 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-4 fix: the 202-entry per-query map outgrew the
+driver's tail-capture buffer in round 3, leaving BENCH_r03 unparseable):
+- the LAST stdout line is ONE COMPACT JSON object {"metric", "value",
+  "unit", "sf", "n_queries", "core_sec", "queries"} where "queries"
+  holds only the slowest 10 — small enough to always survive a tail
+  capture;
+- the FULL per-query timing map is written to BENCH_LOCAL.json in the
+  repo root ({"total_sec", "core_sec", "sf", "n_queries", "queries"}).
+
+BENCH_CORE is the frozen 50-query regression subset (the r2 driver
+snapshot's 35 + the slowest-15 of the round-3 suite): full-suite totals
+move +-15% with host load across 200+ queries, so round-over-round
+diffs compare the pinned core first ("core_sec"), full suite second.
 
 Each query is forced end-to-end with the noop sink (full evaluation of
 every output column, no driver collect cost). One JVM warmup pass on a
@@ -268,6 +281,28 @@ HEADLINE = [
 ]
 
 
+# Frozen round-over-round regression subset: the r2 driver snapshot's 35
+# queries + the slowest-15 of the round-3 202-query suite. Do NOT edit —
+# pinned so BENCH_DIFF core comparisons stay apples-to-apples.
+BENCH_CORE = HEADLINE[:35] + [
+    "dup_cluster_canonical_docs",
+    "spearman_quantity_price",
+    "dedup_capture_recapture",
+    "ppjoin_near_dup_pairs",
+    "semantic_near_dup_pairs",
+    "theil_sen_slope",
+    "kendall_tau_quantity_price",
+    "sorted_neighborhood_pairs",
+    "token_spectral_centrality",
+    "item_item_cosine_recs",
+    "bigram_lm_perplexity",
+    "label_propagation_communities",
+    "nation_trade_pagerank",
+    "trade_hits_scores",
+    "logreg_gd_trajectory",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -278,6 +313,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # keep stderr progress bars out of the driver's tail capture
+    try:
+        spark.conf.set("spark.ui.showConsoleProgress", "false")
+    except Exception:
+        pass
     qs = E.queries()
 
     # warmup: JVM/codegen/parquet-footer caches
@@ -292,18 +332,39 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    core = round(sum(timings[n] for n in BENCH_CORE if n in timings), 3)
+    slowest10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    full = {
+        "metric": "headline-suite wall-clock",
+        "total_sec": total,
+        "core_sec": core,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=False)
+    spark.stop()
+    # LAST line, compact, bounded size: this is what the driver parses.
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline-suite wall-clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "core_sec": core,
+                "queries": slowest10,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

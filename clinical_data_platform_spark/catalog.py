@@ -137,8 +137,16 @@ def iter_checkpoint(df: DataFrame) -> DataFrame:
     at scale, so losing the inherited estimate costs nothing.
     """
     ck = df.localCheckpoint(eager=True)
-    jdf = ck._jdf
-    fresh = ck.sparkSession._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(fresh, ck.sparkSession)
+    try:
+        # Classic-session fast path via JVM internals: rebuilding from the
+        # checkpointed InternalRow RDD drops the inherited statistics.
+        jdf = ck._jdf
+        fresh = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, ck.sparkSession)
+    except Exception:
+        # Spark Connect (no _jdf) or internal-API drift across versions:
+        # the plain checkpoint is still correct — it merely keeps the
+        # carried stats, so high-iteration loops re-plan more slowly.
+        return ck

@@ -56,16 +56,20 @@ def knn_join(
     O(|embeddings| * |queries|) and the query side is materialized on every
     executor. Beyond ``max_query_rows`` that silently becomes a cartesian
     blow-up, so the operator refuses and points at the LSH/IVF paths
-    (lsh_topk, operators/ivf.py), which shuffle on bucket ids instead."""
-    n_queries = queries.limit(max_query_rows + 1).count()
-    if n_queries > max_query_rows:
+    (lsh_topk, operators/ivf.py), which shuffle on bucket ids instead.
+    The guard costs ONE scan of the query side: the capped slice is
+    checkpointed, the (free) post-materialization count is checked, and
+    the same materialized slice feeds the broadcast — the query plan is
+    never executed a second time."""
+    qcap = queries.limit(max_query_rows + 1).localCheckpoint()
+    if qcap.count() > max_query_rows:
         raise ValueError(
             f"knn_join query side has >{max_query_rows} rows; a broadcast-"
             "nested-loop would cartesian at this size. Use the LSH bucket "
             "join (lsh_topk) or IVF index (operators/ivf.py), or raise "
             "max_query_rows explicitly if the cluster can broadcast it."
         )
-    joined = embeddings.crossJoin(F.broadcast(queries))
+    joined = embeddings.crossJoin(F.broadcast(qcap))
     cos = cosine_similarity(F.col(vec_col), F.col(query_vec))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -50,325 +50,90 @@ def query(name: str, oracle: str | None = None, tags: list[str] | None = None):
 PRIORITY_ORDER = [
     # entry() flagship stays the window anchor every round
     "q1_pricing_summary",
-    # r3 rotation: the 12 oracled queries never yet sampled by the driver's
-    # 50-row window (locally green both rounds). Swapped in for
-    # twice-driver-verified rows (7 of 8 tpch_deep, fk containment, chi,
-    # and 3 of the simplest r2-verified rows) so that after this round
-    # every oracled query has been driver-verified at least once.
-    "rollup_revenue",
-    "cube_order_counts",
-    "building_buyers_intersect",
-    "customers_without_orders_except",
-    "nation_trade_full_outer",
-    "top3_orders_per_priority",
-    "event_rank_distribution",
-    "rolling_hour_user_value",
-    "salted_event_rollup",
-    "user_session_stats",
-    "latest_event_per_user_type",
-    "bpe_token_counts",
-    # changed this round -> must re-verify: check_report grew a severity
-    # column (dq_orders_report), embedding_near_dup_pairs was re-planned
-    # onto banded LSH, knn_join grew a broadcast guard, the freshness lag
-    # expression was factored into a shared helper (dq_events_freshness)
-    "dq_orders_report",
-    "dq_events_freshness",
-    # new modules this round -> must verify: clustering (2 value-oracled +
-    # 1 rows-only ML twin), collocations and contentfilter (all oracled).
-    # They take the slots of 7 r2-driver-green unchanged queries
-    # (welch_ttest, q21, doc_redaction, tfidf_top_terms, simhash_md5_16bit,
-    # stream_sliding_counts, event_props_json) — stats/tpch_deep cede their
-    # spanning slots since both modules are fully driver-proven.
-    "kmeans_assign_seeded",
-    "kmeans_cluster_purity",
-    "semantic_near_dup_pairs",
-    "bigram_pmi_top20",
-    "ngram_novelty_by_source",
-    "quality_classifier_scores",
-    "pii_signal_counts",
-    # packed_sequence_bins (r2-green) ceded its slot to the new dup-span
-    # query; chunked_documents (r2-driver-green, unchanged) cedes its slot
-    # to the new M8 IC50 query — the last SURVEY §2 row to be implemented
-    "dup_span_fraction_by_source",
-    "ic50_dose_response_fits",
-    # corpusqc (new this round -> must verify; all 4 value-oracled)
-    "gopher_quality_filter",
-    "doc_repetition_signals",
-    "benchmark_decontamination",
-    "word_entropy_quality",
-    # textops (7 of 10 oracled; doc_fingerprints, exact_dedup_docs and
-    # doc_token_stats are r2-driver-green and cede their slots)
-    "incremental_dedup_new_docs",
-    # boilerplate_lines_top20 ceded its slot to hll_distinct_users late
-    # in r3: the shipped corpus has no >=5-doc duplicate lines, so its
-    # driver row compares empty-vs-empty (the operator's firing behavior
-    # is pinned on injected fixtures in tests/test_boilerplate.py); the
-    # HLL row is a value-bearing check of a brand-new sketch
-    "hll_distinct_users",
-    "boilerplate_removal_stats",
-    # trainprep additions (new -> must verify); embedding_norms and
-    # cosine_topk (r2-driver-green, unchanged) cede their vectorops slots
-    "temperature_mixture_rates",
-    "quality_budget_selection",
-    # knn_join_top5 ceded its slot late in r3 to the new OLS query: its
-    # r3 delta is a broadcast-cap raise path (pytest-covered) and its
-    # data plan is bit-identical to the r2-driver-verified row
-    "ols_trend_by_event_type",
-    "embedding_near_dup_pairs",
-    "lang_id_confusion",
-    # streamops (new stream_doc_dedup_counts takes stream_hourly_counts'
-    # slot — r2-driver-green, unchanged)
-    "stream_doc_dedup_counts",
-    "stream_corpus_dedup_state",
-    # stream_user_running_totals / stream_error_click_pairs (r2-driver-
-    # green, unchanged) cede their slots to the two new as-of variants —
-    # must-verify both because they're new AND because the shared asof
-    # union-merge operator was refactored this round
-    "asof_forward_next_rate",
-    "asof_nearest_rate_30min",
-    # events (hourly_event_rollup, r1/r2-green, cedes to the int8 audit)
-    "embedding_int8_quantization",
-    "interval_join_error_windows",
-    # late-r3 additions (all new -> must verify; all exactly oracled).
-    # They take the slots of hourly_gap_fill_locf, funnel_view_click_
-    # purchase, daily_cohort_retention, multimodal_payload_meta (all
-    # r2-driver-green and unchanged since) and kmeans_ml_clusters (rows-
-    # only ML twin whose value gate lives in pytest, not the driver)
-    "nation_trade_pagerank",
-    "cms_heavy_hitters",
-    "weighted_reservoir_sample",
-    "er_blocking_part_pairs",
-    "scd2_customer_dim",
-    # advanced (most novel execution paths; geomean and — late-r3 —
-    # multimodal_payload_meta are r2-driver-green and cede their slots)
-    "asof_event_hourly_rate",
-    # multimodal_frame_samples (r2-driver-green rows-only, unchanged)
-    # cedes its slot to the new distributed BPE trainer (rows-only;
-    # value gate = exact merge-sequence equality vs the in-test
-    # reference implementation, tests/test_bpe.py)
-    "bpe_train_merges",
-    "padding_efficiency_buckets",
+    # changed this round -> must re-verify: the five inverted-index dedup
+    # queries now run with max_shingle_docs=1000 ON, mirrored exactly in
+    # their DuckDB oracles (round-3 verdict item 1 — the last
+    # scale-killer-class issue). Three of the five are also
+    # never-driver-verified.
+    "near_dup_jaccard_pairs",
+    "near_dup_clusters",
+    "containment_dup_pairs",
+    "dup_cluster_canonical_docs",
+    "dedup_capture_recapture",
+    # r4 rotation: 44 never-driver-verified oracled queries (locally green
+    # at sf0.01 and sf0.001 every round since they landed), spanning every
+    # module family added in the r3 waves 29-61. Every other r1-r3
+    # driver-green row cedes its slot; union coverage goes 143 -> 190/296.
+    # -- stats / hypothesis testing (ab_test also carries this round's
+    #    p-value fix: the doubled two-sided p dropped in plan AND oracle)
+    "ab_test_two_proportion",
+    "anova_f_priority_price",
+    "spearman_quantity_price",
+    "kendall_tau_quantity_price",
+    "ks_test_price_by_status",
+    "bh_fdr_nation_price",
+    "exact_gini_coefficient",
+    "mann_kendall_trend",
+    "fixed_effect_meta",
+    # -- supervised-learning kernels
+    "distributed_auc_rank_sum",
+    "order_price_multiple_ols",
+    "logreg_gd_trajectory",
+    "gbdt_histogram_best_split",
+    "isotonic_calibration_bins",
+    # -- retrieval / text statistics
+    "bm25_topk_docs",
+    "hybrid_search_rrf",
+    "phrase_search_positions",
+    "rm3_query_expansion",
+    "bigram_lm_perplexity",
+    "dunning_g2_collocations",
+    "token_spectral_centrality",
+    # -- graph analytics
+    "trade_triangle_counts",
+    "trade_kcore_peeling",
+    "trade_hits_scores",
+    "label_propagation_communities",
+    "lp_community_modularity",
+    # -- survival / causal inference
+    "kaplan_meier_survival",
+    "logrank_test_cohorts",
+    "km_greenwood_ci",
+    "psm_matched_att",
+    "did_revenue_estimator",
+    # -- sketch algebra
+    "hll_user_overlap_pairs",
+    "ddsketch_doc_length_quantiles",
+    "hll_daily_cumulative_users",
+    "join_size_cms_estimate",
+    # -- streaming state
+    "stream_value_psi",
+    "stream_cms_user_counts",
+    # -- spatial / storage maintenance
+    "dbscan_grid_clusters",
+    "spatial_grid_neighbor_pairs",
+    "zorder_layout_audit",
+    "compaction_bin_packing",
+    # -- entity resolution / similarity joins
+    "sorted_neighborhood_pairs",
+    "fellegi_sunter_weights",
+    "ppjoin_near_dup_pairs",
 ]
-# Round-4 rotation candidates (oracled but outside the current window —
-# they pass the identical gate locally at sf0.01 and in pytest at
-# sf0.001 every run): hll_user_overlap_pairs (new, sketch set-algebra),
-# ddsketch_doc_length_quantiles (new, mergeable quantile sketch),
-# bigram_lm_perplexity (new, CCNet-style LM quality scoring),
-# pit_orders_segment_revenue (new, point-in-time SCD2 lookup),
-# contrastive_negative_pairs (new, deterministic negative sampling),
-# snapshot_diff_report (new, CDC-style snapshot reconciliation),
-# ppjoin_near_dup_pairs (new, lossless prefix-filter similarity join),
-# join_skew_report (new, pre-salting join-key skew audit),
-# containment_dup_pairs (new, asymmetric containment near-dup),
-# stream_value_quantile_sketch (new, streaming DDSketch state),
-# embedding_covariance_matrix (new, gram-partial covariance/PCA),
-# jl_projection_distortion (new, JL sign projection audit),
-# value_outliers_mad (new, median/MAD robust outliers),
-# trade_triangle_counts (new, graph motif enumeration),
-# classifier_calibration_bins (new, reliability table),
-# hll_daily_cumulative_users (new, sketch algebra over time),
-# orders_column_profile (new, single-scan column profiler),
-# part_pair_lift (new, market-basket lift),
-# event_transition_matrix (new, Markov event transitions),
-# value_psi_weekly (new, PSI input-drift monitoring),
-# decayed_user_activity (new, exponential-decay recency feature),
-# token_kl_divergence (new, corpus-slice KL/JS drift),
-# customer_rfm_segments (new, quartile RFM segmentation),
-# stream_value_psi (new, streaming PSI — bin counts as stream state),
-# incremental_daily_rollup_merge (new, mergeable-partial MV maintenance),
-# token_heavy_changers (new, itemized drift triage),
-# value_winsorized_stats (new, winsorization audit),
-# golden_customer_records (new, MDM survivorship merge),
-# class_balance_weights (new, inverse-frequency rebalancing),
-# join_size_cms_estimate (new, AMS/CMS join-cardinality pricing),
-# ewma_hourly_forecast (new, truncated-EWMA one-step forecasting),
-# hourly_seasonality_profile (new, hour-of-day decomposition),
-# ab_test_two_proportion (new, experimentation z-test),
-# funnel_conversion_latency (new, time-to-convert percentiles),
-# user_value_lorenz_deciles (new, value-concentration table),
-# rolling_7day_active_users (new, WAU via windowed HLL merge),
-# type_cross_correlation (new, lagged series cross-correlation),
-# bm25_topk_docs (new, lexical retrieval scoring),
-# grouped_fold_assignment (new, leakage-free CV folds),
-# benford_first_digit_audit (new, first-digit anomaly screen),
-# mean_shift_changepoints (new, two-window level-shift scan),
-# lineitem_quantity_price_skyline (new, distributed Pareto frontier),
-# customer_hierarchy_depths (new, pointer-jumping hierarchy flatten),
-# hourly_linear_interpolation (new, fixed-point gap interpolation),
-# quantity_weighted_median_price (new, weighted median),
-# kaplan_meier_survival (new, product-limit survival curves),
-# cohort_attrition_waterfall (new, CONSORT-style eligibility waterfall),
-# filter_agreement_kappa (new, Cohen's kappa between quality raters),
-# bootstrap_ci_mean (new, Poisson-bootstrap confidence interval),
-# training_shard_manifest (new, order-independent corpus export manifest),
-# fd_violation_report (new, functional-dependency discovery),
-# zipf_law_fit (new, rank-frequency power-law corpus screen),
-# column_mutual_information (new, model-free dependence screen),
-# sorted_neighborhood_pairs (new, windowed sorted-neighborhood ER),
-# stream_cms_user_counts (new, streaming CMS heavy hitters),
-# iptw_covariate_balance (new, propensity-weighting SMD balance table),
-# did_revenue_estimator (new, difference-in-differences panel estimate),
-# cuped_adjusted_metric (new, CUPED variance reduction),
-# top_visit_paths (new, clickstream path analysis),
-# levenshtein_match_pairs (new, edit-distance fuzzy ER),
-# conformal_prediction_intervals (new, split-conformal UQ with coverage),
-# label_propagation_communities (new, integer-exact community detection),
-# neyman_allocation_plan (new, optimal stratified sampling allocation),
-# eb_shrunk_nation_rates (new, empirical-Bayes rate shrinkage),
-# chi_square_cell_residuals (new, per-cell chi-square diagnostics),
-# item_item_cosine_recs (new, co-occurrence collaborative filtering),
-# revenue_mix_decomposition (new, price/volume/mix bridge),
-# quantile_treatment_effects (new, distributional causal readout),
-# als_brand_recs (new, rows-only Spark ML ALS; pytest value gate),
-# k_anonymity_audit (new, k-anonymity + l-diversity release audit),
-# dp_noisy_counts (new, deterministic differential-privacy release),
-# ucb_arm_selection (new, UCB1 bandit readout),
-# stream_segment_enriched_counts (new, stream-static broadcast enrichment),
-# temporal_split_audit (new, time-fenced split + overlap evidence),
-# logrank_test_cohorts (new, KM-companion survival hypothesis test),
-# spatial_grid_neighbor_pairs (new, integer-exact grid spatial join),
-# subtree_value_rollup (new, O(log n) closure-doubling tree rollup),
-# shapley_channel_attribution (new, coalition-exact marketing credit),
-# sprt_daily_decision (new, Wald sequential test on daily aggregates),
-# rd_discontinuity_estimate (new, local-linear regression discontinuity),
-# power_sample_size_plan (new, two-proportion power/MDE planning),
-# zone_map_skipping_audit (new, min/max file-stats pruning audit),
-# compaction_bin_packing (new, manifest-sized small-file compaction plan),
-# daily_open_orders_curve (new, sweep-line interval concurrency),
-# distributed_auc_rank_sum (new, sort-free Mann-Whitney AUC),
-# dup_cluster_canonical_docs (new, post-cluster survivorship keeper),
-# dbscan_grid_clusters (new, density clustering: lossless grid candidates
-#   + fixed Shiloach-Vishkin rounds, whole chain value-oracled),
-# naive_bayes_lang_confusion (new, trained generative text classifier,
-#   confusion matrix value-oracled; learning pinned on a fixture),
-# order_price_multiple_ols (new, closed-form multiple regression over
-#   exact 128-bit sufficient statistics),
-# logreg_gd_trajectory (new, iterative GD training with every step
-#   value-verified by a chained-CTE oracle),
-# chi2_token_selection (new, per-class discriminative-token screen),
-# gbdt_histogram_best_split (new, LightGBM-style histogram split search),
-# loo_target_encoding (new, leakage-safe categorical encoding + CatBoost
-#   smoothing),
-# quantile_normalize_doclen (new, integer-exact quantile normalization,
-#   bin-table order statistics vs the oracle's global sort),
-# woe_value_bins (new, weight-of-evidence/IV feature screen),
-# trade_kcore_peeling (new, k-core peeling with the whole trajectory
-#   value-verified),
-# phrase_search_positions (new, positional-index exact phrase retrieval),
-# ipf_mixture_raking (new, Deming-Stephan raking to multi-axis margins,
-#   whole alternating-scaling trajectory value-verified),
-# rec_eval_precision_ndcg (new, train/test recommender evaluation with
-#   pinned-literal DCG weights),
-# clean_purchase_sequences (new, MATCH_RECOGNIZE-style row-pattern match
-#   via one IGNORE NULLS lookback window),
-# kwic_concordance (new, keyword-in-context corpus inspection),
-# nb_f1_report (new, per-class precision/recall/F1 metric table),
-# user_burstiness_index (new, inter-arrival burstiness screen),
-# spearman_quantity_price (new, two-phase binned fractional ranks),
-# ks_test_price_by_status (new, distributed dual-ECDF KS test),
-# anova_f_priority_price (new, exact-sufficient-statistics ANOVA),
-# bh_fdr_nation_price (new, BH step-up over a one-vs-rest Welch screen),
-# dsir_importance_topk (new, fixed-point DSIR importance scores),
-# heaps_law_fit (new, fixed-point vocabulary-growth OLS),
-# flesch_readability_by_source (new, pooled readability screen),
-# trade_hits_scores (new, HITS hubs/authorities — the whole 5-round
-#   mutual-reinforcement chain value-verified by a chained materialized-
-#   CTE oracle, max-normalized so the rounding re-sync is order-stable),
-# isotonic_calibration_bins (new, PAV isotonic calibration via the exact
-#   minimax identity — corpus work is one map-side decile agg, the fit
-#   runs on the bounded bin table, sequential-PAV recount in pytest),
-# zorder_layout_audit (new, Morton-curve clustering priced against both
-#   single-column sorts under a 2-D predicate — the OPTIMIZE ZORDER
-#   argument, integer bit-interleave so value-exact cross-engine),
-# hybrid_search_rrf (new, reciprocal-rank fusion of BM25 and ln-tf-idf
-#   rankings — rank-only fusion over the posting-bounded candidate set),
-# dunning_g2_collocations (new, log-likelihood-ratio collocations — the
-#   count-weighted companion to bigram_pmi_top20),
-# fellegi_sunter_weights (new, probabilistic record-linkage agreement
-#   patterns with data-estimated u-probabilities over the blocked
-#   candidate pairs),
-# trade_link_prediction (new, neighbor-set Jaccard link prediction via
-#   wedge enumeration + edge anti-join on the thresholded trade graph),
-# page_hinkley_drift (new, sequential PH drift test as cumulative
-#   windows in 1e-6-cent integer fixed-point — no float-sum ordering),
-# mcnemar_filter_test (new, paired-rater strictness test on the kappa
-#   raters — discordant-cell chi2 with continuity correction),
-# psm_matched_att (new, propensity caliper matching by deterministic
-#   rank pairing in fixed-point buckets — the matching estimator
-#   completing the causal family),
-# delong_auc_ci (new, DeLong AUC variance/CI from bin-weighted integer
-#   placement moments on the distinct-score table — no per-row loop),
-# shard_rebalance_audit (new, modulo vs rendezvous hashing priced on a
-#   +1-shard scale-out: moved fraction + post-rebalance skew),
-# cochran_armitage_trend (new, trend-in-proportions test spending one df
-#   on the ordered alternative — exact per-group integer inputs),
-# negbin_overdispersion (new, Poisson dispersion chi-square + MoM
-#   negative-binomial size from exact sufficient statistics),
-# kendall_tau_quantity_price (new, tau-b by cell-grid pair counting —
-#   bounded |grid|^2 comparisons, int64-exact until the final ratio),
-# fixed_effect_meta (new, inverse-variance pooling + Cochran Q / I^2
-#   with every k-bounded float sum floor-truncated to fixed-point),
-# mann_kendall_trend (new, distribution-free monotone-trend test with
-#   tie-aware variance, series-span-bounded pair join),
-# theil_sen_slope (new, median-of-pairwise-slopes robust trend with
-#   explicit order-statistic median),
-# theil_inequality_decomposition (new, additive between/within-nation
-#   Theil T with per-row ln terms in 1e-9 fixed-point int64),
-# hhi_market_concentration (new, Herfindahl index per region with
-#   fixed-point squared-share sums),
-# token_spectral_centrality (new, power iteration on the positive-PMI
-#   co-occurrence graph — the PMI-SVD mat-vec kernel, whole chain
-#   value-verified via the HITS normalizer/rounding machinery),
-# cramers_v_type_band (new, scale-free chi-square effect size on the
-#   bounded contingency — the anti-"everything is significant" number),
-# dedup_capture_recapture (new, Chapman mark-recapture estimate of
-#   total dup pairs + per-detector recall from LSH vs exact-Jaccard
-#   catch overlap, one shared shingle scan),
-# km_greenwood_ci (new, Greenwood pointwise 95% bands on the KM curve
-#   — one more duration-ordered cumulative sum on the life table),
-# mantel_haenszel_or (new, stratified common odds ratio + CMH test
-#   with fixed-point cross-stratum sums),
-# ratio_metric_jackknife (new, delete-one-bucket jackknife SE for a
-#   ratio-of-sums metric — the A/B-platform variance standard),
-# rm3_query_expansion (new, pseudo-relevance feedback: RM1 model over
-#   the BM25 top-10, expanded-query rescoring with original ranks),
-# trade_degree_assortativity (new, Newman degree-mixing coefficient
-#   from exact integer edge-degree sufficient statistics),
-# newsvendor_stock_levels (new, critical-ratio demand quantile per
-#   brand as an explicit order statistic),
-# calibration_error_summary (new, ECE + Murphy Brier decomposition
-#   over the calibration deciles in weighted fixed-point),
-# lp_community_modularity (new, Newman-Girvan Q of the value-verified
-#   LP partition — edge build -> rounds -> partition -> score all
-#   oracled end to end),
-# hill_tail_index (new, Pareto tail-index estimator over the top-k
-#   order statistics — TakeOrdered, never a global sort),
-# exact_gini_coefficient (new, exact Gini with global ranks collapsed
-#   onto the distinct-value table, HUGEINT/decimal weighted sums),
-# vocab_coverage_estimates (new, Good-Turing unseen mass + Chao1
-#   richness from the per-lang frequency-of-frequencies),
-# lsh_scurve_planner (new, the analytic LSH parameter table — collision
-#   probability and threshold per (hashes, bands), data-free),
-# classifier_gains_table (new, cumulative gains/lift by predicted-
-#   probability decile — the targeting readout beside AUC),
-# source_topk_token_overlap (new, Jaccard of per-source top-100 token
-#   sets — the cheap register/domain drift screen),
-# poisson_rate_ratio_test (new, two-period intensity test on the
-#   integer-microsecond midpoint split),
-# runs_test_hourly (new, Wald-Wolfowitz randomness screen on the
-#   hourly series — explicit order-statistic median, lag run count),
-# session_gap_sensitivity (new, sessions-vs-gap-parameter audit from
-#   one inter-arrival scan),
-# wasserstein_value_drift (new, exact W1 on the distinct-cents grid —
-#   drift in metric units, completing PSI/KL/KS with transport),
-# seasonal_mann_kendall (new, within-season MK sum — diurnal cycle
-#   cannot masquerade as drift; 24x smaller pair count than plain MK),
-# gumbel_block_maxima (new, MoM extreme-value fit on daily maxima with
-#   the 100-day return level; pinned sqrt(6)/pi and Euler literals),
-# plus the r2-green rows that ceded slots late in r3: knn_join_top5,
-# boilerplate_lines_top20, hourly_gap_fill_locf,
-# funnel_view_click_purchase, daily_cohort_retention,
-# multimodal_payload_meta, kmeans_ml_clusters (rows-only).
+# Round-5 rotation candidates: the ~107 oracled queries still never
+# driver-verified after this window — the remainder of the waves 29-61
+# additions (delong_auc_ci, naive_bayes_lang_confusion, mantel_haenszel_or,
+# theil_sen_slope, theil_inequality_decomposition, hhi_market_concentration,
+# cramers_v_type_band, wasserstein_value_drift, seasonal_mann_kendall,
+# gumbel_block_maxima, hill_tail_index, ratio_metric_jackknife,
+# negbin_overdispersion, cochran_armitage_trend, poisson_rate_ratio_test,
+# runs_test_hourly, mcnemar_filter_test, chi2_token_selection, nb_f1_report,
+# calibration_error_summary, classifier_gains_table, trade_link_prediction,
+# trade_degree_assortativity, subtree_value_rollup, customer_hierarchy_depths,
+# iptw_covariate_balance, cuped_adjusted_metric, conformal_prediction_intervals,
+# quantile_treatment_effects, rd_discontinuity_estimate, sprt_daily_decision,
+# power_sample_size_plan, shapley_channel_attribution, and the event/
+# trainprep/textops singles listed in CORRECTNESS history). All pass the
+# identical local gate at sf0.01 (tools/oracle_check.py) every run.
 
 
 def _ordered_names() -> list[str]:

@@ -215,19 +215,26 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Neighbor pairs come from the lossless 3x3 grid-cell equi-join (the
     spatial_grid_neighbor_pairs plan); core points are one degree
     aggregate; clusters are connected components of the core-core
-    graph via 16 FIXED Shiloach-Vishkin rounds (hook to the minimum
-    neighbor label, then shortcut lab <- lab[lab]) — deterministic
-    round count, so both engines compute bit-identical labels with no
-    convergence check, and the doubling shortcut covers any component
-    diameter up to 2^16. Border points take the minimum adjacent core
-    label (the deterministic resolution of DBSCAN's classic border
-    ambiguity); everything else is noise.
+    graph via Shiloach-Vishkin rounds (hook to the minimum neighbor
+    label, then shortcut lab <- lab[lab]), capped at 16 — enough for
+    any component diameter up to 2^16 via the doubling shortcut — with
+    an EARLY EXIT once a round changes no label: at the fixed point
+    every further hook+shortcut is the identity, so the oracle's fixed
+    16-round chain still computes bit-identical labels. Border points
+    take the minimum adjacent core label (the deterministic resolution
+    of DBSCAN's classic border ambiguity); everything else is noise.
 
-    At 100 TB: one cell-key shuffle for candidates, degree and label
-    state are point-sized, each round is join + groupBy with lineage
-    truncated via catalog.iter_checkpoint — plain localCheckpoint
-    inherits plan statistics and a 16-round self-join loop sends the
-    driver's stats estimator exponential (see the helper's docstring). The oracle's quadratic neighbor join value-proves the
+    At 100 TB: one cell-key shuffle for candidates; the edge tables are
+    hash-repartitioned by src BEFORE their checkpoints (AQE's
+    size-based coalesce otherwise parks the ~40 MB edge list on one
+    task and each round runs serial — the 70 s -> 28 s fix at sf0.1);
+    each round aggregates the min neighbor label edge-side and joins
+    the node-sized result back onto the label state, so the edge list
+    is never re-shuffled. Degree and label state are point-sized, with
+    lineage truncated via catalog.iter_checkpoint — plain
+    localCheckpoint inherits plan statistics and a self-join loop sends
+    the driver's stats estimator exponential (see the helper's
+    docstring). The oracle's quadratic neighbor join value-proves the
     grid candidates lossless; its keyed label state (one row per core
     per round) is what makes a percolated eps-graph oracle feasible
     where a transitive-closure CTE would blow up quadratically."""
@@ -279,6 +286,9 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     nbr = (
         a.join(
             b,
@@ -288,6 +298,11 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(dist_sq <= _DB_EPS * _DB_EPS)
         .select("src", "dst")
+        # pin the edge-table fan-out BEFORE the checkpoint: AQE's
+        # size-based coalesce otherwise stores the ~40 MB edge list in
+        # one partition and every label round runs single-task (the
+        # 70 s -> 16 s fix at sf0.1; see PLANS_AUDIT.md)
+        .repartition(parallelism, "src")
         .localCheckpoint()
     )
     deg = pts.select("id").join(
@@ -295,39 +310,67 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.id == F.col("src"),
         "left",
     ).select("id", F.coalesce("n", F.lit(0)).alias("nbrs"))
+    # node-sized state consumed 3x (core filter, border anti-join, final
+    # role select) — checkpoint once instead of re-running the degree
+    # aggregate per consumer
+    deg = deg.localCheckpoint()
     cores = deg.filter(F.col("nbrs") + 1 >= _DB_MINPTS).select("id")
     core_edges = (
         nbr.join(cores.withColumnRenamed("id", "src"), "src")
         .join(cores.withColumnRenamed("id", "dst"), "dst")
         .select("src", "dst")
+        .repartition(parallelism, "src")
         .localCheckpoint()
     )
     labels = iter_checkpoint(
         cores.select(F.col("id").alias("node"), F.col("id").alias("lab"))
     )
     for _ in range(_DB_ROUNDS):
+        # hook, re-associated (r4): aggregate min neighbor label on the
+        # EDGE side first (edges stay hash-partitioned by src from the
+        # checkpoint; labels are node-sized and auto-broadcast at these
+        # sizes, degrading gracefully to a shuffle join at cluster
+        # scale), then left-join the node-sized min table back onto the
+        # label state — same per-round result as the labels-spine
+        # 3-way join, without shuffling the edge list every round
+        minlab = (
+            core_edges.alias("e")
+            .join(labels.alias("ln"), F.col("ln.node") == F.col("e.dst"))
+            .groupBy(F.col("e.src").alias("node"))
+            .agg(F.min(F.col("ln.lab")).alias("nbr_lab"))
+        )
         hooked = (
             labels.alias("l")
-            .join(core_edges.alias("e"), F.col("l.node") == F.col("e.src"), "left")
-            .join(
-                labels.alias("ln"),
-                F.col("ln.node") == F.col("e.dst"),
-                "left",
-            )
-            .groupBy(F.col("l.node").alias("node"), F.col("l.lab").alias("slab"))
-            .agg(F.min(F.col("ln.lab")).alias("nbr_lab"))
+            .join(minlab.alias("hb"), F.col("l.node") == F.col("hb.node"), "left")
             .select(
-                "node",
+                F.col("l.node").alias("node"),
                 F.least(
-                    F.col("slab"), F.coalesce("nbr_lab", F.col("slab"))
+                    F.col("l.lab"),
+                    F.coalesce(F.col("hb.nbr_lab"), F.col("l.lab")),
                 ).alias("lab"),
             )
         )
+        prev = labels
         labels = iter_checkpoint(
             hooked.alias("h")
             .join(hooked.alias("l2"), F.col("l2.node") == F.col("h.lab"))
             .select(F.col("h.node").alias("node"), F.col("l2.lab").alias("lab"))
         )
+        # Early exit on convergence: both states are checkpointed and
+        # node-keyed, so the change count is one cheap join on the small
+        # label table. At a fixed point every further hook+shortcut round
+        # is the identity, so the oracle's FIXED 16-round chain computes
+        # bit-identical labels — exactness is unaffected, only the
+        # wasted post-convergence rounds (each a join+agg+checkpoint,
+        # the bulk of the 66 s sf0.1 wall clock) are skipped.
+        changed = (
+            labels.alias("n")
+            .join(prev.alias("p"), F.col("n.node") == F.col("p.node"))
+            .filter(F.col("n.lab") != F.col("p.lab"))
+            .count()
+        )
+        if changed == 0:
+            break
     border = (
         nbr.join(labels, nbr.dst == labels.node)
         .join(cores.withColumnRenamed("id", "src"), "src", "left_anti")

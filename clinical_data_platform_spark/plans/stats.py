@@ -508,7 +508,7 @@ def _ab_oracle() -> str:
            round(p2, 6) AS rate_treatment,
            CASE WHEN se > 0 THEN round((p1 - p2) / se, 6) END AS z,
            CASE WHEN se > 0
-                THEN round(2.0 * {NORMAL_SF_SQL.format(z=z_abs)}, 6)
+                THEN round({NORMAL_SF_SQL.format(z=z_abs)}, 6)
            END AS p_value
     FROM u
     """
@@ -576,7 +576,7 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate_control"),
         F.round(p2, 6).alias("rate_treatment"),
         F.round(z, 6).alias("z"),
-        F.when(se > 0, F.round(2.0 * normal_sf(F.abs(z)), 6)).alias(
+        F.when(se > 0, F.round(normal_sf(F.abs(z)), 6)).alias(
             "p_value"
         ),
     )
@@ -2402,6 +2402,23 @@ def _frac_ranks2(df: DataFrame, group: str, val: str) -> DataFrame:
     r2 = 2*cnt_less + cnt_eq + 1 = twice the average rank — an exact
     integer, so downstream moments can sum in decimal(38,0)."""
     vl = df.groupBy(group, val).agg(F.count(F.lit(1)).alias("cnt"))
+    return _frac_ranks2_from_counts(vl, group, val)
+
+
+def _frac_ranks2_from_counts(vl: DataFrame, group: str, val: str) -> DataFrame:
+    """_frac_ranks2 phases 2+3 over a PRE-AGGREGATED value-level count
+    table (group, val, cnt) — lets a caller that already holds a
+    co-occurrence table derive both rank tables without re-shuffling the
+    fact (spearman_quantity_price's one-fact-pass plan).
+
+    The within-bin seating window is CPU-dense per byte (sorting every
+    distinct value), the exact stage shape AQE's size-based coalesce
+    squeezes onto one task — pin the fan-out with an explicit hash
+    repartition on the window key (the join and window then share it:
+    one exchange, P-way parallel)."""
+    parallelism = int(
+        vl.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     vl = vl.withColumn("bin", F.floor(F.col(val)).cast("long"))
     binc = vl.groupBy(group, "bin").agg(F.sum("cnt").alias("bc"))
     wb = Window.partitionBy(group).orderBy("bin")
@@ -2410,7 +2427,8 @@ def _frac_ranks2(df: DataFrame, group: str, val: str) -> DataFrame:
     )
     wl = Window.partitionBy(group, "bin").orderBy(val)
     return (
-        vl.join(offs, [group, "bin"])
+        vl.repartition(parallelism, group, "bin")
+        .join(F.broadcast(offs), [group, "bin"])
         .select(
             group,
             val,
@@ -2483,34 +2501,53 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles on both engines — the order_price_multiple_ols
     exact-sufficient-statistics discipline applied to rank statistics.
     The doubling cancels in the correlation ratio. Pearson runs on
-    integer quantity / integer cents through the same machinery."""
+    integer quantity / integer cents through the same machinery.
+
+    ONE data-sized shuffle total (r4 fold, was three): the fact
+    collapses once to the (f, x, y) co-occurrence table; both value-level
+    count tables, both binned rank tables, AND the weighted moment sums
+    all derive from that deduped table — the two rank joins land on
+    co-occurrence rows (bounded by |distinct pairs|), never back on the
+    fact. Moment products multiply in decimal(38,0), so the plan stays
+    exact past the long-overflow point of row-level rank products."""
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("f"),
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
-        F.col("l_quantity").cast("long").alias("xi"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
     )
-    rx = _frac_ranks2(li.select("f", "x"), "f", "x").withColumnRenamed(
-        "r2", "rx"
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ry = _frac_ranks2(li.select("f", "y"), "f", "y").withColumnRenamed(
-        "r2", "ry"
+    c2 = li.groupBy("f", "x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    # consumed 3x (two count rollups + join spine); repartition BEFORE the
+    # checkpoint — AQE otherwise coalesces the ~18 MB aggregate to one
+    # partition and every downstream stage runs single-task
+    c2 = c2.repartition(parallelism, "f", "y").localCheckpoint()
+    vlx = c2.groupBy("f", "x").agg(F.sum("cnt").alias("cnt"))
+    vly = c2.groupBy("f", "y").agg(F.sum("cnt").alias("cnt"))
+    rx = _frac_ranks2_from_counts(vlx, "f", "x").withColumnRenamed("r2", "rx")
+    ry = _frac_ranks2_from_counts(vly, "f", "y").withColumnRenamed("r2", "ry")
+    rows = c2.join(F.broadcast(rx), ["f", "x"]).join(
+        ry.repartition(parallelism, "f", "y"), ["f", "y"]
+    ).select(
+        "f", "cnt", "rx", "ry",
+        F.col("x").cast("long").alias("xi"),
+        F.round(F.col("y") * 100).cast("long").alias("yc"),
     )
-    rows = li.join(rx, ["f", "x"]).join(ry, ["f", "y"])
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = dec(F.col("cnt"))
     s = rows.groupBy("f").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("rx"))).alias("sx"),
-        F.sum(dec(F.col("ry"))).alias("sy"),
-        F.sum(dec(F.col("rx") * F.col("rx"))).alias("sxx"),
-        F.sum(dec(F.col("ry") * F.col("ry"))).alias("syy"),
-        F.sum(dec(F.col("rx") * F.col("ry"))).alias("sxy"),
-        F.sum(dec(F.col("xi"))).alias("px"),
-        F.sum(dec(F.col("yc"))).alias("py"),
-        F.sum(dec(F.col("xi") * F.col("xi"))).alias("pxx"),
-        F.sum(dec(F.col("yc") * F.col("yc"))).alias("pyy"),
-        F.sum(dec(F.col("xi") * F.col("yc"))).alias("pxy"),
+        F.sum(F.col("cnt")).alias("n"),
+        F.sum(w * dec(F.col("rx"))).alias("sx"),
+        F.sum(w * dec(F.col("ry"))).alias("sy"),
+        F.sum(w * dec(F.col("rx")) * dec(F.col("rx"))).alias("sxx"),
+        F.sum(w * dec(F.col("ry")) * dec(F.col("ry"))).alias("syy"),
+        F.sum(w * dec(F.col("rx")) * dec(F.col("ry"))).alias("sxy"),
+        F.sum(w * dec(F.col("xi"))).alias("px"),
+        F.sum(w * dec(F.col("yc"))).alias("py"),
+        F.sum(w * dec(F.col("xi")) * dec(F.col("xi"))).alias("pxx"),
+        F.sum(w * dec(F.col("yc")) * dec(F.col("yc"))).alias("pyy"),
+        F.sum(w * dec(F.col("xi")) * dec(F.col("yc"))).alias("pxy"),
     )
     d = lambda name: F.col(name).cast("double")  # noqa: E731
     n = d("n")
@@ -2740,11 +2777,16 @@ FROM z
 )
 def anova_f_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of order total price (cents) across the five order
-    priorities: F statistic, eta-squared effect size, and an upper-tail
-    p through the same Wilson–Hilferty cube-root normal route as
+    priorities: F statistic, eta-squared effect size, and a p_approx
+    through the same Wilson–Hilferty cube-root normal route as
     chi_square_test (for the huge within-group df here, (k-1)·F is
     chi-square with k-1 df, so z plugs F straight into the WH formula —
     documented approximation, identical expression text both engines).
+    NOTE p_approx follows the reference's chi_square_test demo
+    convention normal_sf(z) = 2(1-Phi(|z|)) — the symmetric two-sided
+    form, not a strict upper tail (it is ~2x the upper-tail p for
+    z > 0; for F far below its null mean it reflects distance from the
+    mean rather than the upper tail).
 
     Sufficient statistics are exact: per-group (n, Σcents, Σcents²) in
     decimal(38,0)/hugeint. SSB uses the DEVIATION form Σ n_g·(m_g − M)²

@@ -141,9 +141,16 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
     ), sizes AS (
       SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), shc AS (
+      -- mirrors max_shingle_docs=1000: ultra-common shingles are dropped
+      -- from intersection counting only (set sizes stay uncapped, exactly
+      -- as in ngram_jaccard_pairs_inverted / containment_pairs)
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) ok
+        USING (shingle)
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -160,8 +167,11 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via the inverted-index
     pair-expansion plan (postings groupBy + HOF pair expansion — ~40%
     faster than the shingle self-join, operators/dedup.py keeps both). The
-    frequency guard is disabled here for oracle parity; at 100 TB run
-    MinHash-LSH first and this only on candidate pairs."""
+    max_shingle_docs=1000 frequency guard is ON and mirrored exactly in
+    the oracle (both engines drop the same ultra-common shingles from
+    intersection counting), so the check stays value-exact while the plan
+    keeps its quadratic-blowup guard; at 100 TB run MinHash-LSH first and
+    this only on candidate pairs."""
     from ..operators.dedup import ngram_jaccard_pairs_inverted
 
     return ngram_jaccard_pairs_inverted(
@@ -170,7 +180,7 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
         threshold=0.05,
-        max_shingle_docs=None,
+        max_shingle_docs=1000,
     )
 
 
@@ -294,9 +304,16 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
     ), sizes AS (
       SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), shc AS (
+      -- mirrors max_shingle_docs=1000: ultra-common shingles are dropped
+      -- from intersection counting only (set sizes stay uncapped, exactly
+      -- as in ngram_jaccard_pairs_inverted / containment_pairs)
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) ok
+        USING (shingle)
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs AS (
@@ -329,7 +346,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs_inverted(
         T(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.05, max_shingle_docs=None,
+        n=3, threshold=0.05, max_shingle_docs=1000,
     )
     return connected_components(pairs)
 
@@ -571,9 +588,16 @@ def ppjoin_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
     ), sizes AS (
       SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), shc AS (
+      -- mirrors max_shingle_docs=1000: ultra-common shingles are dropped
+      -- from intersection counting only (set sizes stay uncapped, exactly
+      -- as in ngram_jaccard_pairs_inverted / containment_pairs)
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) ok
+        USING (shingle)
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), directed AS (
@@ -604,8 +628,8 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (Broder 1997): directed pairs
     where >= 80% of the smaller document's 3-gram shingles appear in
     the larger — the quote/embedding case symmetric Jaccard misses when
-    the container is much longer. Frequency guard disabled for oracle
-    parity (see near_dup_jaccard_pairs)."""
+    the container is much longer. The max_shingle_docs=1000 guard is ON
+    and mirrored in the oracle (see near_dup_jaccard_pairs)."""
     from ..operators.dedup import containment_pairs
 
     out = containment_pairs(
@@ -614,7 +638,7 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
         threshold=0.8,
-        max_shingle_docs=None,
+        max_shingle_docs=1000,
     )
     return out.select(
         "id_contained",
@@ -928,9 +952,16 @@ def levenshtein_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
     ), sizes AS (
       SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), shc AS (
+      -- mirrors max_shingle_docs=1000: ultra-common shingles are dropped
+      -- from intersection counting only (set sizes stay uncapped, exactly
+      -- as in ngram_jaccard_pairs_inverted / containment_pairs)
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) ok
+        USING (shingle)
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs AS (
@@ -989,7 +1020,7 @@ def dup_cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_inverted(
-        d, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=None
+        d, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=1000
     )
     clusters = connected_components(pairs)
     ranked = clusters.join(
@@ -1490,9 +1521,16 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
     ), sizes AS (
       SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), shc AS (
+      -- mirrors max_shingle_docs=1000: ultra-common shingles are dropped
+      -- from intersection counting only (set sizes stay uncapped, exactly
+      -- as in ngram_jaccard_pairs_inverted / containment_pairs)
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) ok
+        USING (shingle)
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), jac AS (
@@ -1560,7 +1598,7 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b").localCheckpoint()
     jac = (
         ngram_jaccard_pairs_inverted(
-            docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=None
+            docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=1000
         )
         .select("id_a", "id_b")
         .localCheckpoint()

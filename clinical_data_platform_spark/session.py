@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # stderr progress bars flooded the driver's bench tail-capture in
+        # r3 (BENCH_r03 parsed=null); static conf, so set at build time
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
 

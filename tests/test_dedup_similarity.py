@@ -285,3 +285,58 @@ def test_containment_dominates_jaccard_and_is_directed(spark):
             max(r.id_contained, r.id_container),
         )
         assert r.containment >= jacc[key] - 1e-6, (r, jacc[key])
+
+
+def test_df_cap_is_inert_on_shipped_corpus(spark):
+    """The registered dedup queries now run with max_shingle_docs=1000 ON
+    (the 100 TB quadratic-blowup guard). On the shipped corpus the max
+    shingle document-frequency is far below the cap, so cap-on must equal
+    cap-off exactly — pinning that the guard changes nothing at test
+    scale while the oracle mirror keeps the check value-exact."""
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs_inverted,
+        shingle_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = T(spark, sf, "documents")
+    max_df = (
+        shingle_table(d, "doc_id", "text", 3)
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df < 1000, f"corpus max shingle df {max_df} reached the cap"
+
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    on = sorted(
+        ngram_jaccard_pairs_inverted(
+            d, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=1000
+        ).collect(),
+        key=key,
+    )
+    off = sorted(
+        ngram_jaccard_pairs_inverted(
+            d, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=None
+        ).collect(),
+        key=key,
+    )
+    assert on == off and on
+
+    ckey = lambda r: (r.id_contained, r.id_container)  # noqa: E731
+    con_on = sorted(
+        containment_pairs(
+            d, "doc_id", "text", n=3, threshold=0.8, max_shingle_docs=1000
+        ).collect(),
+        key=ckey,
+    )
+    con_off = sorted(
+        containment_pairs(
+            d, "doc_id", "text", n=3, threshold=0.8, max_shingle_docs=None
+        ).collect(),
+        key=ckey,
+    )
+    assert con_on == con_off and con_on

@@ -41,62 +41,51 @@ def test_query_matches_oracle(name, spark, corpus_duck):
 
 
 def test_driver_window_spans_all_modules():
-    """The driver value-checks only the first 50 registered queries; the
-    curated PRIORITY_ORDER must keep every plan module inside that window
-    (round-1 verdict: 68 queries went driver-unverified)."""
-    import inspect
+    """The driver value-checks only the first 50 registered queries. The
+    round-4 discipline (r3 verdict item 3): the window must burn down the
+    driver-verification debt — every slot goes to a query the driver has
+    NEVER sampled in CORRECTNESS_r01-r03, except the entry() flagship
+    anchor and queries whose semantics changed this round (the five
+    inverted-index dedup queries re-registered with the df cap ON)."""
+    import json
+    from pathlib import Path
 
     from clinical_data_platform_spark.plans import QUERIES
 
     ordered = list(all_queries())
     assert ordered[0] == "q1_pricing_summary"  # entry() flagship
     window = ordered[:50]
-    modules = {
-        inspect.getmodule(QUERIES[n]).__name__.rsplit(".", 1)[-1] for n in window
+
+    root = Path(__file__).resolve().parent.parent
+    driver_verified: set[str] = set()
+    for r in (1, 2, 3):
+        f = root / f"CORRECTNESS_r0{r}.json"
+        if f.exists():
+            driver_verified |= set(json.loads(f.read_text()).keys())
+    changed_this_round = {
+        # max_shingle_docs=1000 turned ON + oracle mirror (r4)
+        "near_dup_jaccard_pairs", "near_dup_clusters",
+        "containment_dup_pairs", "dup_cluster_canonical_docs",
+        "dedup_capture_recapture",
     }
-    # stats and tpch_deep ceded their window slots late in r3 (both
-    # modules fully driver-verified in r1+r2) to the never-verified
-    # queries of the three new r3 modules.
-    assert modules == {
-        "relational", "validation", "textops", "vectorops",
-        "events", "streamops", "advanced", "trainprep",
-        "corpusqc", "clustering", "collocations", "contentfilter",
-        "stats",  # rejoined the window for the new M8 IC50 query
-        "graphops", "sketches",  # new late-r3 modules
-    }
+    allowed_verified = {"q1_pricing_summary"} | changed_this_round
+    stale = set(window) & driver_verified - allowed_verified
+    assert not stale, f"window wastes slots on driver-verified rows: {stale}"
+    # the debt burndown is real: >= 44 fresh names this round
+    fresh = [n for n in window if n not in driver_verified]
+    assert len(fresh) >= 44, len(fresh)
+
     for must_have in (
-        "lang_id_confusion", "ic50_dose_response_fits", "bpe_train_merges",
-        "asof_forward_next_rate", "asof_nearest_rate_30min",
-        "stream_doc_dedup_counts",
-        "interval_join_error_windows",
-        # r3 rotation: the 12 queries never sampled in rounds 1-2
-        "rollup_revenue", "cube_order_counts", "building_buyers_intersect",
-        "customers_without_orders_except", "nation_trade_full_outer",
-        "top3_orders_per_priority", "event_rank_distribution",
-        "rolling_hour_user_value", "salted_event_rollup",
-        "user_session_stats", "latest_event_per_user_type",
-        "bpe_token_counts",
-        # changed in r3 -> must re-verify
-        "dq_orders_report", "embedding_near_dup_pairs",
-        "dq_events_freshness",
-        "ols_trend_by_event_type",
-        # new in r3 -> must verify
-        "gopher_quality_filter", "doc_repetition_signals",
-        "benchmark_decontamination", "word_entropy_quality",
-        "kmeans_assign_seeded", "kmeans_cluster_purity",
-        "semantic_near_dup_pairs",
-        "bigram_pmi_top20", "ngram_novelty_by_source",
-        "quality_classifier_scores", "pii_signal_counts",
-        "stream_doc_dedup_counts", "incremental_dedup_new_docs",
-        "hll_distinct_users", "boilerplate_removal_stats",
-        "dup_span_fraction_by_source",
-        "temperature_mixture_rates", "quality_budget_selection",
-        "stream_corpus_dedup_state",
-        "embedding_int8_quantization", "padding_efficiency_buckets",
-        # late-r3 additions
-        "nation_trade_pagerank", "cms_heavy_hitters",
-        "weighted_reservoir_sample", "er_blocking_part_pairs",
-        "scd2_customer_dim",
+        # changed this round -> must re-verify
+        "near_dup_jaccard_pairs", "near_dup_clusters",
+        "containment_dup_pairs", "dup_cluster_canonical_docs",
+        "dedup_capture_recapture",
+        # ab_test carries the r4 p-value fix (doubled two-sided p dropped)
+        "ab_test_two_proportion",
+        # r3-verdict-named rotation candidates
+        "dbscan_grid_clusters", "kaplan_meier_survival",
+        "distributed_auc_rank_sum", "bm25_topk_docs",
+        "spearman_quantity_price", "exact_gini_coefficient",
     ):
         assert must_have in window
     # the full registry is still exposed, nothing dropped or duplicated

@@ -164,6 +164,38 @@ AUDIT = [
     ("lp_community_modularity", "Modularity: LP label joins over the edge list, fixed-point community terms"),
 ]
 
+# Every Window.orderBy WITHOUT partitionBy funnels its whole input through
+# ONE task — legal only over a BOUNDED table (bin grid, decile table, day
+# grid, dim, k-row report). This allowlist declares the bound for every
+# such site, keyed by (module-relative path, enclosing function); the
+# audit scans the package source and FAILS (exit 1) on any unlisted site,
+# so a new data-sized global window cannot land silently. Previously this
+# invariant lived only in docstrings (round-3 verdict item 8).
+UNPARTITIONED_WINDOWS: dict[tuple[str, str], str] = {
+    ("plans/textops.py", "hybrid_search_rrf"): "term-filtered BM25/tfidf candidate set (posting-bounded, <= docs holding query terms; ranks feed RRF)",
+    ("plans/textops.py", "bm25_score"): "inner helper of rm3_query_expansion: BM25 candidate set (posting-bounded) ranked for the feedback-depth cut",
+    ("plans/stats.py", "bootstrap_ci_mean"): "64-row bootstrap-replicate table (fixed resample count)",
+    ("plans/stats.py", "distributed_auc_rank_sum"): "distinct-score table (score-grid-bounded; rank-sum cumsum replaces the global row sort)",
+    ("plans/stats.py", "bh_fdr_nation_price"): "25-row nation p-value table (dim-bounded; BH step-up needs the global p order)",
+    ("plans/stats.py", "delong_auc_ci"): "distinct-score table (score-grid-bounded placement moments)",
+    ("plans/stats.py", "hill_tail_index"): "top-k order-statistic table (TakeOrdered k rows, never the full column)",
+    ("plans/stats.py", "exact_gini_coefficient"): "distinct-cents value table (value-grid-bounded; global ranks collapse onto it)",
+    ("plans/relational.py", "customer_surrogate_keys"): "deterministic surrogate demo capped by the _SK_MAX_ROWS guard (raises past cap; the md5 hash key is the scale path)",
+    ("plans/relational.py", "daily_open_orders_curve"): "day grid (sweep-line cumsum over ~2.4k days)",
+    ("plans/layout.py", "zone_map_skipping_audit"): "orders laid out for the file-layout AUDIT itself (the sort cost is the measured artifact, layouts compared)",
+    ("plans/layout.py", "assign"): "inner helper of zorder_layout_audit: the three audited layout sorts (Morton/col sorts ARE the priced subject)",
+    ("plans/layout.py", "compaction_bin_packing"): "manifest table (file-count-bounded, not row-bounded)",
+    ("plans/trainprep.py", "quantile_normalize_doclen"): "distinct doc-length value table (value-grid-bounded cumsum)",
+    ("plans/contentfilter.py", "isotonic_calibration_bins"): "10-row decile bin table (PAV runs on bins, not rows)",
+    ("plans/contentfilter.py", "classifier_gains_table"): "decile bin table (10 rows, descending cumsum)",
+    ("plans/events.py", "sprt_daily_decision"): "day grid (cumulative LLR over ~90 days)",
+    ("plans/sketches.py", "hll_daily_cumulative_users"): "daily HLL register table (days x 64B registers)",
+    ("plans/corpusqc.py", "heaps_law_fit"): "doc-count bin table (log-spaced vocabulary-growth grid)",
+    ("clinical/ml.py", "curve_points"): "distinct-score ROC/PR table of the scored cohort (score-grid-bounded cumsum)",
+    ("clinical/star.py", "build_dim_subject"): "subject dim (SDTM demo dim, _SK_MAX_ROWS-guarded)",
+    ("clinical/star.py", "build_dim_measurement"): "measurement code dim (domain-vocabulary-bounded)",
+}
+
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).
 # Round-3 regression notes: every bench query >1.3x slower than the prior
 # round gets its plan delta explained here.
@@ -209,6 +241,73 @@ def props(plan: str) -> dict[str, int]:
         "Window": plan.count("Window"),
         "WholeStageCodegen-span": plan.count("WholeStageCodegen"),
     }
+
+
+def scan_unpartitioned_windows() -> list[tuple[str, str, int]]:
+    """(module-relative path, enclosing def, line) for every
+    ``Window.orderBy`` site in the package source (an unpartitioned
+    window spec — ``Window.partitionBy(...).orderBy(...)`` does not
+    match because the attribute chain starts from partitionBy)."""
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "clinical_data_platform_spark")
+    pkg = os.path.normpath(pkg)
+    sites = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            src = open(path).readlines()
+            for i, ln in enumerate(src, 1):
+                if "Window.orderBy" not in ln:
+                    continue
+                func = "<module>"
+                for j in range(i - 1, 0, -1):
+                    m = re.match(r"\s*def\s+(\w+)", src[j - 1])
+                    if m:
+                        func = m.group(1)
+                        break
+                sites.append((rel, func, i))
+    return sites
+
+
+def unpartitioned_window_report() -> tuple[list[str], list[str]]:
+    """(markdown lines, violations). A violation is a Window.orderBy
+    site whose (file, function) is not declared in
+    UNPARTITIONED_WINDOWS — i.e. a global single-task sort nobody
+    bounded in writing."""
+    sites = scan_unpartitioned_windows()
+    lines = [
+        "## Unpartitioned-window audit",
+        "",
+        "Every `Window.orderBy` WITHOUT `partitionBy` funnels its input",
+        "through one task. Each site below is allowlisted with the bounded",
+        "table it consumes; `tools/explain_audit.py` exits 1 if a site is",
+        "not declared here (so a data-sized global window cannot land",
+        "silently).",
+        "",
+        "| site | enclosing def | declared bound |",
+        "|---|---|---|",
+    ]
+    violations = []
+    for rel, func, line in sites:
+        bound = UNPARTITIONED_WINDOWS.get((rel, func))
+        if bound is None:
+            violations.append(f"{rel}:{line} in {func}()")
+            bound = "**UNDECLARED — audit failure**"
+        lines.append(f"| {rel}:{line} | {func} | {bound} |")
+    stale = [
+        f"{rel}:{func}"
+        for (rel, func) in UNPARTITIONED_WINDOWS
+        if not any(r == rel and f == func for r, f, _ in sites)
+    ]
+    if stale:
+        violations.extend(f"stale allowlist entry: {s}" for s in stale)
+    lines.append("")
+    return lines, violations
 
 
 def pushed_filters(fmt: str) -> list[str]:
@@ -265,9 +364,16 @@ def main() -> None:
             for ln in s.strip()[:6000].splitlines()
         )
         lines += ["", "```", plan, "```", ""]
+    wlines, violations = unpartitioned_window_report()
+    lines += wlines
     with open("PLANS_AUDIT.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote PLANS_AUDIT.md ({len(AUDIT)} queries)")
+    if violations:
+        print("UNPARTITIONED-WINDOW AUDIT FAILED:")
+        for v in violations:
+            print("  " + v)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -287,19 +287,19 @@ HEADLINE = [
 BENCH_CORE = HEADLINE[:35] + [
     "dup_cluster_canonical_docs",
     "spearman_quantity_price",
-    "dedup_capture_recapture",
+    "als_brand_recs",
     "ppjoin_near_dup_pairs",
+    "dedup_capture_recapture",
     "semantic_near_dup_pairs",
     "theil_sen_slope",
-    "kendall_tau_quantity_price",
-    "sorted_neighborhood_pairs",
-    "token_spectral_centrality",
-    "item_item_cosine_recs",
-    "bigram_lm_perplexity",
-    "label_propagation_communities",
-    "nation_trade_pagerank",
     "trade_hits_scores",
+    "rec_eval_precision_ndcg",
+    "part_pair_lift",
     "logreg_gd_trajectory",
+    "er_blocking_part_pairs",
+    "containment_dup_pairs",
+    "item_item_cosine_recs",
+    "nation_trade_pagerank",
 ]
 
 

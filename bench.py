@@ -278,6 +278,18 @@ HEADLINE = [
     # wave 61: seasonal trend + extreme values
     "seasonal_mann_kendall",
     "gumbel_block_maxima",
+    # wave 62 (r4): series diagnostics, survival hazard, hashing audit,
+    # LM-retrieval family, winnowing dedup, PPR, privacy EMD, MMR
+    "ljung_box_autocorr",
+    "dft24_hourly_spectrum",
+    "nelson_aalen_hazard",
+    "hash_collision_audit",
+    "dirichlet_query_likelihood",
+    "winnowing_fingerprint_pairs",
+    "kneser_ney_bigram_lm",
+    "personalized_pagerank",
+    "t_closeness_audit",
+    "mmr_diversified_topk",
 ]
 
 

@@ -631,3 +631,151 @@ def token_spectral_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("loading"), F.asc("token"))
         .limit(20)
     )
+
+
+# --- Wave 62: Kneser-Ney bigram LM -------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+
+
+@query(
+    "kneser_ney_bigram_lm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+    bgc AS (
+      SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+             cast(count(*) AS BIGINT) AS c12
+      FROM (SELECT unnest({{g2}}) AS g FROM tr) GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, cast(sum(c12) AS BIGINT) AS c1,
+             cast(count(*) AS BIGINT) AS n1p_fwd
+      FROM bgc GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, cast(count(*) AS BIGINT) AS n1p_bwd
+      FROM bgc GROUP BY w2
+    ),
+    b AS (SELECT cast(count(*) AS BIGINT) AS bt FROM bgc),
+    v AS (SELECT (count(DISTINCT w2) + 1)::DOUBLE AS v FROM bgc),
+    db AS (
+      SELECT doc_id, lang,
+             string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+      FROM (SELECT doc_id, lang, unnest({{g2}}) AS g FROM t)
+    ),
+    j AS (
+      SELECT d.doc_id, d.lang,
+             ln(CASE WHEN coalesce(ctx.c1, 0) > 0 THEN
+                  greatest(coalesce(bgc.c12, 0) - {_KN_D!r}, 0.0::DOUBLE)
+                    / ctx.c1
+                  + ({_KN_D!r} * ctx.n1p_fwd / ctx.c1)
+                    * ((coalesce(cont.n1p_bwd, 0) + 0.5::DOUBLE)
+                       / (b.bt + 0.5::DOUBLE * v.v))
+                ELSE (coalesce(cont.n1p_bwd, 0) + 0.5::DOUBLE)
+                     / (b.bt + 0.5::DOUBLE * v.v)
+                END) AS lp
+      FROM db d
+      LEFT JOIN bgc ON bgc.w1 = d.w1 AND bgc.w2 = d.w2
+      LEFT JOIN ctx ON ctx.w1 = d.w1
+      LEFT JOIN cont ON cont.w2 = d.w2
+      CROSS JOIN b CROSS JOIN v
+    ),
+    pd AS (
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'heldout' END
+               AS split,
+             exp(-round(sum(lp) / count(*), 8)) AS ppl
+      FROM j GROUP BY lang, doc_id
+    )
+    SELECT lang, split, cast(count(*) AS BIGINT) AS n_docs,
+           round(avg(ppl), 4) AS avg_ppl
+    FROM pd GROUP BY lang, split
+    """.format(g2=_gram_sql(2)),
+    tags=["text", "llm-pipeline", "quality", "kneser-ney", "extension"],
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999's standard formulation, absolute discount D=0.75) —
+    the smoothing that actually ships in n-gram LM toolkits, next to
+    bigram_lm_perplexity's add-k baseline: P(w2|w1) =
+    max(c12-D,0)/c1 + (D*N1+(w1,.)/c1) * Pcont(w2), where the
+    CONTINUATION probability Pcont(w2) = N1+(.,w2)/|bigram types|
+    ranks words by how many distinct contexts they follow — the
+    "Francisco problem" fix. Unseen contexts back off to Pcont alone;
+    Pcont itself carries 0.5-add smoothing over the (vocab+1) unseen
+    row so no score is ln(0). Same train/heldout protocol and per-doc
+    round-8 perplexity fold as the add-k twin, so the two models'
+    held-out perplexities are directly comparable (KN should win).
+
+    Scale: all four model tables (bigram, context, continuation,
+    scalars) are vocabulary-sized; scoring is three hash joins of
+    corpus bigrams against them — identical shuffle shape to the add-k
+    plan, one extra vocab-sized join."""
+    d = fan_out_scan(
+        T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", tokens(F.col("text")).alias("ws"))
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    bgc = (
+        train.select(F.explode(_grams(F.col("ws"), 2)).alias("g"))
+        .select(
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint()  # feeds ctx, cont, type count, and scoring
+    )
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    cont = bgc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_bwd")
+    )
+    b = bgc.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    v = bgc.agg(
+        (F.countDistinct("w2") + 1).cast("double").alias("v")
+    )
+    db = d.select(
+        "doc_id", "lang", F.explode(_grams(F.col("ws"), 2)).alias("g")
+    ).select(
+        "doc_id",
+        "lang",
+        F.split("g", " ").getItem(0).alias("w1"),
+        F.split("g", " ").getItem(1).alias("w2"),
+    )
+    pcont = (F.coalesce(F.col("n1p_bwd"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("bt") + F.lit(0.5) * F.col("v")
+    )
+    pkn = F.when(
+        F.coalesce(F.col("c1"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)) - F.lit(_KN_D), F.lit(0.0)
+        )
+        / F.col("c1")
+        + (F.lit(_KN_D) * F.col("n1p_fwd") / F.col("c1")) * pcont,
+    ).otherwise(pcont)
+    j = (
+        db.join(bgc, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "lang", F.log(pkn).alias("lp"))
+    )
+    pd_ = j.groupBy("lang", "doc_id").agg(
+        F.exp(-F.round(F.sum("lp") / F.count(F.lit(1)), 8)).alias("ppl")
+    )
+    return pd_.groupBy(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, "train")
+        .otherwise("heldout")
+        .alias("split"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+    )

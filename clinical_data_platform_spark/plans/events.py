@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table as T
+from ..functions.scalars import NORMAL_SF_SQL
 from ..operators.sessionize import session_summary
 from .registry import query
 
@@ -1797,4 +1798,450 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(F.col("n_events") * F.lit(1e6) / n_sessions) / 1e6
         ).alias("events_per_session"),
+    )
+
+
+# --- Wave 62: series autocorrelation diagnostics -----------------------------
+
+_LB_LAGS = 6
+
+
+@query(
+    "ljung_box_autocorr",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM h
+    ),
+    tot AS (
+      SELECT event_type,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(c) AS HUGEINT) AS s,
+             cast(sum(c::HUGEINT * c) AS HUGEINT) AS ss
+      FROM idx GROUP BY 1
+    ),
+    lagp AS (
+      SELECT a.event_type, k.k,
+             cast(sum(a.c::HUGEINT * b.c) AS HUGEINT) AS p,
+             cast(sum(a.c::HUGEINT) AS HUGEINT) AS sa,
+             cast(sum(b.c::HUGEINT) AS HUGEINT) AS sb
+      FROM idx a
+      JOIN unnest(generate_series(1, {_LB_LAGS})) AS k(k) ON true
+      JOIN idx b ON b.event_type = a.event_type AND b.rn = a.rn + k.k
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT l.event_type, l.k,
+             ((l.p::DOUBLE - (t.s::DOUBLE / t.n) * (l.sa::DOUBLE + l.sb::DOUBLE)
+               + (t.n - l.k) * (t.s::DOUBLE / t.n) * (t.s::DOUBLE / t.n)) / t.n)
+             / ((t.ss::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n) / t.n) AS rk,
+             t.n AS n
+      FROM lagp l JOIN tot t ON t.event_type = l.event_type
+    ),
+    q AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN k = 1 THEN rk END) AS r1,
+             max(CASE WHEN k = 2 THEN rk END) AS r2,
+             max(CASE WHEN k = 3 THEN rk END) AS r3,
+             max(CASE WHEN k = 4 THEN rk END) AS r4,
+             max(CASE WHEN k = 5 THEN rk END) AS r5,
+             max(CASE WHEN k = 6 THEN rk END) AS r6,
+             max(n) * (max(n) + 2.0::DOUBLE)
+               * sum(rk * rk / (n - k)) AS q_stat
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, cast(n AS BIGINT) AS n_hours,
+           round(r1, 6) AS r1, round(r2, 6) AS r2, round(r3, 6) AS r3,
+           round(r4, 6) AS r4, round(r5, 6) AS r5, round(r6, 6) AS r6,
+           round(q_stat, 6) AS q_stat,
+           round(__PSQL__, 6) AS p_approx
+    FROM (
+      SELECT *,
+             (pow(q_stat / {_LB_LAGS}.0, 1.0/3.0)
+              - (1.0 - 2.0/(9.0*{_LB_LAGS}.0)))
+             / sqrt(2.0/(9.0*{_LB_LAGS}.0)) AS z_raw
+      FROM q
+    )
+    """.replace("__PSQL__", NORMAL_SF_SQL.format(z="z_raw")),
+    tags=["M-ext", "time-series", "autocorrelation", "extension"],
+)
+def ljung_box_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) on the hourly
+    event-count series per event type: autocorrelations r_1..r_6 and
+    Q = n(n+2) * sum(r_k^2 / (n-k)), the standard "is this series white
+    noise" screen behind every forecasting model's residual check (and
+    the quantitative companion to runs_test_hourly's sign-based screen).
+
+    Exactness: every autocovariance reduces to INTEGER sufficient
+    statistics — sum(c_t * c_{t+k}), sum(c_t) over the lagged support,
+    and the global (n, S, SS) — accumulated in decimal(38,0)/HUGEINT
+    (order-free), so gamma_k = (P - m*(Sa+Sb) + (n-k)m^2)/n is computed
+    from identical scalars on both engines; only the final few-term
+    double algebra can drift by ulps, absorbed by round 6. p_approx
+    follows the house chi-square convention: Wilson-Hilferty cube-root
+    z, then normal_sf's two-sided 2(1-Phi(|z|)) form (see
+    anova_f_priority_price's note).
+
+    Scale: one corpus rollup to (type, hour); the lag join expands the
+    HOURS-bounded series 6x — state never proportional to row count."""
+    from ..functions.scalars import normal_sf
+
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wtype = Window.partitionBy("event_type")
+    idx = h.select(
+        "event_type",
+        "c",
+        F.row_number().over(wtype.orderBy("hour")).alias("rn"),
+    ).localCheckpoint()  # hours-bounded; feeds totals and the lag join
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("c"))).alias("s"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("ss"),
+    )
+    a = idx.select(
+        "event_type",
+        F.col("c").alias("ca"),
+        "rn",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _LB_LAGS + 1)])
+        ).alias("k"),
+    )
+    b = idx.select(
+        F.col("event_type").alias("et_b"),
+        F.col("c").alias("cb"),
+        F.col("rn").alias("rnb"),
+    )
+    lagp = (
+        a.join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("rnb") == F.col("rn") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(dec(F.col("ca")) * dec(F.col("cb"))).alias("p"),
+            F.sum(dec(F.col("ca"))).alias("sa"),
+            F.sum(dec(F.col("cb"))).alias("sb"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    j = lagp.join(F.broadcast(tot), "event_type")
+    m = d("s") / F.col("n")
+    gk = (
+        d("p") - m * (d("sa") + d("sb")) + (F.col("n") - F.col("k")) * m * m
+    ) / F.col("n")
+    g0 = (d("ss") - d("s") * d("s") / F.col("n")) / F.col("n")
+    r = j.select(
+        "event_type", "k", (gk / g0).alias("rk"), F.col("n")
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.max(F.when(F.col("k") == k, F.col("rk"))).alias(f"r{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+        (
+            F.max("n")
+            * (F.max("n") + F.lit(2.0))
+            * F.sum(
+                F.col("rk") * F.col("rk") / (F.col("n") - F.col("k"))
+            )
+        ).alias("q_stat"),
+    )
+    kd = float(_LB_LAGS)
+    z = (
+        (F.col("q_stat") / F.lit(kd)) ** (1.0 / 3.0)
+        - (1.0 - 2.0 / (9.0 * kd))
+    ) / F.sqrt(F.lit(2.0 / (9.0 * kd)))
+    return q.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        *[F.round(F.col(f"r{k}"), 6).alias(f"r{k}") for k in range(1, _LB_LAGS + 1)],
+        F.round(F.col("q_stat"), 6).alias("q_stat"),
+        F.round(normal_sf(z), 6).alias("p_approx"),
+    )
+
+
+# --- Wave 62: diurnal spectrum (24-point DFT at pinned twiddles) -------------
+
+# cos/sin twiddle factors for frequencies 1..4 cycles/day over the 24-hour
+# grid, pinned as repr'd double literals so BOTH engines parse the
+# identical IEEE value (the pinned-literal discipline of gumbel/lsh_scurve).
+_DFT_TWIDDLES = [
+        (1, 0, 1.0, 0.0),
+        (1, 1, 0.9659258262890683, 0.25881904510252074),
+        (1, 2, 0.8660254037844387, 0.49999999999999994),
+        (1, 3, 0.7071067811865476, 0.7071067811865475),
+        (1, 4, 0.5000000000000001, 0.8660254037844386),
+        (1, 5, 0.25881904510252074, 0.9659258262890683),
+        (1, 6, 6.123233995736766e-17, 1.0),
+        (1, 7, -0.25881904510252063, 0.9659258262890683),
+        (1, 8, -0.4999999999999998, 0.8660254037844387),
+        (1, 9, -0.7071067811865475, 0.7071067811865476),
+        (1, 10, -0.8660254037844387, 0.49999999999999994),
+        (1, 11, -0.9659258262890682, 0.258819045102521),
+        (1, 12, -1.0, 1.2246467991473532e-16),
+        (1, 13, -0.9659258262890683, -0.2588190451025208),
+        (1, 14, -0.8660254037844388, -0.4999999999999997),
+        (1, 15, -0.7071067811865479, -0.7071067811865471),
+        (1, 16, -0.5000000000000004, -0.8660254037844384),
+        (1, 17, -0.25881904510252063, -0.9659258262890683),
+        (1, 18, -1.8369701987210297e-16, -1.0),
+        (1, 19, 0.2588190451025203, -0.9659258262890684),
+        (1, 20, 0.5000000000000001, -0.8660254037844386),
+        (1, 21, 0.7071067811865474, -0.7071067811865477),
+        (1, 22, 0.8660254037844384, -0.5000000000000004),
+        (1, 23, 0.9659258262890681, -0.25881904510252157),
+        (2, 0, 1.0, 0.0),
+        (2, 1, 0.8660254037844387, 0.49999999999999994),
+        (2, 2, 0.5000000000000001, 0.8660254037844386),
+        (2, 3, 6.123233995736766e-17, 1.0),
+        (2, 4, -0.4999999999999998, 0.8660254037844387),
+        (2, 5, -0.8660254037844387, 0.49999999999999994),
+        (2, 6, -1.0, 1.2246467991473532e-16),
+        (2, 7, -0.8660254037844388, -0.4999999999999997),
+        (2, 8, -0.5000000000000004, -0.8660254037844384),
+        (2, 9, -1.8369701987210297e-16, -1.0),
+        (2, 10, 0.5000000000000001, -0.8660254037844386),
+        (2, 11, 0.8660254037844384, -0.5000000000000004),
+        (2, 12, 1.0, -2.4492935982947064e-16),
+        (2, 13, 0.8660254037844386, 0.5),
+        (2, 14, 0.5000000000000006, 0.8660254037844384),
+        (2, 15, 1.1943401194869635e-15, 1.0),
+        (2, 16, -0.4999999999999992, 0.8660254037844392),
+        (2, 17, -0.8660254037844388, 0.4999999999999998),
+        (2, 18, -1.0, 3.6739403974420594e-16),
+        (2, 19, -0.8660254037844392, -0.49999999999999917),
+        (2, 20, -0.49999999999999983, -0.8660254037844387),
+        (2, 21, -4.286263797015736e-16, -1.0),
+        (2, 22, 0.4999999999999991, -0.8660254037844392),
+        (2, 23, 0.8660254037844378, -0.5000000000000014),
+        (3, 0, 1.0, 0.0),
+        (3, 1, 0.7071067811865476, 0.7071067811865475),
+        (3, 2, 6.123233995736766e-17, 1.0),
+        (3, 3, -0.7071067811865475, 0.7071067811865476),
+        (3, 4, -1.0, 1.2246467991473532e-16),
+        (3, 5, -0.7071067811865479, -0.7071067811865471),
+        (3, 6, -1.8369701987210297e-16, -1.0),
+        (3, 7, 0.7071067811865474, -0.7071067811865477),
+        (3, 8, 1.0, -2.4492935982947064e-16),
+        (3, 9, 0.7071067811865477, 0.7071067811865474),
+        (3, 10, 1.1943401194869635e-15, 1.0),
+        (3, 11, -0.7071067811865479, 0.7071067811865471),
+        (3, 12, -1.0, 3.6739403974420594e-16),
+        (3, 13, -0.7071067811865485, -0.7071067811865466),
+        (3, 14, -4.286263797015736e-16, -1.0),
+        (3, 15, 0.7071067811865478, -0.7071067811865472),
+        (3, 16, 1.0, -4.898587196589413e-16),
+        (3, 17, 0.7071067811865486, 0.7071067811865466),
+        (3, 18, 5.51091059616309e-16, 1.0),
+        (3, 19, -0.7071067811865465, 0.7071067811865486),
+        (3, 20, -1.0, 2.388680238973927e-15),
+        (3, 21, -0.7071067811865474, -0.7071067811865477),
+        (3, 22, 1.1028010998692062e-15, -1.0),
+        (3, 23, 0.7071067811865464, -0.7071067811865487),
+        (4, 0, 1.0, 0.0),
+        (4, 1, 0.5000000000000001, 0.8660254037844386),
+        (4, 2, -0.4999999999999998, 0.8660254037844387),
+        (4, 3, -1.0, 1.2246467991473532e-16),
+        (4, 4, -0.5000000000000004, -0.8660254037844384),
+        (4, 5, 0.5000000000000001, -0.8660254037844386),
+        (4, 6, 1.0, -2.4492935982947064e-16),
+        (4, 7, 0.5000000000000006, 0.8660254037844384),
+        (4, 8, -0.4999999999999992, 0.8660254037844392),
+        (4, 9, -1.0, 3.6739403974420594e-16),
+        (4, 10, -0.49999999999999983, -0.8660254037844387),
+        (4, 11, 0.4999999999999991, -0.8660254037844392),
+        (4, 12, 1.0, -4.898587196589413e-16),
+        (4, 13, 0.49999999999999994, 0.8660254037844387),
+        (4, 14, -0.499999999999999, 0.8660254037844393),
+        (4, 15, -1.0, 2.388680238973927e-15),
+        (4, 16, -0.5000000000000016, -0.8660254037844377),
+        (4, 17, 0.5000000000000004, -0.8660254037844384),
+        (4, 18, 1.0, -7.347880794884119e-16),
+        (4, 19, 0.5000000000000017, 0.8660254037844377),
+        (4, 20, -0.5000000000000003, 0.8660254037844385),
+        (4, 21, -1.0, 8.572527594031472e-16),
+        (4, 22, -0.5000000000000018, -0.8660254037844376),
+        (4, 23, 0.4999999999999971, -0.8660254037844403)
+]
+
+_DFT_VALUES_SQL = """
+      (1, 0, 1.0::DOUBLE, 0.0::DOUBLE),
+      (1, 1, 0.9659258262890683::DOUBLE, 0.25881904510252074::DOUBLE),
+      (1, 2, 0.8660254037844387::DOUBLE, 0.49999999999999994::DOUBLE),
+      (1, 3, 0.7071067811865476::DOUBLE, 0.7071067811865475::DOUBLE),
+      (1, 4, 0.5000000000000001::DOUBLE, 0.8660254037844386::DOUBLE),
+      (1, 5, 0.25881904510252074::DOUBLE, 0.9659258262890683::DOUBLE),
+      (1, 6, 6.123233995736766e-17::DOUBLE, 1.0::DOUBLE),
+      (1, 7, -0.25881904510252063::DOUBLE, 0.9659258262890683::DOUBLE),
+      (1, 8, -0.4999999999999998::DOUBLE, 0.8660254037844387::DOUBLE),
+      (1, 9, -0.7071067811865475::DOUBLE, 0.7071067811865476::DOUBLE),
+      (1, 10, -0.8660254037844387::DOUBLE, 0.49999999999999994::DOUBLE),
+      (1, 11, -0.9659258262890682::DOUBLE, 0.258819045102521::DOUBLE),
+      (1, 12, -1.0::DOUBLE, 1.2246467991473532e-16::DOUBLE),
+      (1, 13, -0.9659258262890683::DOUBLE, -0.2588190451025208::DOUBLE),
+      (1, 14, -0.8660254037844388::DOUBLE, -0.4999999999999997::DOUBLE),
+      (1, 15, -0.7071067811865479::DOUBLE, -0.7071067811865471::DOUBLE),
+      (1, 16, -0.5000000000000004::DOUBLE, -0.8660254037844384::DOUBLE),
+      (1, 17, -0.25881904510252063::DOUBLE, -0.9659258262890683::DOUBLE),
+      (1, 18, -1.8369701987210297e-16::DOUBLE, -1.0::DOUBLE),
+      (1, 19, 0.2588190451025203::DOUBLE, -0.9659258262890684::DOUBLE),
+      (1, 20, 0.5000000000000001::DOUBLE, -0.8660254037844386::DOUBLE),
+      (1, 21, 0.7071067811865474::DOUBLE, -0.7071067811865477::DOUBLE),
+      (1, 22, 0.8660254037844384::DOUBLE, -0.5000000000000004::DOUBLE),
+      (1, 23, 0.9659258262890681::DOUBLE, -0.25881904510252157::DOUBLE),
+      (2, 0, 1.0::DOUBLE, 0.0::DOUBLE),
+      (2, 1, 0.8660254037844387::DOUBLE, 0.49999999999999994::DOUBLE),
+      (2, 2, 0.5000000000000001::DOUBLE, 0.8660254037844386::DOUBLE),
+      (2, 3, 6.123233995736766e-17::DOUBLE, 1.0::DOUBLE),
+      (2, 4, -0.4999999999999998::DOUBLE, 0.8660254037844387::DOUBLE),
+      (2, 5, -0.8660254037844387::DOUBLE, 0.49999999999999994::DOUBLE),
+      (2, 6, -1.0::DOUBLE, 1.2246467991473532e-16::DOUBLE),
+      (2, 7, -0.8660254037844388::DOUBLE, -0.4999999999999997::DOUBLE),
+      (2, 8, -0.5000000000000004::DOUBLE, -0.8660254037844384::DOUBLE),
+      (2, 9, -1.8369701987210297e-16::DOUBLE, -1.0::DOUBLE),
+      (2, 10, 0.5000000000000001::DOUBLE, -0.8660254037844386::DOUBLE),
+      (2, 11, 0.8660254037844384::DOUBLE, -0.5000000000000004::DOUBLE),
+      (2, 12, 1.0::DOUBLE, -2.4492935982947064e-16::DOUBLE),
+      (2, 13, 0.8660254037844386::DOUBLE, 0.5::DOUBLE),
+      (2, 14, 0.5000000000000006::DOUBLE, 0.8660254037844384::DOUBLE),
+      (2, 15, 1.1943401194869635e-15::DOUBLE, 1.0::DOUBLE),
+      (2, 16, -0.4999999999999992::DOUBLE, 0.8660254037844392::DOUBLE),
+      (2, 17, -0.8660254037844388::DOUBLE, 0.4999999999999998::DOUBLE),
+      (2, 18, -1.0::DOUBLE, 3.6739403974420594e-16::DOUBLE),
+      (2, 19, -0.8660254037844392::DOUBLE, -0.49999999999999917::DOUBLE),
+      (2, 20, -0.49999999999999983::DOUBLE, -0.8660254037844387::DOUBLE),
+      (2, 21, -4.286263797015736e-16::DOUBLE, -1.0::DOUBLE),
+      (2, 22, 0.4999999999999991::DOUBLE, -0.8660254037844392::DOUBLE),
+      (2, 23, 0.8660254037844378::DOUBLE, -0.5000000000000014::DOUBLE),
+      (3, 0, 1.0::DOUBLE, 0.0::DOUBLE),
+      (3, 1, 0.7071067811865476::DOUBLE, 0.7071067811865475::DOUBLE),
+      (3, 2, 6.123233995736766e-17::DOUBLE, 1.0::DOUBLE),
+      (3, 3, -0.7071067811865475::DOUBLE, 0.7071067811865476::DOUBLE),
+      (3, 4, -1.0::DOUBLE, 1.2246467991473532e-16::DOUBLE),
+      (3, 5, -0.7071067811865479::DOUBLE, -0.7071067811865471::DOUBLE),
+      (3, 6, -1.8369701987210297e-16::DOUBLE, -1.0::DOUBLE),
+      (3, 7, 0.7071067811865474::DOUBLE, -0.7071067811865477::DOUBLE),
+      (3, 8, 1.0::DOUBLE, -2.4492935982947064e-16::DOUBLE),
+      (3, 9, 0.7071067811865477::DOUBLE, 0.7071067811865474::DOUBLE),
+      (3, 10, 1.1943401194869635e-15::DOUBLE, 1.0::DOUBLE),
+      (3, 11, -0.7071067811865479::DOUBLE, 0.7071067811865471::DOUBLE),
+      (3, 12, -1.0::DOUBLE, 3.6739403974420594e-16::DOUBLE),
+      (3, 13, -0.7071067811865485::DOUBLE, -0.7071067811865466::DOUBLE),
+      (3, 14, -4.286263797015736e-16::DOUBLE, -1.0::DOUBLE),
+      (3, 15, 0.7071067811865478::DOUBLE, -0.7071067811865472::DOUBLE),
+      (3, 16, 1.0::DOUBLE, -4.898587196589413e-16::DOUBLE),
+      (3, 17, 0.7071067811865486::DOUBLE, 0.7071067811865466::DOUBLE),
+      (3, 18, 5.51091059616309e-16::DOUBLE, 1.0::DOUBLE),
+      (3, 19, -0.7071067811865465::DOUBLE, 0.7071067811865486::DOUBLE),
+      (3, 20, -1.0::DOUBLE, 2.388680238973927e-15::DOUBLE),
+      (3, 21, -0.7071067811865474::DOUBLE, -0.7071067811865477::DOUBLE),
+      (3, 22, 1.1028010998692062e-15::DOUBLE, -1.0::DOUBLE),
+      (3, 23, 0.7071067811865464::DOUBLE, -0.7071067811865487::DOUBLE),
+      (4, 0, 1.0::DOUBLE, 0.0::DOUBLE),
+      (4, 1, 0.5000000000000001::DOUBLE, 0.8660254037844386::DOUBLE),
+      (4, 2, -0.4999999999999998::DOUBLE, 0.8660254037844387::DOUBLE),
+      (4, 3, -1.0::DOUBLE, 1.2246467991473532e-16::DOUBLE),
+      (4, 4, -0.5000000000000004::DOUBLE, -0.8660254037844384::DOUBLE),
+      (4, 5, 0.5000000000000001::DOUBLE, -0.8660254037844386::DOUBLE),
+      (4, 6, 1.0::DOUBLE, -2.4492935982947064e-16::DOUBLE),
+      (4, 7, 0.5000000000000006::DOUBLE, 0.8660254037844384::DOUBLE),
+      (4, 8, -0.4999999999999992::DOUBLE, 0.8660254037844392::DOUBLE),
+      (4, 9, -1.0::DOUBLE, 3.6739403974420594e-16::DOUBLE),
+      (4, 10, -0.49999999999999983::DOUBLE, -0.8660254037844387::DOUBLE),
+      (4, 11, 0.4999999999999991::DOUBLE, -0.8660254037844392::DOUBLE),
+      (4, 12, 1.0::DOUBLE, -4.898587196589413e-16::DOUBLE),
+      (4, 13, 0.49999999999999994::DOUBLE, 0.8660254037844387::DOUBLE),
+      (4, 14, -0.499999999999999::DOUBLE, 0.8660254037844393::DOUBLE),
+      (4, 15, -1.0::DOUBLE, 2.388680238973927e-15::DOUBLE),
+      (4, 16, -0.5000000000000016::DOUBLE, -0.8660254037844377::DOUBLE),
+      (4, 17, 0.5000000000000004::DOUBLE, -0.8660254037844384::DOUBLE),
+      (4, 18, 1.0::DOUBLE, -7.347880794884119e-16::DOUBLE),
+      (4, 19, 0.5000000000000017::DOUBLE, 0.8660254037844377::DOUBLE),
+      (4, 20, -0.5000000000000003::DOUBLE, 0.8660254037844385::DOUBLE),
+      (4, 21, -1.0::DOUBLE, 8.572527594031472e-16::DOUBLE),
+      (4, 22, -0.5000000000000018::DOUBLE, -0.8660254037844376::DOUBLE),
+      (4, 23, 0.4999999999999971::DOUBLE, -0.8660254037844403::DOUBLE)
+"""
+
+
+@query(
+    "dft24_hourly_spectrum",
+    oracle=f"""
+    WITH hod AS (
+      SELECT cast(extract(hour FROM ts) AS BIGINT) AS h,
+             cast(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    tw(f, h, cosv, sinv) AS (
+      VALUES {_DFT_VALUES_SQL}
+    ),
+    terms AS (
+      SELECT tw.f,
+             cast(floor(hod.c * tw.cosv * 1e6) AS BIGINT) AS re_t,
+             cast(floor(hod.c * -tw.sinv * 1e6) AS BIGINT) AS im_t
+      FROM hod JOIN tw ON tw.h = hod.h
+    ),
+    x AS (
+      SELECT f,
+             cast(sum(re_t) AS BIGINT) AS re_fp,
+             cast(sum(im_t) AS BIGINT) AS im_fp
+      FROM terms GROUP BY f
+    )
+    SELECT f AS cycles_per_day,
+           floor(re_fp / 1e6 * 1e6) / 1e6 AS re_sum,
+           floor(im_fp / 1e6 * 1e6) / 1e6 AS im_sum,
+           round((re_fp / 1e6) * (re_fp / 1e6)
+                 + (im_fp / 1e6) * (im_fp / 1e6), 6) AS power
+    FROM x
+    """,
+    tags=["M-ext", "time-series", "spectrum", "extension"],
+)
+def dft24_hourly_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal power spectrum: a 24-point DFT of the hour-of-day event
+    count profile at frequencies 1-4 cycles/day — the quantitative "how
+    strong is the daily rhythm (and its harmonics)" readout next to
+    hourly_seasonality_profile's tabular decomposition. A flat profile
+    puts all power at f=0 (not reported); a pure sine puts it at f=1.
+
+    Exactness: the twiddle factors are PINNED repr'd double literals
+    (identical parse on both engines); each term c_h * cos is floored
+    into 1e-6 fixed-point int64 BEFORE summation, so the 24-term sums
+    are order-free integers and power is computed from identical
+    scalars. Scale: ONE 24-row rollup of the corpus; the DFT itself is
+    a 96-row join — free at any data size."""
+    ev = T(spark, sf_dir, "events")
+    hod = ev.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tw = ev.sparkSession.createDataFrame(
+        _DFT_TWIDDLES, "f INT, h BIGINT, cosv DOUBLE, sinv DOUBLE"
+    )
+    terms = hod.join(F.broadcast(tw), "h").select(
+        "f",
+        F.floor(F.col("c") * F.col("cosv") * 1e6).cast("long").alias("re_t"),
+        F.floor(F.col("c") * -F.col("sinv") * 1e6).cast("long").alias("im_t"),
+    )
+    x = terms.groupBy("f").agg(
+        F.sum("re_t").cast("long").alias("re_fp"),
+        F.sum("im_t").cast("long").alias("im_fp"),
+    )
+    re = F.col("re_fp") / 1e6
+    im = F.col("im_fp") / 1e6
+    return x.select(
+        F.col("f").cast("int").alias("cycles_per_day"),
+        (F.floor(re * 1e6) / 1e6).alias("re_sum"),
+        (F.floor(im * 1e6) / 1e6).alias("im_sum"),
+        F.round(re * re + im * im, 6).alias("power"),
     )

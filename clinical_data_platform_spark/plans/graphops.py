@@ -1400,3 +1400,139 @@ def lp_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_communities"),
         (F.floor(F.sum("q_fp") / F.lit(1e3)) / 1e6).alias("modularity"),
     )
+
+
+# --- Wave 62: personalized PageRank ------------------------------------------
+
+
+def _ppr_iter_sql(k: int) -> str:
+    return f"""
+    pp{k} AS (
+      SELECT nd.node,
+             round(CASE WHEN nd.node = (SELECT node FROM seed)
+                        THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END
+                   + 0.85::DOUBLE * coalesce(s.contrib, 0), 12) AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r * e.w / e.wout) AS contrib
+        FROM e JOIN pp{k - 1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
+    )"""
+
+
+@query(
+    "personalized_pagerank",
+    oracle=(
+        "WITH "
+        + _EDGES_SQL
+        + """,
+    seed AS (
+      SELECT src AS node FROM e GROUP BY src
+      ORDER BY sum(w) DESC, src LIMIT 1
+    ),
+    pp0 AS (
+      SELECT node,
+             CASE WHEN node = (SELECT node FROM seed)
+                  THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS r
+      FROM nodes)"""
+        + "".join("," + _ppr_iter_sql(k) for k in range(1, _PR_ITERS + 1))
+        + f"""
+    SELECT node AS nation,
+           node = (SELECT node FROM seed) AS is_seed,
+           round(r, 6) AS ppr
+    FROM pp{_PR_ITERS}
+    """
+    ),
+    tags=["graph", "iterative", "pagerank", "extension"],
+)
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (the random-walk-with-restart kernel behind
+    graph-based recommendation and similarity search): identical edge
+    build and iteration machinery to nation_trade_pagerank, but ALL
+    teleport mass restarts at one seed node — the dominant exporter
+    (max total out-weight, ties by name) — so the stationary ranks
+    measure proximity TO the seed's trade sphere rather than global
+    importance. r0 = indicator(seed); r <- 0.15*indicator + 0.85*walk.
+
+    Same exactness contract as the global variant: per-iteration 12-dp
+    rounding re-syncs float sum-order ulps, the teleport literal is
+    written identically on both engines, and the seed pick is an
+    integer-weight argmax (engine-stable ties by name). Same scale
+    shape: checkpointed edge list, rank state node-sized."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    e0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = (
+        e0.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    e = (
+        e0.join(nodes, e0.dst == nodes.node, "left_semi")
+        .withColumn("wout", F.sum("w").over(Window.partitionBy("src")))
+        .localCheckpoint()
+    )
+    seed = (
+        e.groupBy("src")
+        .agg(F.sum("w").alias("tw"))
+        .orderBy(F.desc("tw"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("seed_node"))
+        .localCheckpoint()
+    )
+    seed_name = seed.collect()[0][0]  # scalar: the one-row argmax
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node") == seed_name, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("r") * F.col("w") / F.col("wout")).alias(
+                    "contrib"
+                )
+            )
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            F.round(
+                F.when(F.col("node") == seed_name, F.lit(0.15)).otherwise(
+                    F.lit(0.0)
+                )
+                + 0.85 * F.coalesce("contrib", F.lit(0.0)),
+                12,
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("nation"),
+        (F.col("node") == seed_name).alias("is_seed"),
+        F.round("r", 6).alias("ppr"),
+    )

@@ -1194,3 +1194,142 @@ def km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi"
         ),
     )
+
+
+# --- Wave 62: Nelson-Aalen cumulative hazard ---------------------------------
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type FROM events
+    ), pu AS (
+      SELECT user_id, min(sec) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS t_evt
+      FROM ev GROUP BY 1
+    ), h AS (SELECT max(sec) AS t_max FROM ev),
+    d AS (
+      SELECT CASE WHEN ({{hex6}}) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS cohort,
+             cast(floor((coalesce(t_evt, t_max) - t0)::DOUBLE
+                        / 3600.0::DOUBLE) AS BIGINT) AS dur,
+             CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS evt
+      FROM pu, h
+    ), tbl AS (
+      SELECT cohort, dur,
+             cast(sum(evt) AS BIGINT) AS d_i,
+             cast(sum(1 - evt) AS BIGINT) AS c_i
+      FROM d GROUP BY 1, 2
+    ), risk AS (
+      SELECT cohort, dur, d_i,
+             sum(d_i + c_i) OVER (PARTITION BY cohort)
+               - coalesce(sum(d_i + c_i) OVER (
+                   PARTITION BY cohort ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_i
+      FROM tbl
+    ), na AS (
+      SELECT cohort, dur, d_i, n_i,
+             sum(d_i::DOUBLE / n_i::DOUBLE) OVER (
+               PARTITION BY cohort ORDER BY dur) AS haz,
+             sum(d_i::DOUBLE / (n_i::DOUBLE * n_i::DOUBLE)) OVER (
+               PARTITION BY cohort ORDER BY dur) AS var_h
+      FROM risk
+    )
+    SELECT cohort, dur AS duration_hours,
+           cast(n_i AS BIGINT) AS n_at_risk,
+           cast(d_i AS BIGINT) AS n_events,
+           round(haz, 6) AS cum_hazard,
+           round(exp(-haz), 6) AS fleming_harrington_surv,
+           round(sqrt(var_h), 6) AS se
+    FROM na WHERE d_i > 0
+    """.format(hex6=_HEX6_SQL.format(x="cast(user_id AS VARCHAR)")),
+    tags=["survival", "clinical", "nelson-aalen", "extension"],
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = sum(d_i/n_i) with its
+    Poisson-form se sqrt(sum d_i/n_i^2) and the Fleming-Harrington
+    survival exp(-H) — the hazard-scale twin of kaplan_meier_survival
+    (same cohorts, same censoring), preferred for small risk sets and
+    for additivity across strata; KM and FH bracket each other, and the
+    gap is itself a small-sample diagnostic.
+
+    Identical distributed shape to KM: one per-user aggregation, then a
+    time-span-bounded life table with ordered cumulative windows; both
+    engines sum the per-step double ratios in the same ascending-
+    duration order, so drift is libm ulps absorbed by round 6."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "event_type"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("t_evt"),
+    )
+    horizon = ev.agg(F.max("sec").alias("t_max"))
+    cohort = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    d = pu.crossJoin(F.broadcast(horizon)).select(
+        cohort.alias("cohort"),
+        F.floor(
+            (F.coalesce(F.col("t_evt"), F.col("t_max")) - F.col("t0"))
+            / F.lit(3600.0)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("evt"),
+    )
+    tbl = d.groupBy("cohort", "dur").agg(
+        F.sum("evt").cast("long").alias("d_i"),
+        F.sum(F.lit(1) - F.col("evt")).cast("long").alias("c_i"),
+    )
+    w_tot = Window.partitionBy("cohort")
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("cohort").orderBy("dur")
+    risk = tbl.select(
+        "cohort",
+        "dur",
+        "d_i",
+        (
+            F.sum(F.col("d_i") + F.col("c_i")).over(w_tot)
+            - F.coalesce(
+                F.sum(F.col("d_i") + F.col("c_i")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_i"),
+    )
+    dn = F.col("d_i").cast("double") / F.col("n_i").cast("double")
+    haz = F.sum(dn).over(w_run)
+    var_h = F.sum(
+        F.col("d_i").cast("double")
+        / (F.col("n_i").cast("double") * F.col("n_i").cast("double"))
+    ).over(w_run)
+    return (
+        risk.select(
+            "cohort", "dur", "d_i", "n_i",
+            haz.alias("haz"), var_h.alias("var_h"),
+        )
+        .filter(F.col("d_i") > 0)
+        .select(
+            "cohort",
+            F.col("dur").alias("duration_hours"),
+            F.col("n_i").cast("long").alias("n_at_risk"),
+            F.col("d_i").cast("long").alias("n_events"),
+            F.round("haz", 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("haz")), 6).alias(
+                "fleming_harrington_surv"
+            ),
+            F.round(F.sqrt("var_h"), 6).alias("se"),
+        )
+    )

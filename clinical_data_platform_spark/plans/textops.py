@@ -1821,3 +1821,548 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_expanded"), F.asc("doc_id"))
         .limit(_RM3_FB_DOCS)
     )
+
+
+# --- Wave 62: Dirichlet-smoothed query likelihood ----------------------------
+
+_QL_TERMS = ("join", "hash", "scan")
+_QL_MU = 300.0
+_QL_K = 10
+
+
+@query(
+    "dirichlet_query_likelihood",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ws) AS doclen FROM t),
+    toks AS (SELECT doc_id, unnest(ws) AS tok FROM t),
+    coll AS (
+      SELECT cast(count(*) AS BIGINT) AS c_total FROM toks
+    ),
+    cf AS (
+      SELECT tok, cast(count(*) AS BIGINT) AS cf
+      FROM toks WHERE tok IN {_QL_TERMS!r} GROUP BY 1
+    ),
+    tf AS (
+      SELECT doc_id, tok, cast(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN {_QL_TERMS!r} GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT doc_id FROM tf),
+    terms AS (
+      SELECT c.doc_id,
+             cast(floor(ln((coalesce(tf.tf, 0) + {_QL_MU!r} * cf.cf / coll.c_total)
+                           / (dl.doclen + {_QL_MU!r})) * 1e9) AS BIGINT) AS s_fp
+      FROM cand c
+      JOIN cf ON true
+      JOIN coll ON true
+      JOIN dl ON dl.doc_id = c.doc_id
+      LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = cf.tok
+    ),
+    scored AS (
+      SELECT doc_id, cast(sum(s_fp) AS BIGINT) AS score_fp
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, dl.doclen AS doclen,
+           floor(score_fp / 1e9 * 1e6) / 1e6 AS ql_score
+    FROM scored JOIN dl USING (doc_id)
+    ORDER BY score_fp DESC, doc_id ASC
+    LIMIT {_QL_K}
+    """,
+    tags=["text", "retrieval", "query-likelihood", "extension"],
+)
+def dirichlet_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001): score(d) = sum over query terms of ln((tf + mu*P(t|C)) /
+    (dl + mu)), mu=300 — the language-modeling ranker next to BM25
+    (bm25_topk_docs) and tf-idf; the fusion family (hybrid_search_rrf)
+    gets its third scorer. Missing terms still contribute their
+    collection-probability mass, which is exactly what the smoothing is
+    for.
+
+    Exactness: tf/cf/dl/|C| are integers; each of the THREE per-doc ln
+    terms is floored into 1e-9 fixed-point BEFORE the per-doc sum, so
+    the sum is order-free (the per-row-transcendental discipline of
+    Theil T). Candidates = docs holding >= 1 query term (posting-
+    bounded); the collection stats are two broadcast scalars; TakeOrdered
+    yields the top-10 without a global sort."""
+    d = fan_out_scan(T(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
+    ).localCheckpoint()  # feeds doclen, collection stats, and tf
+    dl = t.select("doc_id", F.size("ws").cast("long").alias("doclen"))
+    toks = t.select("doc_id", F.explode("ws").alias("tok"))
+    coll = toks.agg(F.count(F.lit(1)).cast("long").alias("c_total"))
+    qt = toks.filter(F.col("tok").isin(*_QL_TERMS))
+    cf = qt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    tf = qt.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cand = tf.select("doc_id").distinct()
+    terms = (
+        cand.crossJoin(F.broadcast(cf.withColumnRenamed("tok", "qtok")))
+        .crossJoin(F.broadcast(coll))
+        .join(dl, "doc_id")
+        .join(
+            tf.withColumnRenamed("tok", "qtok"),
+            ["doc_id", "qtok"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0))
+                        + F.lit(_QL_MU) * F.col("cf") / F.col("c_total")
+                    )
+                    / (F.col("doclen") + F.lit(_QL_MU))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("s_fp"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.sum("s_fp").cast("long").alias("score_fp")
+    )
+    return (
+        scored.join(dl, "doc_id")
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(_QL_K)
+        .select(
+            "doc_id",
+            "doclen",
+            (F.floor(F.col("score_fp") / 1e9 * 1e6) / 1e6).alias(
+                "ql_score"
+            ),
+        )
+    )
+
+
+# --- Wave 62: winnowing fingerprints (MOSS) ----------------------------------
+
+_WIN_W = 4  # winnowing window: guarantee = w+n-1 = 6 consecutive words
+_WIN_MIN_SHARED = 2
+
+_WIN_HEX8 = (
+    "list_sum(list_transform(range(1, 9), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1::BIGINT << (4 * (8 - k)))))"
+)
+
+
+@query(
+    "winnowing_fingerprint_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             ({_WIN_HEX8.format(x="ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")})
+               AS h
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ),
+    nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    win AS (
+      SELECT s.doc_id, s.pos,
+             min(h) OVER (PARTITION BY s.doc_id ORDER BY s.pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS fp
+      FROM sh s JOIN nsh ON nsh.doc_id = s.doc_id
+      QUALIFY s.pos <= nsh.n - {_WIN_W - 1}
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM win),
+    sizes AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1),
+    dfok AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000
+    ),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             cast(count(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN dfok USING (fp) JOIN fps b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+           floor(n_shared * 1e6 / least(sa.n_fp, sb.n_fp)) / 1e6
+             AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_shared >= {_WIN_MIN_SHARED}
+    """,
+    tags=["dedup", "winnowing", "llm-pipeline", "extension"],
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every word 3-gram POSITIONALLY
+    (no dedup — unlike the Jaccard shingle family, winnowing needs the
+    sequence), slide a w=4 window over the hash sequence, keep each
+    window's minimum — guaranteeing any shared run of w+n-1 = 6 words
+    produces at least one shared fingerprint — then pair documents on
+    shared fingerprints. The THIRD dedup geometry next to set-overlap
+    (Jaccard/MinHash) and bit-signature (SimHash): position-aware, so
+    it catches verbatim PASSAGES that set measures dilute away in long
+    documents.
+
+    Exactness: the fingerprint is the md5 hex8 integer (digit-fold
+    parity), window-min is integer, all downstream counts integer,
+    containment trunc6. Scale: the per-doc window runs inside
+    doc-bounded partitions; the pair join goes through the SAME
+    df <= 1000 posting cap as the Jaccard family (mirrored in the
+    oracle), so a boilerplate fingerprint shared by millions of docs
+    cannot go quadratic — and winnowing keeps ~1/w of the shingles, so
+    the posting table is 4x smaller than the Jaccard one."""
+    d = fan_out_scan(T(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
+    )
+    grams = F.when(
+        F.size("ws") < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 3),
+            lambda i: F.concat_ws(
+                " ", F.get("ws", i), F.get("ws", i + 1), F.get("ws", i + 2)
+            ),
+        )
+    )
+    sh = toks.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    win = sh.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wdoc).alias("n"),
+        F.min("h").over(wmin).alias("fp"),
+    ).filter(F.col("pos") <= F.col("n") - (_WIN_W - 1))
+    fps = win.select("doc_id", "fp").distinct().localCheckpoint()
+    sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    dfok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 1000)
+        .select("fp")
+    )
+    capped = fps.join(dfok, "fp")
+    a = capped.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("fp_b"))
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a", "id_b", "n_shared", "fp_a", "fp_b",
+            (
+                F.floor(
+                    F.col("n_shared") * F.lit(1e6)
+                    / F.least("fp_a", "fp_b")
+                )
+                / 1e6
+            ).alias("containment"),
+        )
+    )
+
+
+# --- Wave 62: MMR diversified re-ranking -------------------------------------
+
+_MMR_CAND = 20
+_MMR_K = 5
+# 0.7 / 0.3 written as LITERALS on both engines (never derived as 1 - x:
+# the ulp discipline of the PageRank teleport)
+_MMR_LAM = "0.7"
+_MMR_ONE_MINUS_LAM = "0.3"
+
+
+def _mmr_oracle() -> str:
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{i}" for i in range(1, r)
+        )
+        rounds.append(f"""p{r} AS ({prev_union}),
+    r{r} AS (
+      SELECT CASE WHEN sim.id_a IN (SELECT doc_id FROM p{r})
+                  THEN sim.id_b ELSE sim.id_a END AS doc_id,
+             sim.j
+      FROM sims sim
+      WHERE sim.id_a IN (SELECT doc_id FROM p{r})
+         OR sim.id_b IN (SELECT doc_id FROM p{r})
+    ),
+    s{r} AS (
+      SELECT {r} AS rank, doc_id, nb, penalty,
+             round({_MMR_LAM}::DOUBLE * nb
+                   - {_MMR_ONE_MINUS_LAM}::DOUBLE * penalty, 6) AS mmr
+      FROM (
+        SELECT c.doc_id, c.nb,
+               coalesce(max(rr.j), 0.0::DOUBLE) AS penalty
+        FROM cand c
+        LEFT JOIN r{r} rr ON rr.doc_id = c.doc_id
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM p{r})
+        GROUP BY c.doc_id, c.nb
+      )
+      ORDER BY {_MMR_LAM}::DOUBLE * nb
+               - {_MMR_ONE_MINUS_LAM}::DOUBLE * penalty DESC, doc_id
+      LIMIT 1
+    )""")
+    chain = ",\n    ".join(rounds)
+    final = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, _MMR_K + 1))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ws) AS doclen FROM t),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM t)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tok,
+             ln(1.0::DOUBLE + (s.n_docs - count(*) + 0.5::DOUBLE)
+                / (count(*) + 0.5::DOUBLE)) AS idf
+      FROM tf, stats s GROUP BY tok, s.n_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             floor(sum(idf.idf * tf.tf
+                 / (tf.tf + {_BM25_K1}::DOUBLE
+                    * (1.0::DOUBLE - {_BM25_B}::DOUBLE
+                       + {_BM25_B}::DOUBLE * dl.doclen / s.avgdl))) * 1e6)
+               / 1e6 AS bm25
+      FROM tf
+      JOIN idf USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    top AS (
+      SELECT doc_id, bm25 FROM scored
+      ORDER BY bm25 DESC, doc_id LIMIT {_MMR_CAND}
+    ),
+    mx AS (SELECT max(bm25) AS mb FROM top),
+    cand AS MATERIALIZED (
+      SELECT doc_id, floor(bm25 * 1e6 / mx.mb) / 1e6 AS nb
+      FROM top, mx
+    ),
+    ctok AS MATERIALIZED (
+      SELECT DISTINCT t.doc_id, tok
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM t) t
+      JOIN cand ON cand.doc_id = t.doc_id
+    ),
+    csize AS (SELECT doc_id, count(*) AS sz FROM ctok GROUP BY 1),
+    sims AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             floor(count(*) * 1e6
+                   / (sa.sz + sb.sz - count(*))) / 1e6 AS j
+      FROM ctok a JOIN ctok b USING (tok)
+      JOIN csize sa ON sa.doc_id = a.doc_id
+      JOIN csize sb ON sb.doc_id = b.doc_id
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+    ),
+    s1 AS (
+      SELECT 1 AS rank, doc_id, nb, 0.0::DOUBLE AS penalty,
+             round({_MMR_LAM}::DOUBLE * nb, 6) AS mmr
+      FROM cand ORDER BY nb DESC, doc_id LIMIT 1
+    ),
+    {chain}
+    {final}
+    """
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=["text", "retrieval", "mmr", "extension"],
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily re-rank the BM25 top-20 into a 5-result list that
+    trades relevance against redundancy — pick argmax of
+    lambda*rel - (1-lambda)*max_sim_to_selected (lambda=0.7, similarity
+    = token-set Jaccard). The answer to "my top-k are five near-copies
+    of the same page" that every retrieval deduper eventually ships;
+    completes the ranking family (BM25, QL, RRF fusion) with the
+    diversity axis.
+
+    Exactness: relevance is max-normalized trunc6 BM25, similarities
+    are trunc6 rationals, and each greedy argmax compares the identical
+    raw double expression with doc_id tie-break — the oracle replays
+    the same 5 selection rounds as chained CTEs. Scale: candidates are
+    TakeOrdered(20); the pairwise-similarity table and the k selection
+    rounds run on that CONSTANT-size set (the corpus never enters the
+    greedy loop) — the 5 driver-side picks are bounded scalar reads,
+    not data collects."""
+    d = fan_out_scan(T(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
+    ).localCheckpoint()  # feeds BM25 and the candidate token sets
+    dl = d.select("doc_id", F.size("ws").alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            (F.floor(F.sum(F.col("idf") * F.col("tf") / denom) * 1e6) / 1e6)
+            .alias("bm25")
+        )
+    )
+    top = (
+        scored.orderBy(F.desc("bm25"), "doc_id").limit(_MMR_CAND)
+        .localCheckpoint()
+    )
+    mb = top.agg(F.max("bm25").alias("mb"))
+    cand = top.crossJoin(F.broadcast(mb)).select(
+        "doc_id",
+        (F.floor(F.col("bm25") * 1e6 / F.col("mb")) / 1e6).alias("nb"),
+    ).localCheckpoint()
+    ctok = (
+        d.select("doc_id", F.explode("ws").alias("tok"))
+        .join(F.broadcast(cand.select("doc_id")), "doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    csize = ctok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ctok.select(F.col("doc_id").alias("id_a"), "tok")
+    b = ctok.select(F.col("doc_id").alias("id_b"), "tok")
+    sims = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(
+            F.broadcast(
+                csize.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                csize.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.floor(
+                    F.col("inter") * F.lit(1e6)
+                    / (F.col("sa") + F.col("sb") - F.col("inter"))
+                )
+                / 1e6
+            ).alias("j"),
+        )
+        .localCheckpoint()
+    )
+    lam, oml = float(_MMR_LAM), float(_MMR_ONE_MINUS_LAM)
+    picked: list[tuple] = []
+    sel_ids: list[int] = []
+    remaining = cand
+    for r in range(1, _MMR_K + 1):
+        if r == 1:
+            pen = remaining.select(
+                "doc_id", "nb", F.lit(0.0).alias("penalty")
+            )
+        else:
+            rel = sims.filter(
+                F.col("id_a").isin(sel_ids) | F.col("id_b").isin(sel_ids)
+            ).select(
+                F.when(F.col("id_a").isin(sel_ids), F.col("id_b"))
+                .otherwise(F.col("id_a"))
+                .alias("doc_id"),
+                "j",
+            ).filter(~F.col("doc_id").isin(sel_ids))
+            pen = (
+                remaining.join(
+                    rel.groupBy("doc_id").agg(F.max("j").alias("penalty")),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    "nb",
+                    F.coalesce("penalty", F.lit(0.0)).alias("penalty"),
+                )
+            )
+        raw = F.lit(lam) * F.col("nb") - F.lit(oml) * F.col("penalty")
+        # bounded scalar pick: the candidate table is a CONSTANT 20 rows
+        row = (
+            pen.orderBy(raw.desc(), F.asc("doc_id")).limit(1).collect()[0]
+        )
+        picked.append(
+            (
+                r,
+                row.doc_id,
+                row.nb,
+                row.penalty,
+                round(lam * row.nb - oml * row.penalty, 6),
+            )
+        )
+        sel_ids.append(row.doc_id)
+        remaining = remaining.filter(~F.col("doc_id").isin(sel_ids))
+    return spark.createDataFrame(
+        picked,
+        "rank INT, doc_id BIGINT, nb DOUBLE, penalty DOUBLE, mmr DOUBLE",
+    )

@@ -1299,3 +1299,118 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("si").cast("double") / 1e9, 6).alias("dsir_score"),
         )
     )
+
+
+# --- Wave 62: feature-hashing collision audit --------------------------------
+
+_HC_BITS = (12, 16, 20)
+
+_HC_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1)"
+    " * (1::BIGINT << (4 * (6 - k)))))"
+)
+
+
+@query(
+    "hash_collision_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    hashed AS (
+      SELECT tok, b.bits,
+             ({_HC_HEX6}) % (1::BIGINT << b.bits) AS bucket
+      FROM t JOIN (SELECT unnest([{", ".join(str(b) for b in _HC_BITS)}]) AS bits) b
+        ON true
+    ),
+    bk AS (
+      SELECT bits, bucket, count(*) AS n FROM hashed GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT bits,
+             cast(sum(n) AS BIGINT) AS n_tokens,
+             cast(count(*) AS BIGINT) AS n_buckets,
+             cast(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_colliding_tokens
+      FROM bk GROUP BY bits
+    )
+    SELECT cast(bits AS INT) AS bits,
+           n_tokens, n_buckets, n_colliding_tokens,
+           floor((n_tokens - n_buckets) * 1e6 / n_tokens) / 1e6
+             AS collision_rate,
+           round((1::BIGINT << bits)
+                 * (1.0::DOUBLE - pow(1.0::DOUBLE
+                                      - 1.0::DOUBLE / (1::BIGINT << bits),
+                                      n_tokens)), 6) AS expected_buckets
+    FROM agg
+    """,
+    tags=["trainprep", "feature-hashing", "extension"],
+)
+def hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit: the corpus vocabulary hashed
+    into 2^12 / 2^16 / 2^20 buckets (the hashing-trick dimensions a
+    bag-of-words model would use), reporting used buckets, tokens that
+    share a bucket, the realized collision rate, and the birthday-bound
+    expectation m(1-(1-1/m)^n) — how much smaller a hashed feature
+    space can get before token identities start merging.
+
+    Exactness: the bucket is the md5 hex6 integer (verified digit-fold
+    parity) mod 2^bits — identical on both engines; counts are integer;
+    the only float is the closed-form expectation (identical pow on
+    identical doubles, round 6). Scale: one distinct-token shuffle,
+    then a 3x vocabulary-sized bucket rollup — never row-proportional."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    bits = F.explode(
+        F.array(*[F.lit(b) for b in _HC_BITS])
+    ).alias("bits")
+    hashed = toks.select(
+        "tok", bits
+    ).select(
+        "bits",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
+            % F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bits"))
+        ).alias("bucket"),
+    )
+    bk = hashed.groupBy("bits", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = bk.groupBy("bits").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_colliding_tokens"),
+    )
+    m = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.col("bits")
+    ).cast("double")
+    return agg.select(
+        F.col("bits").cast("int").alias("bits"),
+        "n_tokens",
+        "n_buckets",
+        "n_colliding_tokens",
+        (
+            F.floor(
+                (F.col("n_tokens") - F.col("n_buckets"))
+                * F.lit(1e6)
+                / F.col("n_tokens")
+            )
+            / 1e6
+        ).alias("collision_rate"),
+        F.round(
+            m * (F.lit(1.0) - F.pow(F.lit(1.0) - F.lit(1.0) / m, F.col("n_tokens"))),
+            6,
+        ).alias("expected_buckets"),
+    )

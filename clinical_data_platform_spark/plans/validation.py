@@ -8,7 +8,7 @@ driver's gate verifies the COMPILER, not just one query.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table as T
 from ..operators import checks as C
@@ -525,4 +525,120 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(noise) / F.col("true_count"), 6).alias(
             "relative_error"
         ),
+    )
+
+
+# --- Wave 62: t-closeness release audit --------------------------------------
+
+_TC_BIN = 1000.0  # acctbal bin width (value-grid-bounded: ~12 bins)
+_TC_T = 0.2       # release threshold on ordered EMD
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             cast(floor(c.c_acctbal / {_TC_BIN!r}) AS BIGINT) AS bin
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+      SELECT nation, segment, bin, cast(count(*) AS BIGINT) AS gc
+      FROM b GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT bin, cast(count(*) AS BIGINT) AS tc FROM b GROUP BY 1),
+    n AS (SELECT cast(count(*) AS BIGINT) AS nn FROM b),
+    gs AS (
+      SELECT nation, segment, cast(sum(gc) AS BIGINT) AS gg
+      FROM g GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT gs.nation, gs.segment, tot.bin, tot.tc, gs.gg, n.nn,
+             coalesce(g.gc, 0) AS gc
+      FROM gs JOIN tot ON true JOIN n ON true
+      LEFT JOIN g ON g.nation = gs.nation AND g.segment = gs.segment
+                 AND g.bin = tot.bin
+    ),
+    cum AS (
+      SELECT nation, segment, bin, gg, nn,
+             sum(gc::HUGEINT * nn - tc::HUGEINT * gg)
+               OVER (PARTITION BY nation, segment ORDER BY bin) AS cd,
+             count(*) OVER (PARTITION BY nation, segment) AS nbins
+      FROM grid
+    )
+    SELECT nation, segment,
+           cast(max(gg) AS BIGINT) AS n_rows,
+           cast(max(nbins) AS BIGINT) AS n_bins,
+           floor(sum(abs(cd)) * 1e6
+                 / (max(gg)::HUGEINT * max(nn) * (max(nbins) - 1))) / 1e6
+             AS emd,
+           sum(abs(cd)) * 1e6
+             / (max(gg)::HUGEINT * max(nn) * (max(nbins) - 1))
+             >= {_TC_T!r} * 1e6 AS violates_t
+    FROM cum GROUP BY 1, 2
+    """,
+    tags=["validation", "privacy", "t-closeness", "extension"],
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian 2007) release audit —
+    the distributional member of the privacy triad after k-anonymity
+    (group sizes) and l-diversity (distinct sensitive values): for each
+    quasi-identifier group (nation x market segment), the ordered Earth
+    Mover's Distance between the group's account-balance distribution
+    and the global one, EMD = sum |cum(p - q)| / (B-1) over the fixed
+    value-bin grid. A group whose balance distribution is far from
+    global leaks the sensitive attribute even when k and l pass.
+
+    Exactness: the cumulative difference is kept in INTEGER cross-
+    multiplied units (gc*N - tc*G, summed in HUGEINT/decimal(38,0)), so
+    the bin walk is order-free and exact; ONE division at the end,
+    trunc6. The violates_t flag compares in the same integer-scaled
+    space. Scale: two corpus rollups (group-bin, bin) then a
+    |groups| x |bins| grid — dim-bounded state everywhere."""
+    c = T(spark, sf_dir, "customer")
+    n = F.broadcast(
+        T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    b = c.join(n, c.c_nationkey == F.col("n_nationkey")).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(_TC_BIN)).cast("long").alias("bin"),
+    )
+    b = b.localCheckpoint()  # feeds group-bin counts, bin totals, N
+    g = b.groupBy("nation", "segment", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("gc")
+    )
+    tot = b.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    nn = b.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    gs = g.groupBy("nation", "segment").agg(
+        F.sum("gc").cast("long").alias("gg")
+    )
+    grid = (
+        gs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nn))
+        .join(g, ["nation", "segment", "bin"], "left")
+        .select(
+            "nation", "segment", "bin", "tc", "gg", "nn",
+            F.coalesce("gc", F.lit(0)).alias("gc"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    wgrp = Window.partitionBy("nation", "segment")
+    cum = grid.select(
+        "nation", "segment", "bin", "gg", "nn",
+        F.sum(
+            dec(F.col("gc")) * dec(F.col("nn"))
+            - dec(F.col("tc")) * dec(F.col("gg"))
+        ).over(wgrp.orderBy("bin")).alias("cd"),
+        F.count(F.lit(1)).over(wgrp).alias("nbins"),
+    )
+    denom = (
+        dec(F.max("gg")) * dec(F.max("nn")) * dec(F.max("nbins") - 1)
+    )
+    emd_scaled = F.sum(F.abs(F.col("cd"))) * F.lit(1e6)
+    return cum.groupBy("nation", "segment").agg(
+        F.max("gg").cast("long").alias("n_rows"),
+        F.max("nbins").cast("long").alias("n_bins"),
+        (F.floor(emd_scaled / denom) / 1e6).alias("emd"),
+        (emd_scaled / denom >= F.lit(_TC_T) * 1e6).alias("violates_t"),
     )

@@ -290,6 +290,16 @@ HEADLINE = [
     "personalized_pagerank",
     "t_closeness_audit",
     "mmr_diversified_topk",
+    # wave 63 (r4): CUSUM chart, MASE baseline, E-value, TextRank, PCA
+    "cusum_control_chart",
+    "seasonal_naive_mase",
+    "evalue_sensitivity",
+    "textrank_keywords",
+    "pca_top_component",
+    # wave 64 (r4): Markov stationary, Chow break scan, Bradley-Terry
+    "event_markov_stationary",
+    "two_segment_trend_break",
+    "bradley_terry_trade_strength",
 ]
 
 

@@ -779,3 +779,146 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.avg("ppl"), 4).alias("avg_ppl"),
     )
+
+
+# --- Wave 63: TextRank keyword extraction ------------------------------------
+
+_TR_MIN_COUNT = 5
+_TR_MIN_LEN = 3
+_TR_ITERS = 5
+_TR_TOPK = 20
+
+
+def _tr_iter_sql(k: int) -> str:
+    return f"""
+    tr{k} AS MATERIALIZED (
+      SELECT nd.node,
+             round(0.15::DOUBLE / (SELECT cnt FROM ncnt)
+                   + 0.85::DOUBLE * coalesce(s.contrib, 0), 12) AS r
+      FROM tnodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r * e.w / e.wout) AS contrib
+        FROM tesym e JOIN tr{k - 1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
+    )"""
+
+
+@query(
+    "textrank_keywords",
+    oracle=(
+        f"""
+    WITH t AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b,
+             count(*) AS w
+      FROM (SELECT unnest({{g2}}) AS g FROM t) GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(ws) AS tok FROM t) GROUP BY 1
+    ),
+    ok AS (
+      SELECT tok FROM uni
+      WHERE c >= {_TR_MIN_COUNT} AND length(tok) >= {_TR_MIN_LEN}
+    ),
+    und AS (
+      SELECT least(a, b) AS a, greatest(a, b) AS b, sum(w) AS w
+      FROM bg
+      JOIN ok oa ON oa.tok = a
+      JOIN ok ob ON ob.tok = b
+      WHERE a <> b
+      GROUP BY 1, 2
+    ),
+    tesym0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst, w FROM und
+      UNION ALL SELECT b, a, w FROM und
+    ),
+    tnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM tesym0),
+    tesym AS MATERIALIZED (
+      SELECT src, dst, w,
+             sum(w) OVER (PARTITION BY src) AS wout
+      FROM tesym0
+    ),
+    ncnt AS (SELECT count(*) AS cnt FROM tnodes),
+    tr0 AS (SELECT node, 1.0::DOUBLE / (SELECT cnt FROM ncnt) AS r
+            FROM tnodes),"""
+        + ",".join(_tr_iter_sql(k) for k in range(1, _TR_ITERS + 1))
+        + f"""
+    SELECT node AS keyword, round(r, 6) AS textrank
+    FROM tr{_TR_ITERS}
+    ORDER BY round(r, 6) DESC, node ASC
+    LIMIT {_TR_TOPK}
+    """
+    ).format(g2=_gram_sql(2)),
+    tags=["text", "keywords", "textrank", "graph", "extension"],
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the token ADJACENCY graph — undirected edges between
+    consecutive tokens (count-weighted, symmetrized), nodes filtered to
+    tokens with corpus count >= 5 and length >= 3 — ranking words by
+    how centrally they sit in the corpus's phrase structure rather than
+    how often they occur (the classic unsupervised keyphrase baseline;
+    completes the keyword family next to tf-idf's frequency view,
+    chi2's discriminative view, and PMI's association view).
+
+    Machinery is nation_trade_pagerank's, applied to a vocabulary-sized
+    graph: checkpointed symmetric edge list with out-weight totals,
+    5 damped iterations rounded to 12 dp (the engine re-sync), the
+    whole trajectory value-verified by the chained-CTE oracle; top-20
+    by round-6 rank with token tie-break."""
+    from .graphops import pagerank_frame
+
+    t = fan_out_scan(
+        T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ).select(tokens(F.lower(F.col("text"))).alias("ws")).localCheckpoint()
+    bg = (
+        t.select(F.explode(_grams(F.col("ws"), 2)).alias("g"))
+        .select(
+            F.split("g", " ").getItem(0).alias("a"),
+            F.split("g", " ").getItem(1).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ok = (
+        t.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(
+            (F.col("c") >= _TR_MIN_COUNT)
+            & (F.length("tok") >= _TR_MIN_LEN)
+        )
+        .select("tok")
+    )
+    und = (
+        bg.join(ok.withColumnRenamed("tok", "a"), "a")
+        .join(ok.withColumnRenamed("tok", "b"), "b")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("la"),
+            F.greatest("a", "b").alias("gb"),
+            "w",
+        )
+        .groupBy("la", "gb")
+        .agg(F.sum("w").alias("w"))
+    )
+    esym = und.select(
+        F.col("la").alias("src"), F.col("gb").alias("dst"), "w"
+    ).unionAll(
+        und.select(
+            F.col("gb").alias("src"), F.col("la").alias("dst"), "w"
+        )
+    )
+    ranks = pagerank_frame(esym, iters=_TR_ITERS)
+    return (
+        ranks.select(
+            F.col("node").alias("keyword"),
+            F.round("r", 6).alias("textrank"),
+        )
+        .orderBy(F.desc("textrank"), F.asc("keyword"))
+        .limit(_TR_TOPK)
+    )

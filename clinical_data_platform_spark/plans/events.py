@@ -2245,3 +2245,616 @@ def dft24_hourly_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(im * 1e6) / 1e6).alias("im_sum"),
         F.round(re * re + im * im, 6).alias("power"),
     )
+
+
+# --- Wave 63: control charts + forecast-error baselines ----------------------
+
+_CUSUM_H = 5.0  # alarm threshold in sigma units
+
+
+@query(
+    "cusum_control_chart",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM h
+    ),
+    tot AS (
+      SELECT event_type, cast(count(*) AS BIGINT) AS n,
+             cast(sum(x::HUGEINT) AS HUGEINT) AS s,
+             cast(sum(x::HUGEINT * x) AS HUGEINT) AS ss
+      FROM idx GROUP BY 1
+    ),
+    walk AS (
+      SELECT i.event_type, i.rn, t.n, t.s, t.ss,
+             sum(i.x::HUGEINT * t.n - t.s)
+               OVER (PARTITION BY i.event_type ORDER BY i.rn) AS cum
+      FROM idx i JOIN tot t ON t.event_type = i.event_type
+    ),
+    dev AS (
+      SELECT event_type, rn, n, s, ss, cum,
+             cum - min(cum) OVER (PARTITION BY event_type ORDER BY rn)
+               AS cpos,
+             max(cum) OVER (PARTITION BY event_type ORDER BY rn) - cum
+               AS cneg
+      FROM walk
+    ),
+    sig AS (
+      SELECT event_type, rn, n,
+             cpos::DOUBLE / sqrt((n::HUGEINT * ss - s::HUGEINT * s)::DOUBLE)
+               AS zpos,
+             cneg::DOUBLE / sqrt((n::HUGEINT * ss - s::HUGEINT * s)::DOUBLE)
+               AS zneg
+      FROM dev
+    )
+    SELECT event_type, cast(max(n) AS BIGINT) AS n_hours,
+           floor(max(zpos) * 1e6) / 1e6 AS max_cusum_pos_sigma,
+           floor(max(zneg) * 1e6) / 1e6 AS max_cusum_neg_sigma,
+           cast(sum(CASE WHEN zpos > {_CUSUM_H!r} OR zneg > {_CUSUM_H!r}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_hours
+    FROM sig GROUP BY event_type
+    """,
+    tags=["M-ext", "monitoring", "cusum", "extension"],
+)
+def cusum_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart (Page 1954) on the hourly revenue
+    series per event type — the sequential level-shift monitor next to
+    Page-Hinkley (PH tests one direction with slack; CUSUM's
+    prefix-extremum form accumulates BOTH directions with zero slack):
+    C+_t = S_t - min_{j<=t} S_j and C-_t = max_{j<=t} S_j - S_t over
+    the centered walk S. The classic recurrence max(0, prev + d) is NOT
+    window-expressible — the prefix-min/max identity is, which is what
+    makes this a two-window plan instead of a sequential loop.
+
+    Exactness: the walk is kept in INTEGER cross-multiplied units
+    (n*x - S summed in HUGEINT/decimal), the sigma denominator is
+    sqrt(n*SS - S^2) of integer moments — one double division per row,
+    trunc6 at output; the alarm count compares identical doubles.
+    Scale: one corpus rollup; everything after is hours-bounded."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("x")
+    )
+    wtype = Window.partitionBy("event_type")
+    idx = h.select(
+        "event_type",
+        "x",
+        F.row_number().over(wtype.orderBy("hour")).alias("rn"),
+    ).localCheckpoint()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("s"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("ss"),
+    )
+    wrun = wtype.orderBy("rn")
+    walk = idx.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "rn",
+        "n",
+        "s",
+        "ss",
+        F.sum(dec(F.col("x")) * dec(F.col("n")) - F.col("s"))
+        .over(wrun)
+        .alias("cum"),
+    )
+    dev = walk.select(
+        "event_type",
+        "rn",
+        "n",
+        "s",
+        "ss",
+        (F.col("cum") - F.min("cum").over(wrun)).alias("cpos"),
+        (F.max("cum").over(wrun) - F.col("cum")).alias("cneg"),
+    )
+    denom = F.sqrt(
+        (
+            dec(F.col("n")) * F.col("ss") - F.col("s") * F.col("s")
+        ).cast("double")
+    )
+    sig = dev.select(
+        "event_type",
+        "n",
+        (F.col("cpos").cast("double") / denom).alias("zpos"),
+        (F.col("cneg").cast("double") / denom).alias("zneg"),
+    )
+    return sig.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_hours"),
+        (F.floor(F.max("zpos") * 1e6) / 1e6).alias("max_cusum_pos_sigma"),
+        (F.floor(F.max("zneg") * 1e6) / 1e6).alias("max_cusum_neg_sigma"),
+        F.sum(
+            F.when(
+                (F.col("zpos") > _CUSUM_H) | (F.col("zneg") > _CUSUM_H), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alarm_hours"),
+    )
+
+
+_MASE_SEASON = 24
+
+
+@query(
+    "seasonal_naive_mase",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM h
+    ),
+    err AS (
+      SELECT a.event_type,
+             abs(a.c - b1.c) AS e1,
+             abs(a.c - b24.c) AS e24
+      FROM idx a
+      JOIN idx b1 ON b1.event_type = a.event_type AND b1.rn = a.rn - 1
+      JOIN idx b24 ON b24.event_type = a.event_type
+                  AND b24.rn = a.rn - {_MASE_SEASON}
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n_scored,
+           floor(sum(e1) * 1e6 / count(*)) / 1e6 AS mae_naive1,
+           floor(sum(e24) * 1e6 / count(*)) / 1e6 AS mae_seasonal24,
+           floor(sum(e24) * 1e6 / sum(e1)) / 1e6 AS mase
+    FROM err GROUP BY event_type
+    """,
+    tags=["M-ext", "forecasting", "mase", "extension"],
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast-error baseline (the MASE denominator
+    discipline of Hyndman & Koehler 2006, applied as a seasonality
+    detector): per event type, MAE of the lag-24 seasonal-naive
+    forecast vs MAE of the lag-1 persistence forecast over the SAME
+    scored span, and their ratio. MASE < 1 means yesterday-same-hour
+    beats last-hour — the series has real diurnal structure worth a
+    seasonal model (the decision input for ewma vs seasonal forecast);
+    every sum is an integer |difference| so both MAEs and the ratio
+    are exact rationals, trunc6.
+
+    Scale: one corpus rollup to (type, hour), two rank-offset equi
+    joins on the hours-bounded series — same shape as
+    ljung_box_autocorr's lag join."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wtype = Window.partitionBy("event_type")
+    idx = h.select(
+        "event_type",
+        "c",
+        F.row_number().over(wtype.orderBy("hour")).alias("rn"),
+    ).localCheckpoint()
+    b1 = idx.select(
+        F.col("event_type").alias("et1"),
+        F.col("c").alias("c1"),
+        F.col("rn").alias("rn1"),
+    )
+    b24 = idx.select(
+        F.col("event_type").alias("et24"),
+        F.col("c").alias("c24"),
+        F.col("rn").alias("rn24"),
+    )
+    err = (
+        idx.join(
+            b1,
+            (F.col("et1") == F.col("event_type"))
+            & (F.col("rn1") == F.col("rn") - 1),
+        )
+        .join(
+            b24,
+            (F.col("et24") == F.col("event_type"))
+            & (F.col("rn24") == F.col("rn") - _MASE_SEASON),
+        )
+        .select(
+            "event_type",
+            F.abs(F.col("c") - F.col("c1")).alias("e1"),
+            F.abs(F.col("c") - F.col("c24")).alias("e24"),
+        )
+    )
+    return err.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        (F.floor(F.sum("e1") * F.lit(1e6) / F.count(F.lit(1))) / 1e6).alias(
+            "mae_naive1"
+        ),
+        (F.floor(F.sum("e24") * F.lit(1e6) / F.count(F.lit(1))) / 1e6).alias(
+            "mae_seasonal24"
+        ),
+        (F.floor(F.sum("e24") * F.lit(1e6) / F.sum("e1")) / 1e6).alias(
+            "mase"
+        ),
+    )
+
+
+# --- Wave 64: Markov stationary distribution ---------------------------------
+
+_MKV_SQUARINGS = 6  # P^(2^6) = P^64 — far past mixing for a 5-state chain
+
+
+def _mkv_sq_sql(k: int) -> str:
+    return f"""
+    msq{k} AS MATERIALIZED (
+      SELECT p.i, q.j,
+             cast(sum(cast(floor(p.m * q.m * 1e12) AS BIGINT)) AS BIGINT)
+               AS mm
+      FROM mp{k - 1} p JOIN mp{k - 1} q ON q.i = p.j
+      GROUP BY p.i, q.j
+    ),
+    mrs{k} AS (
+      SELECT i, cast(sum(mm) AS BIGINT) AS rs FROM msq{k} GROUP BY i
+    ),
+    mp{k} AS MATERIALIZED (
+      SELECT s.i, s.j, round(s.mm::DOUBLE / r.rs, 12) AS m
+      FROM msq{k} s JOIN mrs{k} r ON r.i = s.i
+    )"""
+
+
+@query(
+    "event_markov_stationary",
+    oracle=(
+        """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, cast(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rowtot AS (SELECT cur, cast(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+    mp0 AS MATERIALIZED (
+      SELECT c.cur AS i, c.nxt AS j, c.n::DOUBLE / r.tot AS m
+      FROM c JOIN rowtot r ON r.cur = c.cur
+    ),"""
+        + ",".join(_mkv_sq_sql(k) for k in range(1, _MKV_SQUARINGS + 1))
+        + f""",
+    emp AS (
+      SELECT cur AS state, cast(sum(n) AS BIGINT) AS n_obs
+      FROM c GROUP BY 1
+    ),
+    tote AS (SELECT cast(sum(n_obs) AS BIGINT) AS t FROM emp),
+    pi AS (
+      SELECT j AS state, min(m) AS lo, max(m) AS hi
+      FROM mp{_MKV_SQUARINGS} GROUP BY j
+    )
+    SELECT pi.state,
+           round((pi.lo + pi.hi) / 2.0::DOUBLE, 6) AS stationary_prob,
+           floor(pi.hi * 1e6) / 1e6 - floor(pi.lo * 1e6) / 1e6
+             AS convergence_gap,
+           floor(emp.n_obs * 1e6 / tote.t) / 1e6 AS empirical_freq
+    FROM pi JOIN emp ON emp.state = pi.state CROSS JOIN tote
+    """
+    ),
+    tags=["sequence", "markov", "iterative", "extension"],
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain —
+    the long-run state occupancy implied by event_transition_matrix
+    (where does behavior settle, vs empirical_freq = where it has been;
+    the gap is the chain's disequilibrium): P^64 by SIX row-renormalized
+    matrix squarings, after which every ROW of the power is the
+    stationary vector; each state's estimate is the midpoint of its
+    column's min/max across rows, and convergence_gap (the column
+    spread, ~0 at mixing) is reported as evidence rather than assumed.
+
+    Exactness: P0's entries are exact count ratios (identical doubles
+    both engines); every matmul term floors into 1e-12 fixed-point
+    int64 before the row sums (order-free); each squaring renormalizes
+    rows by the INTEGER row total and re-syncs at 12 dp. Scale: one
+    corpus lead() pass; everything after is a |types|^2 table."""
+    seq = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    c = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # feeds P0, the empirical marginals, totals
+    )
+    rowtot = c.groupBy("cur").agg(F.sum("n").cast("long").alias("tot"))
+    p = (
+        c.join(rowtot, "cur")
+        .select(
+            F.col("cur").alias("i"),
+            F.col("nxt").alias("j"),
+            (F.col("n").cast("double") / F.col("tot")).alias("m"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    for _ in range(_MKV_SQUARINGS):
+        l_ = p.select(
+            F.col("i").alias("pi"), F.col("j").alias("pk"), F.col("m").alias("pm")
+        )
+        r_ = p.select(
+            F.col("i").alias("qk"), F.col("j").alias("qj"), F.col("m").alias("qm")
+        )
+        sq = (
+            l_.join(r_, F.col("qk") == F.col("pk"))
+            .select(
+                F.col("pi").alias("i"),
+                F.col("qj").alias("j"),
+                F.floor(F.col("pm") * F.col("qm") * F.lit(1e12))
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("i", "j")
+            .agg(F.sum("t").cast("long").alias("mm"))
+        )
+        rs = sq.groupBy("i").agg(F.sum("mm").cast("long").alias("rs"))
+        p = (
+            sq.join(rs, "i")
+            .select(
+                "i",
+                "j",
+                F.round(F.col("mm").cast("double") / F.col("rs"), 12).alias(
+                    "m"
+                ),
+            )
+            .coalesce(1)
+            .localCheckpoint()
+        )
+    emp = c.groupBy(F.col("cur").alias("state")).agg(
+        F.sum("n").cast("long").alias("n_obs")
+    )
+    tote = emp.agg(F.sum("n_obs").cast("long").alias("t"))
+    pi = p.groupBy(F.col("j").alias("state")).agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    return (
+        pi.join(emp, "state")
+        .crossJoin(F.broadcast(tote))
+        .select(
+            "state",
+            F.round((F.col("lo") + F.col("hi")) / F.lit(2.0), 6).alias(
+                "stationary_prob"
+            ),
+            (
+                F.floor(F.col("hi") * 1e6) / 1e6
+                - F.floor(F.col("lo") * 1e6) / 1e6
+            ).alias("convergence_gap"),
+            (F.floor(F.col("n_obs") * F.lit(1e6) / F.col("t")) / 1e6).alias(
+                "empirical_freq"
+            ),
+        )
+    )
+
+
+# --- Wave 64: two-segment structural break (Chow) ----------------------------
+
+_TSB_MIN_SEG = 24  # each segment must hold >= one day of hours
+
+
+@query(
+    "two_segment_trend_break",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM h
+    ),
+    pre AS (
+      SELECT event_type, rn, y,
+             sum(y) OVER w AS cy,
+             sum(rn * y) OVER w AS cty,
+             sum(y * y) OVER w AS cyy,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(y) OVER (PARTITION BY event_type) AS sy,
+             sum(rn * y) OVER (PARTITION BY event_type) AS sty,
+             sum(y * y) OVER (PARTITION BY event_type) AS syy
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+    ),
+    sse AS (
+      SELECT event_type, rn AS b, n, sy, sty, syy,
+             -- left segment: x = 1..b
+             rn AS n1, (rn * (rn + 1)) // 2 AS sx1,
+             (rn * (rn + 1) * (2 * rn + 1)) // 6 AS sxx1,
+             cy AS sy1, cty AS sxy1, cyy AS syy1,
+             -- right segment: x = b+1..n
+             n - rn AS n2,
+             (n * (n + 1)) // 2 - (rn * (rn + 1)) // 2 AS sx2,
+             (n * (n + 1) * (2 * n + 1)) // 6
+               - (rn * (rn + 1) * (2 * rn + 1)) // 6 AS sxx2,
+             sy - cy AS sy2, sty - cty AS sxy2, syy - cyy AS syy2
+      FROM pre
+      WHERE rn >= {_TSB_MIN_SEG} AND rn <= n - {_TSB_MIN_SEG}
+    ),
+    scored AS (
+      SELECT *,
+             (syy1 - sy1::DOUBLE * sy1 / n1
+              - (sxy1 - sx1::DOUBLE * sy1 / n1)
+                * (sxy1 - sx1::DOUBLE * sy1 / n1)
+                / (sxx1 - sx1::DOUBLE * sx1 / n1))
+             + (syy2 - sy2::DOUBLE * sy2 / n2
+                - (sxy2 - sx2::DOUBLE * sy2 / n2)
+                  * (sxy2 - sx2::DOUBLE * sy2 / n2)
+                  / (sxx2 - sx2::DOUBLE * sx2 / n2)) AS sse2,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY (syy1 - sy1::DOUBLE * sy1 / n1
+              - (sxy1 - sx1::DOUBLE * sy1 / n1)
+                * (sxy1 - sx1::DOUBLE * sy1 / n1)
+                / (sxx1 - sx1::DOUBLE * sx1 / n1))
+             + (syy2 - sy2::DOUBLE * sy2 / n2
+                - (sxy2 - sx2::DOUBLE * sy2 / n2)
+                  * (sxy2 - sx2::DOUBLE * sy2 / n2)
+                  / (sxx2 - sx2::DOUBLE * sx2 / n2)) ASC, b ASC) AS rk
+      FROM sse
+    ),
+    best AS (SELECT * FROM scored WHERE rk = 1),
+    pooled AS (
+      SELECT event_type,
+             syy - sy::DOUBLE * sy / n
+             - (sty - ((n * (n + 1)) // 2)::DOUBLE * sy / n)
+               * (sty - ((n * (n + 1)) // 2)::DOUBLE * sy / n)
+               / ((n * (n + 1) * (2 * n + 1)) // 6
+                  - ((n * (n + 1)) // 2)::DOUBLE
+                    * ((n * (n + 1)) // 2) / n) AS ssep
+      FROM (SELECT DISTINCT event_type, n, sy, sty, syy FROM pre)
+    )
+    SELECT b.event_type, cast(b.n AS BIGINT) AS n_hours,
+           cast(b.b AS BIGINT) AS break_rn,
+           round((b.sxy1 - b.sx1::DOUBLE * b.sy1 / b.n1)
+                 / (b.sxx1 - b.sx1::DOUBLE * b.sx1 / b.n1), 6)
+             AS slope_left,
+           round((b.sxy2 - b.sx2::DOUBLE * b.sy2 / b.n2)
+                 / (b.sxx2 - b.sx2::DOUBLE * b.sx2 / b.n2), 6)
+             AS slope_right,
+           floor((p.ssep - b.sse2) * 1e6 / p.ssep) / 1e6 AS sse_drop_frac,
+           round(((p.ssep - b.sse2) / 2.0::DOUBLE)
+                 / (b.sse2 / (b.n - 4.0::DOUBLE)), 6) AS chow_f
+    FROM best b JOIN pooled p ON p.event_type = b.event_type
+    """,
+    tags=["M-ext", "changepoint", "chow", "extension"],
+)
+def two_segment_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best two-segment linear-trend split of the hourly count series
+    per event type — the STRUCTURAL-break companion to
+    mean_shift_changepoints' level test: scan every breakpoint with
+    >= 24 hours on each side, pick the one minimizing the summed OLS
+    SSE of the two segments, and report both slopes, the SSE drop, and
+    the Chow (1960) F statistic ((SSEp - SSE2)/2) / (SSE2/(n-4)).
+
+    The scan is O(1) PER CANDIDATE: prefix sums of (y, t*y, y^2) plus
+    closed-form integer x-moments (b(b+1)//2, b(b+1)(2b+1)//6 — exact
+    integer division on both engines) turn every split's two SSEs into
+    scalar algebra on integer sufficient statistics, so the whole scan
+    is one window pass over the hours-bounded series — never a per-
+    candidate re-aggregation. Cross-engine: every input to the double
+    algebra is an exact integer, the argmin compares identical doubles
+    with breakpoint tie-break.
+
+    Scale: one corpus rollup; series-bounded everything after."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wtype = Window.partitionBy("event_type")
+    wrun = wtype.orderBy("rn")
+    idx = h.select(
+        "event_type",
+        "y",
+        F.row_number().over(wtype.orderBy("hour")).alias("rn"),
+    )
+    pre = idx.select(
+        "event_type",
+        "rn",
+        "y",
+        F.sum("y").over(wrun).alias("cy"),
+        F.sum(F.col("rn") * F.col("y")).over(wrun).alias("cty"),
+        F.sum(F.col("y") * F.col("y")).over(wrun).alias("cyy"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+        F.sum("y").over(wtype).alias("sy"),
+        F.sum(F.col("rn") * F.col("y")).over(wtype).alias("sty"),
+        F.sum(F.col("y") * F.col("y")).over(wtype).alias("syy"),
+    ).localCheckpoint()  # feeds the candidate scan and the pooled fit
+    b = F.col("rn")
+    n = F.col("n")
+    sx1 = F.expr("(rn * (rn + 1)) div 2")
+    sxx1 = F.expr("(rn * (rn + 1) * (2 * rn + 1)) div 6")
+    sx2 = F.expr("(n * (n + 1)) div 2 - (rn * (rn + 1)) div 2")
+    sxx2 = F.expr(
+        "(n * (n + 1) * (2 * n + 1)) div 6"
+        " - (rn * (rn + 1) * (2 * rn + 1)) div 6"
+    )
+    cand = pre.filter(
+        (b >= _TSB_MIN_SEG) & (b <= n - _TSB_MIN_SEG)
+    ).select(
+        "event_type",
+        b.alias("b"),
+        "n",
+        "sy",
+        "sty",
+        "syy",
+        b.alias("n1"),
+        sx1.alias("sx1"),
+        sxx1.alias("sxx1"),
+        F.col("cy").alias("sy1"),
+        F.col("cty").alias("sxy1"),
+        F.col("cyy").alias("syy1"),
+        (n - b).alias("n2"),
+        sx2.alias("sx2"),
+        sxx2.alias("sxx2"),
+        (F.col("sy") - F.col("cy")).alias("sy2"),
+        (F.col("sty") - F.col("cty")).alias("sxy2"),
+        (F.col("syy") - F.col("cyy")).alias("syy2"),
+    )
+
+    def seg_sse(sfx: str):
+        d = lambda c: F.col(c + sfx).cast("double")  # noqa: E731
+        nn = F.col("n" + sfx)
+        sxy_c = d("sxy") - d("sx") * d("sy") / nn
+        sxx_c = d("sxx") - d("sx") * d("sx") / nn
+        return d("syy") - d("sy") * d("sy") / nn - sxy_c * sxy_c / sxx_c
+
+    sse2 = seg_sse("1") + seg_sse("2")
+    scored = cand.withColumn("sse2", sse2).withColumn(
+        "rk",
+        F.row_number().over(
+            wtype.orderBy(F.col("sse2").asc(), F.col("b").asc())
+        ),
+    )
+    best = scored.filter(F.col("rk") == 1)
+    tot = pre.select("event_type", "n", "sy", "sty", "syy").distinct()
+    sxp = F.expr("(n * (n + 1)) div 2").cast("double")
+    sxxp = F.expr("(n * (n + 1) * (2 * n + 1)) div 6").cast("double")
+    nd = F.col("n").cast("double")
+    sxy_cp = F.col("sty") - sxp * F.col("sy") / nd
+    ssep = (
+        F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy") / nd
+        - sxy_cp * sxy_cp / (sxxp - sxp * sxp / nd)
+    )
+    pooled = tot.select("event_type", ssep.alias("ssep"))
+
+    def slope(sfx: str):
+        d = lambda c: F.col(c + sfx).cast("double")  # noqa: E731
+        nn = F.col("n" + sfx)
+        return (d("sxy") - d("sx") * d("sy") / nn) / (
+            d("sxx") - d("sx") * d("sx") / nn
+        )
+
+    return best.join(pooled, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("b").cast("long").alias("break_rn"),
+        F.round(slope("1"), 6).alias("slope_left"),
+        F.round(slope("2"), 6).alias("slope_right"),
+        (
+            F.floor(
+                (F.col("ssep") - F.col("sse2")) * F.lit(1e6) / F.col("ssep")
+            )
+            / 1e6
+        ).alias("sse_drop_frac"),
+        F.round(
+            ((F.col("ssep") - F.col("sse2")) / F.lit(2.0))
+            / (F.col("sse2") / (F.col("n").cast("double") - F.lit(4.0))),
+            6,
+        ).alias("chow_f"),
+    )

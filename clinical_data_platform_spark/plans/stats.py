@@ -5177,3 +5177,164 @@ def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("gumbel_beta"),
         F.round(rl, 6).alias(f"return_level_{_GUMBEL_RETURN_T}d"),
     )
+
+
+# --- Wave 63: E-value sensitivity analysis -----------------------------------
+
+_EV_Z = 1.959963984540054  # pinned literal, same as the Greenwood CI
+
+
+@query(
+    "evalue_sensitivity",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 450.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CASE WHEN ({{hex1}}) % 2 = 0 THEN 0 ELSE 1 END AS variant,
+             converted
+      FROM conv
+    ),
+    s AS (
+      SELECT cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             cast(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS x1,
+             cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             cast(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS x2
+      FROM arms
+    ),
+    rrc AS (
+      -- both arms must convert at least once or RR/se are undefined
+      -- (the sf0.001 sparsity case): emit the counts with NULL effect
+      SELECT n1, x1, n2, x2,
+             CASE WHEN x1 > 0 AND x2 > 0
+                  THEN (x2::DOUBLE / n2) / (x1::DOUBLE / n1) END AS rr,
+             CASE WHEN x1 > 0 AND x2 > 0
+                  THEN sqrt((1.0::DOUBLE - x1::DOUBLE / n1) / x1
+                       + (1.0::DOUBLE - x2::DOUBLE / n2) / x2) END AS se_ln
+      FROM s
+    ),
+    ci AS (
+      SELECT *,
+             exp(ln(rr) - {_EV_Z!r} * se_ln) AS ci_lo,
+             exp(ln(rr) + {_EV_Z!r} * se_ln) AS ci_hi
+      FROM rrc
+    ),
+    ev AS (
+      SELECT *,
+             CASE WHEN rr >= 1.0 THEN rr ELSE 1.0::DOUBLE / rr END AS rrs,
+             CASE WHEN rr IS NULL THEN NULL
+                  WHEN ci_lo > 1.0 THEN ci_lo
+                  WHEN ci_hi < 1.0 THEN 1.0::DOUBLE / ci_hi
+                  ELSE 1.0::DOUBLE END AS rrs_ci
+      FROM ci
+    )
+    SELECT n1 AS n_control, x1 AS conv_control,
+           n2 AS n_treatment, x2 AS conv_treatment,
+           round(rr, 6) AS risk_ratio,
+           round(ci_lo, 6) AS rr_ci_lo,
+           round(ci_hi, 6) AS rr_ci_hi,
+           round(rrs + sqrt(rrs * (rrs - 1.0)), 6) AS evalue_point,
+           round(CASE WHEN rrs_ci IS NULL THEN NULL
+                      WHEN rrs_ci > 1.0
+                      THEN rrs_ci + sqrt(rrs_ci * (rrs_ci - 1.0))
+                      ELSE 1.0::DOUBLE END, 6) AS evalue_ci
+    FROM ev
+    """.format(
+        hex1="(strpos('0123456789abcdef',"
+        " substr(md5(cast(user_id AS VARCHAR) || '|ab'), 1, 1)) - 1)"
+    ),
+    tags=["M-ext", "causal", "sensitivity", "extension"],
+)
+def evalue_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-value sensitivity analysis (VanderWeele & Ding 2017) for the
+    experiment's risk ratio: the minimum strength of association an
+    UNMEASURED confounder would need with both arm assignment and
+    outcome to explain the observed RR away — E = RR* + sqrt(RR*(RR*-1))
+    on the point estimate and on the CI bound closer to the null (1 if
+    the CI crosses 1). The standard robustness readout for
+    observational effect estimates, completing the causal family
+    (DiD, CUPED, IPTW, PSM, RD, QTE) with its sensitivity leg.
+
+    Same md5 bucketing and conversion definition as
+    ab_test_two_proportion (the null is true by construction, so the
+    expected E-value is ~1 — the operator is the machinery). All
+    inputs are integer arm counts; ln/exp/sqrt on identical doubles,
+    round 6. One per-user aggregate + one scalar fold."""
+    ev = T(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 450.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|ab"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    arms = conv.select(variant.alias("variant"), "converted")
+    s = arms.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    ok = (F.col("x1") > 0) & (F.col("x2") > 0)
+    # both arms must convert at least once or RR/se are undefined (the
+    # sf0.001 sparsity case) — NULL effect columns, mirrored in the oracle
+    rr = F.when(ok, p2 / p1)
+    se_ln = F.when(
+        ok,
+        F.sqrt(
+            (F.lit(1.0) - p1) / F.col("x1")
+            + (F.lit(1.0) - p2) / F.col("x2")
+        ),
+    )
+    ci_lo = F.exp(F.log(rr) - F.lit(_EV_Z) * se_ln)
+    ci_hi = F.exp(F.log(rr) + F.lit(_EV_Z) * se_ln)
+    rrs = F.when(rr >= 1.0, rr).otherwise(F.lit(1.0) / rr)
+    rrs_ci = F.when(
+        ok,
+        F.when(ci_lo > 1.0, ci_lo)
+        .when(ci_hi < 1.0, F.lit(1.0) / ci_hi)
+        .otherwise(F.lit(1.0)),
+    )
+    return s.select(
+        F.col("n1").alias("n_control"),
+        F.col("x1").alias("conv_control"),
+        F.col("n2").alias("n_treatment"),
+        F.col("x2").alias("conv_treatment"),
+        F.round(rr, 6).alias("risk_ratio"),
+        F.round(ci_lo, 6).alias("rr_ci_lo"),
+        F.round(ci_hi, 6).alias("rr_ci_hi"),
+        F.round(rrs + F.sqrt(rrs * (rrs - 1.0)), 6).alias("evalue_point"),
+        F.round(
+            F.when(
+                rrs_ci > 1.0, rrs_ci + F.sqrt(rrs_ci * (rrs_ci - 1.0))
+            ).otherwise(F.when(ok, F.lit(1.0))),
+            6,
+        ).alias("evalue_ci"),
+    )

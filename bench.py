@@ -300,6 +300,9 @@ HEADLINE = [
     "event_markov_stationary",
     "two_segment_trend_break",
     "bradley_terry_trade_strength",
+    # wave 65 (r4): EM linkage training, sequential pattern support
+    "fs_em_linkage_params",
+    "followed_by_support",
 ]
 
 

@@ -2858,3 +2858,110 @@ def two_segment_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chow_f"),
     )
+
+
+# --- Wave 65: sequential followed-by pattern support -------------------------
+
+
+@query(
+    "followed_by_support",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, event_type,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY 1, 2
+    ),
+    nu AS (SELECT cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events),
+    sup AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             cast(count(*) AS BIGINT) AS n_support
+      FROM ue a JOIN ue b
+        ON b.user_id = a.user_id AND b.event_type <> a.event_type
+      WHERE a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    )
+    SELECT s.antecedent, s.consequent, s.n_support,
+           floor(s.n_support * 1e6 / nu.n_users) / 1e6 AS support_frac,
+           floor(s.n_support * 1e6
+                 / (s.n_support + coalesce(r.n_support, 0))) / 1e6
+             AS directionality
+    FROM sup s
+    LEFT JOIN sup r ON r.antecedent = s.consequent
+                   AND r.consequent = s.antecedent
+    CROSS JOIN nu
+    """,
+    tags=["sequence", "pattern-mining", "extension"],
+)
+def followed_by_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential "A followed by B" pattern support (the 2-item core of
+    PrefixSpan-style sequence mining, with GAPS allowed — unlike
+    event_transition_matrix's adjacent-only view): for every ordered
+    pair of distinct event types, the number of users whose first A
+    precedes their last B, the user-base support fraction, and the
+    directionality share support(A->B)/(support(A->B)+support(B->A)) —
+    1.0 means the order is deterministic, 0.5 means unordered
+    co-occurrence. The browse->purchase reading a funnel wants without
+    pre-declaring the funnel.
+
+    Exactness: the existence test "some A before some B" reduces to
+    first_ts(A) < last_ts(B) — two keyed MIN/MAX aggregates, no
+    sequence scan; counts integer, ratios trunc6. Scale: one per
+    (user, type) rollup (the only row-proportional shuffle), then a
+    per-user <= |types|^2 expansion — bounded fan-out."""
+    ue = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .localCheckpoint()  # consumed by both sides of the pair join
+    )
+    nu = T(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a = ue.select(
+        "user_id",
+        F.col("event_type").alias("antecedent"),
+        "first_ts",
+    )
+    b = ue.select(
+        F.col("user_id").alias("uid_b"),
+        F.col("event_type").alias("consequent"),
+        "last_ts",
+    )
+    sup = (
+        a.join(
+            b,
+            (F.col("uid_b") == F.col("user_id"))
+            & (F.col("consequent") != F.col("antecedent")),
+        )
+        .filter(F.col("first_ts") < F.col("last_ts"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
+        .localCheckpoint()  # joined against its own reverse below
+    )
+    rev = sup.select(
+        F.col("antecedent").alias("consequent"),
+        F.col("consequent").alias("antecedent"),
+        F.col("n_support").alias("n_rev"),
+    )
+    return (
+        sup.join(rev, ["antecedent", "consequent"], "left")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_support",
+            (
+                F.floor(F.col("n_support") * F.lit(1e6) / F.col("n_users"))
+                / 1e6
+            ).alias("support_frac"),
+            (
+                F.floor(
+                    F.col("n_support")
+                    * F.lit(1e6)
+                    / (F.col("n_support") + F.coalesce("n_rev", F.lit(0)))
+                )
+                / 1e6
+            ).alias("directionality"),
+        )
+    )

@@ -2366,3 +2366,282 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked,
         "rank INT, doc_id BIGINT, nb DOUBLE, penalty DOUBLE, mmr DOUBLE",
     )
+
+
+# --- Wave 65: EM-estimated Fellegi-Sunter parameters -------------------------
+
+_EM_ROUNDS = 5
+_EM_LAM0 = "0.1"   # initial match proportion (literal both engines)
+_EM_M0 = "0.9"     # initial per-field m (literal both engines)
+
+
+def _em_g_sql(p: str) -> str:
+    """g = P(match | pattern) under params table alias p."""
+    pm = (
+        f"{p}.lam"
+        f" * (CASE WHEN pat.ba = 1 THEN {p}.m1 ELSE 1.0 - {p}.m1 END)"
+        f" * (CASE WHEN pat.ta = 1 THEN {p}.m2 ELSE 1.0 - {p}.m2 END)"
+        f" * (CASE WHEN pat.sa = 1 THEN {p}.m3 ELSE 1.0 - {p}.m3 END)"
+    )
+    pu = (
+        f"(1.0 - {p}.lam)"
+        f" * (CASE WHEN pat.ba = 1 THEN {p}.u1 ELSE 1.0 - {p}.u1 END)"
+        f" * (CASE WHEN pat.ta = 1 THEN {p}.u2 ELSE 1.0 - {p}.u2 END)"
+        f" * (CASE WHEN pat.sa = 1 THEN {p}.u3 ELSE 1.0 - {p}.u3 END)"
+    )
+    return f"(({pm}) / (({pm}) + ({pu})))"
+
+
+def _em_round_sql(k: int) -> str:
+    g = _em_g_sql(f"pr{k - 1}")
+    return f"""
+    e{k} AS (
+      SELECT pat.ba, pat.ta, pat.sa, pat.n,
+             cast(floor({g} * 1e12) AS BIGINT) AS gfp,
+             cast(floor((1.0 - {g}) * 1e12) AS BIGINT) AS hfp
+      FROM pat, pr{k - 1}
+    ),
+    s{k} AS (
+      SELECT sum(n::HUGEINT * gfp) AS gg, sum(n::HUGEINT * hfp) AS hh,
+             sum(n::HUGEINT * gfp * ba) AS g1, sum(n::HUGEINT * hfp * ba) AS h1,
+             sum(n::HUGEINT * gfp * ta) AS g2, sum(n::HUGEINT * hfp * ta) AS h2,
+             sum(n::HUGEINT * gfp * sa) AS g3, sum(n::HUGEINT * hfp * sa) AS h3,
+             sum(n::HUGEINT) * 1000000000000::HUGEINT AS tot
+      FROM e{k}
+    ),
+    pr{k} AS MATERIALIZED (
+      SELECT round(gg::DOUBLE / tot::DOUBLE, 12) AS lam,
+             round(g1::DOUBLE / gg::DOUBLE, 12) AS m1,
+             round(g2::DOUBLE / gg::DOUBLE, 12) AS m2,
+             round(g3::DOUBLE / gg::DOUBLE, 12) AS m3,
+             round(h1::DOUBLE / hh::DOUBLE, 12) AS u1,
+             round(h2::DOUBLE / hh::DOUBLE, 12) AS u2,
+             round(h3::DOUBLE / hh::DOUBLE, 12) AS u3
+      FROM s{k}
+    )"""
+
+
+@query(
+    "fs_em_linkage_params",
+    oracle=(
+        f"""
+    WITH u0 AS (
+      SELECT {_fs_u_sql('p_brand')} AS u_brand,
+             {_fs_u_sql('p_type')} AS u_type,
+             {_fs_u_sql('p_size')} AS u_size
+    ),
+    t AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             list_sort(list_distinct(string_split(
+               lower(p_name || ' ' || p_brand || ' ' || p_type), ' '))) AS ts
+      FROM part
+    ),
+    b AS (
+      SELECT *, ts[1] || ' ' || ts[2] AS blk FROM t WHERE len(ts) >= 2
+    ),
+    pat AS MATERIALIZED (
+      SELECT CASE WHEN a.p_brand = c.p_brand THEN 1 ELSE 0 END AS ba,
+             CASE WHEN a.p_type = c.p_type THEN 1 ELSE 0 END AS ta,
+             CASE WHEN a.p_size = c.p_size THEN 1 ELSE 0 END AS sa,
+             cast(count(*) AS BIGINT) AS n
+      FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+      GROUP BY 1, 2, 3
+    ),
+    pr0 AS (
+      SELECT {_EM_LAM0}::DOUBLE AS lam,
+             {_EM_M0}::DOUBLE AS m1, {_EM_M0}::DOUBLE AS m2,
+             {_EM_M0}::DOUBLE AS m3,
+             round(u_brand, 12) AS u1, round(u_type, 12) AS u2,
+             round(u_size, 12) AS u3
+      FROM u0
+    ),"""
+        + ",".join(_em_round_sql(k) for k in range(1, _EM_ROUNDS + 1))
+        + f""",
+    tot AS (SELECT cast(sum(n) AS BIGINT) AS n_pairs FROM pat)
+    SELECT f.field,
+           round(CASE f.field WHEN 'brand' THEN p.m1
+                              WHEN 'type' THEN p.m2 ELSE p.m3 END, 6) AS m,
+           round(CASE f.field WHEN 'brand' THEN p.u1
+                              WHEN 'type' THEN p.u2 ELSE p.u3 END, 6) AS u,
+           CASE WHEN (CASE f.field WHEN 'brand' THEN p.m1
+                                   WHEN 'type' THEN p.m2 ELSE p.m3 END) > 0
+                 AND (CASE f.field WHEN 'brand' THEN p.u1
+                                   WHEN 'type' THEN p.u2 ELSE p.u3 END) > 0
+           THEN round(log2(CASE f.field WHEN 'brand' THEN p.m1
+                                   WHEN 'type' THEN p.m2 ELSE p.m3 END
+                      / CASE f.field WHEN 'brand' THEN p.u1
+                                     WHEN 'type' THEN p.u2 ELSE p.u3 END), 6)
+           END AS w_agree,
+           CASE WHEN (CASE f.field WHEN 'brand' THEN p.m1
+                                   WHEN 'type' THEN p.m2 ELSE p.m3 END) < 1
+                 AND (CASE f.field WHEN 'brand' THEN p.u1
+                                   WHEN 'type' THEN p.u2 ELSE p.u3 END) < 1
+           THEN round(log2((1.0 - CASE f.field WHEN 'brand' THEN p.m1
+                                          WHEN 'type' THEN p.m2 ELSE p.m3 END)
+                      / (1.0 - CASE f.field WHEN 'brand' THEN p.u1
+                                            WHEN 'type' THEN p.u2
+                                            ELSE p.u3 END)), 6)
+           END AS w_disagree,
+           round(p.lam, 6) AS lambda_match,
+           tot.n_pairs
+    FROM (SELECT unnest(['brand', 'type', 'size']) AS field) f,
+         pr{_EM_ROUNDS} p, tot
+    """
+    ),
+    tags=["dedup", "entity-resolution", "em", "iterative", "extension"],
+)
+def fs_em_linkage_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-estimated Fellegi-Sunter parameters (Winkler 1988; the
+    unsupervised training loop inside Splink): starting from the
+    chance-agreement u's and a 0.9/0.1 prior, five EM rounds over the
+    BOUNDED agreement-pattern table re-estimate per-field m, u and the
+    match proportion lambda — no labeled pairs anywhere. The upgrade
+    over fellegi_sunter_weights' fixed m=0.9 prior: weights come from
+    the data's own mixture structure.
+
+    The E-step posterior g(pattern) and M-step ratios run on <= 8
+    pattern rows (the corpus only enters through the blocked pair
+    COUNT aggregate — the same candidate generator as er_blocking);
+    every g is floored into 1e-12 fixed-point before the count-weighted
+    sums (HUGEINT/decimal, order-free) and parameters re-sync at 12 dp
+    per round, so the whole EM trajectory is value-verified by the
+    chained-CTE oracle. Scale: pattern counts are a metadata-sized
+    aggregate of the blocked join at any corpus size."""
+    p = T(spark, sf_dir, "part")
+
+    def u_of(f: str, alias: str):
+        vc = p.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+        return vc.agg(
+            F.round(
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.sum("c") * F.sum("c")),
+                12,
+            ).alias(alias)
+        )
+    ts = F.array_sort(
+        F.array_distinct(
+            F.split(
+                F.lower(
+                    F.concat_ws(
+                        " ", F.col("p_name"), F.col("p_brand"), F.col("p_type")
+                    )
+                ),
+                " ",
+            )
+        )
+    )
+    b = (
+        p.select("p_partkey", "p_brand", "p_type", "p_size", ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .withColumn(
+            "blk",
+            F.concat_ws(" ", F.element_at("ts", 1), F.element_at("ts", 2)),
+        )
+    )
+    a_, c_ = b.alias("a"), b.alias("c")
+    pat = (
+        a_.join(
+            c_,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_partkey") < F.col("c.p_partkey")),
+        )
+        .select(
+            (F.col("a.p_brand") == F.col("c.p_brand")).cast("int").alias("ba"),
+            (F.col("a.p_type") == F.col("c.p_type")).cast("int").alias("ta"),
+            (F.col("a.p_size") == F.col("c.p_size")).cast("int").alias("sa"),
+        )
+        .groupBy("ba", "ta", "sa")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    params = (
+        u_of("p_brand", "u1")
+        .crossJoin(u_of("p_type", "u2"))
+        .crossJoin(u_of("p_size", "u3"))
+        .select(
+            F.lit(float(_EM_LAM0)).alias("lam"),
+            F.lit(float(_EM_M0)).alias("m1"),
+            F.lit(float(_EM_M0)).alias("m2"),
+            F.lit(float(_EM_M0)).alias("m3"),
+            "u1",
+            "u2",
+            "u3",
+        )
+        .localCheckpoint()
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    for _ in range(_EM_ROUNDS):
+        j = pat.crossJoin(F.broadcast(params))
+
+        def side(mcols):
+            out = F.col("lam") if mcols[0] == "m" else (F.lit(1.0) - F.col("lam"))
+            for bit, c1 in (("ba", "1"), ("ta", "2"), ("sa", "3")):
+                f = F.col(mcols + c1)
+                out = out * F.when(F.col(bit) == 1, f).otherwise(F.lit(1.0) - f)
+            return out
+
+        pm = side("m")
+        pu = side("u")
+        g = pm / (pm + pu)
+        e = j.select(
+            "ba", "ta", "sa", "n",
+            F.floor(g * F.lit(1e12)).cast("long").alias("gfp"),
+            F.floor((F.lit(1.0) - g) * F.lit(1e12)).cast("long").alias("hfp"),
+        )
+        s = e.agg(
+            F.sum(dec(F.col("n")) * dec(F.col("gfp"))).alias("gg"),
+            F.sum(dec(F.col("n")) * dec(F.col("hfp"))).alias("hh"),
+            F.sum(dec(F.col("n")) * dec(F.col("gfp")) * F.col("ba")).alias("g1"),
+            F.sum(dec(F.col("n")) * dec(F.col("hfp")) * F.col("ba")).alias("h1"),
+            F.sum(dec(F.col("n")) * dec(F.col("gfp")) * F.col("ta")).alias("g2"),
+            F.sum(dec(F.col("n")) * dec(F.col("hfp")) * F.col("ta")).alias("h2"),
+            F.sum(dec(F.col("n")) * dec(F.col("gfp")) * F.col("sa")).alias("g3"),
+            F.sum(dec(F.col("n")) * dec(F.col("hfp")) * F.col("sa")).alias("h3"),
+            (F.sum(dec(F.col("n"))) * F.lit(10).cast("decimal(38,0)") ** 12)
+            .alias("tot"),
+        )
+        params = s.select(
+            F.round(F.col("gg").cast("double") / F.col("tot").cast("double"), 12).alias("lam"),
+            F.round(F.col("g1").cast("double") / F.col("gg").cast("double"), 12).alias("m1"),
+            F.round(F.col("g2").cast("double") / F.col("gg").cast("double"), 12).alias("m2"),
+            F.round(F.col("g3").cast("double") / F.col("gg").cast("double"), 12).alias("m3"),
+            F.round(F.col("h1").cast("double") / F.col("hh").cast("double"), 12).alias("u1"),
+            F.round(F.col("h2").cast("double") / F.col("hh").cast("double"), 12).alias("u2"),
+            F.round(F.col("h3").cast("double") / F.col("hh").cast("double"), 12).alias("u3"),
+        ).localCheckpoint()
+    tot = pat.agg(F.sum("n").cast("long").alias("n_pairs"))
+    fields = params.crossJoin(F.broadcast(tot)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("field"),
+                        F.col("m" + i).alias("m_raw"),
+                        F.col("u" + i).alias("u_raw"),
+                    )
+                    for name, i in (("brand", "1"), ("type", "2"), ("size", "3"))
+                ]
+            )
+        ).alias("fx"),
+        "lam",
+        "n_pairs",
+    )
+    # a field that never (or always) agrees inside the blocks degenerates
+    # to m = u = 0 (or 1) — its log-weights are undefined: NULL, mirrored
+    # in the oracle (e.g. p_size at sf0.001)
+    mr, ur = F.col("fx.m_raw"), F.col("fx.u_raw")
+    return fields.select(
+        F.col("fx.field").alias("field"),
+        F.round(mr, 6).alias("m"),
+        F.round(ur, 6).alias("u"),
+        F.when(
+            (mr > 0) & (ur > 0), F.round(F.log2(mr / ur), 6)
+        ).alias("w_agree"),
+        F.when(
+            (mr < 1) & (ur < 1),
+            F.round(F.log2((F.lit(1.0) - mr) / (F.lit(1.0) - ur)), 6),
+        ).alias("w_disagree"),
+        F.round("lam", 6).alias("lambda_match"),
+        "n_pairs",
+    )

@@ -162,6 +162,21 @@ AUDIT = [
     ("rm3_query_expansion", "RM3: one posting table feeds base scorer, RM1 model, and rescorer"),
     ("newsvendor_stock_levels", "Newsvendor: (brand, day) rollup, per-brand order-statistic pick"),
     ("lp_community_modularity", "Modularity: LP label joins over the edge list, fixed-point community terms"),
+    # waves 62-65 (round 4)
+    ("ljung_box_autocorr", "Ljung-Box: hours-bounded 6x lag join, integer autocovariance moments"),
+    ("winnowing_fingerprint_pairs", "Winnowing: doc-partitioned window-min, df-capped posting join"),
+    ("dirichlet_query_likelihood", "Dirichlet QL: posting-bounded candidates, broadcast collection stats"),
+    ("kneser_ney_bigram_lm", "Kneser-Ney: vocab-sized model tables, three hash joins to score"),
+    ("personalized_pagerank", "PPR: checkpointed edges, restart mass at one seed, node-sized rank state"),
+    ("t_closeness_audit", "t-closeness: group-bin grid, integer cross-multiplied EMD walk"),
+    ("mmr_diversified_topk", "MMR: constant-20 candidate set, greedy rounds never touch the corpus"),
+    ("cusum_control_chart", "CUSUM: prefix-extremum identity, integer walk, two windows"),
+    ("pca_top_component", "PCA: gram partials once, dim^2 matrix-squaring rounds (single-task state)"),
+    ("event_markov_stationary", "Markov stationary: one lead() pass, |types|^2 squaring rounds"),
+    ("two_segment_trend_break", "Chow scan: O(1)-per-candidate prefix sums, closed-form x-moments"),
+    ("bradley_terry_trade_strength", "Bradley-Terry: Q7 edge build, |nations|^2 MM rounds in fixed-point"),
+    ("fs_em_linkage_params", "FS-EM: blocked pattern counts, EM on <= 8 rows, decimal M-step sums"),
+    ("followed_by_support", "Followed-by: per-(user,type) MIN/MAX rollup, bounded pair expansion"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

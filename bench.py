@@ -303,6 +303,13 @@ HEADLINE = [
     # wave 65 (r4): EM linkage training, sequential pattern support
     "fs_em_linkage_params",
     "followed_by_support",
+    # wave 66 (r4): exact inference, regression diagnostics, APSP
+    "fisher_exact_supplier_balance",
+    "ols_influence_diagnostics",
+    "newey_west_trend_se",
+    "tail_dependence_daily",
+    "weibull_survival_fit",
+    "nation_closeness_centrality",
 ]
 
 

@@ -1726,3 +1726,181 @@ def bradley_terry_trade_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("win_rate"),
         )
     )
+
+
+# --- Wave 66: all-pairs shortest paths + closeness centrality -----------------
+
+_CC_ROUNDS = 3  # min-plus squarings: covers paths up to 2^3 = 8 hops
+
+_CC_EDGES_SQL = """
+    e0 AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    d0 AS (
+      SELECT i, j, min(d) AS d FROM (
+        SELECT n_name AS i, n_name AS j, 0 AS d FROM nation
+        UNION ALL
+        SELECT src AS i, dst AS j, 1 AS d FROM und
+      ) GROUP BY 1, 2
+    )
+"""
+
+
+def _cc_iter_sql(k: int) -> str:
+    return f"""
+    d{k} AS (
+      SELECT a.i, b.j, min(a.d + b.d) AS d
+      FROM d{k - 1} a JOIN d{k - 1} b ON a.j = b.i
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "nation_closeness_centrality",
+    oracle=(
+        "WITH "
+        + _CC_EDGES_SQL
+        + "".join("," + _cc_iter_sql(k) for k in range(1, _CC_ROUNDS + 1))
+        + f"""
+    , fin AS (
+      SELECT i, j, d FROM d{_CC_ROUNDS} WHERE i <> j
+    )
+    SELECT n.n_name AS nation,
+           cast(coalesce(count(fin.j), 0) AS BIGINT) AS n_reachable,
+           cast(max(fin.d) AS BIGINT) AS eccentricity,
+           cast(sum(fin.d) AS BIGINT) AS sum_dist,
+           CASE WHEN coalesce(sum(fin.d), 0) > 0
+                THEN ((count(fin.j) * 1000000) // sum(fin.d)) / 1e6
+           END AS closeness,
+           CASE WHEN count(fin.j) > 0
+                THEN (cast(sum(1000000000000 // fin.d) AS BIGINT)
+                      // 1000000) / 1e6
+           END AS harmonic
+    FROM nation n LEFT JOIN fin ON fin.i = n.n_name
+    GROUP BY 1
+    """
+    ),
+    tags=["graph", "apsp", "centrality", "extension"],
+)
+def nation_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + harmonic centrality and eccentricity of every nation
+    in the UNDIRECTED trade graph, from exact all-pairs shortest paths
+    computed by MIN-PLUS MATRIX SQUARING: D_(2k) = min_m (D_k(i,m) +
+    D_k(m,j)), 3 squarings = every shortest path up to 8 hops (the
+    25-node trade graph's diameter is far below that; both engines run
+    the identical fixed round count, so an undersized bound would still
+    compare equal). Distances stay INTEGERS throughout — no float drift
+    is possible — and closeness (n_reach / sum d) and harmonic
+    (sum 1/d) collapse to integer cross-multiplied truncations
+    (1e12 // d per term, order-free integer sums).
+
+    Squaring beats Bellman-Ford rounds when the graph is dense and the
+    node set bounded: O(log diameter) joins on a dim-bounded matrix
+    instead of O(diameter) passes over a fact-scaled edge list. The
+    fact-scaled work is exactly ONE Q7-shaped join to build e0;
+    everything after lives on <= |nations|^2 rows.
+
+    Isolated nations (no trade edges) report 0 reachable and NULL
+    centralities via the left join against the full nation dim."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n1 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+        )
+    )
+    e0 = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    und = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nations = T(spark, sf_dir, "nation").select("n_name")
+    diag = nations.select(
+        F.col("n_name").alias("i"),
+        F.col("n_name").alias("j"),
+        F.lit(0).alias("d"),
+    )
+    dmat = (
+        diag.unionByName(
+            und.select(
+                F.col("src").alias("i"),
+                F.col("dst").alias("j"),
+                F.lit(1).alias("d"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.min("d").alias("d"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    for _ in range(_CC_ROUNDS):
+        a = dmat.select(
+            F.col("i").alias("ai"), F.col("j").alias("am"), F.col("d").alias("ad")
+        )
+        b = dmat.select(
+            F.col("i").alias("bm"), F.col("j").alias("bj"), F.col("d").alias("bd")
+        )
+        dmat = (
+            a.join(b, F.col("am") == F.col("bm"))
+            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+            .agg(F.min(F.col("ad") + F.col("bd")).alias("d"))
+            .coalesce(1)
+            .localCheckpoint()
+        )
+    fin = dmat.filter(F.col("i") != F.col("j"))
+    per = (
+        nations.join(fin, nations.n_name == fin.i, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("j").cast("long").alias("n_reachable"),
+            F.max("d").cast("long").alias("eccentricity"),
+            F.sum("d").cast("long").alias("sum_dist"),
+            F.sum(F.expr("1000000000000 div d")).cast("long").alias("h_fp"),
+        )
+    )
+    return per.select(
+        F.col("n_name").alias("nation"),
+        "n_reachable",
+        "eccentricity",
+        "sum_dist",
+        F.when(
+            F.coalesce(F.col("sum_dist"), F.lit(0)) > 0,
+            F.expr("(n_reachable * 1000000) div sum_dist") / 1e6,
+        ).alias("closeness"),
+        F.when(
+            F.col("n_reachable") > 0,
+            F.expr("h_fp div 1000000") / 1e6,
+        ).alias("harmonic"),
+    )

@@ -5338,3 +5338,745 @@ def evalue_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("evalue_ci"),
     )
+
+
+# --- Wave 66: Fisher exact test -----------------------------------------------
+
+
+@query(
+    "fisher_exact_supplier_balance",
+    oracle="""
+    WITH s AS (
+      SELECT (r.r_name = 'EUROPE') AS in_eu, (sp.s_acctbal < 0) AS neg
+      FROM supplier sp
+      JOIN nation n ON sp.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    cnt AS (
+      SELECT cast(sum(CASE WHEN in_eu AND neg THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             cast(sum(CASE WHEN in_eu THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             cast(sum(CASE WHEN neg THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             cast(count(*) AS BIGINT) AS n
+      FROM s
+    ),
+    grid AS (
+      SELECT unnest(generate_series(0, (SELECT n FROM cnt))) AS i
+    ),
+    lf AS (
+      SELECT i,
+             cast(sum(CASE WHEN i >= 2
+                           THEN cast(floor(ln(i) * 1e9) AS BIGINT)
+                           ELSE 0 END) OVER (ORDER BY i) AS BIGINT) AS lf
+      FROM grid
+    ),
+    konst AS (
+      SELECT c.a, c.r1, c.c1, c.n,
+             l1.lf + l2.lf + l3.lf + l4.lf - l5.lf AS kfp
+      FROM cnt c
+      JOIN lf l1 ON l1.i = c.r1
+      JOIN lf l2 ON l2.i = c.n - c.r1
+      JOIN lf l3 ON l3.i = c.c1
+      JOIN lf l4 ON l4.i = c.n - c.c1
+      JOIN lf l5 ON l5.i = c.n
+    ),
+    ks AS (
+      SELECT k.a, k.r1, k.c1, k.n, k.kfp, u.kk
+      FROM konst k,
+           unnest(generate_series(greatest(0, k.r1 + k.c1 - k.n),
+                                  least(k.r1, k.c1))) AS u(kk)
+    ),
+    lp AS (
+      SELECT ks.a, ks.r1, ks.c1, ks.n, ks.kk,
+             ks.kfp - la.lf - lb.lf - lc.lf - ld.lf AS l_fp
+      FROM ks
+      JOIN lf la ON la.i = ks.kk
+      JOIN lf lb ON lb.i = ks.r1 - ks.kk
+      JOIN lf lc ON lc.i = ks.c1 - ks.kk
+      JOIN lf ld ON ld.i = ks.n - ks.r1 - ks.c1 + ks.kk
+    ),
+    obs AS (SELECT l_fp AS obs_fp FROM lp WHERE kk = a)
+    SELECT any_value(lp.a) AS n_eu_neg,
+           any_value(lp.r1 - lp.a) AS n_eu_pos,
+           any_value(lp.c1 - lp.a) AS n_row_neg,
+           any_value(lp.n - lp.r1 - lp.c1 + lp.a) AS n_row_pos,
+           cast(count(*) FILTER (WHERE lp.l_fp <= obs.obs_fp) AS BIGINT)
+             AS n_tables,
+           floor(cast(sum(CASE WHEN lp.l_fp <= obs.obs_fp
+                         THEN cast(floor(exp(lp.l_fp / 1e9) * 1e12) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 1e6) / 1e6 AS p_two_sided,
+           any_value(CASE WHEN (lp.r1 - lp.a) * (lp.c1 - lp.a) > 0
+                THEN ((lp.a * (lp.n - lp.r1 - lp.c1 + lp.a) * 1000000)
+                      // ((lp.r1 - lp.a) * (lp.c1 - lp.a))) / 1e6
+                END) AS odds_ratio
+    FROM lp, obs
+    """,
+    tags=["M-ext", "fisher-exact", "extension"],
+)
+def fisher_exact_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test on the 2x2 (region = EUROPE) x (negative
+    account balance) supplier table — the small-count companion to the
+    asymptotic chi-square (M2): p = sum of hypergeometric probabilities
+    of every table as or less probable than the observed one (the
+    two-sided convention R uses).
+
+    Exactness across engines: the ln-factorial ladder lf(m) =
+    sum_{i<=m} floor(ln(i)*1e9) is an INTEGER prefix sum over the
+    supplier-count grid, so every table's log-probability L(k) is an
+    exact BIGINT on both engines and the "as extreme" inclusion
+    predicate L(k) <= L(a) compares integers — no float tie ambiguity.
+    Each included probability exp(L/1e9) (exp of identical doubles is
+    bit-stable) is floored into 1e-12 fixed point before the order-free
+    integer sum; the final p truncates to 1e-6.
+
+    Scale: the 2x2 is one broadcast-dim aggregate over the supplier
+    fact; the grid, support walk, and ladder are n_suppliers-bounded
+    scalars — at any corpus size the exact test costs one shuffle."""
+    sp = T(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    na = F.broadcast(
+        T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    rg = F.broadcast(
+        T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    s = (
+        sp.join(na, sp.s_nationkey == na.n_nationkey)
+        .join(rg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            (F.col("r_name") == "EUROPE").alias("in_eu"),
+            (F.col("s_acctbal") < 0).alias("neg"),
+        )
+    )
+    cnt = s.agg(
+        F.sum(F.when(F.col("in_eu") & F.col("neg"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("in_eu"), 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("neg"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).localCheckpoint()
+    grid = cnt.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n"))).alias("i")
+    )
+    wlf = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    lf = grid.select(
+        "i",
+        F.sum(
+            F.when(
+                F.col("i") >= 2,
+                F.floor(F.log(F.col("i").cast("double")) * 1e9).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .over(wlf)
+        .cast("long")
+        .alias("lf"),
+    ).localCheckpoint()
+
+    # ONE ladder lookup instead of nine separate broadcast joins: unpivot
+    # every ln-factorial index a table needs into (kk, sign, idx) rows,
+    # join the ladder once, and reassemble L(k) = sum(sign * lf(idx)).
+    ks = cnt.select(
+        "a",
+        "r1",
+        "c1",
+        "n",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("r1") + F.col("c1") - F.col("n"),
+                ),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("kk"),
+    )
+
+    def _need(sign: int, idx):
+        return F.struct(
+            F.lit(sign).alias("sign"), idx.cast("long").alias("idx")
+        )
+
+    needs = ks.select(
+        "a",
+        "r1",
+        "c1",
+        "n",
+        "kk",
+        F.explode(
+            F.array(
+                _need(1, F.col("r1")),
+                _need(1, F.col("n") - F.col("r1")),
+                _need(1, F.col("c1")),
+                _need(1, F.col("n") - F.col("c1")),
+                _need(-1, F.col("n")),
+                _need(-1, F.col("kk")),
+                _need(-1, F.col("r1") - F.col("kk")),
+                _need(-1, F.col("c1") - F.col("kk")),
+                _need(
+                    -1,
+                    F.col("n") - F.col("r1") - F.col("c1") + F.col("kk"),
+                ),
+            )
+        ).alias("t"),
+    )
+    lp = (
+        needs.join(F.broadcast(lf), needs.t.idx == lf.i)
+        .groupBy("a", "r1", "c1", "n", "kk")
+        .agg(
+            F.sum(F.col("t.sign") * F.col("lf")).cast("long").alias("l_fp")
+        )
+        .localCheckpoint()
+    )
+    obs = lp.filter(F.col("kk") == F.col("a")).select(
+        F.col("l_fp").alias("obs_fp")
+    )
+    inc = F.col("l_fp") <= F.col("obs_fp")
+    agg = lp.crossJoin(F.broadcast(obs)).agg(
+        F.any_value(F.col("a")).alias("n_eu_neg"),
+        F.any_value(F.col("r1") - F.col("a")).alias("n_eu_pos"),
+        F.any_value(F.col("c1") - F.col("a")).alias("n_row_neg"),
+        F.any_value(F.col("n") - F.col("r1") - F.col("c1") + F.col("a")).alias(
+            "n_row_pos"
+        ),
+        F.sum(F.when(inc, 1).otherwise(0)).cast("long").alias("n_tables"),
+        F.sum(
+            F.when(
+                inc,
+                F.floor(F.exp(F.col("l_fp") / 1e9) * 1e12).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("p_fp"),
+    )
+    return agg.select(
+        "n_eu_neg",
+        "n_eu_pos",
+        "n_row_neg",
+        "n_row_pos",
+        "n_tables",
+        (F.floor(F.col("p_fp") / 1e6) / 1e6).alias("p_two_sided"),
+        F.when(
+            F.col("n_eu_pos") * F.col("n_row_neg") > 0,
+            F.expr(
+                "(n_eu_neg * n_row_pos * 1000000)"
+                " div (n_eu_pos * n_row_neg)"
+            )
+            / 1e6,
+        ).alias("odds_ratio"),
+    )
+
+
+# --- Wave 66: OLS influence diagnostics ---------------------------------------
+
+_INF_TOPK = 10
+
+
+@query(
+    "ols_influence_diagnostics",
+    oracle=f"""
+    WITH day AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y_c
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, y_c,
+             row_number() OVER (ORDER BY day) AS x
+      FROM day
+    ),
+    m AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(y_c) AS BIGINT) AS sy,
+             cast(sum(x * y_c) AS BIGINT) AS sxy,
+             sum(y_c * y_c) AS syy
+      FROM idx
+    ),
+    coef AS (
+      SELECT n, sy, sxy, syy,
+             (n * (n + 1)) // 2 AS sx,
+             (n * (n + 1) * (2 * n + 1)) // 6 AS sxx,
+             ((n * (n + 1)) // 2)::DOUBLE / n AS xbar,
+             (n * (n + 1) * (2 * n + 1)) // 6
+               - (((n * (n + 1)) // 2)::DOUBLE
+                  * ((n * (n + 1)) // 2)) / n AS sxx_c
+      FROM m
+    ),
+    fit AS (
+      SELECT *,
+             (sxy - sx::DOUBLE * sy / n) / sxx_c AS bhat
+      FROM coef
+    ),
+    fit2 AS (
+      SELECT *,
+             (sy::DOUBLE - bhat * sx) / n AS ahat,
+             ((syy::DOUBLE - sy::DOUBLE * sy / n) - bhat * bhat * sxx_c)
+               / (n - 2) AS mse
+      FROM fit
+    ),
+    diag AS (
+      SELECT i.day, i.y_c, i.x,
+             i.y_c::DOUBLE - (f.ahat + f.bhat * i.x) AS e,
+             1.0::DOUBLE / f.n + (i.x - f.xbar) * (i.x - f.xbar) / f.sxx_c
+               AS h,
+             f.mse AS mse
+      FROM idx i, fit2 f
+    ),
+    scored AS (
+      SELECT day, y_c, h,
+             e / sqrt(mse * (1.0::DOUBLE - h)) AS r
+      FROM diag
+    )
+    SELECT day::TIMESTAMP AS day,
+           round(y_c / 100.0::DOUBLE, 2) AS revenue,
+           round(h, 6) AS leverage,
+           round(r, 6) AS student_resid,
+           round(r * r * h / (2.0::DOUBLE * (1.0::DOUBLE - h)), 6)
+             AS cooks_d
+    FROM scored
+    ORDER BY r * r * h / (2.0::DOUBLE * (1.0::DOUBLE - h)) DESC, day ASC
+    LIMIT {_INF_TOPK}
+    """,
+    tags=["M-ext", "regression-diagnostics", "extension"],
+)
+def ols_influence_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leverage, (internally) studentized residuals, and Cook's distance
+    for the daily-revenue-vs-time OLS trend: the influence audit that
+    tells you WHICH days drive a fitted trend (h_i = 1/n + (x-xbar)^2 /
+    Sxx, r_i = e_i / sqrt(MSE (1-h_i)), D_i = r_i^2 h_i / (2(1-h_i))) —
+    top-10 most influential days.
+
+    Cross-engine exactness: daily revenue is summed in INTEGER CENTS
+    (floor(price*100+0.5) of identical doubles), x is the day index, so
+    every OLS moment is exact (sum(y^2) in decimal/HUGEINT — it
+    overflows int64); the closed-form integer x-moments avoid a second
+    pass. All downstream algebra runs on identical doubles; ranking
+    compares identical doubles with a day tie-break.
+
+    Scale: one partial/final aggregate over the fact; everything after
+    lives on the day grid (calendar-bounded), and the top-k is a
+    TakeOrdered, never a global sort."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("y_c")
+    )
+    wday = Window.orderBy("day")
+    idx = day.select(
+        "day", "y_c", F.row_number().over(wday).cast("long").alias("x")
+    ).localCheckpoint()
+    m = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_c").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y_c")).cast("long").alias("sxy"),
+        F.sum(
+            F.col("y_c").cast("decimal(38,0)") * F.col("y_c")
+        ).alias("syy"),
+    )
+    sx = F.expr("(n * (n + 1)) div 2")
+    sxx = F.expr("(n * (n + 1) * (2 * n + 1)) div 6")
+    coef = m.select(
+        "n",
+        "sy",
+        "sxy",
+        "syy",
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+        (sx.cast("double") / F.col("n")).alias("xbar"),
+        (
+            sxx - sx.cast("double") * sx / F.col("n")
+        ).alias("sxx_c"),
+    )
+    fit = coef.withColumn(
+        "bhat",
+        (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+        / F.col("sxx_c"),
+    )
+    fit2 = fit.select(
+        "n",
+        "xbar",
+        "sxx_c",
+        "bhat",
+        ((F.col("sy").cast("double") - F.col("bhat") * F.col("sx")) / F.col("n")).alias(
+            "ahat"
+        ),
+        (
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                - F.col("bhat") * F.col("bhat") * F.col("sxx_c")
+            )
+            / (F.col("n") - 2)
+        ).alias("mse"),
+    )
+    diag = idx.crossJoin(F.broadcast(fit2)).select(
+        "day",
+        "y_c",
+        (
+            F.col("y_c").cast("double")
+            - (F.col("ahat") + F.col("bhat") * F.col("x"))
+        ).alias("e"),
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("x") - F.col("xbar"))
+            * (F.col("x") - F.col("xbar"))
+            / F.col("sxx_c")
+        ).alias("h"),
+        "mse",
+    )
+    r = F.col("e") / F.sqrt(F.col("mse") * (F.lit(1.0) - F.col("h")))
+    cooks = (
+        r * r * F.col("h") / (F.lit(2.0) * (F.lit(1.0) - F.col("h")))
+    )
+    return (
+        diag.select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.round(F.col("y_c") / F.lit(100.0), 2).alias("revenue"),
+            F.round("h", 6).alias("leverage"),
+            F.round(r, 6).alias("student_resid"),
+            F.round(cooks, 6).alias("cooks_d"),
+            cooks.alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), F.asc("day"))
+        .limit(_INF_TOPK)
+        .drop("_ord")
+    )
+
+
+# --- Wave 66: Newey-West HAC trend inference ----------------------------------
+
+_NW_LAGS = 7  # Bartlett kernel bandwidth: one week of daily autocovariance
+
+
+@query(
+    "newey_west_trend_se",
+    oracle=f"""
+    WITH day AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y_c
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, y_c, row_number() OVER (ORDER BY day) AS x
+      FROM day
+    ),
+    m AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(y_c) AS BIGINT) AS sy,
+             cast(sum(x * y_c) AS BIGINT) AS sxy,
+             sum(y_c * y_c) AS syy
+      FROM idx
+    ),
+    coef AS (
+      SELECT n, sy, sxy, syy,
+             (n * (n + 1)) // 2 AS sx,
+             ((n * (n + 1)) // 2)::DOUBLE / n AS xbar,
+             (n * (n + 1) * (2 * n + 1)) // 6
+               - (((n * (n + 1)) // 2)::DOUBLE
+                  * ((n * (n + 1)) // 2)) / n AS sxx_c
+      FROM m
+    ),
+    fit AS (
+      SELECT *,
+             (sxy - sx::DOUBLE * sy / n) / sxx_c AS bhat
+      FROM coef
+    ),
+    fit2 AS (
+      SELECT *,
+             (sy::DOUBLE - bhat * sx) / n AS ahat,
+             ((syy::DOUBLE - sy::DOUBLE * sy / n) - bhat * bhat * sxx_c)
+               / (n - 2) AS mse
+      FROM fit
+    ),
+    xi AS (
+      SELECT i.x,
+             (i.y_c::DOUBLE - (f.ahat + f.bhat * i.x)) * (i.x - f.xbar)
+               AS xi
+      FROM idx i, fit2 f
+    ),
+    lagged AS (
+      SELECT x, xi,
+             {", ".join(f"lag(xi, {l}) OVER (ORDER BY x) AS xi_{l}" for l in range(1, _NW_LAGS + 1))}
+      FROM xi
+    ),
+    g AS (
+      SELECT sum(cast(floor(xi * xi / 1e9) AS HUGEINT)) AS g0,
+             {", ".join(f"sum(cast(floor(xi * xi_{l} / 1e9) AS HUGEINT)) FILTER (WHERE xi_{l} IS NOT NULL) AS g{l}" for l in range(1, _NW_LAGS + 1))}
+      FROM lagged
+    ),
+    s AS (
+      SELECT (g0::DOUBLE
+              + 2.0::DOUBLE * ({" + ".join(f"g{l}::DOUBLE * {_NW_LAGS + 1 - l} / {_NW_LAGS + 1}" for l in range(1, _NW_LAGS + 1))}))
+             * 1e9 AS s2
+      FROM g
+    )
+    SELECT f.n AS n_days,
+           round(f.bhat / 100.0::DOUBLE, 6) AS slope_dollars,
+           round(sqrt(f.mse / f.sxx_c) / 100.0::DOUBLE, 6) AS se_ols,
+           round(sqrt(s.s2 / (f.sxx_c * f.sxx_c)) / 100.0::DOUBLE, 6)
+             AS se_nw,
+           floor(sqrt(s.s2 / (f.sxx_c * f.sxx_c))
+                 / sqrt(f.mse / f.sxx_c) * 1e6) / 1e6 AS se_ratio,
+           round(f.bhat / sqrt(s.s2 / (f.sxx_c * f.sxx_c)), 4) AS t_nw
+    FROM fit2 f, s
+    """,
+    tags=["M-ext", "hac", "time-series", "extension"],
+)
+def newey_west_trend_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (1987) HAC standard error for the daily-revenue OLS
+    trend slope, Bartlett kernel with L=7 lags (one week of serial
+    correlation): Var_NW(b) = [g0 + 2 sum_l (1 - l/(L+1)) g_l] / Sxx^2
+    where g_l = sum_t xi_t xi_(t-l) and xi_t = u_t (x_t - xbar) is the
+    slope score. Reports the naive OLS se next to the robust one — the
+    se_ratio is the autocorrelation-inflation audit a daily KPI trend
+    needs before anyone quotes a t-statistic.
+
+    Cross-engine: the OLS moments are exact integers (cents fact sum +
+    closed-form x-moments); the score autocovariance terms are floored
+    to integral doubles before the decimal/HUGEINT sums, making the
+    eight g_l sums order-free; everything after is identical-double
+    algebra. Bartlett weights are written as integer ratios (7/8..1/8)
+    on both engines.
+
+    Scale: one fact aggregate; the lag battery is 7 lag() columns in
+    ONE window pass over the calendar-bounded day grid."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("y_c")
+    )
+    wday = Window.orderBy("day")
+    idx = day.select(
+        "day", "y_c", F.row_number().over(wday).cast("long").alias("x")
+    ).localCheckpoint()
+    m = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_c").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y_c")).cast("long").alias("sxy"),
+        F.sum(F.col("y_c").cast("decimal(38,0)") * F.col("y_c")).alias("syy"),
+    )
+    sx = F.expr("(n * (n + 1)) div 2")
+    sxx = F.expr("(n * (n + 1) * (2 * n + 1)) div 6")
+    fit2 = (
+        m.select(
+            "n",
+            "sy",
+            "sxy",
+            "syy",
+            sx.alias("sx"),
+            (sx.cast("double") / F.col("n")).alias("xbar"),
+            (sxx - sx.cast("double") * sx / F.col("n")).alias("sxx_c"),
+        )
+        .withColumn(
+            "bhat",
+            (
+                F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+            )
+            / F.col("sxx_c"),
+        )
+        .select(
+            "n",
+            "xbar",
+            "sxx_c",
+            "bhat",
+            (
+                (F.col("sy").cast("double") - F.col("bhat") * F.col("sx"))
+                / F.col("n")
+            ).alias("ahat"),
+            (
+                (
+                    F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                    - F.col("bhat") * F.col("bhat") * F.col("sxx_c")
+                )
+                / (F.col("n") - 2)
+            ).alias("mse"),
+        )
+        .localCheckpoint()
+    )
+    xi = idx.crossJoin(F.broadcast(fit2)).select(
+        "x",
+        (
+            (
+                F.col("y_c").cast("double")
+                - (F.col("ahat") + F.col("bhat") * F.col("x"))
+            )
+            * (F.col("x") - F.col("xbar"))
+        ).alias("xi"),
+    )
+    wlag = Window.orderBy("x")
+    lagged = xi.select(
+        "xi",
+        *[
+            F.lag("xi", lag_l).over(wlag).alias(f"xi_{lag_l}")
+            for lag_l in range(1, _NW_LAGS + 1)
+        ],
+    )
+    # floor() returns LONG in Spark (DOUBLE in DuckDB): downscale the
+    # score products by 1e9 before flooring so the integral term fits
+    # int64 on both engines; the 1e9 re-scale happens after the sums.
+    g = lagged.agg(
+        F.sum(
+            F.floor(F.col("xi") * F.col("xi") / 1e9).cast("decimal(38,0)")
+        ).alias("g0"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"xi_{lag_l}").isNotNull(),
+                    F.floor(
+                        F.col("xi") * F.col(f"xi_{lag_l}") / 1e9
+                    ).cast("decimal(38,0)"),
+                )
+            ).alias(f"g{lag_l}")
+            for lag_l in range(1, _NW_LAGS + 1)
+        ],
+    )
+    s2 = g.select(
+        (
+            (
+                F.col("g0").cast("double")
+                + F.lit(2.0)
+                * sum(
+                    (
+                        F.col(f"g{lag_l}").cast("double")
+                        * (_NW_LAGS + 1 - lag_l)
+                        / (_NW_LAGS + 1)
+                    )
+                    for lag_l in range(1, _NW_LAGS + 1)
+                )
+            )
+            * F.lit(1e9)
+        ).alias("s2")
+    )
+    se_nw = F.sqrt(F.col("s2") / (F.col("sxx_c") * F.col("sxx_c")))
+    se_ols = F.sqrt(F.col("mse") / F.col("sxx_c"))
+    return fit2.crossJoin(F.broadcast(s2)).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("bhat") / F.lit(100.0), 6).alias("slope_dollars"),
+        F.round(se_ols / F.lit(100.0), 6).alias("se_ols"),
+        F.round(se_nw / F.lit(100.0), 6).alias("se_nw"),
+        (F.floor(se_nw / se_ols * 1e6) / 1e6).alias("se_ratio"),
+        F.round(F.col("bhat") / se_nw, 4).alias("t_nw"),
+    )
+
+
+# --- Wave 66: empirical tail dependence ----------------------------------------
+
+
+@query(
+    "tail_dependence_daily",
+    oracle="""
+    WITH day AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y_c
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day, n_orders,
+             row_number() OVER (ORDER BY n_orders, day) AS rx,
+             row_number() OVER (ORDER BY y_c::DOUBLE / n_orders, day) AS ry
+      FROM day
+    ),
+    c AS (SELECT cast(count(*) AS BIGINT) AS n FROM ranked),
+    qs AS (SELECT unnest([10, 20]) AS dv),
+    j AS (
+      SELECT qs.dv, c.n, c.n // qs.dv AS m,
+             cast(sum(CASE WHEN r.rx > c.n - c.n // qs.dv
+                            AND r.ry > c.n - c.n // qs.dv
+                           THEN 1 ELSE 0 END) AS BIGINT) AS joint_hi,
+             cast(sum(CASE WHEN r.rx <= c.n // qs.dv
+                            AND r.ry <= c.n // qs.dv
+                           THEN 1 ELSE 0 END) AS BIGINT) AS joint_lo
+      FROM ranked r, c, qs
+      GROUP BY 1, 2, 3
+    )
+    SELECT CASE WHEN dv = 10 THEN '0.90' ELSE '0.95' END AS q,
+           m AS tail_n,
+           joint_hi,
+           (joint_hi * 1000000 // m) / 1e6 AS lambda_upper,
+           joint_lo,
+           (joint_lo * 1000000 // m) / 1e6 AS lambda_lower
+    FROM j
+    """,
+    tags=["M-ext", "copula", "tail-dependence", "extension"],
+)
+def tail_dependence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper/lower tail-dependence coefficients between daily
+    ORDER VOLUME and daily AVERAGE ORDER VALUE: lambda_U(q) = P(Fx(X) >
+    q, Fy(Y) > q) / (1 - q) at q = 0.90 and 0.95 (and the mirrored
+    lambda_L) — the copula-style audit that correlation misses: two
+    series can be uncorrelated yet crash together in the tail.
+
+    Exactness: ranks are row_number with a day tie-break (identical
+    doubles order identically), tail membership is pure integer rank
+    arithmetic with m = n // 10 / n // 20 (never a float quantile
+    boundary), and the coefficients are integer cross-multiplied
+    truncations.
+
+    Scale: one fact aggregate to the calendar-bounded day grid; the two
+    ranking windows run over days, not rows."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("y_c"),
+    )
+    wx = Window.orderBy("n_orders", "day")
+    wy = Window.orderBy(
+        F.col("y_c").cast("double") / F.col("n_orders"), F.col("day")
+    )
+    ranked = day.select(
+        "day",
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+    ).localCheckpoint()
+    c = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = c.select(
+        "n", F.explode(F.array(F.lit(10), F.lit(20))).alias("dv")
+    )
+    m = F.expr("n div dv")
+    j = (
+        ranked.crossJoin(F.broadcast(qs))
+        .groupBy("dv", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rx") > F.col("n") - m) & (F.col("ry") > F.col("n") - m),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("joint_hi"),
+            F.sum(
+                F.when((F.col("rx") <= m) & (F.col("ry") <= m), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("joint_lo"),
+        )
+    )
+    return j.select(
+        F.when(F.col("dv") == 10, F.lit("0.90"))
+        .otherwise(F.lit("0.95"))
+        .alias("q"),
+        m.alias("tail_n"),
+        "joint_hi",
+        (F.expr("joint_hi * 1000000 div (n div dv)") / 1e6).alias(
+            "lambda_upper"
+        ),
+        "joint_lo",
+        (F.expr("joint_lo * 1000000 div (n div dv)") / 1e6).alias(
+            "lambda_lower"
+        ),
+    )

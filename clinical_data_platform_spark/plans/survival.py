@@ -1333,3 +1333,236 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("var_h"), 6).alias("se"),
         )
     )
+
+
+# --- Wave 66: Weibull probability-plot fit ------------------------------------
+
+_WB_LN2 = 0.6931471805599453  # the same ln(2) literal on both engines
+
+
+@query(
+    "weibull_survival_fit",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type FROM events
+    ), pu AS (
+      SELECT user_id, min(sec) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS t_evt
+      FROM ev GROUP BY 1
+    ), h AS (SELECT max(sec) AS t_max FROM ev),
+    d AS (
+      SELECT cast(floor((coalesce(t_evt, t_max) - t0)::DOUBLE
+                        / 3600.0::DOUBLE) AS BIGINT) AS dur,
+             CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS evt
+      FROM pu, h
+    ), tbl AS (
+      SELECT dur, cast(sum(evt) AS BIGINT) AS d_i,
+             cast(sum(1 - evt) AS BIGINT) AS c_i
+      FROM d GROUP BY 1
+    ), risk AS (
+      SELECT dur, d_i,
+             sum(d_i + c_i) OVER ()
+               - coalesce(sum(d_i + c_i) OVER (
+                   ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_i
+      FROM tbl
+    ), km AS (
+      SELECT dur, d_i, n_i,
+             CASE WHEN d_i = n_i THEN 0.0::DOUBLE
+                  ELSE round(exp(sum(CASE WHEN d_i < n_i
+                               THEN ln((n_i - d_i)::DOUBLE / n_i::DOUBLE)
+                               ELSE 0.0::DOUBLE END) OVER (ORDER BY dur)), 12)
+             END AS surv
+      FROM risk
+    ), pts AS (
+      SELECT cast(floor(ln(dur) * 1e9) AS BIGINT) / 1e9 AS x,
+             cast(floor(ln(-ln(surv)) * 1e9) AS BIGINT) / 1e9 AS y
+      FROM km
+      WHERE d_i > 0 AND dur >= 1 AND surv > 0.0::DOUBLE
+        AND surv < 1.0::DOUBLE
+    ), mo AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(cast(floor(x * 1e9) AS BIGINT)) AS BIGINT) AS sx_fp,
+             cast(sum(cast(floor(y * 1e9) AS BIGINT)) AS BIGINT) AS sy_fp,
+             cast(sum(cast(floor(x * y * 1e9) AS BIGINT)) AS BIGINT) AS sxy_fp,
+             cast(sum(cast(floor(x * x * 1e9) AS BIGINT)) AS BIGINT) AS sxx_fp,
+             cast(sum(cast(floor(y * y * 1e9) AS BIGINT)) AS BIGINT) AS syy_fp
+      FROM pts
+    ), fit AS (
+      SELECT n,
+             (n * (sxy_fp / 1e9) - (sx_fp / 1e9) * (sy_fp / 1e9))
+               / (n * (sxx_fp / 1e9) - (sx_fp / 1e9) * (sx_fp / 1e9)) AS k
+      FROM mo
+    ), fin AS (
+      SELECT mo.n, fit.k,
+             exp(-(((mo.sy_fp / 1e9) - fit.k * (mo.sx_fp / 1e9)) / mo.n)
+                 / fit.k) AS lam,
+             (mo.n * (mo.sxy_fp / 1e9) - (mo.sx_fp / 1e9) * (mo.sy_fp / 1e9))
+               * (mo.n * (mo.sxy_fp / 1e9) - (mo.sx_fp / 1e9) * (mo.sy_fp / 1e9))
+               / ((mo.n * (mo.sxx_fp / 1e9) - (mo.sx_fp / 1e9) * (mo.sx_fp / 1e9))
+                  * (mo.n * (mo.syy_fp / 1e9) - (mo.sy_fp / 1e9) * (mo.sy_fp / 1e9)))
+               AS r2
+      FROM mo, fit
+    )
+    SELECT n AS n_points,
+           round(k, 6) AS shape_k,
+           round(lam, 6) AS scale_hours,
+           floor(r2 * 1e6) / 1e6 AS r2,
+           round(lam * pow({_WB_LN2!r}, 1.0::DOUBLE / k), 6) AS median_hours
+    FROM fin
+    """,
+    tags=["survival", "weibull", "extension"],
+)
+def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of time-to-first-purchase by the probability-plot /
+    Weibull-paper method: the Kaplan-Meier life table (single cohort)
+    gives S(t); under Weibull(k, lambda), ln(-ln S(t)) = k ln t -
+    k ln lambda, so one OLS on the (ln t, ln(-ln S)) points yields the
+    shape k (slope), scale lambda = exp(-intercept/k), the plot R^2
+    (linearity IS the goodness-of-fit test on Weibull paper), and the
+    implied median lambda * ln(2)^(1/k).
+
+    Cross-engine: the KM product uses the exp(cumsum(ln)) form of
+    kaplan_meier_survival with S re-rounded to 12 dp (re-syncing libm
+    ulps before the second ln); each plot coordinate and each OLS moment
+    term is floored into 1e-9 fixed point so the life-table sums are
+    order-free; ln(2) is the same written literal on both engines.
+
+    Scale: one per-user aggregate is the only row-proportional shuffle;
+    the life table, plot points, and moments are horizon-bounded."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "event_type"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("t_evt"),
+    )
+    horizon = ev.agg(F.max("sec").alias("t_max"))
+    d = pu.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            (F.coalesce(F.col("t_evt"), F.col("t_max")) - F.col("t0"))
+            / F.lit(3600.0)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("evt"),
+    )
+    tbl = d.groupBy("dur").agg(
+        F.sum("evt").cast("long").alias("d_i"),
+        F.sum(F.lit(1) - F.col("evt")).cast("long").alias("c_i"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("dur")
+    risk = tbl.select(
+        "dur",
+        "d_i",
+        (
+            F.sum(F.col("d_i") + F.col("c_i")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d_i") + F.col("c_i")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_i"),
+    )
+    km = risk.select(
+        "dur",
+        "d_i",
+        "n_i",
+        F.when(F.col("d_i") == F.col("n_i"), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d_i") < F.col("n_i"),
+                            F.log(
+                                (F.col("n_i") - F.col("d_i")).cast("double")
+                                / F.col("n_i").cast("double")
+                            ),
+                        ).otherwise(F.lit(0.0))
+                    ).over(w_run)
+                ),
+                12,
+            )
+        )
+        .alias("surv"),
+    )
+    pts = km.filter(
+        (F.col("d_i") > 0)
+        & (F.col("dur") >= 1)
+        & (F.col("surv") > 0.0)
+        & (F.col("surv") < 1.0)
+    ).select(
+        (
+            F.floor(F.log(F.col("dur").cast("double")) * 1e9).cast("long")
+            / 1e9
+        ).alias("x"),
+        (
+            F.floor(F.log(-F.log(F.col("surv"))) * 1e9).cast("long") / 1e9
+        ).alias("y"),
+    )
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("x") * 1e9).cast("long")).cast("long").alias("sx_fp"),
+        F.sum(F.floor(F.col("y") * 1e9).cast("long")).cast("long").alias("sy_fp"),
+        F.sum(F.floor(F.col("x") * F.col("y") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sxy_fp"),
+        F.sum(F.floor(F.col("x") * F.col("x") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sxx_fp"),
+        F.sum(F.floor(F.col("y") * F.col("y") * 1e9).cast("long"))
+        .cast("long")
+        .alias("syy_fp"),
+    )
+    sx = F.col("sx_fp") / 1e9
+    sy = F.col("sy_fp") / 1e9
+    sxy = F.col("sxy_fp") / 1e9
+    sxx = F.col("sxx_fp") / 1e9
+    syy = F.col("syy_fp") / 1e9
+    n = F.col("n")
+    k = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = mo.select(
+        "n",
+        "sx_fp",
+        "sy_fp",
+        "sxy_fp",
+        "sxx_fp",
+        "syy_fp",
+        k.alias("k"),
+    )
+    lam = F.exp(
+        -((F.col("sy_fp") / 1e9 - F.col("k") * (F.col("sx_fp") / 1e9)) / F.col("n"))
+        / F.col("k")
+    )
+    num = F.col("n") * (F.col("sxy_fp") / 1e9) - (F.col("sx_fp") / 1e9) * (
+        F.col("sy_fp") / 1e9
+    )
+    r2 = (
+        num
+        * num
+        / (
+            (
+                F.col("n") * (F.col("sxx_fp") / 1e9)
+                - (F.col("sx_fp") / 1e9) * (F.col("sx_fp") / 1e9)
+            )
+            * (
+                F.col("n") * (F.col("syy_fp") / 1e9)
+                - (F.col("sy_fp") / 1e9) * (F.col("sy_fp") / 1e9)
+            )
+        )
+    )
+    return fit.select(
+        F.col("n").alias("n_points"),
+        F.round(F.col("k"), 6).alias("shape_k"),
+        F.round(lam, 6).alias("scale_hours"),
+        (F.floor(r2 * 1e6) / 1e6).alias("r2"),
+        F.round(
+            lam * F.pow(F.lit(_WB_LN2), F.lit(1.0) / F.col("k")), 6
+        ).alias("median_hours"),
+    )

@@ -177,6 +177,13 @@ AUDIT = [
     ("bradley_terry_trade_strength", "Bradley-Terry: Q7 edge build, |nations|^2 MM rounds in fixed-point"),
     ("fs_em_linkage_params", "FS-EM: blocked pattern counts, EM on <= 8 rows, decimal M-step sums"),
     ("followed_by_support", "Followed-by: per-(user,type) MIN/MAX rollup, bounded pair expansion"),
+    # wave 66 (round 4)
+    ("fisher_exact_supplier_balance", "Fisher exact: one dim-broadcast fact agg, supplier-bounded lnfact ladder"),
+    ("ols_influence_diagnostics", "OLS influence: cents-exact fact rollup, day-grid hat/Cook algebra, TakeOrdered"),
+    ("newey_west_trend_se", "Newey-West: one fact agg, 7-lag battery in one day-grid window pass"),
+    ("tail_dependence_daily", "Tail dependence: day-grid ranks, integer rank-tail membership"),
+    ("weibull_survival_fit", "Weibull fit: one per-user agg, life-table OLS in 1e-9 fixed point"),
+    ("nation_closeness_centrality", "APSP: one Q7 edge build, 3 min-plus squarings on |nations|^2 rows"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through
@@ -209,6 +216,12 @@ UNPARTITIONED_WINDOWS: dict[tuple[str, str], str] = {
     ("clinical/ml.py", "curve_points"): "distinct-score ROC/PR table of the scored cohort (score-grid-bounded cumsum)",
     ("clinical/star.py", "build_dim_subject"): "subject dim (SDTM demo dim, _SK_MAX_ROWS-guarded)",
     ("clinical/star.py", "build_dim_measurement"): "measurement code dim (domain-vocabulary-bounded)",
+    # wave 66 (round 4)
+    ("plans/stats.py", "fisher_exact_supplier_balance"): "ln-factorial ladder over the supplier-count integer grid (n_suppliers+1 rows)",
+    ("plans/stats.py", "ols_influence_diagnostics"): "day grid (calendar-bounded row_number index for the trend regressor)",
+    ("plans/stats.py", "newey_west_trend_se"): "day grid (row_number index + the 7-lag score battery, calendar-bounded)",
+    ("plans/stats.py", "tail_dependence_daily"): "day grid (two calendar-bounded ranking passes)",
+    ("plans/survival.py", "weibull_survival_fit"): "single-cohort KM life table (horizon-bounded distinct durations)",
 }
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

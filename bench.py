@@ -310,6 +310,12 @@ HEADLINE = [
     "tail_dependence_daily",
     "weibull_survival_fit",
     "nation_closeness_centrality",
+    # wave 67 (r4): dependence, robustness, MT-metric dedup, absorbing chain
+    "distance_correlation_daily",
+    "generalized_esd_outliers",
+    "huber_robust_location",
+    "bleu_near_dup_pairs",
+    "absorbing_markov_visits",
 ]
 
 

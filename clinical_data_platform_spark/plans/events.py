@@ -2965,3 +2965,191 @@ def followed_by_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("directionality"),
         )
     )
+
+
+# --- Wave 67: absorbing-chain expected visits ----------------------------------
+
+_AMK_DOUBLINGS = 4  # S_16 = I + Q + ... + Q^15; tail reported, not assumed
+_AMK_ABSORB = "purchase"
+
+
+def _amk_round_sql(k: int) -> str:
+    return f"""
+    qsq{k} AS MATERIALIZED (
+      SELECT p.i, q.j,
+             cast(sum(cast(floor(p.m * q.m * 1e12) AS BIGINT)) AS BIGINT)
+               AS mm
+      FROM qp{k - 1} p JOIN qp{k - 1} q ON q.i = p.j
+      GROUP BY 1, 2
+    ),
+    qp{k} AS MATERIALIZED (
+      SELECT i, j, round(mm / 1e12, 12) AS m FROM qsq{k}
+    ),
+    ssq{k} AS (
+      SELECT p.i, s.j,
+             cast(sum(cast(floor(p.m * s.m * 1e12) AS BIGINT)) AS BIGINT)
+               AS mm
+      FROM qp{k - 1} p JOIN s{k - 1} s ON s.i = p.j
+      GROUP BY 1, 2
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT coalesce(a.i, b.i) AS i, coalesce(a.j, b.j) AS j,
+             coalesce(a.m, 0.0::DOUBLE)
+               + coalesce(round(b.mm / 1e12, 12), 0.0::DOUBLE) AS m
+      FROM s{k - 1} a FULL OUTER JOIN ssq{k} b
+        ON b.i = a.i AND b.j = a.j
+    )"""
+
+
+@query(
+    "absorbing_markov_visits",
+    oracle=(
+        f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, cast(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outt AS (SELECT cur, cast(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+    qp0 AS MATERIALIZED (
+      SELECT c.cur AS i, c.nxt AS j, c.n::DOUBLE / o.tot AS m
+      FROM c JOIN outt o ON o.cur = c.cur
+      WHERE c.cur <> {_AMK_ABSORB!r} AND c.nxt <> {_AMK_ABSORB!r}
+    ),
+    states AS (SELECT DISTINCT i FROM qp0),
+    s0 AS MATERIALIZED (
+      SELECT i, i AS j, 1.0::DOUBLE AS m FROM states
+    )"""
+        + ","
+        + ",".join(_amk_round_sql(k) for k in range(1, _AMK_DOUBLINGS + 1))
+        + f""",
+    tail AS (
+      SELECT i, round(sum(m), 6) AS truncation_tail
+      FROM qp{_AMK_DOUBLINGS} GROUP BY i
+    )
+    SELECT s.i AS start_state, s.j AS target_state,
+           round(s.m, 6) AS expected_visits,
+           t.truncation_tail
+    FROM s{_AMK_DOUBLINGS} s JOIN tail t ON t.i = s.i
+    """
+    ),
+    tags=["sequence", "markov", "absorbing", "iterative", "extension"],
+)
+def absorbing_markov_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected visits to each transient event type before PURCHASE
+    absorbs the session — the fundamental-matrix question N = (I-Q)^-1
+    answered WITHOUT a matrix inverse: the truncated Neumann series
+    S_16 = sum_(k<16) Q^k via four doublings (S_2m = S_m + Q^m S_m,
+    Q^2m = Q^m Q^m), where Q is the transition matrix restricted to
+    non-purchase states (rows stay substochastic because transitions
+    INTO purchase leak mass out). truncation_tail = rowsum(Q^16) is the
+    un-absorbed mass the truncation ignores — REPORTED as evidence, in
+    the event_markov_stationary discipline, not assumed away.
+
+    Exactness: Q0 entries are exact count ratios; every matmul term
+    floors into 1e-12 fixed point before integer row sums and re-syncs
+    at 12 dp; the series additions are identical-double sums. Scale:
+    one lead() pass over the fact; all sixteen powers live on
+    |types|^2 rows. Complements event_transition_matrix (one step) and
+    event_markov_stationary (infinite-step limit) with the
+    absorbing-horizon middle ground."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wseq).alias("nxt"),
+    )
+    c = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outt = c.groupBy(F.col("cur").alias("ocur")).agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    qp = (
+        c.join(outt, c.cur == F.col("ocur"))
+        .filter(
+            (F.col("cur") != _AMK_ABSORB) & (F.col("nxt") != _AMK_ABSORB)
+        )
+        .select(
+            F.col("cur").alias("i"),
+            F.col("nxt").alias("j"),
+            (F.col("n").cast("double") / F.col("tot")).alias("m"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    s = (
+        qp.select("i")
+        .distinct()
+        .select("i", F.col("i").alias("j"), F.lit(1.0).alias("m"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+
+    def matmul(a: DataFrame, b: DataFrame) -> DataFrame:
+        al = a.select(
+            F.col("i").alias("ai"), F.col("j").alias("am"), F.col("m").alias("av")
+        )
+        bl = b.select(
+            F.col("i").alias("bm"), F.col("j").alias("bj"), F.col("m").alias("bv")
+        )
+        return (
+            al.join(bl, F.col("am") == F.col("bm"))
+            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.floor(F.col("av") * F.col("bv") * 1e12).cast(
+                            "long"
+                        )
+                    ).cast("long")
+                    / 1e12,
+                    12,
+                ).alias("m")
+            )
+        )
+
+    for _ in range(_AMK_DOUBLINGS):
+        qs = matmul(qp, s)
+        sa = s.select("i", "j", F.col("m").alias("ma"))
+        sb = qs.select(
+            F.col("i").alias("ib"), F.col("j").alias("jb"), F.col("m").alias("mb")
+        )
+        s = (
+            sa.join(
+                sb,
+                (sa.i == F.col("ib")) & (sa.j == F.col("jb")),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(sa.i, F.col("ib")).alias("i"),
+                F.coalesce(sa.j, F.col("jb")).alias("j"),
+                (
+                    F.coalesce(F.col("ma"), F.lit(0.0))
+                    + F.coalesce(F.col("mb"), F.lit(0.0))
+                ).alias("m"),
+            )
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        qp = matmul(qp, qp).coalesce(1).localCheckpoint()
+    tail = qp.groupBy("i").agg(
+        F.round(F.sum("m"), 6).alias("truncation_tail")
+    )
+    return s.join(tail.withColumnRenamed("i", "ti"), s.i == F.col("ti")).select(
+        s.i.alias("start_state"),
+        F.col("j").alias("target_state"),
+        F.round("m", 6).alias("expected_visits"),
+        "truncation_tail",
+    )

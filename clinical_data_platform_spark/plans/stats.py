@@ -6080,3 +6080,531 @@ def tail_dependence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lambda_lower"
         ),
     )
+
+
+# --- Wave 67: distance correlation --------------------------------------------
+
+
+@query(
+    "distance_correlation_daily",
+    oracle="""
+    WITH day AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(count(*) AS BIGINT) AS x,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    rs AS (
+      SELECT day, x, y,
+             row_number() OVER (ORDER BY x, day) AS rnx,
+             sum(x) OVER (ORDER BY x, day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS px,
+             row_number() OVER (ORDER BY y, day) AS rny,
+             sum(y) OVER (ORDER BY y, day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS py
+      FROM day
+    ),
+    tot AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(x) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+             cast(sum(x * y) AS BIGINT) AS sxy,
+             cast(sum(x * x) AS BIGINT) AS sxx,
+             sum(y * y) AS syy
+      FROM day
+    ),
+    marg AS (
+      SELECT r.day,
+             2 * r.rnx * r.x - 2 * r.px + t.sx - t.n * r.x AS ax,
+             2 * r.rny * r.y - 2 * r.py + t.sy - t.n * r.y AS by
+      FROM rs r, tot t
+    ),
+    m2 AS (
+      SELECT sum(ax::HUGEINT * by) AS t2,
+             cast(sum(ax) AS BIGINT) AS sa,
+             cast(sum(by) AS BIGINT) AS sb,
+             sum(ax::HUGEINT * ax) AS t2xx,
+             sum(by::HUGEINT * by) AS t2yy
+      FROM marg
+    ),
+    pairs AS (
+      SELECT sum((abs(a.x - b.x) * abs(a.y - b.y))::HUGEINT) AS t1
+      FROM day a CROSS JOIN day b
+    ),
+    sq AS (
+      SELECT 2 * t.n::HUGEINT * t.sxx - 2 * t.sx::HUGEINT * t.sx AS t1xx,
+             2 * t.n::HUGEINT * t.syy - 2 * t.sy::HUGEINT * t.sy AS t1yy
+      FROM tot t
+    ),
+    v AS (
+      SELECT t.n,
+             p.t1::DOUBLE / (t.n::DOUBLE * t.n)
+               - 2.0::DOUBLE * m.t2 / (t.n::DOUBLE * t.n * t.n)
+               + (m.sa::DOUBLE / (t.n::DOUBLE * t.n))
+                 * (m.sb::DOUBLE / (t.n::DOUBLE * t.n)) AS v2xy,
+             q.t1xx::DOUBLE / (t.n::DOUBLE * t.n)
+               - 2.0::DOUBLE * m.t2xx / (t.n::DOUBLE * t.n * t.n)
+               + (m.sa::DOUBLE / (t.n::DOUBLE * t.n))
+                 * (m.sa::DOUBLE / (t.n::DOUBLE * t.n)) AS v2xx,
+             q.t1yy::DOUBLE / (t.n::DOUBLE * t.n)
+               - 2.0::DOUBLE * m.t2yy / (t.n::DOUBLE * t.n * t.n)
+               + (m.sb::DOUBLE / (t.n::DOUBLE * t.n))
+                 * (m.sb::DOUBLE / (t.n::DOUBLE * t.n)) AS v2yy,
+             (t.sxy - t.sx::DOUBLE * t.sy / t.n)
+               / sqrt((t.sxx - t.sx::DOUBLE * t.sx / t.n)
+                      * (t.syy::DOUBLE - t.sy::DOUBLE * t.sy / t.n))
+               AS pearson
+      FROM tot t, m2 m, pairs p, sq q
+    )
+    SELECT n AS n_days,
+           floor(sqrt(v2xy / sqrt(v2xx * v2yy)) * 1e6) / 1e6 AS dcor,
+           round(pearson, 6) AS pearson_r
+    FROM v
+    """,
+    tags=["M-ext", "dependence", "distance-correlation", "extension"],
+)
+def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance correlation (Szekely-Rizzo 2007) between daily order
+    VOLUME and daily REVENUE — the dependence measure that is zero IFF
+    the variables are independent, catching nonlinear coupling that
+    Pearson (reported alongside) misses. Uses the V-statistic identity
+    dCov^2 = T1/n^2 - 2 T2/n^3 + (SA/n^2)(SB/n^2), so no n x n distance
+    matrix is ever double-centered explicitly.
+
+    Exactness: x (count) and y (integer cents) make EVERY distance an
+    exact integer. The marginal row sums A_j = sum_k |x_j - x_k|
+    collapse to the sorted-prefix identity 2 r_j x_j - 2 P_j + S - n x_j
+    (row_number tie-broken by day; tied values contribute zero either
+    way) — one window pass, no pair expansion. Only T1 needs the pair
+    table, and it is CALENDAR^2-bounded (days x days, independent of
+    row count), summed as exact integers in HUGEINT/decimal. All
+    downstream algebra is identical-double arithmetic.
+
+    Scale: one fact aggregate; the n^2 piece grows with the calendar
+    squared, never with the data."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    day = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint()
+    )
+    wx = Window.orderBy("x", "day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wy = Window.orderBy("y", "day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wxr = Window.orderBy("x", "day")
+    wyr = Window.orderBy("y", "day")
+    rs = day.select(
+        "day",
+        "x",
+        "y",
+        F.row_number().over(wxr).cast("long").alias("rnx"),
+        F.sum("x").over(wx).cast("long").alias("px"),
+        F.row_number().over(wyr).cast("long").alias("rny"),
+        F.sum("y").over(wy).cast("long").alias("py"),
+    )
+    tot = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    marg = rs.crossJoin(F.broadcast(tot)).select(
+        (
+            2 * F.col("rnx") * F.col("x")
+            - 2 * F.col("px")
+            + F.col("sx")
+            - F.col("n") * F.col("x")
+        ).alias("ax"),
+        (
+            2 * F.col("rny") * F.col("y")
+            - 2 * F.col("py")
+            + F.col("sy")
+            - F.col("n") * F.col("y")
+        ).alias("by"),
+    )
+    m2 = marg.agg(
+        F.sum(F.col("ax").cast("decimal(38,0)") * F.col("by")).alias("t2"),
+        F.sum("ax").cast("long").alias("sa"),
+        F.sum("by").cast("long").alias("sb"),
+        F.sum(F.col("ax").cast("decimal(38,0)") * F.col("ax")).alias("t2xx"),
+        F.sum(F.col("by").cast("decimal(38,0)") * F.col("by")).alias("t2yy"),
+    )
+    b = day.select(
+        F.col("x").alias("bx"), F.col("y").alias("by2")
+    )
+    # fan the left side out before the broadcast nested loop: the day
+    # grid arrives as one post-agg partition and AQE would run the
+    # n_days^2 expansion single-task otherwise
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = day.repartition(parallelism).crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            (
+                F.abs(F.col("x") - F.col("bx"))
+                * F.abs(F.col("y") - F.col("by2"))
+            ).cast("decimal(38,0)")
+        ).alias("t1"),
+    )
+    # sum_jk (v_j - v_k)^2 has the closed form 2 n sum(v^2) - 2 (sum v)^2:
+    # only the CROSS term ever touches the pair table
+    sq = tot.select(
+        (
+            2 * F.col("n").cast("decimal(38,0)") * F.col("sxx")
+            - 2 * F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).alias("t1xx"),
+        (
+            2 * F.col("n").cast("decimal(38,0)") * F.col("syy")
+            - 2 * F.col("sy").cast("decimal(38,0)") * F.col("sy")
+        ).alias("t1yy"),
+    )
+    n = F.col("n").cast("double")
+    v2 = lambda t1c, t2c, sac, sbc: (  # noqa: E731
+        F.col(t1c).cast("double") / (n * F.col("n"))
+        - F.lit(2.0) * F.col(t2c).cast("double") / (n * F.col("n") * F.col("n"))
+        + (F.col(sac).cast("double") / (n * F.col("n")))
+        * (F.col(sbc).cast("double") / (n * F.col("n")))
+    )
+    v = (
+        tot.crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(sq))
+        .select(
+            "n",
+            v2("t1", "t2", "sa", "sb").alias("v2xy"),
+            v2("t1xx", "t2xx", "sa", "sa").alias("v2xx"),
+            v2("t1yy", "t2yy", "sb", "sb").alias("v2yy"),
+            (
+                (
+                    F.col("sxy")
+                    - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+                )
+                / F.sqrt(
+                    (
+                        F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                    )
+                    * (
+                        F.col("syy").cast("double")
+                        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                    )
+                )
+            ).alias("pearson"),
+        )
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.col("v2xy") / F.sqrt(F.col("v2xx") * F.col("v2yy"))
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("dcor"),
+        F.round("pearson", 6).alias("pearson_r"),
+    )
+
+
+# --- Wave 67: generalized ESD outlier rounds -----------------------------------
+
+_ESD_ROUNDS = 5
+_ESD_FLAG = 3.5  # |z|-style flag threshold (documented convention)
+
+
+def _esd_round_sql(r: int) -> str:
+    return f"""
+    st{r} AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(y) AS BIGINT) AS sy,
+             sum(y::HUGEINT * y) AS syy
+      FROM rem{r - 1}
+    ),
+    pk{r} AS (
+      SELECT {r} AS round, rm.day, rm.y, s.n AS n_used,
+             abs(rm.y - s.sy::DOUBLE / s.n)
+               / sqrt((s.syy::DOUBLE - s.sy::DOUBLE * s.sy / s.n)
+                      / (s.n - 1)) AS rstat
+      FROM rem{r - 1} rm, st{r} s
+      ORDER BY abs(rm.y - s.sy::DOUBLE / s.n) DESC, rm.day ASC
+      LIMIT 1
+    ),
+    rem{r} AS (
+      SELECT * FROM rem{r - 1}
+      WHERE day NOT IN (SELECT day FROM pk{r})
+    )"""
+
+
+@query(
+    "generalized_esd_outliers",
+    oracle=(
+        """
+    WITH rem0 AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),"""
+        + ",".join(_esd_round_sql(r) for r in range(1, _ESD_ROUNDS + 1))
+        + f"""
+    SELECT round, day::TIMESTAMP AS day,
+           round(y / 100.0::DOUBLE, 2) AS revenue,
+           n_used, round(rstat, 6) AS r_stat,
+           (rstat > {_ESD_FLAG!r}) AS flagged
+    FROM ({" UNION ALL ".join(f"SELECT * FROM pk{r}" for r in range(1, _ESD_ROUNDS + 1))})
+    """
+    ),
+    tags=["M-ext", "outliers", "esd", "extension"],
+)
+def generalized_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner 1983) outlier sweep over the daily
+    revenue series: five rounds, each computing the extreme studentized
+    deviate R = max |y - mean| / sd over the REMAINING days, reporting
+    it, and deleting that day before the next round — the masked-outlier
+    detector a single z-score pass cannot be (one extreme inflates the
+    sd and hides the second). Rounds are reported with a plain R > 3.5
+    flag (the t-based Rosner critical values are a documented convention
+    away; both engines report the same statistic either way).
+
+    Exactness: per-round moments are exact integer sums (cents fact,
+    decimal/HUGEINT squares), the argmax compares identical doubles with
+    a day tie-break, and each round's deletion is an exact anti-join —
+    so the five-round trajectory is value-identical across engines.
+
+    Scale: one fact aggregate; each round is one scan of the
+    calendar-bounded day grid."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    rem = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint()
+    )
+    picks = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        st = rem.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
+                "syy"
+            ),
+        )
+        dev = F.abs(
+            F.col("y") - F.col("sy").cast("double") / F.col("n")
+        )
+        pick = (
+            rem.crossJoin(F.broadcast(st))
+            .select(
+                F.lit(r).alias("round"),
+                "day",
+                "y",
+                F.col("n").alias("n_used"),
+                (
+                    dev
+                    / F.sqrt(
+                        (
+                            F.col("syy").cast("double")
+                            - F.col("sy").cast("double")
+                            * F.col("sy")
+                            / F.col("n")
+                        )
+                        / (F.col("n") - 1)
+                    )
+                ).alias("rstat"),
+                dev.alias("_dev"),
+            )
+            .orderBy(F.desc("_dev"), F.asc("day"))
+            .limit(1)
+            .drop("_dev")
+            .localCheckpoint()
+        )
+        picks.append(pick)
+        rem = rem.join(
+            pick.select("day"), "day", "left_anti"
+        ).localCheckpoint()
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "round",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round(F.col("y") / F.lit(100.0), 2).alias("revenue"),
+        "n_used",
+        F.round("rstat", 6).alias("r_stat"),
+        (F.col("rstat") > F.lit(_ESD_FLAG)).alias("flagged"),
+    )
+
+
+# --- Wave 67: Huber M-estimator of location ------------------------------------
+
+_HUB_K = 1.345  # 95%-efficiency Huber tuning constant
+_HUB_ROUNDS = 3
+
+
+def _hub_round_sql(r: int) -> str:
+    prev = "base" if r == 1 else f"mu{r - 1}"
+    return f"""
+    w{r} AS (
+      SELECT f.pri,
+             cast(sum(cast(floor(
+               CASE WHEN abs(f.y - p.mu) <= {_HUB_K!r}::DOUBLE * p.s
+                    THEN 1.0::DOUBLE
+                    ELSE {_HUB_K!r}::DOUBLE * p.s / abs(f.y - p.mu)
+               END * f.y * 1e4) AS BIGINT)) AS BIGINT) AS swy_fp,
+             cast(sum(cast(floor(
+               CASE WHEN abs(f.y - p.mu) <= {_HUB_K!r}::DOUBLE * p.s
+                    THEN 1.0::DOUBLE
+                    ELSE {_HUB_K!r}::DOUBLE * p.s / abs(f.y - p.mu)
+               END * 1e9) AS BIGINT)) AS BIGINT) AS sw_fp
+      FROM fact f JOIN {prev} p ON p.pri = f.pri
+      GROUP BY f.pri
+    ),
+    mu{r} AS (
+      SELECT w{r}.pri, b.n, b.mean0, b.s,
+             (w{r}.swy_fp / 1e4) / (w{r}.sw_fp / 1e9) AS mu,
+             w{r}.sw_fp AS sw_fp
+      FROM w{r} JOIN base b ON b.pri = w{r}.pri
+    )"""
+
+
+@query(
+    "huber_robust_location",
+    oracle=(
+        """
+    WITH fact AS (
+      SELECT o_orderpriority AS pri,
+             cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    base AS (
+      SELECT pri, cast(count(*) AS BIGINT) AS n,
+             sum(y)::DOUBLE / count(*) AS mean0,
+             sum(y)::DOUBLE / count(*) AS mu,
+             sqrt((sum(y::HUGEINT * y)::DOUBLE
+                   - sum(y)::DOUBLE * sum(y) / count(*))
+                  / (count(*) - 1)) AS s
+      FROM fact GROUP BY pri
+    ),"""
+        + ",".join(_hub_round_sql(r) for r in range(1, _HUB_ROUNDS + 1))
+        + f"""
+    SELECT pri AS priority, n,
+           round(mean0 / 100.0::DOUBLE, 4) AS mean_dollars,
+           round(mu / 100.0::DOUBLE, 4) AS huber_dollars,
+           round((mu - mean0) / 100.0::DOUBLE, 4) AS shift_dollars,
+           floor((sw_fp / 1e9) * 1e6 / n) / 1e6 AS mean_weight
+    FROM mu{_HUB_ROUNDS}
+    """
+    ),
+    tags=["M-ext", "robust", "m-estimator", "iterative", "extension"],
+)
+def huber_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the per-priority order value: three IRLS
+    rounds of mu <- sum(w y)/sum(w) with w = min(1, k s / |y - mu|),
+    k = 1.345 (95% Gaussian efficiency), scale s fixed at the
+    preliminary sd (Huber's "Proposal 2 with preliminary scale"
+    convention, documented). The robust companion to value_outliers_mad
+    and value_winsorized_stats: instead of flagging or clipping tails,
+    it downweights them smoothly; shift_dollars is the outlier-pull the
+    plain mean hides, mean_weight (avg w) is how much mass was
+    discounted.
+
+    Exactness: base moments are exact integer sums; every round's
+    weighted sums floor each w*y (1e-4 dollars) and w (1e-9) term into
+    int64 fixed point BEFORE the order-free integer sums, so mu stays
+    an identical double on both engines round by round.
+
+    Scale: each round is ONE partial/final groupBy over the fact joined
+    to a 5-row broadcast of the previous round's centers — the
+    iteration cost is honest (3 fact scans) and shuffle-free beyond the
+    agg."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint()
+    base = o.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("mean0"),
+        F.sqrt(
+            (
+                F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast(
+                    "double"
+                )
+                - F.sum("y").cast("double")
+                * F.sum("y")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s"),
+    )
+    cur = base.select("pri", "n", "mean0", "s", F.col("mean0").alias("mu"))
+    for _ in range(_HUB_ROUNDS):
+        w = F.when(
+            F.abs(F.col("y") - F.col("mu")) <= F.lit(_HUB_K) * F.col("s"),
+            F.lit(1.0),
+        ).otherwise(
+            F.lit(_HUB_K) * F.col("s") / F.abs(F.col("y") - F.col("mu"))
+        )
+        stats = (
+            o.join(
+                F.broadcast(cur.select("pri", "n", "mean0", "s", "mu")),
+                "pri",
+            )
+            .groupBy("pri")
+            .agg(
+                F.sum(F.floor(w * F.col("y") * 1e4).cast("long"))
+                .cast("long")
+                .alias("swy_fp"),
+                F.sum(F.floor(w * 1e9).cast("long"))
+                .cast("long")
+                .alias("sw_fp"),
+                F.any_value("n").alias("n"),
+                F.any_value("mean0").alias("mean0"),
+                F.any_value("s").alias("s"),
+            )
+        )
+        cur = stats.select(
+            "pri",
+            "n",
+            "mean0",
+            "s",
+            (
+                (F.col("swy_fp") / 1e4) / (F.col("sw_fp") / 1e9)
+            ).alias("mu"),
+            "sw_fp",
+        ).localCheckpoint()
+    return cur.select(
+        F.col("pri").alias("priority"),
+        "n",
+        F.round(F.col("mean0") / F.lit(100.0), 4).alias("mean_dollars"),
+        F.round(F.col("mu") / F.lit(100.0), 4).alias("huber_dollars"),
+        F.round(
+            (F.col("mu") - F.col("mean0")) / F.lit(100.0), 4
+        ).alias("shift_dollars"),
+        (
+            F.floor((F.col("sw_fp") / 1e9) * 1e6 / F.col("n")) / 1e6
+        ).alias("mean_weight"),
+    )

@@ -184,6 +184,12 @@ AUDIT = [
     ("tail_dependence_daily", "Tail dependence: day-grid ranks, integer rank-tail membership"),
     ("weibull_survival_fit", "Weibull fit: one per-user agg, life-table OLS in 1e-9 fixed point"),
     ("nation_closeness_centrality", "APSP: one Q7 edge build, 3 min-plus squarings on |nations|^2 rows"),
+    # wave 67 (round 4)
+    ("distance_correlation_daily", "dCor: V-statistic identity, closed-form marginals, calendar^2 cross term"),
+    ("generalized_esd_outliers", "ESD: five day-grid scans, exact integer moments, argmax tie-broken"),
+    ("huber_robust_location", "Huber IRLS: 3 partial/final fact aggs against 5-row broadcast centers"),
+    ("bleu_near_dup_pairs", "BLEU-2: trigram-gated candidates (df-capped), pair-keyed clip joins"),
+    ("absorbing_markov_visits", "Absorbing chain: one lead() pass, |types|^2 Neumann doublings"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through
@@ -222,6 +228,8 @@ UNPARTITIONED_WINDOWS: dict[tuple[str, str], str] = {
     ("plans/stats.py", "newey_west_trend_se"): "day grid (row_number index + the 7-lag score battery, calendar-bounded)",
     ("plans/stats.py", "tail_dependence_daily"): "day grid (two calendar-bounded ranking passes)",
     ("plans/survival.py", "weibull_survival_fit"): "single-cohort KM life table (horizon-bounded distinct durations)",
+    # wave 67 (round 4)
+    ("plans/stats.py", "distance_correlation_daily"): "day grid (two calendar-bounded sorted-prefix passes for the marginal row sums)",
 }
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

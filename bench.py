@@ -316,6 +316,11 @@ HEADLINE = [
     "huber_robust_location",
     "bleu_near_dup_pairs",
     "absorbing_markov_visits",
+    # wave 68 (r4): storage encodings, theta forecast, boosting, stylometry
+    "columnar_encoding_audit",
+    "ses_theta_forecast",
+    "adaboost_stumps_trajectory",
+    "burrows_delta_sources",
 ]
 
 

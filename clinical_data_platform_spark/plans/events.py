@@ -3153,3 +3153,139 @@ def absorbing_markov_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m", 6).alias("expected_visits"),
         "truncation_tail",
     )
+
+
+# --- Wave 68: SES + Theta-method forecast ---------------------------------------
+
+_SES_ALPHA = 0.2
+
+
+@query(
+    "ses_theta_forecast",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM h
+    ),
+    mo AS (
+      SELECT event_type,
+             cast(count(*) AS BIGINT) AS t,
+             cast(sum(y) AS BIGINT) AS sy,
+             cast(sum(rn * y) AS BIGINT) AS sxy,
+             cast(max(CASE WHEN rn = 1 THEN y END) AS BIGINT) AS y1
+      FROM idx GROUP BY event_type
+    ),
+    lvl AS (
+      SELECT i.event_type,
+             cast(sum(cast(floor(
+               CASE WHEN i.rn = 1
+                    THEN pow(1.0::DOUBLE - {_SES_ALPHA!r}::DOUBLE,
+                             m.t - 1) * i.y
+                    ELSE {_SES_ALPHA!r}::DOUBLE
+                         * pow(1.0::DOUBLE - {_SES_ALPHA!r}::DOUBLE,
+                               m.t - i.rn) * i.y
+               END * 1e9) AS BIGINT)) AS BIGINT) AS lvl_fp,
+             cast(max(CASE WHEN i.rn = m.t THEN i.y END) AS BIGINT)
+               AS last_y
+      FROM idx i JOIN mo m ON m.event_type = i.event_type
+      GROUP BY i.event_type
+    ),
+    fit AS (
+      SELECT m.event_type, m.t, l.lvl_fp / 1e9 AS lvl, l.last_y,
+             (m.sxy - ((m.t * (m.t + 1)) // 2)::DOUBLE * m.sy / m.t)
+               / ((m.t * (m.t + 1) * (2 * m.t + 1)) // 6
+                  - ((m.t * (m.t + 1)) // 2)::DOUBLE
+                    * ((m.t * (m.t + 1)) // 2) / m.t) AS drift
+      FROM mo m JOIN lvl l ON l.event_type = m.event_type
+    )
+    SELECT event_type, t AS n_hours, last_y AS last_actual,
+           round(lvl, 6) AS ses_level,
+           round(drift, 6) AS drift_per_hour,
+           round(lvl + drift / (2.0::DOUBLE * {_SES_ALPHA!r}::DOUBLE), 6)
+             AS theta_forecast
+    FROM fit
+    """,
+    tags=["series", "forecast", "theta", "extension"],
+)
+def ses_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Theta-method forecast of the hourly event-count series
+    per type, via the CLOSED FORM of simple exponential smoothing:
+    level_T = sum of alpha (1-alpha)^(T-t) y_t (t >= 2) plus
+    (1-alpha)^(T-1) y_1 — no sequential recurrence, ONE weighted
+    aggregate per type — and Hyndman-Billah (2003)'s equivalence
+    Theta(2) = SES + drift-correction, here forecast(h=1) = level +
+    b/(2 alpha) with b the OLS trend slope from closed-form integer
+    x-moments. The EWMA companion (ewma_hourly_forecast) carries the
+    recurrence through a window; this op shows the same state collapsing
+    to a single order-free aggregate, which is the form you want at
+    shard scale.
+
+    Exactness: pow on identical doubles is bit-stable, each weighted
+    term floors into 1e-9 fixed point before the per-type integer sum,
+    and the drift uses exact integer moments.
+
+    Scale: one fact rollup to the hour grid, one aggregate per type —
+    no window carries data-sized state."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wtype = Window.partitionBy("event_type").orderBy("hour")
+    idx = h.select(
+        "event_type",
+        "y",
+        F.row_number().over(wtype).cast("long").alias("rn"),
+    ).localCheckpoint()
+    mo = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("rn") * F.col("y")).cast("long").alias("sxy"),
+        F.max(F.when(F.col("rn") == 1, F.col("y"))).cast("long").alias("y1"),
+    )
+    a = _SES_ALPHA
+    j = idx.join(
+        mo.select(F.col("event_type").alias("et2"), "t"),
+        F.col("event_type") == F.col("et2"),
+    )
+    wgt = F.when(
+        F.col("rn") == 1,
+        F.pow(F.lit(1.0 - a), F.col("t") - 1) * F.col("y"),
+    ).otherwise(
+        F.lit(a)
+        * F.pow(F.lit(1.0 - a), F.col("t") - F.col("rn"))
+        * F.col("y")
+    )
+    lvl = j.groupBy("event_type").agg(
+        F.sum(F.floor(wgt * 1e9).cast("long")).cast("long").alias("lvl_fp"),
+        F.max(F.when(F.col("rn") == F.col("t"), F.col("y")))
+        .cast("long")
+        .alias("last_y"),
+    )
+    sx = F.expr("(t * (t + 1)) div 2")
+    sxx = F.expr("(t * (t + 1) * (2 * t + 1)) div 6")
+    fit = mo.join(lvl, "event_type").select(
+        "event_type",
+        "t",
+        (F.col("lvl_fp") / 1e9).alias("lvl"),
+        "last_y",
+        (
+            (F.col("sxy") - sx.cast("double") * F.col("sy") / F.col("t"))
+            / (sxx - sx.cast("double") * sx / F.col("t"))
+        ).alias("drift"),
+    )
+    return fit.select(
+        "event_type",
+        F.col("t").alias("n_hours"),
+        F.col("last_y").alias("last_actual"),
+        F.round("lvl", 6).alias("ses_level"),
+        F.round("drift", 6).alias("drift_per_hour"),
+        F.round(
+            F.col("lvl") + F.col("drift") / F.lit(2.0 * a), 6
+        ).alias("theta_forecast"),
+    )

@@ -533,3 +533,192 @@ def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("max_shard") * F.lit(1e6) / F.col("n_users")) / 1e6)
         .alias("max_shard_share"),
     )
+
+
+# --- Wave 68: columnar encoding what-if audit ----------------------------------
+
+_ENC_FILE_ROWS = 5000  # arrival "file" slice for per-file run detection
+
+
+@query(
+    "columnar_encoding_audit",
+    oracle=f"""
+    WITH longf AS (
+      SELECT o_orderkey,
+             o_orderkey // {_ENC_FILE_ROWS} AS file_id,
+             col, val
+      FROM (
+        SELECT o_orderkey, 'status' AS col, o_orderstatus AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'priority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', cast(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'day',
+               cast(epoch_us(o_orderdate) // 86400000000 AS VARCHAR)
+        FROM orders
+      )
+    ),
+    runsrc AS (
+      SELECT col, file_id, val,
+             lag(val) OVER (PARTITION BY col, file_id
+                            ORDER BY o_orderkey) AS pv,
+             strlen(val) AS blen
+      FROM longf
+    ),
+    agg AS (
+      SELECT col,
+             cast(count(*) AS BIGINT) AS n,
+             cast(count(DISTINCT val) AS BIGINT) AS d,
+             cast(sum(CASE WHEN pv IS NULL OR pv <> val THEN 1 ELSE 0 END)
+                  AS BIGINT) AS runs_arrival,
+             cast(max(blen) AS BIGINT) AS max_len
+      FROM runsrc GROUP BY col
+    ),
+    sized AS (
+      SELECT col, n, d, runs_arrival,
+             CASE WHEN col = 'custkey' THEN 8
+                  WHEN col = 'day' THEN 4
+                  ELSE max_len END AS w,
+             CASE WHEN d <= 1 THEN 1
+                  ELSE length(bin(d - 1)) END AS idx_bits
+      FROM agg
+    ),
+    enc AS (
+      SELECT col, n, d, w, runs_arrival,
+             n * w AS plain_b,
+             d * w + (n * idx_bits + 7) // 8 AS dict_b,
+             runs_arrival * (w + 4) AS rle_arrival_b,
+             d * (w + 4) AS rle_sorted_b
+      FROM sized
+    )
+    SELECT col AS column_name, n, d AS n_distinct, w AS width_bytes,
+           runs_arrival, plain_b, dict_b, rle_arrival_b, rle_sorted_b,
+           CASE WHEN rle_arrival_b <= plain_b AND rle_arrival_b <= dict_b
+                THEN 'rle'
+                WHEN dict_b <= plain_b THEN 'dict'
+                ELSE 'plain' END AS best_arrival,
+           (least(plain_b, dict_b, rle_arrival_b) * 1000000 // plain_b)
+             / 1e6 AS best_ratio,
+           (least(plain_b, dict_b, rle_sorted_b) * 1000000 // plain_b)
+             / 1e6 AS sorted_ratio
+    FROM enc
+    """,
+    tags=["layout", "encoding", "storage", "extension"],
+)
+def columnar_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if audit of columnar encodings per orders column: PLAIN
+    (n*w), DICTIONARY (d*w + ceil(n*log2(d))/8 index stream), and RLE
+    under the ARRIVAL layout (runs * (w+4)) vs a column-SORTED layout —
+    where the run count needs no sort at all: sorted runs == distinct
+    count, a closed form. The sorted_ratio - best_ratio gap is the
+    encoding-side argument for re-clustering a table, the same estimate
+    parquet writers make when choosing encodings per page and the
+    companion to zone_map_skipping_audit's scan-side argument.
+
+    Exactness: run boundaries are exact lag() comparisons INSIDE
+    arrival files (per-(col, file) windows — no global ordering state),
+    dictionary index width uses the engines' shared length(bin(d-1))
+    bit-length idiom (never float log2), and every byte count is
+    integer algebra with integer-division ratios.
+
+    Scale: one unpivot pass over the fact, windows partitioned by
+    (column, file) — the per-file run counts sum associatively, exactly
+    like parquet collects them per page."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey",
+        "o_orderdate",
+    )
+    longf = o.select(
+        "o_orderkey",
+        F.expr(f"o_orderkey div {_ENC_FILE_ROWS}").alias("file_id"),
+        F.expr(
+            "stack(4,"
+            " 'status', o_orderstatus,"
+            " 'priority', o_orderpriority,"
+            " 'custkey', cast(o_custkey AS STRING),"
+            " 'day', cast(cast(cast(o_orderdate AS TIMESTAMP) AS LONG)"
+            "      div 86400 AS STRING))"
+        ).alias("col", "val"),
+    )
+    wrun = Window.partitionBy("col", "file_id").orderBy("o_orderkey")
+    runsrc = longf.select(
+        "col",
+        "val",
+        F.lag("val").over(wrun).alias("pv"),
+        F.octet_length("val").alias("blen"),
+    )
+    agg = runsrc.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("val").cast("long").alias("d"),
+        F.sum(
+            F.when(
+                F.col("pv").isNull() | (F.col("pv") != F.col("val")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("runs_arrival"),
+        F.max("blen").cast("long").alias("max_len"),
+    )
+    sized = agg.select(
+        "col",
+        "n",
+        "d",
+        "runs_arrival",
+        F.when(F.col("col") == "custkey", F.lit(8))
+        .when(F.col("col") == "day", F.lit(4))
+        .otherwise(F.col("max_len"))
+        .cast("long")
+        .alias("w"),
+        F.when(F.col("d") <= 1, F.lit(1))
+        .otherwise(F.length(F.bin(F.col("d") - 1)))
+        .cast("long")
+        .alias("idx_bits"),
+    )
+    enc = sized.select(
+        "col",
+        "n",
+        "d",
+        "w",
+        "runs_arrival",
+        (F.col("n") * F.col("w")).alias("plain_b"),
+        (
+            F.col("d") * F.col("w")
+            + F.expr("(n * idx_bits + 7) div 8")
+        ).alias("dict_b"),
+        (F.col("runs_arrival") * (F.col("w") + 4)).alias("rle_arrival_b"),
+        (F.col("d") * (F.col("w") + 4)).alias("rle_sorted_b"),
+    )
+    return enc.select(
+        F.col("col").alias("column_name"),
+        "n",
+        F.col("d").alias("n_distinct"),
+        F.col("w").alias("width_bytes"),
+        "runs_arrival",
+        "plain_b",
+        "dict_b",
+        "rle_arrival_b",
+        "rle_sorted_b",
+        F.when(
+            (F.col("rle_arrival_b") <= F.col("plain_b"))
+            & (F.col("rle_arrival_b") <= F.col("dict_b")),
+            F.lit("rle"),
+        )
+        .when(F.col("dict_b") <= F.col("plain_b"), F.lit("dict"))
+        .otherwise(F.lit("plain"))
+        .alias("best_arrival"),
+        (
+            F.expr(
+                "least(plain_b, dict_b, rle_arrival_b) * 1000000"
+                " div plain_b"
+            )
+            / 1e6
+        ).alias("best_ratio"),
+        (
+            F.expr(
+                "least(plain_b, dict_b, rle_sorted_b) * 1000000"
+                " div plain_b"
+            )
+            / 1e6
+        ).alias("sorted_ratio"),
+    )

@@ -6608,3 +6608,264 @@ def huber_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("sw_fp") / 1e9) * 1e6 / F.col("n")) / 1e6
         ).alias("mean_weight"),
     )
+
+
+# --- Wave 68: AdaBoost stump trajectory -----------------------------------------
+
+_ADA_ROUNDS = 3
+
+
+def _ada_round_sql(r: int) -> str:
+    stump = (
+        "CASE WHEN (CASE {a}.f WHEN 'f1' THEN {x}.f1"
+        " WHEN 'f2' THEN {x}.f2 ELSE {x}.f3 END) <= {a}.thr"
+        " THEN {a}.pol ELSE -{a}.pol END"
+    )
+    return f"""
+    tot{r} AS (
+      SELECT cast(sum(cast(floor(cnt * wmul * 1e6) AS BIGINT)) AS BIGINT)
+        AS tot
+      FROM cells{r - 1}
+    ),
+    err{r} AS (
+      SELECT c.f, c.thr, c.pol,
+             cast(sum(CASE WHEN ({stump.format(a="c", x="x")}) <> x.y
+                      THEN cast(floor(x.cnt * x.wmul * 1e6) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS e_fp
+      FROM cands c, cells{r - 1} x
+      GROUP BY 1, 2, 3
+    ),
+    pick{r} AS (
+      SELECT f, thr, pol, e_fp FROM err{r}
+      ORDER BY e_fp ASC, f ASC, thr ASC, pol DESC LIMIT 1
+    ),
+    alpha{r} AS (
+      SELECT p.f, p.thr, p.pol, p.e_fp, t.tot,
+             cast(floor(0.5::DOUBLE * ln((t.tot - p.e_fp)::DOUBLE / p.e_fp)
+                        * 1e9) AS BIGINT) / 1e9 AS alpha
+      FROM pick{r} p, tot{r} t
+    ),
+    cells{r} AS MATERIALIZED (
+      SELECT x.f1, x.f2, x.f3, x.y, x.cnt,
+             x.wmul * exp(-a.alpha * x.y
+                          * ({stump.format(a="a", x="x")})) AS wmul,
+             x.sc + a.alpha * ({stump.format(a="a", x="x")}) AS sc
+      FROM cells{r - 1} x, alpha{r} a
+    ),
+    ens{r} AS (
+      SELECT cast(sum(CASE WHEN (CASE WHEN sc >= 0 THEN 1 ELSE -1 END) <> y
+                      THEN cnt ELSE 0 END) AS BIGINT) AS miss,
+             cast(sum(cnt) AS BIGINT) AS n
+      FROM cells{r}
+    ),
+    out{r} AS (
+      SELECT {r} AS round, a.f AS feature, a.thr AS threshold,
+             a.pol AS polarity,
+             round(a.e_fp::DOUBLE / a.tot, 6) AS weighted_err,
+             round(a.alpha, 6) AS alpha,
+             (e.miss * 1000000 // e.n) / 1e6 AS ensemble_err
+      FROM alpha{r} a, ens{r} e
+    )"""
+
+
+@query(
+    "adaboost_stumps_trajectory",
+    oracle=(
+        """
+    WITH feats AS (
+      SELECT hour(ts) // 6 AS f1,
+             greatest(least(cast(floor(value / 100) AS BIGINT), 4), 0)
+               AS f2,
+             dayofweek(ts) AS f3,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y
+      FROM events
+    ),
+    cells0 AS MATERIALIZED (
+      SELECT f1, f2, f3, y, cast(count(*) AS BIGINT) AS cnt,
+             1.0::DOUBLE AS wmul, 0.0::DOUBLE AS sc
+      FROM feats GROUP BY 1, 2, 3, 4
+    ),
+    cands AS (
+      SELECT f, thr, pol FROM (
+        SELECT 'f1' AS f, unnest(generate_series(0, 2)) AS thr
+        UNION ALL
+        SELECT 'f2', unnest(generate_series(0, 3))
+        UNION ALL
+        SELECT 'f3', unnest(generate_series(0, 5))
+      ), (SELECT unnest([1, -1]) AS pol)
+    ),"""
+        + ",".join(_ada_round_sql(r) for r in range(1, _ADA_ROUNDS + 1))
+        + f"""
+    {" UNION ALL ".join(f"SELECT * FROM out{r}" for r in range(1, _ADA_ROUNDS + 1))}
+    """
+    ),
+    tags=["M-ext", "boosting", "supervised", "iterative", "extension"],
+)
+def adaboost_stumps_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of AdaBoost (Freund-Schapire) with decision stumps
+    predicting purchase events from (hour-of-day bucket, value bucket,
+    weekday) — run ENTIRELY on sufficient statistics: because every
+    stump is a function of the binned features, the per-row weights
+    collapse onto the (f1, f2, f3, y) CELL table (<= 4*5*7*2 rows), so
+    each boosting round is a 36-candidate scan of a few hundred cells,
+    never a reweighting pass over the fact. The fact is touched exactly
+    once, to build the cell counts — the boosted-trees analogue of
+    gbdt_histogram_best_split's histogram trick, extended to the full
+    reweighting trajectory.
+
+    Exactness: cell weights are products of exp() on identical doubles
+    (never summed); the weighted errors floor each term into 1e-6 fixed
+    point so the candidate argmin compares exact integers (ties broken
+    on feature/threshold/polarity); alpha truncates its ln ratio into
+    1e-9 fixed point; ensemble error is pure integer counting."""
+    ev = T(spark, sf_dir, "events").select("ts", "value", "event_type")
+    feats = ev.select(
+        F.expr("hour(ts) div 6").alias("f1"),
+        F.greatest(
+            F.least(
+                F.floor(F.col("value") / 100).cast("long"), F.lit(4)
+            ),
+            F.lit(0),
+        ).alias("f2"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f3"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(-1)
+        .alias("y"),
+    )
+    cells = (
+        feats.groupBy("f1", "f2", "f3", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "f1",
+            "f2",
+            "f3",
+            "y",
+            "cnt",
+            F.lit(1.0).alias("wmul"),
+            F.lit(0.0).alias("sc"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    one = spark.range(1)
+    cands = (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("f"),
+                            F.lit(thr).cast("long").alias("thr"),
+                        )
+                        for f, hi in (("f1", 2), ("f2", 3), ("f3", 5))
+                        for thr in range(0, hi + 1)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.f", "c.thr")
+        .crossJoin(
+            one.select(
+                F.explode(F.array(F.lit(1), F.lit(-1))).alias("pol")
+            )
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+
+    def stump(f, thr, pol):
+        fv = (
+            F.when(f == "f1", F.col("f1"))
+            .when(f == "f2", F.col("f2"))
+            .otherwise(F.col("f3"))
+        )
+        return F.when(fv <= thr, pol).otherwise(-pol)
+
+    outs = []
+    for r in range(1, _ADA_ROUNDS + 1):
+        w_fp = F.floor(F.col("cnt") * F.col("wmul") * 1e6).cast("long")
+        tot = cells.agg(F.sum(w_fp).cast("long").alias("tot"))
+        h = stump(F.col("f"), F.col("thr"), F.col("pol"))
+        err = (
+            cands.crossJoin(cells)
+            .groupBy("f", "thr", "pol")
+            .agg(
+                F.sum(F.when(h != F.col("y"), w_fp).otherwise(0))
+                .cast("long")
+                .alias("e_fp")
+            )
+        )
+        pick = (
+            err.orderBy(
+                F.asc("e_fp"), F.asc("f"), F.asc("thr"), F.desc("pol")
+            )
+            .limit(1)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "f",
+                "thr",
+                "pol",
+                "e_fp",
+                "tot",
+                (
+                    F.floor(
+                        F.lit(0.5)
+                        * F.log(
+                            (F.col("tot") - F.col("e_fp")).cast("double")
+                            / F.col("e_fp")
+                        )
+                        * 1e9
+                    ).cast("long")
+                    / 1e9
+                ).alias("alpha"),
+            )
+            .localCheckpoint()
+        )
+        hh = stump(F.col("f"), F.col("thr"), F.col("pol"))
+        cells = (
+            cells.crossJoin(F.broadcast(pick))
+            .select(
+                "f1",
+                "f2",
+                "f3",
+                "y",
+                "cnt",
+                (
+                    F.col("wmul")
+                    * F.exp(-F.col("alpha") * F.col("y") * hh)
+                ).alias("wmul"),
+                (F.col("sc") + F.col("alpha") * hh).alias("sc"),
+            )
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        ens = cells.agg(
+            F.sum(
+                F.when(
+                    F.when(F.col("sc") >= 0, 1).otherwise(-1) != F.col("y"),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("miss"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
+        outs.append(
+            pick.crossJoin(F.broadcast(ens)).select(
+                F.lit(r).alias("round"),
+                F.col("f").alias("feature"),
+                F.col("thr").alias("threshold"),
+                F.col("pol").alias("polarity"),
+                F.round(
+                    F.col("e_fp").cast("double") / F.col("tot"), 6
+                ).alias("weighted_err"),
+                F.round("alpha", 6).alias("alpha"),
+                (F.expr("miss * 1000000 div n") / 1e6).alias(
+                    "ensemble_err"
+                ),
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out

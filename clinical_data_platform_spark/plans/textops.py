@@ -2911,3 +2911,191 @@ def bleu_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BLEU_TOPK)
         .drop("_ord")
     )
+
+
+# --- Wave 68: Burrows' Delta stylometry ------------------------------------------
+
+_BD_VOCAB = 30
+
+
+@query(
+    "burrows_delta_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+        AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM toks GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC LIMIT {_BD_VOCAB}
+    ),
+    stot AS (
+      SELECT source, cast(count(*) AS BIGINT) AS t FROM toks GROUP BY 1
+    ),
+    cnts AS (
+      SELECT source, tok, cast(count(*) AS BIGINT) AS c
+      FROM toks JOIN vocab USING (tok)
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.source, v.tok, s.t, coalesce(c.c, 0) AS c,
+             cast(floor(coalesce(c.c, 0)::DOUBLE / s.t * 1e12) AS BIGINT)
+               / 1e12 AS g
+      FROM stot s CROSS JOIN vocab v
+      LEFT JOIN cnts c ON c.source = s.source AND c.tok = v.tok
+    ),
+    ns AS (SELECT cast(count(*) AS BIGINT) AS ns FROM stot),
+    mo AS (
+      SELECT tok,
+             cast(sum(cast(floor(g * 1e12) AS BIGINT)) AS BIGINT) AS sg_fp,
+             cast(sum(cast(floor(g * g * 1e15) AS BIGINT)) AS BIGINT)
+               AS sgg_fp
+      FROM grid GROUP BY tok
+    ),
+    z AS (
+      SELECT grid.source, grid.tok,
+             CASE WHEN (mo.sgg_fp / 1e15 - (mo.sg_fp / 1e12)
+                        * (mo.sg_fp / 1e12) / ns.ns) <= 0.0::DOUBLE
+                  THEN 0.0::DOUBLE
+                  ELSE (grid.g - mo.sg_fp / 1e12 / ns.ns)
+                       / sqrt((mo.sgg_fp / 1e15 - (mo.sg_fp / 1e12)
+                               * (mo.sg_fp / 1e12) / ns.ns)
+                              / (ns.ns - 1))
+             END AS z
+      FROM grid, mo, ns
+      WHERE mo.tok = grid.tok
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             cast(sum(cast(floor(abs(a.z - b.z) * 1e9) AS BIGINT))
+                  AS BIGINT) AS d_fp,
+             cast(count(*) AS BIGINT) AS nw
+      FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           floor(d_fp::DOUBLE / nw / 1e9 * 1e6) / 1e6 AS delta
+    FROM pairs
+    """,
+    tags=["text", "stylometry", "burrows-delta", "extension"],
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (2002) between every pair of document SOURCES —
+    the standard stylometric authorship distance: z-score each source's
+    relative frequency of the corpus's top-30 tokens against the
+    across-source distribution, then Delta(a,b) = mean |z_a - z_b|.
+    Low Delta = stylistically indistinguishable sources (candidate
+    mirrored/scraped feeds for a training corpus); the source-level
+    sibling of the doc-level dedup family and of
+    source_topk_token_overlap's set-based view (Delta weighs HOW MUCH
+    each shared word is used, not whether it appears).
+
+    Exactness: relative frequencies truncate to 1e-12 fixed point
+    (exact count ratios first — both engines divide the same integers);
+    across-source moments and the per-pair |z| sums are order-free
+    integer fixed-point sums; zero-variance tokens z = 0 on both
+    engines by the same guard.
+
+    Scale: one tokenize pass; everything after lives on
+    (sources x 30) rows."""
+    d = fan_out_scan(T(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).localCheckpoint()
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_BD_VOCAB)
+        .select("tok")
+        .localCheckpoint()
+    )
+    stot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    cnts = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .join(cnts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (
+                F.floor(
+                    F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                    / F.col("t")
+                    * 1e12
+                ).cast("long")
+                / 1e12
+            ).alias("g"),
+        )
+        .localCheckpoint()
+    )
+    ns = stot.agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    mo = grid.groupBy("tok").agg(
+        F.sum(F.floor(F.col("g") * 1e12).cast("long"))
+        .cast("long")
+        .alias("sg_fp"),
+        F.sum(F.floor(F.col("g") * F.col("g") * 1e15).cast("long"))
+        .cast("long")
+        .alias("sgg_fp"),
+    )
+    var = (
+        F.col("sgg_fp") / 1e15
+        - (F.col("sg_fp") / 1e12) * (F.col("sg_fp") / 1e12) / F.col("ns")
+    )
+    z = (
+        grid.join(
+            mo.withColumnRenamed("tok", "mtok"),
+            F.col("tok") == F.col("mtok"),
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "tok",
+            F.when(var <= 0.0, F.lit(0.0))
+            .otherwise(
+                (F.col("g") - F.col("sg_fp") / 1e12 / F.col("ns"))
+                / F.sqrt(var / (F.col("ns") - 1))
+            )
+            .alias("z"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "tok", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"),
+        F.col("tok").alias("tokb"),
+        F.col("z").alias("zb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tokb"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.floor(F.abs(F.col("za") - F.col("zb")) * 1e9).cast("long")
+            )
+            .cast("long")
+            .alias("d_fp"),
+            F.count(F.lit(1)).cast("long").alias("nw"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        (
+            F.floor(F.col("d_fp").cast("double") / F.col("nw") / 1e9 * 1e6)
+            / 1e6
+        ).alias("delta"),
+    )

@@ -190,6 +190,11 @@ AUDIT = [
     ("huber_robust_location", "Huber IRLS: 3 partial/final fact aggs against 5-row broadcast centers"),
     ("bleu_near_dup_pairs", "BLEU-2: trigram-gated candidates (df-capped), pair-keyed clip joins"),
     ("absorbing_markov_visits", "Absorbing chain: one lead() pass, |types|^2 Neumann doublings"),
+    # wave 68 (round 4)
+    ("columnar_encoding_audit", "Encoding audit: one unpivot pass, per-(col,file) run windows, integer byte math"),
+    ("ses_theta_forecast", "Theta: SES closed form as ONE weighted agg per type, integer drift moments"),
+    ("adaboost_stumps_trajectory", "AdaBoost: one fact agg to cells, 36-candidate scans on <=280 rows/round"),
+    ("burrows_delta_sources", "Burrows Delta: one tokenize pass, (sources x 30) z-grid, pair joins on it"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

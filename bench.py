@@ -321,6 +321,11 @@ HEADLINE = [
     "ses_theta_forecast",
     "adaboost_stumps_trajectory",
     "burrows_delta_sources",
+    # wave 69 (r4): randomization inference, ECOD, attribution, VFDT bound
+    "permutation_test_price_status",
+    "ecod_outlier_scores",
+    "markov_removal_attribution",
+    "hoeffding_split_confidence",
 ]
 
 

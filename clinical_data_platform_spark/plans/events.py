@@ -3289,3 +3289,301 @@ def ses_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lvl") + F.col("drift") / F.lit(2.0 * a), 6
         ).alias("theta_forecast"),
     )
+
+
+# --- Wave 69: Markov removal-effect attribution -----------------------------------
+
+_MRA_CHANNELS = ("click", "error", "signup", "view")
+_MRA_SQUARINGS = 4  # T^16: absorption within 16 steps
+
+
+def _mra_journey_sql() -> str:
+    return """
+    midx AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    mpr AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn,
+             max(rn) AS mrn
+      FROM midx GROUP BY 1
+    ),
+    mj AS (
+      SELECT i.user_id, i.event_type, i.rn
+      FROM midx i JOIN mpr ON mpr.user_id = i.user_id
+      WHERE i.rn <= coalesce(mpr.prn, mpr.mrn)
+    ),
+    mseq AS (
+      SELECT user_id, rn, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+               AS nxt
+      FROM mj
+    ),
+    mtr AS (
+      SELECT 'START' AS s,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS d
+      FROM mseq WHERE rn = 1
+      UNION ALL
+      SELECT event_type AS s,
+             CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END AS d
+      FROM mseq WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+      UNION ALL
+      SELECT event_type AS s, 'DROP' AS d
+      FROM mseq WHERE nxt IS NULL AND event_type <> 'purchase'
+    ),
+    mcnt AS (SELECT s, d, cast(count(*) AS BIGINT) AS n FROM mtr GROUP BY 1, 2),
+    mrow AS (SELECT s, cast(sum(n) AS BIGINT) AS t FROM mcnt GROUP BY 1),
+    pfull0 AS MATERIALIZED (
+      SELECT c.s AS i, c.d AS j, c.n::DOUBLE / r.t AS m
+      FROM mcnt c JOIN mrow r USING (s)
+      UNION ALL SELECT 'CONV', 'CONV', 1.0::DOUBLE
+      UNION ALL SELECT 'DROP', 'DROP', 1.0::DOUBLE
+    )"""
+
+
+def _mra_variant_sql(ch: str) -> str:
+    return f"""
+    p{ch}0 AS MATERIALIZED (
+      SELECT i, CASE WHEN j = '{ch}' THEN 'DROP' ELSE j END AS j,
+             sum(m) AS m
+      FROM pfull0 WHERE i <> '{ch}'
+      GROUP BY 1, 2
+    )"""
+
+
+def _mra_sq_sql(v: str, k: int) -> str:
+    return f"""
+    p{v}sq{k} AS (
+      SELECT p.i, q.j,
+             cast(sum(cast(floor(p.m * q.m * 1e12) AS BIGINT)) AS BIGINT)
+               AS mm
+      FROM p{v}{k - 1} p JOIN p{v}{k - 1} q ON q.i = p.j
+      GROUP BY 1, 2
+    ),
+    p{v}{k} AS MATERIALIZED (
+      SELECT i, j, round(mm / 1e12, 12) AS m FROM p{v}sq{k}
+    )"""
+
+
+@query(
+    "markov_removal_attribution",
+    oracle=(
+        "WITH "
+        + _mra_journey_sql()
+        + ","
+        + ",".join(_mra_variant_sql(ch) for ch in _MRA_CHANNELS)
+        + ","
+        + ",".join(
+            _mra_sq_sql(v, k)
+            for v in ("full",) + _MRA_CHANNELS
+            for k in range(1, _MRA_SQUARINGS + 1)
+        )
+        + f""",
+    convs AS (
+      SELECT 'full' AS v, m FROM pfull{_MRA_SQUARINGS}
+      WHERE i = 'START' AND j = 'CONV'
+      {"".join(f'''
+      UNION ALL SELECT '{ch}', coalesce((SELECT m FROM p{ch}{_MRA_SQUARINGS}
+        WHERE i = 'START' AND j = 'CONV'), 0.0::DOUBLE)''' for ch in _MRA_CHANNELS)}
+    ),
+    eff AS (
+      SELECT c.v AS channel,
+             f.m AS conv_full, c.m AS conv_without,
+             cast(floor(greatest(f.m - c.m, 0.0::DOUBLE) * 1e9) AS BIGINT)
+               AS e_fp
+      FROM convs c, (SELECT m FROM convs WHERE v = 'full') f
+      WHERE c.v <> 'full'
+    ),
+    tot AS (SELECT cast(sum(e_fp) AS BIGINT) AS t FROM eff)
+    SELECT channel,
+           round(conv_full, 6) AS conv_full,
+           round(conv_without, 6) AS conv_without,
+           round(conv_full - conv_without, 6) AS removal_effect,
+           CASE WHEN tot.t > 0
+                THEN (e_fp * 1000000 // tot.t) / 1e6 END AS share
+    FROM eff, tot
+    """
+    ),
+    tags=["sequence", "markov", "attribution", "iterative", "extension"],
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect multi-touch attribution (Anderl et al.
+    2016) — the data-driven alternative to shapley_channel_attribution's
+    cooperative-game view: build the journey chain START -> channels ->
+    CONV/DROP from each user's events up to their first purchase, then
+    for each channel REMOVE it (its inbound probability mass redirects
+    to DROP), recompute the conversion probability, and attribute by the
+    normalized conversion drop. Absorption probabilities come from T^16
+    by four matrix squarings (CONV/DROP are self-loop-1 absorbing rows,
+    so powering T gives "absorbed within 16 steps" exactly — the same
+    truncation evidence discipline as absorbing_markov_visits).
+
+    Exactness: transition probabilities are exact count ratios; every
+    squaring floors into 1e-12 fixed point and re-syncs at 12 dp;
+    removal effects floor into 1e-9 fixed point so the share
+    normalization is an integer cross-multiplied truncation.
+
+    Scale: one row_number + lead pass over the fact (the journey build);
+    the five chains live on <= (|channels|+3)^2 rows each."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    idx = ev.select(
+        "user_id", "event_type", F.row_number().over(wseq).alias("rn")
+    )
+    pr = idx.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("prn"),
+        F.max("rn").alias("mrn"),
+    )
+    j = idx.join(pr, "user_id").filter(
+        F.col("rn") <= F.coalesce(F.col("prn"), F.col("mrn"))
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    seq = j.select(
+        "user_id",
+        "rn",
+        "event_type",
+        F.lead("event_type").over(wj).alias("nxt"),
+    ).localCheckpoint()
+    tr = (
+        seq.filter(F.col("rn") == 1)
+        .select(
+            F.lit("START").alias("s"),
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type"))
+            .alias("d"),
+        )
+        .unionByName(
+            seq.filter(
+                F.col("nxt").isNotNull()
+                & (F.col("event_type") != "purchase")
+            ).select(
+                F.col("event_type").alias("s"),
+                F.when(F.col("nxt") == "purchase", F.lit("CONV"))
+                .otherwise(F.col("nxt"))
+                .alias("d"),
+            )
+        )
+        .unionByName(
+            seq.filter(
+                F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+            ).select(
+                F.col("event_type").alias("s"), F.lit("DROP").alias("d")
+            )
+        )
+    )
+    cnt = tr.groupBy("s", "d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rowt = cnt.groupBy(F.col("s").alias("rs")).agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    pfull = (
+        cnt.join(rowt, cnt.s == F.col("rs"))
+        .select(
+            F.col("s").alias("i"),
+            F.col("d").alias("j"),
+            (F.col("n").cast("double") / F.col("t")).alias("m"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit("CONV").alias("i"),
+                F.lit("CONV").alias("j"),
+                F.lit(1.0).alias("m"),
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit("DROP").alias("i"),
+                F.lit("DROP").alias("j"),
+                F.lit(1.0).alias("m"),
+            )
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+
+    def matmul(a: DataFrame) -> DataFrame:
+        al = a.select(
+            F.col("i").alias("ai"), F.col("j").alias("am"), F.col("m").alias("av")
+        )
+        bl = a.select(
+            F.col("i").alias("bm"), F.col("j").alias("bj"), F.col("m").alias("bv")
+        )
+        return (
+            al.join(bl, F.col("am") == F.col("bm"))
+            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.floor(F.col("av") * F.col("bv") * 1e12).cast("long")
+                    ).cast("long")
+                    / 1e12,
+                    12,
+                ).alias("m")
+            )
+        )
+
+    def conv_prob(p0: DataFrame) -> DataFrame:
+        p = p0
+        for _ in range(_MRA_SQUARINGS):
+            p = matmul(p).coalesce(1).localCheckpoint()
+        return p.filter(
+            (F.col("i") == "START") & (F.col("j") == "CONV")
+        ).select("m")
+
+    full_m = conv_prob(pfull)
+    effs = []
+    for ch in _MRA_CHANNELS:
+        pvar = (
+            pfull.filter(F.col("i") != ch)
+            .select(
+                "i",
+                F.when(F.col("j") == ch, F.lit("DROP"))
+                .otherwise(F.col("j"))
+                .alias("j"),
+                "m",
+            )
+            .groupBy("i", "j")
+            .agg(F.sum("m").alias("m"))
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        # agg-coalesce yields exactly one row even when the pruned chain
+        # lost its START->CONV path entirely (conv_without = 0)
+        wo = conv_prob(pvar).agg(
+            F.coalesce(F.max("m"), F.lit(0.0)).alias("mw")
+        )
+        effs.append(
+            full_m.crossJoin(wo).select(
+                F.lit(ch).alias("channel"),
+                F.col("m").alias("conv_full"),
+                F.col("mw").alias("conv_without"),
+                F.floor(
+                    F.greatest(F.col("m") - F.col("mw"), F.lit(0.0)) * 1e9
+                )
+                .cast("long")
+                .alias("e_fp"),
+            )
+        )
+    eff = effs[0]
+    for e2 in effs[1:]:
+        eff = eff.unionByName(e2)
+    eff = eff.localCheckpoint()
+    tot = eff.agg(F.sum("e_fp").cast("long").alias("t"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round("conv_full", 6).alias("conv_full"),
+        F.round("conv_without", 6).alias("conv_without"),
+        F.round(F.col("conv_full") - F.col("conv_without"), 6).alias(
+            "removal_effect"
+        ),
+        F.when(
+            F.col("t") > 0, F.expr("e_fp * 1000000 div t") / 1e6
+        ).alias("share"),
+    )

@@ -6869,3 +6869,446 @@ def adaboost_stumps_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o2 in outs[1:]:
         out = out.unionByName(o2)
     return out
+
+
+# --- Wave 69: randomization test -------------------------------------------------
+
+_PERM_B = 64  # deterministic md5-seeded relabelings
+
+_PERM_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+@query(
+    "permutation_test_price_status",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey,
+             cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             (o_orderstatus = 'F') AS grp
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    obs AS (
+      SELECT sum(y) FILTER (grp) AS sa, count(*) FILTER (grp) AS na,
+             sum(y) FILTER (NOT grp) AS sb,
+             count(*) FILTER (NOT grp) AS nb
+      FROM f
+    ),
+    reps AS (
+      SELECT b.b, f.y,
+             ({_PERM_HEX6.format(x="cast(f.o_orderkey AS VARCHAR) || ':' || cast(b.b AS VARCHAR)")})
+               % 2 = 0 AS grp
+      FROM f, (SELECT unnest(generate_series(1, {_PERM_B})) AS b) b
+    ),
+    rstat AS (
+      SELECT b,
+             abs(sum(y) FILTER (grp)::DOUBLE / count(*) FILTER (grp)
+                 - sum(y) FILTER (NOT grp)::DOUBLE
+                   / count(*) FILTER (NOT grp)) AS d
+      FROM reps GROUP BY b
+      HAVING count(*) FILTER (grp) > 0 AND count(*) FILTER (NOT grp) > 0
+    ),
+    comp AS (
+      SELECT cast(count(*) AS BIGINT) AS n_reps,
+             cast(sum(CASE WHEN r.d >= abs(o.sa::DOUBLE / o.na
+                                           - o.sb::DOUBLE / o.nb)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+      FROM rstat r, obs o
+    )
+    SELECT o.na AS n_f, o.nb AS n_o,
+           round((o.sa::DOUBLE / o.na - o.sb::DOUBLE / o.nb) / 100.0::DOUBLE,
+                 4) AS observed_diff_dollars,
+           c.n_reps, c.n_ge,
+           ((c.n_ge + 1) * 1000000 // (c.n_reps + 1)) / 1e6 AS p_value
+    FROM obs o, comp c
+    """,
+    tags=["M-ext", "permutation-test", "inference", "extension"],
+)
+def permutation_test_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the F-vs-O order-status price difference:
+    64 deterministic md5-seeded relabelings of every order (the
+    Bernoulli(1/2) random-split variant of the permutation test — each
+    replicate reassigns labels independently of the observed ones, the
+    exact null the test needs), statistic = |mean difference|, p =
+    (1 + #{replicates >= observed}) / (B + 1) — the add-one form that
+    keeps p valid at any B. The nonparametric companion to
+    welch_ttest_totalprice: no normality, no variance model, just
+    exchangeability.
+
+    Exactness: labels are md5-derived integers (the repo's shared hex6
+    idiom), every group sum is an exact integer in cents, each
+    replicate's statistic is a ratio of exact integers (identical
+    doubles), and p is an integer cross-multiplied truncation.
+
+    Scale: the replicate expansion is one projection (B rows per fact
+    row) feeding one partial/final groupBy(b) — 64 counters per
+    partition, no shuffle amplification beyond the B-key agg."""
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    f = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        (F.col("o_orderstatus") == "F").alias("grp"),
+    ).localCheckpoint()
+    obs = f.agg(
+        F.sum(F.when(F.col("grp"), F.col("y"))).cast("long").alias("sa"),
+        F.sum(F.when(F.col("grp"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~F.col("grp"), F.col("y"))).cast("long").alias("sb"),
+        F.sum(F.when(~F.col("grp"), 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    reps = f.select(
+        "o_orderkey",
+        "y",
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+    ).select(
+        "b",
+        "y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        ).alias("grp"),
+    )
+    rstat = (
+        reps.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("grp"), F.col("y"))).cast("long").alias("ra"),
+            F.sum(F.when(F.col("grp"), 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(~F.col("grp"), F.col("y")))
+            .cast("long")
+            .alias("rb"),
+            F.sum(F.when(~F.col("grp"), 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .select(
+            "b",
+            F.abs(
+                F.col("ra").cast("double") / F.col("ca")
+                - F.col("rb").cast("double") / F.col("cb")
+            ).alias("d"),
+        )
+    )
+    comp = rstat.crossJoin(F.broadcast(obs)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.sum(
+            F.when(
+                F.col("d")
+                >= F.abs(
+                    F.col("sa").cast("double") / F.col("na")
+                    - F.col("sb").cast("double") / F.col("nb")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ge"),
+    )
+    return obs.crossJoin(F.broadcast(comp)).select(
+        F.col("na").alias("n_f"),
+        F.col("nb").alias("n_o"),
+        F.round(
+            (
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("observed_diff_dollars"),
+        "n_reps",
+        "n_ge",
+        (F.expr("(n_ge + 1) * 1000000 div (n_reps + 1)") / 1e6).alias(
+            "p_value"
+        ),
+    )
+
+
+# --- Wave 69: ECOD outlier scores -------------------------------------------------
+
+_ECOD_TOPK = 10
+
+
+@query(
+    "ecod_outlier_scores",
+    oracle=f"""
+    WITH day AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(count(*) AS BIGINT) AS x,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    rs AS (
+      SELECT day, x, yc,
+             row_number() OVER (ORDER BY x, day) AS rx,
+             row_number() OVER (ORDER BY yc::DOUBLE / x, day) AS ry,
+             count(*) OVER () AS n
+      FROM day
+    ),
+    sc AS (
+      SELECT day, x, yc, n,
+             -(cast(floor(ln(least(rx, n + 1 - rx)::DOUBLE / n) * 1e9)
+                    AS BIGINT)
+               + cast(floor(ln(least(ry, n + 1 - ry)::DOUBLE / n) * 1e9)
+                      AS BIGINT)) AS s_fp
+      FROM rs
+    )
+    SELECT day::TIMESTAMP AS day, x AS n_orders,
+           round(yc::DOUBLE / x / 100.0::DOUBLE, 2) AS avg_value,
+           floor(s_fp / 1e9 * 1e6) / 1e6 AS ecod_score
+    FROM sc
+    ORDER BY s_fp DESC, day ASC
+    LIMIT {_ECOD_TOPK}
+    """,
+    tags=["M-ext", "outliers", "ecod", "extension"],
+)
+def ecod_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD (Li et al. 2022) unsupervised outlier scores over the
+    (daily order volume, daily average value) plane: per dimension the
+    empirical tail probability min(rank, n+1-rank)/n, score =
+    -sum_d ln(tail_d) — the "how far into EITHER tail of every marginal"
+    detector that needs no distance metric, no parameters, and no
+    covariance (vs value_outliers_mad's single-column z-style view and
+    generalized_esd_outliers' gaussian deletions). Top-10 outlier days.
+
+    Exactness: ranks are row_number with day tie-breaks; each
+    dimension's ln(exact ratio) floors into 1e-9 fixed point, so the
+    score is an INTEGER and the top-k ordering is exact integer
+    comparison — no float ordering anywhere.
+
+    Scale: one fact rollup; two ranking windows on the calendar-bounded
+    day grid; TakeOrdered top-k."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("yc"),
+    )
+    wx = Window.orderBy("x", "day")
+    wy = Window.orderBy(F.col("yc").cast("double") / F.col("x"), F.col("day"))
+    wall = Window.partitionBy()
+    rs = day.select(
+        "day",
+        "x",
+        "yc",
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    tail = lambda r: F.least(F.col(r), F.col("n") + 1 - F.col(r)).cast(  # noqa: E731
+        "double"
+    ) / F.col("n")
+    sc = rs.select(
+        "day",
+        "x",
+        "yc",
+        (
+            -(
+                F.floor(F.log(tail("rx")) * 1e9).cast("long")
+                + F.floor(F.log(tail("ry")) * 1e9).cast("long")
+            )
+        ).alias("s_fp"),
+    )
+    return (
+        sc.orderBy(F.desc("s_fp"), F.asc("day"))
+        .limit(_ECOD_TOPK)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("x").alias("n_orders"),
+            F.round(
+                F.col("yc").cast("double") / F.col("x") / F.lit(100.0), 2
+            ).alias("avg_value"),
+            (F.floor(F.col("s_fp") / 1e9 * 1e6) / 1e6).alias("ecod_score"),
+        )
+    )
+
+
+# --- Wave 69: Hoeffding split-confidence audit ------------------------------------
+
+
+@query(
+    "hoeffding_split_confidence",
+    oracle="""
+    WITH feats AS (
+      SELECT hour(ts) // 6 AS f1,
+             greatest(least(cast(floor(value / 100) AS BIGINT), 4), 0)
+               AS f2,
+             dayofweek(ts) AS f3,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y
+      FROM events
+    ),
+    cells AS (
+      SELECT f1, f2, f3, y, cast(count(*) AS BIGINT) AS cnt
+      FROM feats GROUP BY 1, 2, 3, 4
+    ),
+    cands AS (
+      SELECT f, thr, pol FROM (
+        SELECT 'f1' AS f, unnest(generate_series(0, 2)) AS thr
+        UNION ALL
+        SELECT 'f2', unnest(generate_series(0, 3))
+        UNION ALL
+        SELECT 'f3', unnest(generate_series(0, 5))
+      ), (SELECT unnest([1, -1]) AS pol)
+    ),
+    errs AS (
+      SELECT c.f, c.thr, c.pol,
+             cast(sum(CASE WHEN (CASE WHEN (CASE c.f WHEN 'f1' THEN x.f1
+                                            WHEN 'f2' THEN x.f2
+                                            ELSE x.f3 END) <= c.thr
+                                  THEN c.pol ELSE -c.pol END) <> x.y
+                      THEN x.cnt ELSE 0 END) AS BIGINT) AS miss,
+             cast(sum(x.cnt) AS BIGINT) AS n
+      FROM cands c, cells x
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY miss ASC, f ASC, thr ASC, pol DESC)
+               AS rk
+      FROM errs
+    )
+    SELECT b.f AS best_feature, b.thr AS best_threshold,
+           b.pol AS best_polarity,
+           (b.miss * 1000000 // b.n) / 1e6 AS err_best,
+           s.f AS second_feature,
+           (s.miss * 1000000 // s.n) / 1e6 AS err_second,
+           ((s.miss - b.miss) * 1000000 // b.n) / 1e6 AS gap,
+           round(sqrt(ln(10000000.0::DOUBLE) / (2.0::DOUBLE * b.n)), 6)
+             AS epsilon,
+           b.n,
+           ((s.miss - b.miss)::DOUBLE / b.n
+            > sqrt(ln(10000000.0::DOUBLE) / (2.0::DOUBLE * b.n)))
+             AS split_decided
+    FROM ranked b, ranked s
+    WHERE b.rk = 1 AND s.rk = 2
+    """,
+    tags=["M-ext", "hoeffding", "streaming-ml", "extension"],
+)
+def hoeffding_split_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hoeffding-tree split decision (Domingos-Hulten VFDT 2000)
+    over the same 36-stump candidate grid the boosting trajectory scans:
+    is the best split's advantage over the runner-up larger than the
+    Hoeffding bound eps = sqrt(ln(1/delta) / 2n) (delta = 1e-7), i.e.
+    statistically safe to commit WITHOUT seeing more data? This is the
+    question a streaming decision-tree learner asks after every batch —
+    here answered exactly on the full cell table, giving the batch
+    ground truth a VFDT run should converge to.
+
+    Exactness: misclassification counts are pure integers, the
+    best/second ranking is an integer argmin with deterministic
+    tie-breaks, error rates and the gap are integer cross-multiplied
+    truncations; only epsilon itself touches libm (one ln + sqrt on
+    identical doubles, rounded at 6).
+
+    Scale: one fact aggregate to <= 280 cells; the candidate scan is a
+    literal-grid broadcast product."""
+    ev = T(spark, sf_dir, "events").select("ts", "value", "event_type")
+    feats = ev.select(
+        F.expr("hour(ts) div 6").alias("f1"),
+        F.greatest(
+            F.least(F.floor(F.col("value") / 100).cast("long"), F.lit(4)),
+            F.lit(0),
+        ).alias("f2"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f3"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(-1)
+        .alias("y"),
+    )
+    cells = (
+        feats.groupBy("f1", "f2", "f3", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    one = spark.range(1)
+    cands = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("f"),
+                        F.lit(thr).cast("long").alias("thr"),
+                    )
+                    for f, hi in (("f1", 2), ("f2", 3), ("f3", 5))
+                    for thr in range(0, hi + 1)
+                ]
+            )
+        ).alias("c")
+    ).select("c.f", "c.thr").crossJoin(
+        one.select(F.explode(F.array(F.lit(1), F.lit(-1))).alias("pol"))
+    )
+    fv = (
+        F.when(F.col("f") == "f1", F.col("f1"))
+        .when(F.col("f") == "f2", F.col("f2"))
+        .otherwise(F.col("f3"))
+    )
+    h = F.when(fv <= F.col("thr"), F.col("pol")).otherwise(-F.col("pol"))
+    errs = (
+        cands.crossJoin(cells)
+        .groupBy("f", "thr", "pol")
+        .agg(
+            F.sum(F.when(h != F.col("y"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("miss"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
+    )
+    wrk = Window.orderBy(
+        F.asc("miss"), F.asc("f"), F.asc("thr"), F.desc("pol")
+    )
+    ranked = errs.select(
+        "*", F.row_number().over(wrk).alias("rk")
+    ).localCheckpoint()
+    b = ranked.filter(F.col("rk") == 1).select(
+        F.col("f").alias("best_feature"),
+        F.col("thr").alias("best_threshold"),
+        F.col("pol").alias("best_polarity"),
+        F.col("miss").alias("bm"),
+        F.col("n").alias("n"),
+    )
+    s = ranked.filter(F.col("rk") == 2).select(
+        F.col("f").alias("second_feature"), F.col("miss").alias("sm")
+    )
+    eps = F.sqrt(F.log(F.lit(10000000.0)) / (F.lit(2.0) * F.col("n")))
+    return b.crossJoin(F.broadcast(s)).select(
+        "best_feature",
+        "best_threshold",
+        "best_polarity",
+        (F.expr("bm * 1000000 div n") / 1e6).alias("err_best"),
+        "second_feature",
+        (F.expr("sm * 1000000 div n") / 1e6).alias("err_second"),
+        (F.expr("(sm - bm) * 1000000 div n") / 1e6).alias("gap"),
+        F.round(eps, 6).alias("epsilon"),
+        "n",
+        ((F.col("sm") - F.col("bm")).cast("double") / F.col("n") > eps).alias(
+            "split_decided"
+        ),
+    )

@@ -195,6 +195,11 @@ AUDIT = [
     ("ses_theta_forecast", "Theta: SES closed form as ONE weighted agg per type, integer drift moments"),
     ("adaboost_stumps_trajectory", "AdaBoost: one fact agg to cells, 36-candidate scans on <=280 rows/round"),
     ("burrows_delta_sources", "Burrows Delta: one tokenize pass, (sources x 30) z-grid, pair joins on it"),
+    # wave 69 (round 4)
+    ("permutation_test_price_status", "Randomization test: 64x replicate projection, one groupBy(b) partial/final"),
+    ("ecod_outlier_scores", "ECOD: day-grid tail ranks, integer fixed-point scores, TakeOrdered"),
+    ("markov_removal_attribution", "Removal effect: one journey pass, 5 chains x 4 squarings on <=49-row matrices"),
+    ("hoeffding_split_confidence", "Hoeffding bound: one fact agg to cells, 36-candidate integer argmin"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through
@@ -235,6 +240,8 @@ UNPARTITIONED_WINDOWS: dict[tuple[str, str], str] = {
     ("plans/survival.py", "weibull_survival_fit"): "single-cohort KM life table (horizon-bounded distinct durations)",
     # wave 67 (round 4)
     ("plans/stats.py", "distance_correlation_daily"): "day grid (two calendar-bounded sorted-prefix passes for the marginal row sums)",
+    ("plans/stats.py", "ecod_outlier_scores"): "day grid (two calendar-bounded tail-rank passes)",
+    ("plans/stats.py", "hoeffding_split_confidence"): "36-row candidate error table (literal-grid-bounded argmin ranking)",
 }
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

@@ -326,6 +326,11 @@ HEADLINE = [
     "ecod_outlier_scores",
     "markov_removal_attribution",
     "hoeffding_split_confidence",
+    # wave 70 (r4): index numbers, Cox score, decomposition, welfare
+    "fisher_price_index_yearly",
+    "cox_score_one_step",
+    "seasonal_decompose_hourly",
+    "atkinson_index_priority",
 ]
 
 

@@ -3587,3 +3587,187 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t") > 0, F.expr("e_fp * 1000000 div t") / 1e6
         ).alias("share"),
     )
+
+
+# --- Wave 70: seasonal decomposition --------------------------------------------
+
+_SD_HALF = 12  # centered 25-hour moving-average trend window
+
+
+@query(
+    "seasonal_decompose_hourly",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             cast(hour(hour) AS BIGINT) AS hod,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS t
+      FROM h
+    ),
+    tr AS (
+      SELECT event_type, hod,
+             25 * y - sum(y) OVER (PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN {_SD_HALF} PRECEDING AND {_SD_HALF} FOLLOWING)
+               AS det_num
+      FROM idx
+      QUALIFY rn > {_SD_HALF} AND rn <= t - {_SD_HALF}
+    ),
+    seas AS (
+      SELECT event_type, hod,
+             cast(sum(det_num) AS BIGINT) AS s_num,
+             cast(count(*) AS BIGINT) AS s_cnt
+      FROM tr GROUP BY 1, 2
+    ),
+    rem AS (
+      SELECT t.event_type,
+             t.det_num / 25.0::DOUBLE AS det,
+             t.det_num / 25.0::DOUBLE
+               - s.s_num::DOUBLE / (25.0::DOUBLE * s.s_cnt) AS r
+      FROM tr t JOIN seas s
+        ON s.event_type = t.event_type AND s.hod = t.hod
+    ),
+    mo AS (
+      SELECT event_type,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(cast(floor(det * 1e9) AS BIGINT)) AS BIGINT) AS sd_fp,
+             cast(sum(cast(floor(det * det * 1e9) AS BIGINT)) AS BIGINT)
+               AS sdd_fp,
+             cast(sum(cast(floor(r * 1e9) AS BIGINT)) AS BIGINT) AS sr_fp,
+             cast(sum(cast(floor(r * r * 1e9) AS BIGINT)) AS BIGINT)
+               AS srr_fp
+      FROM rem GROUP BY 1
+    ),
+    pk AS (
+      SELECT event_type,
+             max(s_num::DOUBLE / (25.0::DOUBLE * s_cnt))
+               - min(s_num::DOUBLE / (25.0::DOUBLE * s_cnt)) AS amplitude,
+             arg_max(hod, s_num::DOUBLE / (25.0::DOUBLE * s_cnt) - hod * 1e-12)
+               AS peak_hour
+      FROM seas GROUP BY 1
+    )
+    SELECT m.event_type, m.n AS n_trend_hours,
+           floor(greatest(1.0::DOUBLE
+             - (m.srr_fp / 1e9 - (m.sr_fp / 1e9) * (m.sr_fp / 1e9) / m.n)
+               / (m.sdd_fp / 1e9 - (m.sd_fp / 1e9) * (m.sd_fp / 1e9) / m.n),
+             0.0::DOUBLE) * 1e6) / 1e6 AS seasonal_strength,
+           p.peak_hour,
+           round(p.amplitude, 6) AS amplitude
+    FROM mo m JOIN pk p ON p.event_type = m.event_type
+    """,
+    tags=["series", "decomposition", "seasonality", "extension"],
+)
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical moving-average seasonal decomposition of the hourly
+    event-count series per type: trend = centered 25-hour MA (full
+    windows only), detrended = y - trend, seasonal = hour-of-day means
+    of the detrended series, and seasonal STRENGTH = max(0, 1 -
+    Var(remainder)/Var(detrended)) — Hyndman-Athanasopoulos's F_S, the
+    scalar that says how much of the non-trend variation the diurnal
+    cycle explains. Reports each type's peak hour and seasonal
+    amplitude next to it; hourly_seasonality_profile gives the raw
+    profile, this gives the decomposition-based evidence.
+
+    Exactness: the detrended series is kept as the INTEGER numerator
+    25*y - window_sum (the /25 deferred), seasonal means are exact
+    integer ratios, remainder/detrended variances floor per-term into
+    1e-9 fixed point, and the peak argmax tie-breaks by hour via an
+    epsilon penalty identical on both engines.
+
+    Scale: one fact rollup; every window is hour-grid-bounded and
+    type-partitioned."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wt = Window.partitionBy("event_type")
+    wrn = wt.orderBy("hour")
+    idx = h.select(
+        "event_type",
+        "y",
+        F.hour("hour").cast("long").alias("hod"),
+        F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-_SD_HALF, _SD_HALF)
+    )
+    tr = (
+        idx.select(
+            "event_type",
+            "hod",
+            "rn",
+            "t",
+            (25 * F.col("y") - F.sum("y").over(wma)).alias("det_num"),
+        )
+        .filter(
+            (F.col("rn") > _SD_HALF) & (F.col("rn") <= F.col("t") - _SD_HALF)
+        )
+        .select("event_type", "hod", "det_num")
+        .localCheckpoint()
+    )
+    seas = tr.groupBy("event_type", "hod").agg(
+        F.sum("det_num").cast("long").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    sval = F.col("s_num").cast("double") / (F.lit(25.0) * F.col("s_cnt"))
+    rem = tr.join(
+        seas.withColumnRenamed("event_type", "et2").withColumnRenamed(
+            "hod", "hod2"
+        ),
+        (F.col("event_type") == F.col("et2")) & (F.col("hod") == F.col("hod2")),
+    ).select(
+        "event_type",
+        (F.col("det_num") / F.lit(25.0)).alias("det"),
+        (
+            F.col("det_num") / F.lit(25.0)
+            - F.col("s_num").cast("double") / (F.lit(25.0) * F.col("s_cnt"))
+        ).alias("r"),
+    )
+    mo = rem.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("det") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sd_fp"),
+        F.sum(F.floor(F.col("det") * F.col("det") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sdd_fp"),
+        F.sum(F.floor(F.col("r") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sr_fp"),
+        F.sum(F.floor(F.col("r") * F.col("r") * 1e9).cast("long"))
+        .cast("long")
+        .alias("srr_fp"),
+    )
+    pk = seas.groupBy("event_type").agg(
+        (F.max(sval) - F.min(sval)).alias("amplitude"),
+        F.expr(
+            "max_by(hod, s_num / (25.0D * s_cnt) - hod * 1e-12)"
+        ).alias("peak_hour"),
+    )
+    strength = F.greatest(
+        F.lit(1.0)
+        - (
+            F.col("srr_fp") / 1e9
+            - (F.col("sr_fp") / 1e9) * (F.col("sr_fp") / 1e9) / F.col("n")
+        )
+        / (
+            F.col("sdd_fp") / 1e9
+            - (F.col("sd_fp") / 1e9) * (F.col("sd_fp") / 1e9) / F.col("n")
+        ),
+        F.lit(0.0),
+    )
+    return mo.join(pk, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_trend_hours"),
+        (F.floor(strength * 1e6) / 1e6).alias("seasonal_strength"),
+        "peak_hour",
+        F.round("amplitude", 6).alias("amplitude"),
+    )

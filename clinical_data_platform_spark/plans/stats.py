@@ -7312,3 +7312,98 @@ def hoeffding_split_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split_decided"
         ),
     )
+
+
+# --- Wave 70: Atkinson inequality index --------------------------------------------
+
+
+@query(
+    "atkinson_index_priority",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderpriority AS pri,
+             cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT pri,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(y) AS BIGINT) AS sy,
+             cast(sum(cast(floor(sqrt(y) * 1e6) AS BIGINT)) AS BIGINT)
+               AS ssq_fp,
+             cast(sum(cast(floor(ln(y) * 1e9) AS BIGINT)) AS BIGINT)
+               AS sln_fp
+      FROM f GROUP BY pri
+    )
+    SELECT pri AS priority, n,
+           round(sy::DOUBLE / n / 100.0::DOUBLE, 4) AS mean_dollars,
+           floor((1.0::DOUBLE
+                  - ((ssq_fp / 1e6) / n) * ((ssq_fp / 1e6) / n)
+                    / (sy::DOUBLE / n)) * 1e6) / 1e6 AS atkinson_05,
+           floor((1.0::DOUBLE
+                  - exp(sln_fp / 1e9 / n) / (sy::DOUBLE / n)) * 1e6) / 1e6
+             AS atkinson_1
+    FROM s
+    """,
+    tags=["M-ext", "inequality", "atkinson", "extension"],
+)
+def atkinson_index_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index of order values per priority at
+    inequality-aversion eps = 0.5 (EDE = (mean sqrt)^2) and eps = 1
+    (EDE = geometric mean): A = 1 - EDE/mean — the WELFARE-weighted
+    companion to exact_gini_coefficient and theil_inequality_
+    decomposition; unlike Gini, Atkinson says how much total value you
+    could discard and keep equal welfare, and eps tunes how much the
+    lower tail matters.
+
+    Exactness: each sqrt(y) floors into 1e-6 and each ln(y) into 1e-9
+    fixed point before the order-free integer sums (y is exact integer
+    cents; sqrt/ln on identical doubles are bit-stable inputs); the
+    indices truncate at 1e-6.
+
+    Scale: ONE partial/final aggregate over the fact — four sums per
+    group, nothing else."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = o.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.floor(F.sqrt(F.col("y")) * 1e6).cast("long"))
+        .cast("long")
+        .alias("ssq_fp"),
+        F.sum(F.floor(F.log(F.col("y").cast("double")) * 1e9).cast("long"))
+        .cast("long")
+        .alias("sln_fp"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n")
+    return s.select(
+        F.col("pri").alias("priority"),
+        "n",
+        F.round(mean / F.lit(100.0), 4).alias("mean_dollars"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - ((F.col("ssq_fp") / 1e6) / F.col("n"))
+                    * ((F.col("ssq_fp") / 1e6) / F.col("n"))
+                    / mean
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("atkinson_05"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.exp(F.col("sln_fp") / 1e9 / F.col("n")) / mean
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("atkinson_1"),
+    )

@@ -1566,3 +1566,158 @@ def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lam * F.pow(F.lit(_WB_LN2), F.lit(1.0) / F.col("k")), 6
         ).alias("median_hours"),
     )
+
+
+# --- Wave 70: Cox score test (one Newton step) --------------------------------
+
+
+@query(
+    "cox_score_one_step",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type FROM events
+    ), pu AS (
+      SELECT user_id, min(sec) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS t_evt,
+             cast(count(*) AS BIGINT) AS x
+      FROM ev GROUP BY 1
+    ), h AS (SELECT max(sec) AS t_max FROM ev),
+    d AS (
+      SELECT cast(floor((coalesce(t_evt, t_max) - t0)::DOUBLE
+                        / 3600.0::DOUBLE) AS BIGINT) AS dur,
+             CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS evt,
+             x
+      FROM pu, h
+    ),
+    g AS (
+      SELECT dur,
+             cast(count(*) AS BIGINT) AS n_d,
+             cast(sum(x) AS BIGINT) AS sx_d,
+             cast(sum(x * x) AS BIGINT) AS sxx_d,
+             cast(sum(CASE WHEN evt = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS ex_d,
+             cast(sum(evt) AS BIGINT) AS en_d
+      FROM d GROUP BY 1
+    ),
+    sfx AS (
+      SELECT dur, ex_d, en_d,
+             sum(n_d) OVER w AS nn,
+             sum(sx_d) OVER w AS s1,
+             sum(sxx_d) OVER w AS s2
+      FROM g
+      WINDOW w AS (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+      SELECT cast(floor((ex_d - en_d * (s1::DOUBLE / nn)) * 1e9) AS BIGINT)
+               AS u_fp,
+             cast(floor(en_d * (s2::DOUBLE / nn
+                                - (s1::DOUBLE / nn) * (s1::DOUBLE / nn))
+                        * 1e9) AS BIGINT) AS i_fp
+      FROM sfx WHERE en_d > 0
+    ),
+    s AS (
+      SELECT cast(sum(u_fp) AS BIGINT) / 1e9 AS u,
+             cast(sum(i_fp) AS BIGINT) / 1e9 AS i,
+             cast(count(*) AS BIGINT) AS n_event_times
+      FROM terms
+    )
+    SELECT n_event_times,
+           round(u, 6) AS score_u,
+           round(i, 6) AS fisher_info,
+           round(u / i, 6) AS beta_one_step,
+           round(u / sqrt(i), 4) AS z,
+           round({NORMAL_SF_SQL.format(z="abs(u / sqrt(i))")}, 6) AS p_value
+    FROM s
+    """,
+    tags=["survival", "cox", "score-test", "extension"],
+)
+def cox_score_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards SCORE TEST (and the one-Newton-step
+    coefficient U/I from beta = 0) for a CONTINUOUS covariate — the
+    user's total activity count — against time-to-first-purchase: at
+    beta = 0 the partial-likelihood score is U = sum over event times of
+    (x_event - risk-set mean of x) and the information is I = sum of
+    d_t * risk-set variance (Breslow ties), so the whole test needs NO
+    iteration: logrank_test_cohorts generalized from a binary cohort to
+    a real-valued covariate.
+
+    Distributed shape: one per-user aggregate, then the risk-set sums
+    collapse to SUFFIX cumsums over the duration-bounded grid (the
+    at-risk set at duration d is everyone with dur >= d) — never a
+    per-event rescan of the cohort.
+
+    Exactness: x, x^2, event sums are integers; each event-time's U and
+    I term floors into 1e-9 fixed point before the order-free integer
+    sums; z and the erf-polynomial p round at the end."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "event_type"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("t_evt"),
+        F.count(F.lit(1)).cast("long").alias("x"),
+    )
+    horizon = ev.agg(F.max("sec").alias("t_max"))
+    d = pu.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            (F.coalesce(F.col("t_evt"), F.col("t_max")) - F.col("t0"))
+            / F.lit(3600.0)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("evt"),
+        "x",
+    )
+    g = d.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("x").cast("long").alias("sx_d"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_d"),
+        F.sum(F.when(F.col("evt") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("ex_d"),
+        F.sum("evt").cast("long").alias("en_d"),
+    )
+    wsfx = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sfx = g.select(
+        "dur",
+        "ex_d",
+        "en_d",
+        F.sum("n_d").over(wsfx).cast("long").alias("nn"),
+        F.sum("sx_d").over(wsfx).cast("long").alias("s1"),
+        F.sum("sxx_d").over(wsfx).cast("long").alias("s2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("nn")
+    terms = sfx.filter(F.col("en_d") > 0).select(
+        F.floor((F.col("ex_d") - F.col("en_d") * m1) * 1e9)
+        .cast("long")
+        .alias("u_fp"),
+        F.floor(
+            F.col("en_d")
+            * (F.col("s2").cast("double") / F.col("nn") - m1 * m1)
+            * 1e9
+        )
+        .cast("long")
+        .alias("i_fp"),
+    )
+    s = terms.agg(
+        (F.sum("u_fp").cast("long") / 1e9).alias("u"),
+        (F.sum("i_fp").cast("long") / 1e9).alias("i"),
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+    )
+    from ..functions.scalars import normal_sf
+
+    return s.select(
+        "n_event_times",
+        F.round("u", 6).alias("score_u"),
+        F.round("i", 6).alias("fisher_info"),
+        F.round(F.col("u") / F.col("i"), 6).alias("beta_one_step"),
+        F.round(F.col("u") / F.sqrt(F.col("i")), 4).alias("z"),
+        F.round(
+            normal_sf(F.abs(F.col("u") / F.sqrt(F.col("i")))), 6
+        ).alias("p_value"),
+    )

@@ -436,3 +436,128 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(shipped), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+# --- Wave 70: index-number theory -------------------------------------------------
+
+_FPI_Y0 = 1996
+_FPI_Y1 = 1997
+
+
+@query(
+    "fisher_price_index_yearly",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_partkey,
+             year(l_shipdate) AS yr,
+             cast(sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS ep_c,
+             cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE year(l_shipdate) IN ({_FPI_Y0}, {_FPI_Y1})
+      GROUP BY 1, 2
+    ),
+    basket AS (
+      SELECT a.l_partkey,
+             a.ep_c::DOUBLE / a.qty AS p0, a.qty AS q0,
+             b.ep_c::DOUBLE / b.qty AS p1, b.qty AS q1
+      FROM li a JOIN li b ON b.l_partkey = a.l_partkey
+      WHERE a.yr = {_FPI_Y0} AND b.yr = {_FPI_Y1}
+    ),
+    s AS (
+      SELECT cast(count(*) AS BIGINT) AS n_parts,
+             cast(sum(cast(floor(p1 * q0 * 1e6) AS BIGINT)) AS BIGINT)
+               AS l_num,
+             cast(sum(cast(floor(p0 * q0 * 1e6) AS BIGINT)) AS BIGINT)
+               AS l_den,
+             cast(sum(cast(floor(p1 * q1 * 1e6) AS BIGINT)) AS BIGINT)
+               AS p_num,
+             cast(sum(cast(floor(p0 * q1 * 1e6) AS BIGINT)) AS BIGINT)
+               AS p_den
+      FROM basket
+    )
+    SELECT n_parts,
+           floor(l_num::DOUBLE / l_den * 1e6) / 1e6 AS laspeyres,
+           floor(p_num::DOUBLE / p_den * 1e6) / 1e6 AS paasche,
+           round(sqrt((l_num::DOUBLE / l_den) * (p_num::DOUBLE / p_den)), 6)
+             AS fisher
+    FROM s
+    """,
+    tags=["A-ext", "index-numbers", "economics", "extension"],
+)
+def fisher_price_index_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher ideal price indices for
+    {_FPI_Y1} against the {_FPI_Y0} base year over the common part
+    basket — the index-number kernel every pricing/inflation dashboard
+    runs: Laspeyres weights by BASE-year quantities (what the old basket
+    costs now), Paasche by CURRENT-year quantities, Fisher is their
+    geometric mean (the superlative index that cancels both biases).
+
+    Exactness: per-(part, year) unit prices are exact integer-cents /
+    integer-quantity ratios (identical doubles); each basket term
+    p*q floors into 1e-6 fixed point before the order-free integer
+    sums; the two index ratios truncate at 1e-6 and only Fisher's
+    sqrt rounds.
+
+    Scale: one pruned fact aggregate (year pushdown), one part-keyed
+    self-join of the year aggregates, one scalar fold."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate").isin(_FPI_Y0, _FPI_Y1))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("ep_c"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+        .localCheckpoint()
+    )
+    a = li.filter(F.col("yr") == _FPI_Y0).select(
+        "l_partkey",
+        (F.col("ep_c").cast("double") / F.col("qty")).alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    b = li.filter(F.col("yr") == _FPI_Y1).select(
+        F.col("l_partkey").alias("pk1"),
+        (F.col("ep_c").cast("double") / F.col("qty")).alias("p1"),
+        F.col("qty").alias("q1"),
+    )
+    both = a.join(b, a.l_partkey == F.col("pk1"))
+    s = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.floor(F.col("p1") * F.col("q0") * 1e6).cast("long"))
+        .cast("long")
+        .alias("l_num"),
+        F.sum(F.floor(F.col("p0") * F.col("q0") * 1e6).cast("long"))
+        .cast("long")
+        .alias("l_den"),
+        F.sum(F.floor(F.col("p1") * F.col("q1") * 1e6).cast("long"))
+        .cast("long")
+        .alias("p_num"),
+        F.sum(F.floor(F.col("p0") * F.col("q1") * 1e6).cast("long"))
+        .cast("long")
+        .alias("p_den"),
+    )
+    return s.select(
+        "n_parts",
+        (
+            F.floor(F.col("l_num").cast("double") / F.col("l_den") * 1e6)
+            / 1e6
+        ).alias("laspeyres"),
+        (
+            F.floor(F.col("p_num").cast("double") / F.col("p_den") * 1e6)
+            / 1e6
+        ).alias("paasche"),
+        F.round(
+            F.sqrt(
+                (F.col("l_num").cast("double") / F.col("l_den"))
+                * (F.col("p_num").cast("double") / F.col("p_den"))
+            ),
+            6,
+        ).alias("fisher"),
+    )

@@ -200,6 +200,11 @@ AUDIT = [
     ("ecod_outlier_scores", "ECOD: day-grid tail ranks, integer fixed-point scores, TakeOrdered"),
     ("markov_removal_attribution", "Removal effect: one journey pass, 5 chains x 4 squarings on <=49-row matrices"),
     ("hoeffding_split_confidence", "Hoeffding bound: one fact agg to cells, 36-candidate integer argmin"),
+    # wave 70 (round 4)
+    ("fisher_price_index_yearly", "Price indices: year-pruned fact agg, part-keyed self-join, scalar fold"),
+    ("cox_score_one_step", "Cox score: one per-user agg, suffix cumsums on the duration grid"),
+    ("seasonal_decompose_hourly", "Decomposition: hour-grid MA windows, integer detrend numerators"),
+    ("atkinson_index_priority", "Atkinson: ONE partial/final fact aggregate, four sums per group"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through
@@ -242,6 +247,7 @@ UNPARTITIONED_WINDOWS: dict[tuple[str, str], str] = {
     ("plans/stats.py", "distance_correlation_daily"): "day grid (two calendar-bounded sorted-prefix passes for the marginal row sums)",
     ("plans/stats.py", "ecod_outlier_scores"): "day grid (two calendar-bounded tail-rank passes)",
     ("plans/stats.py", "hoeffding_split_confidence"): "36-row candidate error table (literal-grid-bounded argmin ranking)",
+    ("plans/survival.py", "cox_score_one_step"): "duration grid (horizon-bounded suffix cumsums for the risk sets)",
 }
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

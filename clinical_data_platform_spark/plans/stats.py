@@ -2503,13 +2503,15 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doubling cancels in the correlation ratio. Pearson runs on
     integer quantity / integer cents through the same machinery.
 
-    ONE data-sized shuffle total (r4 fold, was three): the fact
-    collapses once to the (f, x, y) co-occurrence table; both value-level
-    count tables, both binned rank tables, AND the weighted moment sums
-    all derive from that deduped table — the two rank joins land on
-    co-occurrence rows (bounded by |distinct pairs|), never back on the
-    fact. Moment products multiply in decimal(38,0), so the plan stays
-    exact past the long-overflow point of row-level rank products."""
+    Two data-sized shuffles total (r4 re-fold): value-level count
+    tables come straight off the fact as map-side partial aggregates,
+    and the y-rank table joins back onto the fact co-partitioned on
+    (f, y). An earlier fold collapsed the fact to an (f, x, y)
+    co-occurrence spine first, but a near-continuous y makes that
+    "collapse" a full-size shuffle + checkpoint for nothing — see the
+    in-code note for when each plan wins. Moment products multiply in
+    decimal(38,0), so the plan stays exact past the long-overflow point
+    of row-level rank products."""
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("f"),
         F.col("l_quantity").alias("x"),
@@ -2518,36 +2520,41 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    c2 = li.groupBy("f", "x", "y").agg(F.count(F.lit(1)).alias("cnt"))
-    # consumed 3x (two count rollups + join spine); repartition BEFORE the
-    # checkpoint — AQE otherwise coalesces the ~18 MB aggregate to one
-    # partition and every downstream stage runs single-task
-    c2 = c2.repartition(parallelism, "f", "y").localCheckpoint()
-    vlx = c2.groupBy("f", "x").agg(F.sum("cnt").alias("cnt"))
-    vly = c2.groupBy("f", "y").agg(F.sum("cnt").alias("cnt"))
+    # r4 re-fold: the previous plan collapsed the fact to an (f, x, y)
+    # co-occurrence spine first — but extendedprice is near-continuous,
+    # so the 600k-row "collapse" reduced nothing and its shuffle +
+    # checkpoint were pure overhead (5.4 s -> 3.4 s warm at sf0.1).
+    # Value-level counts come straight off the fact (map-side partials),
+    # ranks join back onto the fact co-partitioned on (f, y). On a
+    # LOW-cardinality pair the co-occurrence collapse is the better
+    # plan; with a near-unique y it cannot pay.
+    vlx = li.groupBy("f", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    vly = li.groupBy("f", "y").agg(F.count(F.lit(1)).alias("cnt"))
     rx = _frac_ranks2_from_counts(vlx, "f", "x").withColumnRenamed("r2", "rx")
     ry = _frac_ranks2_from_counts(vly, "f", "y").withColumnRenamed("r2", "ry")
-    rows = c2.join(F.broadcast(rx), ["f", "x"]).join(
-        ry.repartition(parallelism, "f", "y"), ["f", "y"]
-    ).select(
-        "f", "cnt", "rx", "ry",
-        F.col("x").cast("long").alias("xi"),
-        F.round(F.col("y") * 100).cast("long").alias("yc"),
+    rows = (
+        li.repartition(parallelism, "f", "y")
+        .join(F.broadcast(rx), ["f", "x"])
+        .join(ry.repartition(parallelism, "f", "y"), ["f", "y"])
+        .select(
+            "f", "rx", "ry",
+            F.col("x").cast("long").alias("xi"),
+            F.round(F.col("y") * 100).cast("long").alias("yc"),
+        )
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    w = dec(F.col("cnt"))
     s = rows.groupBy("f").agg(
-        F.sum(F.col("cnt")).alias("n"),
-        F.sum(w * dec(F.col("rx"))).alias("sx"),
-        F.sum(w * dec(F.col("ry"))).alias("sy"),
-        F.sum(w * dec(F.col("rx")) * dec(F.col("rx"))).alias("sxx"),
-        F.sum(w * dec(F.col("ry")) * dec(F.col("ry"))).alias("syy"),
-        F.sum(w * dec(F.col("rx")) * dec(F.col("ry"))).alias("sxy"),
-        F.sum(w * dec(F.col("xi"))).alias("px"),
-        F.sum(w * dec(F.col("yc"))).alias("py"),
-        F.sum(w * dec(F.col("xi")) * dec(F.col("xi"))).alias("pxx"),
-        F.sum(w * dec(F.col("yc")) * dec(F.col("yc"))).alias("pyy"),
-        F.sum(w * dec(F.col("xi")) * dec(F.col("yc"))).alias("pxy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("rx"))).alias("sx"),
+        F.sum(dec(F.col("ry"))).alias("sy"),
+        F.sum(dec(F.col("rx")) * dec(F.col("rx"))).alias("sxx"),
+        F.sum(dec(F.col("ry")) * dec(F.col("ry"))).alias("syy"),
+        F.sum(dec(F.col("rx")) * dec(F.col("ry"))).alias("sxy"),
+        F.sum(dec(F.col("xi"))).alias("px"),
+        F.sum(dec(F.col("yc"))).alias("py"),
+        F.sum(dec(F.col("xi")) * dec(F.col("xi"))).alias("pxx"),
+        F.sum(dec(F.col("yc")) * dec(F.col("yc"))).alias("pyy"),
+        F.sum(dec(F.col("xi")) * dec(F.col("yc"))).alias("pxy"),
     )
     d = lambda name: F.col(name).cast("double")  # noqa: E731
     n = d("n")

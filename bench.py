@@ -331,6 +331,11 @@ HEADLINE = [
     "cox_score_one_step",
     "seasonal_decompose_hourly",
     "atkinson_index_priority",
+    # wave 71 (r4): consensus fitting, density outliers, multiscale, EVT
+    "ransac_trend_fit",
+    "lof_daily_outliers",
+    "haar_wavelet_energy",
+    "gpd_tail_fit_pwm",
 ]
 
 

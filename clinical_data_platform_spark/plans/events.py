@@ -3771,3 +3771,162 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_hour",
         F.round("amplitude", 6).alias("amplitude"),
     )
+
+
+# --- Wave 71: Haar wavelet energy decomposition ------------------------------------
+
+_HW_LEVELS = 6  # detail scales: 2h, 4h, ..., 64h
+
+
+def _hw_level_sql(level: int) -> str:
+    return f"""
+    hl{level} AS MATERIALIZED (
+      SELECT event_type, (i + 1) // 2 AS i,
+             cast(sum(s) AS BIGINT) AS s,
+             cast(sum(CASE WHEN i % 2 = 1 THEN s ELSE -s END) AS BIGINT)
+               AS d
+      FROM hl{level - 1}
+      GROUP BY 1, 2
+    ),
+    he{level} AS (
+      SELECT event_type,
+             cast(sum(d * d) AS BIGINT) AS e_num,
+             cast(count(*) AS BIGINT) AS n_coeff
+      FROM hl{level} GROUP BY 1
+    )"""
+
+
+@query(
+    "haar_wavelet_energy",
+    oracle=(
+        """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS t
+      FROM h
+    ),
+    hl0 AS MATERIALIZED (
+      SELECT event_type, rn AS i, y AS s, cast(0 AS BIGINT) AS d
+      FROM idx
+      WHERE rn <= (1 << (length(bin(t)) - 1))
+    )"""
+        + ","
+        + ",".join(_hw_level_sql(k) for k in range(1, _HW_LEVELS + 1))
+        + f""",
+    eng AS (
+      {" UNION ALL ".join(
+          f"SELECT event_type, {k} AS level, e_num, n_coeff,"
+          f" e_num * (1 << ({_HW_LEVELS} - {k})) AS w_num FROM he{k}"
+          for k in range(1, _HW_LEVELS + 1)
+      )}
+    ),
+    tot AS (
+      SELECT event_type, cast(sum(w_num) AS BIGINT) AS t_num
+      FROM eng GROUP BY 1
+    )
+    SELECT e.event_type, e.level, e.n_coeff,
+           round(e.e_num::DOUBLE / (1 << e.level), 6) AS energy,
+           CASE WHEN t.t_num > 0
+                THEN (e.w_num * 1000000 // t.t_num) / 1e6 END
+             AS energy_share
+    FROM eng e JOIN tot t ON t.event_type = e.event_type
+    """
+    ),
+    tags=["series", "wavelet", "multiscale", "extension"],
+)
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the hourly event-count
+    series per type: six levels of pairwise sum/difference coarsening
+    (detail scales 2h, 4h, ..., 64h), reporting each scale's detail
+    energy and its share of the total — WHERE the variance lives across
+    time scales, the multiscale companion to dft24_hourly_spectrum's
+    single-frequency view (a diurnal series concentrates energy at the
+    8-32h scales; white noise spreads it flat).
+
+    Exactness: the transform is UNNORMALIZED integer Haar — level-l
+    coefficients are exact integer pair sums/differences of the
+    original counts (the 2^l normalizations are deferred into the final
+    rational energies), so all six levels and the energy shares are
+    pure integer arithmetic; the series truncates to the largest
+    power-of-two length via the engines' shared length(bin()) idiom.
+
+    Scale: one fact rollup; each level halves a table that starts
+    hour-grid-bounded."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wt = Window.partitionBy("event_type")
+    idx = h.select(
+        "event_type",
+        "y",
+        F.row_number().over(wt.orderBy("hour")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("t"),
+    )
+    lvl = (
+        idx.filter(
+            F.col("rn")
+            <= F.expr("shiftleft(1, length(bin(t)) - 1)")
+        )
+        .select(
+            "event_type", F.col("rn").alias("i"), F.col("y").alias("s")
+        )
+        .localCheckpoint()
+    )
+    engs = []
+    for k in range(1, _HW_LEVELS + 1):
+        nxt = (
+            lvl.groupBy("event_type", F.expr("(i + 1) div 2").alias("i"))
+            .agg(
+                F.sum("s").cast("long").alias("s"),
+                F.sum(
+                    F.when(F.col("i") % 2 == 1, F.col("s")).otherwise(
+                        -F.col("s")
+                    )
+                )
+                .cast("long")
+                .alias("d"),
+            )
+            .localCheckpoint()
+        )
+        engs.append(
+            nxt.groupBy("event_type").agg(
+                F.sum(F.col("d") * F.col("d")).cast("long").alias("e_num"),
+                F.count(F.lit(1)).cast("long").alias("n_coeff"),
+            ).select(
+                "event_type",
+                F.lit(k).alias("level"),
+                "e_num",
+                "n_coeff",
+                (F.col("e_num") * (1 << (_HW_LEVELS - k))).alias("w_num"),
+            )
+        )
+        lvl = nxt.select("event_type", "i", "s")
+    eng = engs[0]
+    for e2 in engs[1:]:
+        eng = eng.unionByName(e2)
+    eng = eng.localCheckpoint()
+    tot = eng.groupBy(F.col("event_type").alias("et2")).agg(
+        F.sum("w_num").cast("long").alias("t_num")
+    )
+    return eng.join(tot, eng.event_type == F.col("et2")).select(
+        "event_type",
+        "level",
+        "n_coeff",
+        F.round(
+            F.col("e_num").cast("double")
+            / F.expr("cast(shiftleft(1, level) AS DOUBLE)"),
+            6,
+        ).alias("energy"),
+        F.when(
+            F.col("t_num") > 0,
+            F.expr("w_num * 1000000 div t_num") / 1e6,
+        ).alias("energy_share"),
+    )

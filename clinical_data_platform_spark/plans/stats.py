@@ -7414,3 +7414,539 @@ def atkinson_index_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("atkinson_1"),
     )
+
+
+# --- Wave 71: RANSAC robust trend fit ----------------------------------------------
+
+_RAN_B = 32  # deterministic md5-seeded candidate lines
+
+_RAN_HEX6 = (
+    "list_sum(list_transform(range(1, 7), k ->"
+    " (strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1)"
+    " * (1 << (4 * (6 - k)))))"
+)
+
+
+@query(
+    "ransac_trend_fit",
+    oracle=f"""
+    WITH day AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, y, row_number() OVER (ORDER BY day) AS x,
+             count(*) OVER () AS n, sum(y) OVER () AS sy
+      FROM day
+    ),
+    cand AS (
+      SELECT b.b,
+             1 + ({_RAN_HEX6.format(x="'a:' || cast(b.b AS VARCHAR)")})
+                 % any_value(i.n) AS i1,
+             1 + ({_RAN_HEX6.format(x="'b:' || cast(b.b AS VARCHAR)")})
+                 % (any_value(i.n) - 1) AS i2r,
+             any_value(i.sy) // (10 * any_value(i.n)) AS tol
+      FROM (SELECT unnest(generate_series(1, {_RAN_B})) AS b) b, idx i
+      GROUP BY b.b
+    ),
+    cand2 AS (
+      SELECT b, i1,
+             CASE WHEN i2r >= i1 THEN i2r + 1 ELSE i2r END AS i2, tol
+      FROM cand
+    ),
+    lines AS (
+      SELECT c.b, c.tol,
+             p1.x AS x1, p1.y AS y1,
+             p2.x - p1.x AS den, p2.y - p1.y AS num
+      FROM cand2 c
+      JOIN idx p1 ON p1.x = c.i1
+      JOIN idx p2 ON p2.x = c.i2
+    ),
+    scored AS (
+      SELECT l.b, l.tol, l.x1, l.y1, l.den, l.num,
+             cast(sum(CASE WHEN abs((i.y - l.y1) * l.den
+                                    - l.num * (i.x - l.x1))
+                                <= l.tol * abs(l.den)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+      FROM lines l, idx i
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    best AS (
+      SELECT * FROM scored ORDER BY n_in DESC, b ASC LIMIT 1
+    ),
+    refit AS (
+      SELECT any_value(bst.b) AS b, any_value(bst.n_in) AS n_in,
+             cast(count(*) AS BIGINT) AS m,
+             cast(sum(i.x) AS BIGINT) AS sx,
+             cast(sum(i.y) AS BIGINT) AS sy,
+             cast(sum(i.x * i.y) AS BIGINT) AS sxy,
+             cast(sum(i.x * i.x) AS BIGINT) AS sxx,
+             any_value((SELECT count(*) FROM idx)) AS n
+      FROM best bst, idx i
+      WHERE abs((i.y - bst.y1) * bst.den - bst.num * (i.x - bst.x1))
+              <= bst.tol * abs(bst.den)
+    )
+    SELECT b AS best_candidate, n_in AS n_inliers,
+           (n_in * 1000000 // n) / 1e6 AS inlier_frac,
+           round((sxy - sx::DOUBLE * sy / m)
+                 / (sxx - sx::DOUBLE * sx / m) / 100.0::DOUBLE, 6)
+             AS refit_slope_dollars,
+           round(((sy::DOUBLE - (sxy - sx::DOUBLE * sy / m)
+                   / (sxx - sx::DOUBLE * sx / m) * sx) / m)
+                 / 100.0::DOUBLE, 4) AS refit_intercept_dollars
+    FROM refit
+    """,
+    tags=["M-ext", "ransac", "robust-regression", "extension"],
+)
+def ransac_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC (Fischler-Bolles 1981) robust fit of the daily-revenue
+    trend: 32 deterministic md5-seeded two-point candidate lines, each
+    scored by its inlier count at tolerance = 10% of the mean daily
+    revenue, then an OLS refit on the winning consensus set — the
+    breakdown-resistant companion to theil_sen_slope (median of slopes)
+    and huber_robust_location (smooth downweighting); RANSAC instead
+    COMMITS to a consensus set and ignores outliers entirely.
+
+    Exactness: the inlier test is fully cross-multiplied INTEGER
+    arithmetic — |(y - y1) * dx - dy * (x - x1)| <= tol * |dx| — no
+    division, no floats, so every candidate's inlier count is exact;
+    the two sample indices are md5-derived integers with the shared
+    hex6 idiom (the second index shifts past the first so the pair is
+    always distinct, and x is the day ROW NUMBER so dx is never 0);
+    the refit uses exact integer moments.
+
+    Scale: candidate scoring is a 32-line broadcast against the
+    calendar-bounded day grid — one pass scores every candidate."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wday = Window.orderBy("day")
+    wall = Window.partitionBy()
+    idx = day.select(
+        "y",
+        F.row_number().over(wday).cast("long").alias("x"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("y").over(wall).cast("long").alias("sy"),
+    ).localCheckpoint()
+
+    def hex6(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("b").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    scal = idx.agg(
+        F.any_value("n").alias("n"), F.any_value("sy").alias("sy")
+    )
+    cand = (
+        scal.select(
+            "n",
+            "sy",
+            F.explode(F.sequence(F.lit(1), F.lit(_RAN_B))).alias("b"),
+        )
+        .select(
+            "b",
+            (1 + hex6("a:") % F.col("n")).alias("i1"),
+            (1 + hex6("b:") % (F.col("n") - 1)).alias("i2r"),
+            F.expr("sy div (10 * n)").alias("tol"),
+        )
+        .select(
+            "b",
+            "i1",
+            F.when(F.col("i2r") >= F.col("i1"), F.col("i2r") + 1)
+            .otherwise(F.col("i2r"))
+            .alias("i2"),
+            "tol",
+        )
+    )
+    p1 = idx.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    p2 = idx.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    lines = (
+        cand.join(F.broadcast(p1), F.col("i1") == F.col("x1"))
+        .join(F.broadcast(p2), F.col("i2") == F.col("x2"))
+        .select(
+            "b",
+            "tol",
+            "x1",
+            "y1",
+            (F.col("x2") - F.col("x1")).alias("den"),
+            (F.col("y2") - F.col("y1")).alias("num"),
+        )
+    )
+    inlier = (
+        F.abs(
+            (F.col("y") - F.col("y1")) * F.col("den")
+            - F.col("num") * (F.col("x") - F.col("x1"))
+        )
+        <= F.col("tol") * F.abs(F.col("den"))
+    )
+    scored = (
+        idx.crossJoin(F.broadcast(lines))
+        .groupBy("b", "tol", "x1", "y1", "den", "num")
+        .agg(F.sum(F.when(inlier, 1).otherwise(0)).cast("long").alias("n_in"))
+    )
+    best = scored.orderBy(F.desc("n_in"), F.asc("b")).limit(1)
+    refit = (
+        idx.crossJoin(F.broadcast(best))
+        .filter(inlier)
+        .agg(
+            F.any_value("b").alias("b"),
+            F.any_value("n_in").alias("n_in"),
+            F.any_value("n").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy2"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    slope = (
+        F.col("sxy") - F.col("sx").cast("double") * F.col("sy2") / F.col("m")
+    ) / (
+        F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("m")
+    )
+    return refit.select(
+        F.col("b").alias("best_candidate"),
+        F.col("n_in").alias("n_inliers"),
+        (F.expr("n_in * 1000000 div n") / 1e6).alias("inlier_frac"),
+        F.round(slope / F.lit(100.0), 6).alias("refit_slope_dollars"),
+        F.round(
+            (
+                (F.col("sy2").cast("double") - slope * F.col("sx"))
+                / F.col("m")
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("refit_intercept_dollars"),
+    )
+
+
+# --- Wave 71: Local Outlier Factor ---------------------------------------------------
+
+_LOF_K = 5
+_LOF_TOPK = 10
+
+
+@query(
+    "lof_daily_outliers",
+    oracle=f"""
+    WITH day AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(count(*) AS BIGINT) AS x,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    rs AS (
+      SELECT day, x, yc,
+             row_number() OVER (ORDER BY x, day) AS rx,
+             row_number() OVER (ORDER BY yc::DOUBLE / x, day) AS ry
+      FROM day
+    ),
+    knn AS (
+      SELECT a.day AS ad, b.day AS bd,
+             (a.rx - b.rx) * (a.rx - b.rx)
+               + (a.ry - b.ry) * (a.ry - b.ry) AS d2
+      FROM rs a JOIN rs b ON b.day <> a.day
+      QUALIFY row_number() OVER (PARTITION BY a.day
+                 ORDER BY (a.rx - b.rx) * (a.rx - b.rx)
+                          + (a.ry - b.ry) * (a.ry - b.ry) ASC,
+                          b.day ASC) <= {_LOF_K}
+    ),
+    kd AS (
+      SELECT ad, cast(max(d2) AS BIGINT) AS kdist FROM knn GROUP BY 1
+    ),
+    s AS (
+      SELECT k.ad,
+             cast(sum(greatest(kb.kdist, k.d2)) AS BIGINT) AS sreach
+      FROM knn k JOIN kd kb ON kb.ad = k.bd
+      GROUP BY 1
+    ),
+    lof AS (
+      SELECT k.ad,
+             sa.sreach * cast(sum(1000000000000000 // sb.sreach)
+                              AS BIGINT) AS lof_num
+      FROM knn k
+      JOIN s sa ON sa.ad = k.ad
+      JOIN s sb ON sb.ad = k.bd
+      GROUP BY k.ad, sa.sreach
+    )
+    SELECT l.ad::TIMESTAMP AS day, d.x AS n_orders,
+           round(d.yc::DOUBLE / d.x / 100.0::DOUBLE, 2) AS avg_value,
+           floor(l.lof_num / ({_LOF_K}.0::DOUBLE * 1e15) * 1e6)
+             / 1e6 AS lof
+    FROM lof l JOIN day d ON d.day = l.ad
+    ORDER BY l.lof_num DESC, l.ad ASC
+    LIMIT {_LOF_TOPK}
+    """,
+    tags=["M-ext", "outliers", "lof", "extension"],
+)
+def lof_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig 2000, k=5) over the rank-transformed
+    (daily volume, daily average value) plane — the DENSITY-relative
+    outlier view that ECOD's marginal tails cannot give: a day is
+    anomalous if its neighborhood is sparser than its neighbors'
+    neighborhoods, catching local anomalies inside globally dense
+    regions. Rank coordinates make the two dimensions commensurable and
+    every squared distance an exact integer (and never 0: ranks are
+    unique per day).
+
+    Exactness: neighbor sets use integer-distance argsort with day
+    tie-breaks; reachability sums are exact integers; each neighbor's
+    inverse density floors to 1e15 // sreach (pure integer division) so
+    the LOF NUMERATOR is an exact integer and the top-k ordering is
+    integer comparison; only the final display value divides.
+
+    Scale: the pair stage is CALENDAR^2-bounded (days x days,
+    independent of row count), hash-fanned before the self-join; at
+    data-sized point sets the same operator family switches to the
+    repo's LSH/IVF neighbor generation (operators/similarity.py)."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    day = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("yc"),
+        )
+        .localCheckpoint()
+    )
+    wx = Window.orderBy("x", "day")
+    wy = Window.orderBy(F.col("yc").cast("double") / F.col("x"), F.col("day"))
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rs = (
+        day.select(
+            "day",
+            F.row_number().over(wx).cast("long").alias("rx"),
+            F.row_number().over(wy).cast("long").alias("ry"),
+        )
+        .repartition(parallelism)
+        .localCheckpoint()
+    )
+    b = rs.select(
+        F.col("day").alias("bd"),
+        F.col("rx").alias("brx"),
+        F.col("ry").alias("bry"),
+    )
+    d2 = (F.col("rx") - F.col("brx")) * (F.col("rx") - F.col("brx")) + (
+        F.col("ry") - F.col("bry")
+    ) * (F.col("ry") - F.col("bry"))
+    wk = Window.partitionBy("day").orderBy(F.asc("d2"), F.asc("bd"))
+    knn = (
+        rs.crossJoin(F.broadcast(b))
+        .filter(F.col("bd") != F.col("day"))
+        .select(F.col("day").alias("ad"), "bd", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("ad").orderBy(F.asc("d2"), F.asc("bd"))
+        ))
+        .filter(F.col("rnk") <= _LOF_K)
+        .drop("rnk")
+        .localCheckpoint()
+    )
+    kd = knn.groupBy(F.col("ad").alias("kad")).agg(
+        F.max("d2").cast("long").alias("kdist")
+    )
+    s = (
+        knn.join(kd, knn.bd == F.col("kad"))
+        .groupBy("ad")
+        .agg(
+            F.sum(F.greatest(F.col("kdist"), F.col("d2")))
+            .cast("long")
+            .alias("sreach")
+        )
+    ).localCheckpoint()
+    sa = s.select(F.col("ad").alias("sad"), F.col("sreach").alias("sa"))
+    sb = s.select(F.col("ad").alias("sbd"), F.col("sreach").alias("sb"))
+    lof = (
+        knn.join(sa, knn.ad == F.col("sad"))
+        .join(sb, knn.bd == F.col("sbd"))
+        .groupBy("ad", "sa")
+        .agg(
+            (
+                F.col("sa")
+                * F.sum(F.expr("1000000000000000 div sb")).cast("long")
+            ).alias("lof_num")
+        )
+    )
+    return (
+        lof.join(day, lof.ad == day.day)
+        .orderBy(F.desc("lof_num"), F.asc("ad"))
+        .limit(_LOF_TOPK)
+        .select(
+            F.col("ad").cast("timestamp").alias("day"),
+            F.col("x").alias("n_orders"),
+            F.round(
+                F.col("yc").cast("double") / F.col("x") / F.lit(100.0), 2
+            ).alias("avg_value"),
+            (
+                F.floor(
+                    F.col("lof_num")
+                    / F.lit(float(_LOF_K) * 1e15)
+                    * 1e6
+                )
+                / 1e6
+            ).alias("lof"),
+        )
+    )
+
+
+# --- Wave 71: GPD tail fit via probability-weighted moments -------------------------
+
+
+@query(
+    "gpd_tail_fit_pwm",
+    oracle="""
+    WITH day AS (
+      SELECT cast(o_orderdate AS DATE) AS day,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    rs AS (
+      SELECT day, y, row_number() OVER (ORDER BY y, day) AS rn,
+             count(*) OVER () AS n
+      FROM day
+    ),
+    thr AS (
+      SELECT y AS u, n FROM rs WHERE rn = n - n // 10
+    ),
+    exc AS (
+      SELECT r.y - t.u AS z, t.u, t.n
+      FROM rs r, thr t WHERE r.y > t.u
+    ),
+    js AS (
+      SELECT z, u, n,
+             row_number() OVER (ORDER BY z, z) AS j,
+             count(*) OVER () AS m
+      FROM exc
+    ),
+    mo AS (
+      SELECT any_value(u) AS u, any_value(n) AS n, any_value(m) AS m,
+             cast(sum(z) AS BIGINT) AS sz,
+             cast(sum((m - j) * z) AS BIGINT) AS sjz
+      FROM js
+    ),
+    fit AS (
+      SELECT u, n, m,
+             sz::DOUBLE / m AS b0,
+             sjz::DOUBLE / (m::DOUBLE * (m - 1)) AS b1
+      FROM mo
+    ),
+    par AS (
+      SELECT u, n, m, b0, b1,
+             2.0::DOUBLE - b0 / (b0 - 2.0::DOUBLE * b1) AS xi,
+             2.0::DOUBLE * b0 * b1 / (b0 - 2.0::DOUBLE * b1) AS sigma
+      FROM fit
+    )
+    SELECT n AS n_days, m AS n_exceed,
+           round(u / 100.0::DOUBLE, 2) AS threshold_dollars,
+           round(xi, 6) AS xi,
+           round(sigma / 100.0::DOUBLE, 4) AS sigma_dollars,
+           round((u + sigma / xi * (pow(10.0::DOUBLE * m, xi)
+                                    - 1.0::DOUBLE)) / 100.0::DOUBLE, 2)
+             AS return_level_10x_dollars
+    FROM par
+    """,
+    tags=["M-ext", "extreme-value", "gpd", "extension"],
+)
+def gpd_tail_fit_pwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold Generalized Pareto tail fit of daily
+    revenue by Hosking-Wallis probability-weighted moments: threshold =
+    the exact 90th-percentile order statistic, exceedances z = y - u,
+    b0 = mean z, b1 = sum((j-1) z_(j)) / (m (m-1)), then the closed-form
+    xi = 2 - b0/(b0 - 2 b1) and sigma = 2 b0 b1/(b0 - 2 b1), plus the
+    implied 10x-horizon return level u + sigma/xi ((10 m)^xi - 1). The
+    THIRD leg of the extreme-value family: gumbel_block_maxima fits
+    block maxima, hill_tail_index assumes a pure power law, POT/GPD
+    uses every exceedance — the estimator that wastes the least data.
+
+    Exactness: the threshold is a rank-selected exact integer, z and
+    both PWM numerators are exact integer sums (ranks from a
+    deterministic (z, day)-ordered row_number; ties in z are
+    interchangeable in sum((j-1) z) so the tie-break cannot matter),
+    and the closed forms run on identical doubles.
+
+    Scale: one fact rollup; ranking windows on the calendar-bounded day
+    grid; a single scalar fold."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wr = Window.orderBy("y", "day")
+    wall = Window.partitionBy()
+    rs = day.select(
+        "day",
+        "y",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    thr = rs.filter(F.col("rn") == F.col("n") - F.expr("n div 10")).select(
+        F.col("y").alias("u"), "n"
+    )
+    exc = rs.crossJoin(F.broadcast(thr.select("u", F.col("n").alias("nn")))).filter(
+        F.col("y") > F.col("u")
+    ).select((F.col("y") - F.col("u")).alias("z"), "u", F.col("nn"))
+    wj = Window.orderBy("z")
+    js = exc.select(
+        "z",
+        "u",
+        "nn",
+        F.row_number().over(wj).cast("long").alias("j"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    )
+    mo = js.agg(
+        F.any_value("u").alias("u"),
+        F.any_value("nn").alias("n"),
+        F.any_value("m").alias("m"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum((F.col("m") - F.col("j")) * F.col("z")).cast("long").alias("sjz"),
+    )
+    b0 = F.col("sz").cast("double") / F.col("m")
+    b1 = F.col("sjz").cast("double") / (
+        F.col("m").cast("double") * (F.col("m") - 1)
+    )
+    xi = F.lit(2.0) - b0 / (b0 - F.lit(2.0) * b1)
+    sigma = F.lit(2.0) * b0 * b1 / (b0 - F.lit(2.0) * b1)
+    return mo.select(
+        F.col("n").alias("n_days"),
+        F.col("m").alias("n_exceed"),
+        F.round(F.col("u") / F.lit(100.0), 2).alias("threshold_dollars"),
+        F.round(xi, 6).alias("xi"),
+        F.round(sigma / F.lit(100.0), 4).alias("sigma_dollars"),
+        F.round(
+            (
+                F.col("u")
+                + sigma
+                / xi
+                * (
+                    F.pow(
+                        F.lit(10.0) * F.col("m").cast("double"), xi
+                    )
+                    - F.lit(1.0)
+                )
+            )
+            / F.lit(100.0),
+            2,
+        ).alias("return_level_10x_dollars"),
+    )

@@ -205,6 +205,11 @@ AUDIT = [
     ("cox_score_one_step", "Cox score: one per-user agg, suffix cumsums on the duration grid"),
     ("seasonal_decompose_hourly", "Decomposition: hour-grid MA windows, integer detrend numerators"),
     ("atkinson_index_priority", "Atkinson: ONE partial/final fact aggregate, four sums per group"),
+    # wave 71 (round 4)
+    ("ransac_trend_fit", "RANSAC: 32-line broadcast scored in one day-grid pass, integer inlier test"),
+    ("lof_daily_outliers", "LOF: calendar^2 pair stage hash-fanned, integer reachability sums"),
+    ("haar_wavelet_energy", "Haar: six halving groupBys from the hour grid, integer coefficients"),
+    ("gpd_tail_fit_pwm", "GPD PWM: day-grid rank windows, exact order-stat threshold, scalar fold"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through
@@ -248,6 +253,9 @@ UNPARTITIONED_WINDOWS: dict[tuple[str, str], str] = {
     ("plans/stats.py", "ecod_outlier_scores"): "day grid (two calendar-bounded tail-rank passes)",
     ("plans/stats.py", "hoeffding_split_confidence"): "36-row candidate error table (literal-grid-bounded argmin ranking)",
     ("plans/survival.py", "cox_score_one_step"): "duration grid (horizon-bounded suffix cumsums for the risk sets)",
+    ("plans/stats.py", "ransac_trend_fit"): "day grid (calendar-bounded index/candidate windows)",
+    ("plans/stats.py", "lof_daily_outliers"): "day grid (two calendar-bounded rank passes feed the pair stage)",
+    ("plans/stats.py", "gpd_tail_fit_pwm"): "day grid (threshold order statistic + exceedance ranks, calendar-bounded)",
 }
 
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).

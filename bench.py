@@ -336,6 +336,11 @@ HEADLINE = [
     "lof_daily_outliers",
     "haar_wavelet_energy",
     "gpd_tail_fit_pwm",
+    # wave 72 (r4): dedup operating curve, estimator audit, SRM, SLO burn
+    "near_dup_threshold_sweep",
+    "minhash_estimate_error_audit",
+    "srm_assignment_check",
+    "slo_burn_rate_windows",
 ]
 
 

@@ -7950,3 +7950,76 @@ def gpd_tail_fit_pwm(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("return_level_10x_dollars"),
     )
+
+
+# --- Wave 72: sample-ratio-mismatch (SRM) check ----------------------------------
+
+
+@query(
+    "srm_assignment_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    b AS (
+      SELECT CASE WHEN ({_PERM_HEX6.format(x="cast(user_id AS VARCHAR)")})
+                       % 2 = 0
+                  THEN 'A' ELSE 'B' END AS grp
+      FROM u
+    ),
+    c AS (
+      SELECT cast(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             cast(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM b
+    )
+    SELECT n_a, n_b,
+           (n_a * 1000000 // (n_a + n_b)) / 1e6 AS a_share,
+           round((n_a - n_b) / sqrt((n_a + n_b)::DOUBLE), 4) AS z,
+           round({NORMAL_SF_SQL.format(z="abs((n_a - n_b) / sqrt((n_a + n_b)::DOUBLE))")}, 6)
+             AS p_value,
+           ({NORMAL_SF_SQL.format(z="abs((n_a - n_b) / sqrt((n_a + n_b)::DOUBLE))")}
+            < 0.001::DOUBLE) AS srm_flag
+    FROM c
+    """,
+    tags=["M-ext", "experimentation", "srm", "extension"],
+)
+def srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check on the md5 A/B bucketing that
+    ab_test_two_proportion uses: under a healthy 50/50 assignment,
+    z = (n_A - n_B)/sqrt(n) is standard normal, and p < 0.001 is the
+    industry-standard SRM alarm (Fabijan et al. 2019) — the FIRST
+    diagnostic any experimentation platform runs, because a leaked or
+    biased assignment invalidates every downstream effect estimate
+    before a single metric is read.
+
+    Exactness: bucketing is the repo's shared md5-hex6 idiom, counts
+    are integers, the share is an integer cross-multiplied truncation,
+    and z / the erf-polynomial p run on identical doubles.
+
+    Scale: one distinct-users aggregate — two counters."""
+    u = T(spark, sf_dir, "events").select("user_id").distinct()
+    grp = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    c = u.agg(
+        F.sum(F.when(grp, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~grp, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    z = (F.col("n_a") - F.col("n_b")) / F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    p = normal_sf(F.abs(z))
+    return c.select(
+        "n_a",
+        "n_b",
+        (F.expr("n_a * 1000000 div (n_a + n_b)") / 1e6).alias("a_share"),
+        F.round(z, 4).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        (p < F.lit(0.001)).alias("srm_flag"),
+    )

@@ -3099,3 +3099,344 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("delta"),
     )
+
+
+# --- Wave 72: near-dup threshold operating curve -------------------------------------
+
+_NDS_T100 = (5, 10, 20, 30, 50)  # thresholds x100: 0.05 .. 0.50
+
+
+@query(
+    "near_dup_threshold_sweep",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), ndoc AS (SELECT cast(count(*) AS BIGINT) AS nd FROM t),
+    shc AS (
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) ok
+        USING (shingle)
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             cast(count(*) AS BIGINT) AS n_common
+      FROM shc a JOIN shc b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b, n_common,
+             sa.set_size + sb.set_size - n_common AS un
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    ts AS (SELECT unnest([{", ".join(str(t) for t in _NDS_T100)}]) AS t100),
+    kept AS (
+      SELECT ts.t100, p.id_a, p.id_b
+      FROM pairs p, ts
+      WHERE p.n_common * 100 >= ts.t100 * p.un
+    ),
+    byt AS (
+      SELECT t100, cast(count(*) AS BIGINT) AS n_pairs FROM kept GROUP BY 1
+    ),
+    docs AS (
+      SELECT t100, cast(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (
+        SELECT t100, id_a AS d FROM kept
+        UNION ALL SELECT t100, id_b FROM kept
+      ) GROUP BY 1
+    )
+    SELECT ts.t100 / 100.0::DOUBLE AS threshold,
+           coalesce(b.n_pairs, 0) AS n_pairs,
+           coalesce(d.n_docs, 0) AS n_dup_docs,
+           (coalesce(d.n_docs, 0) * 1000000 // nd.nd) / 1e6 AS dup_doc_frac
+    FROM ts
+    LEFT JOIN byt b ON b.t100 = ts.t100
+    LEFT JOIN docs d ON d.t100 = ts.t100
+    CROSS JOIN ndoc nd
+    """,
+    tags=["dedup", "operating-curve", "extension"],
+)
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OPERATING CURVE: pair count and duplicate-document
+    coverage of the exact 3-gram Jaccard detector at five thresholds
+    (0.05 .. 0.50) in one pass — the table an engineer reads before
+    picking tau for a production dedup run (too low: collapses the
+    corpus; too high: misses templated spam). One posting-expansion
+    computes every pair ONCE; the sweep is then pure integer
+    re-thresholding, n_common * 100 >= t100 * union — no float
+    threshold ever compares, so boundary pairs (jaccard exactly 0.05)
+    land identically on both engines. The df <= 1000 posting cap is ON,
+    mirrored in the oracle, as everywhere in the family.
+
+    Scale: identical cost to near_dup_jaccard_pairs plus a 5x
+    pair-table re-aggregation."""
+    from ..operators.dedup import shingle_table
+
+    d = T(spark, sf_dir, "documents")
+    sh = shingle_table(d, "doc_id", "text", 3).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    ndoc = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= 1000))
+        .repartition(parallelism)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    pairs = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("size_a") + F.col("size_b") - F.col("n_common")
+            ).alias("un"),
+        )
+        .localCheckpoint()
+    )
+    ts = ndoc.select(
+        "nd",
+        F.explode(
+            F.array(*[F.lit(t) for t in _NDS_T100])
+        ).alias("t100"),
+    )
+    kept = pairs.crossJoin(F.broadcast(ts)).filter(
+        F.col("n_common") * 100 >= F.col("t100") * F.col("un")
+    )
+    byt = kept.groupBy("t100", "nd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs = (
+        kept.select("t100", F.col("id_a").alias("d"))
+        .unionByName(kept.select("t100", F.col("id_b").alias("d")))
+        .groupBy("t100")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+        .withColumnRenamed("t100", "t100d")
+    )
+    return (
+        ts.join(byt.drop("nd"), "t100", "left")
+        .join(docs, F.col("t100") == F.col("t100d"), "left")
+        .select(
+            (F.col("t100") / F.lit(100.0)).alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
+            (
+                F.expr("coalesce(n_docs, 0) * 1000000 div nd") / 1e6
+            ).alias("dup_doc_frac"),
+        )
+    )
+
+
+# --- Wave 72: MinHash estimator error audit ------------------------------------------
+
+
+@query(
+    "minhash_estimate_error_audit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), h AS (
+      SELECT doc_id, i,
+             min(md5(cast(i AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh, unnest(generate_series(0, 15)) AS u(i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, cast(floor(i / 4.0) AS BIGINT) AS band,
+             string_agg(mh, ',' ORDER BY i) AS sig
+      FROM h GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.id_a, c.id_b,
+             cast(sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.id_a
+      JOIN h hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), exact AS (
+      SELECT c.id_a, c.id_b, cast(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ), err AS (
+      SELECT e.id_a,
+             abs(es.m / 16.0::DOUBLE
+                 - coalesce(x.n_common, 0)::DOUBLE
+                   / (sa.set_size + sb.set_size - coalesce(x.n_common, 0)))
+               AS ae
+      FROM cand e
+      JOIN est es ON es.id_a = e.id_a AND es.id_b = e.id_b
+      LEFT JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+      JOIN sizes sa ON sa.doc_id = e.id_a
+      JOIN sizes sb ON sb.doc_id = e.id_b
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_pairs,
+           floor(cast(sum(cast(floor(ae * 1e9) AS BIGINT)) AS BIGINT)
+                 / 1e9 / count(*) * 1e6) / 1e6 AS mae,
+           floor(max(ae) * 1e6) / 1e6 AS max_abs_err,
+           round(sqrt(cast(sum(cast(floor(ae * ae * 1e9) AS BIGINT))
+                           AS BIGINT) / 1e9 / count(*)), 6) AS rmse
+    FROM err
+    """,
+    tags=["dedup", "estimator-audit", "minhash", "extension"],
+)
+def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the 16-hash MinHash Jaccard ESTIMATE on the pairs the
+    LSH actually surfaces? For every banded-LSH candidate pair, compare
+    the signature-agreement estimate m/16 against the exact 3-gram
+    Jaccard, and report MAE / max / RMSE — the empirical sibling of
+    lsh_scurve_planner's analytic s-curve: the planner predicts recall
+    from (hashes, bands); this measures the estimator's residual error
+    on real candidates (expected stddev ~ sqrt(j(1-j)/16) ~ 0.12 at
+    j=0.5, which is WHY production dedup verifies candidates exactly —
+    the repo's own near_dup_jaccard discipline).
+
+    Exactness: signatures are the md5 family DuckDB reproduces verbatim
+    (minhash_lsh_pairs_md5); agreements and exact intersections are
+    integer counts; each pair's absolute error floors into 1e-9 fixed
+    point before the order-free sums.
+
+    Scale: candidate-bounded — every join is keyed on LSH pairs, never
+    all pairs."""
+    from ..operators.dedup import minhash_md5_candidates, shingle_table
+
+    d = T(spark, sf_dir, "documents")
+    cand = minhash_md5_candidates(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4
+    ).localCheckpoint()
+    sh = shingle_table(d, "doc_id", "text", 3).localCheckpoint()
+    h = (
+        sh.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit("|"),
+                        F.col("shingle"),
+                    )
+                )
+            ).alias("mh")
+        )
+        .localCheckpoint()
+    )
+    ha = h.select(
+        F.col("doc_id").alias("id_a"), F.col("i").alias("ia"), F.col("mh").alias("mha")
+    )
+    hb = h.select(
+        F.col("doc_id").alias("hb_id"), F.col("i").alias("ib"), F.col("mh").alias("mhb")
+    )
+    est = (
+        cand.join(ha, "id_a")
+        .join(
+            hb,
+            (F.col("id_b") == F.col("hb_id")) & (F.col("ia") == F.col("ib")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("sga"))
+    shb = sh.select(F.col("doc_id").alias("shb_id"), F.col("shingle").alias("sgb"))
+    exact = (
+        cand.join(sha, "id_a")
+        .join(
+            shb,
+            (F.col("id_b") == F.col("shb_id")) & (F.col("sga") == F.col("sgb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    ae = F.abs(
+        F.col("m") / F.lit(16.0)
+        - nc.cast("double")
+        / (F.col("size_a") + F.col("size_b") - nc)
+    )
+    err = (
+        cand.join(est, ["id_a", "id_b"])
+        .join(exact, ["id_a", "id_b"], "left")
+        .join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(ae.alias("ae"))
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.floor(
+                F.sum(F.floor(F.col("ae") * 1e9).cast("long")).cast("long")
+                / 1e9
+                / F.count(F.lit(1))
+                * 1e6
+            )
+            / 1e6
+        ).alias("mae"),
+        (F.floor(F.max("ae") * 1e6) / 1e6).alias("max_abs_err"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.floor(F.col("ae") * F.col("ae") * 1e9).cast("long")
+                ).cast("long")
+                / 1e9
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse"),
+    )

@@ -642,3 +642,109 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(emd_scaled / denom) / 1e6).alias("emd"),
         (emd_scaled / denom >= F.lit(_TC_T) * 1e6).alias("violates_t"),
     )
+
+
+# --- Wave 72: multi-window SLO burn rate ------------------------------------------
+
+_SLO_TARGET_PCT = 2  # error budget: 2% of events may be errors
+_SLO_WINDOWS = ((1, 14.4), (6, 6.0), (24, 3.0))  # (hours, page threshold)
+
+
+@query(
+    "slo_burn_rate_windows",
+    oracle=f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) // 1000000 AS sec,
+             (event_type = 'error') AS is_err
+      FROM events
+    ),
+    mx AS (SELECT max(sec) AS t_max FROM ev),
+    w AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({h}, {thr!r}::DOUBLE)" for h, thr in _SLO_WINDOWS)}
+      ) AS t(window_h, page_thr)
+    ),
+    c AS (
+      SELECT w.window_h, w.page_thr,
+             cast(count(*) AS BIGINT) AS n_events,
+             cast(sum(CASE WHEN ev.is_err THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors
+      FROM w, ev, mx
+      WHERE ev.sec > mx.t_max - w.window_h * 3600
+      GROUP BY 1, 2
+    )
+    SELECT window_h, n_events, n_errors,
+           (n_errors * 1000000 // n_events) / 1e6 AS error_rate,
+           (n_errors * 100 * 1000000 // ({_SLO_TARGET_PCT} * n_events))
+             / 1e6 AS burn_rate,
+           ((n_errors * 100 * 1000000 // ({_SLO_TARGET_PCT} * n_events))
+              / 1e6 > page_thr) AS page_alert
+    FROM c
+    """,
+    tags=["V-ext", "slo", "observability", "extension"],
+)
+def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget BURN RATE at the corpus horizon —
+    the Google-SRE alerting recipe: with a 2% error-rate objective,
+    burn = observed_rate / target over trailing 1h / 6h / 24h windows,
+    and a page fires when the short window burns faster than 14.4x
+    (exhausting a 30-day budget in ~2 days), 6x, or 3x respectively.
+    The freshness SLI ladder (dq_events_freshness) says whether data is
+    ARRIVING; this says whether the error budget is BURNING — together
+    they are the operational pair every on-call dashboard needs.
+
+    Exactness: window membership is integer epoch-second arithmetic
+    off the exact max timestamp; rates and burn rates are integer
+    cross-multiplied truncations; the page thresholds are identical
+    written literals.
+
+    Scale: one fact scan with the horizon predicate, three counters per
+    window — at stream time the identical aggregate runs under
+    readStream with a sliding window (streaming/)."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("long").alias("sec"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    mx = ev.agg(F.max("sec").alias("t_max"))
+    one = spark.range(1)
+    w = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("window_h"),
+                        F.lit(thr).alias("page_thr"),
+                    )
+                    for h, thr in _SLO_WINDOWS
+                ]
+            )
+        ).alias("w")
+    ).select("w.window_h", "w.page_thr")
+    c = (
+        ev.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(w))
+        .filter(F.col("sec") > F.col("t_max") - F.col("window_h") * 3600)
+        .groupBy("window_h", "page_thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("is_err"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    burn = (
+        F.expr(
+            f"n_errors * 100 * 1000000 div ({_SLO_TARGET_PCT} * n_events)"
+        )
+        / 1e6
+    )
+    return c.select(
+        "window_h",
+        "n_events",
+        "n_errors",
+        (F.expr("n_errors * 1000000 div n_events") / 1e6).alias(
+            "error_rate"
+        ),
+        burn.alias("burn_rate"),
+        (burn > F.col("page_thr")).alias("page_alert"),
+    )

@@ -210,6 +210,11 @@ AUDIT = [
     ("lof_daily_outliers", "LOF: calendar^2 pair stage hash-fanned, integer reachability sums"),
     ("haar_wavelet_energy", "Haar: six halving groupBys from the hour grid, integer coefficients"),
     ("gpd_tail_fit_pwm", "GPD PWM: day-grid rank windows, exact order-stat threshold, scalar fold"),
+    # wave 72 (round 4)
+    ("near_dup_threshold_sweep", "Sweep: ONE posting expansion, 5x integer re-thresholding of the pair table"),
+    ("minhash_estimate_error_audit", "MinHash audit: LSH-candidate-bounded joins, integer agreement counts"),
+    ("srm_assignment_check", "SRM: one distinct-users aggregate, two counters, erf p"),
+    ("slo_burn_rate_windows", "SLO burn: one horizon-filtered scan, 3 window counters, integer ratios"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

@@ -341,6 +341,11 @@ HEADLINE = [
     "minhash_estimate_error_audit",
     "srm_assignment_check",
     "slo_burn_rate_windows",
+    # wave 73 (r4): forecast scoring, lexical richness, magnitudes, IG
+    "pinball_loss_forecast_eval",
+    "lexical_diversity_by_source",
+    "effect_size_price_status",
+    "feature_information_gain",
 ]
 
 

@@ -3930,3 +3930,109 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("w_num * 1000000 div t_num") / 1e6,
         ).alias("energy_share"),
     )
+
+
+# --- Wave 73: pinball-loss forecast evaluation ---------------------------------------
+
+_PIN_Q10 = (1, 5, 9)  # quantile levels x10
+_PIN_SEASON = 24
+
+
+@query(
+    "pinball_loss_forecast_eval",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour)
+               AS rn
+      FROM h
+    ),
+    sc AS (
+      SELECT a.event_type, a.y - b.y AS d
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type
+       AND b.rn = a.rn - {_PIN_SEASON}
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _PIN_Q10)}]) AS q10),
+    l AS (
+      SELECT sc.event_type, qs.q10,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(greatest(qs.q10 * sc.d, (qs.q10 - 10) * sc.d))
+                  AS BIGINT) AS num
+      FROM sc, qs
+      GROUP BY 1, 2
+    )
+    SELECT event_type, q10 / 10.0::DOUBLE AS quantile, n AS n_scored,
+           (num * 1000000 // (10 * n)) / 1e6 AS pinball_loss
+    FROM l
+    """,
+    tags=["series", "forecast-eval", "pinball", "extension"],
+)
+def pinball_loss_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive hourly forecast at
+    q = 0.1 / 0.5 / 0.9 per event type — the metric that scores a
+    PROBABILISTIC forecast claim: q=0.5 recovers half the MAE that
+    seasonal_naive_mase reports, and the q=0.1 vs q=0.9 asymmetry says
+    whether the lag-24 predictor under- or over-shoots its tails (the
+    M5-competition evaluation discipline).
+
+    Exactness: forecast errors d = y_t - y_(t-24) are exact integers
+    (one rank self-join on the hour grid), and the pinball sum is pure
+    integer arithmetic — max(q10 d, (q10-10) d) with the x10 quantile
+    kept integral, denominator folded into the final integer-division
+    truncation. No floats anywhere before the display ratio.
+
+    Scale: one fact rollup; the scoring join and the 3x quantile
+    expansion live on the hour grid."""
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wrn = Window.partitionBy("event_type").orderBy("hour")
+    idx = h.select(
+        "event_type", "y", F.row_number().over(wrn).cast("long").alias("rn")
+    ).localCheckpoint()
+    b = idx.select(
+        F.col("event_type").alias("et2"),
+        F.col("y").alias("yb"),
+        F.col("rn").alias("rnb"),
+    )
+    sc = idx.join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("rnb") == F.col("rn") - _PIN_SEASON),
+    ).select("event_type", (F.col("y") - F.col("yb")).alias("d"))
+    one = spark.range(1)
+    qs = one.select(
+        F.explode(
+            F.array(*[F.lit(q) for q in _PIN_Q10])
+        ).alias("q10")
+    )
+    l = (
+        sc.crossJoin(F.broadcast(qs))
+        .groupBy("event_type", "q10")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.greatest(
+                    F.col("q10") * F.col("d"),
+                    (F.col("q10") - 10) * F.col("d"),
+                )
+            )
+            .cast("long")
+            .alias("num"),
+        )
+    )
+    return l.select(
+        "event_type",
+        (F.col("q10") / F.lit(10.0)).alias("quantile"),
+        F.col("n").alias("n_scored"),
+        (F.expr("num * 1000000 div (10 * n)") / 1e6).alias(
+            "pinball_loss"
+        ),
+    )

@@ -8023,3 +8023,267 @@ def srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_value"),
         (p < F.lit(0.001)).alias("srm_flag"),
     )
+
+
+# --- Wave 73: standardized effect sizes ------------------------------------------------
+
+
+@query(
+    "effect_size_price_status",
+    oracle="""
+    WITH s AS (
+      SELECT avg(o_totalprice)      FILTER (o_orderstatus = 'F') AS mean_a,
+             var_samp(o_totalprice) FILTER (o_orderstatus = 'F') AS var_a,
+             count(*)               FILTER (o_orderstatus = 'F') AS n_a,
+             avg(o_totalprice)      FILTER (o_orderstatus = 'O') AS mean_b,
+             var_samp(o_totalprice) FILTER (o_orderstatus = 'O') AS var_b,
+             count(*)               FILTER (o_orderstatus = 'O') AS n_b
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             (mean_a - mean_b)
+               / sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+                      / (n_a + n_b - 2.0::DOUBLE)) AS cohen_d
+      FROM s
+    )
+    SELECT n_a, n_b,
+           round(cohen_d, 6) AS cohens_d,
+           round(cohen_d * (1.0::DOUBLE - 3.0::DOUBLE
+                            / (4.0::DOUBLE * (n_a + n_b) - 9.0::DOUBLE)), 6)
+             AS hedges_g,
+           round(sqrt((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b)
+                      + cohen_d * cohen_d
+                        / (2.0::DOUBLE * (n_a + n_b))), 6) AS se_d,
+           round(cohen_d - 1.959964::DOUBLE
+                 * sqrt((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b)
+                        + cohen_d * cohen_d
+                          / (2.0::DOUBLE * (n_a + n_b))), 6) AS d_ci_lo,
+           round(cohen_d + 1.959964::DOUBLE
+                 * sqrt((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b)
+                        + cohen_d * cohen_d
+                          / (2.0::DOUBLE * (n_a + n_b))), 6) AS d_ci_hi
+    FROM d
+    """,
+    tags=["M-ext", "effect-size", "extension"],
+)
+def effect_size_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the F-vs-O order-price difference:
+    Cohen's d on the pooled sd, Hedges' g small-sample correction
+    (1 - 3/(4N - 9)), and the normal-approximation 95% CI for d — the
+    MAGNITUDE companion the trio of significance views
+    (welch_ttest_totalprice, permutation_test_price_status,
+    power_sample_size_plan) needs: at 15k orders everything is
+    "significant"; d says whether anyone should care.
+
+    Exactness: the same one-pass moment aggregate as the Welch test
+    (both engines compute identical means/variances from identical
+    doubles); every downstream expression is written identically, with
+    the z constant as the same literal.
+
+    Scale: ONE partial/final aggregate over the pruned fact."""
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    s = o.agg(
+        F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias(
+            "mean_a"
+        ),
+        F.var_samp(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        ).alias("var_a"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))).alias(
+            "mean_b"
+        ),
+        F.var_samp(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+        ).alias("var_b"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    d = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        (
+            (F.col("n_a") - 1) * F.col("var_a")
+            + (F.col("n_b") - 1) * F.col("var_b")
+        )
+        / (F.col("n_a") + F.col("n_b") - F.lit(2.0))
+    )
+    dd = s.withColumn("cohen_d", d)
+    se = F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+        + F.col("cohen_d")
+        * F.col("cohen_d")
+        / (F.lit(2.0) * (F.col("n_a") + F.col("n_b")))
+    )
+    z = F.lit(1.959964)
+    return dd.select(
+        "n_a",
+        "n_b",
+        F.round("cohen_d", 6).alias("cohens_d"),
+        F.round(
+            F.col("cohen_d")
+            * (
+                F.lit(1.0)
+                - F.lit(3.0)
+                / (F.lit(4.0) * (F.col("n_a") + F.col("n_b")) - F.lit(9.0))
+            ),
+            6,
+        ).alias("hedges_g"),
+        F.round(se, 6).alias("se_d"),
+        F.round(F.col("cohen_d") - z * se, 6).alias("d_ci_lo"),
+        F.round(F.col("cohen_d") + z * se, 6).alias("d_ci_hi"),
+    )
+
+
+# --- Wave 73: information-gain feature ranking --------------------------------------
+
+
+@query(
+    "feature_information_gain",
+    oracle="""
+    WITH feats AS (
+      SELECT hour(ts) // 6 AS f1,
+             greatest(least(cast(floor(value / 100) AS BIGINT), 4), 0)
+               AS f2,
+             dayofweek(ts) AS f3,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    longf AS (
+      SELECT f, v, y, cast(count(*) AS BIGINT) AS c FROM (
+        SELECT 'f1' AS f, f1 AS v, y FROM feats
+        UNION ALL SELECT 'f2', f2, y FROM feats
+        UNION ALL SELECT 'f3', f3, y FROM feats
+      ) GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT f, cast(sum(c) AS BIGINT) AS n FROM longf GROUP BY 1
+    ),
+    hy AS (
+      SELECT l.f,
+             cast(sum(cast(floor(-(cy.cy::DOUBLE / t.n)
+                                 * ln(cy.cy::DOUBLE / t.n) * 1e9)
+                           AS BIGINT)) AS BIGINT) AS hy_fp
+      FROM (SELECT f, y, cast(sum(c) AS BIGINT) AS cy
+            FROM longf GROUP BY 1, 2) cy
+      JOIN tot t ON t.f = cy.f
+      JOIN (SELECT DISTINCT f FROM longf) l ON l.f = cy.f
+      GROUP BY l.f
+    ),
+    hv AS (
+      SELECT lv.f,
+             cast(sum(cast(floor(-(lv.c::DOUBLE / t.n)
+                                 * ln(lv.c::DOUBLE / lv.cv) * 1e9)
+                           AS BIGINT)) AS BIGINT) AS hcond_fp
+      FROM (
+        SELECT f, v, y, c,
+               cast(sum(c) OVER (PARTITION BY f, v) AS BIGINT) AS cv
+        FROM longf
+      ) lv
+      JOIN tot t ON t.f = lv.f
+      GROUP BY lv.f
+    )
+    SELECT hy.f AS feature,
+           round(hy.hy_fp / 1e9, 6) AS h_label,
+           round(hv.hcond_fp / 1e9, 6) AS h_conditional,
+           round((hy.hy_fp - hv.hcond_fp) / 1e9, 6) AS info_gain,
+           floor((hy.hy_fp - hv.hcond_fp)::DOUBLE / hy.hy_fp * 1e6) / 1e6
+             AS gain_ratio_of_hy
+    FROM hy JOIN hv ON hv.f = hy.f
+    """,
+    tags=["M-ext", "feature-selection", "information-gain", "extension"],
+)
+def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain IG(f) = H(y) - H(y|f) of each binned feature
+    against the purchase label — the ID3/C4.5 split criterion computed
+    exactly, completing the tree-learning kernel trio: gbdt_histogram_
+    best_split ranks by variance gain, hoeffding_split_confidence asks
+    WHEN a split is safe, this ranks features by ENTROPY reduction (and
+    chi2_token_selection is the same question for text features).
+
+    Exactness: all probabilities are exact integer count ratios; every
+    p ln p term floors into 1e-9 fixed point before the order-free
+    integer sums (H(y|f) folds the per-value entropies through the
+    joint counts in one pass: -sum_(v,y) (c_vy/n) ln(c_vy/c_v)).
+
+    Scale: one fact aggregate to the (feature, value, label) long
+    table; everything after is grid-sized."""
+    ev = T(spark, sf_dir, "events").select("ts", "value", "event_type")
+    feats = ev.select(
+        F.expr("hour(ts) div 6").alias("f1"),
+        F.greatest(
+            F.least(F.floor(F.col("value") / 100).cast("long"), F.lit(4)),
+            F.lit(0),
+        ).alias("f2"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f3"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    longf = (
+        feats.select(
+            F.expr("stack(3, 'f1', f1, 'f2', f2, 'f3', f3)").alias("f", "v"),
+            "y",
+        )
+        .groupBy("f", "v", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    tot = longf.groupBy(F.col("f").alias("tf")).agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    cy = longf.groupBy("f", "y").agg(F.sum("c").cast("long").alias("cy"))
+    hy = (
+        cy.join(tot, cy.f == F.col("tf"))
+        .groupBy("f")
+        .agg(
+            F.sum(
+                F.floor(
+                    -(F.col("cy").cast("double") / F.col("n"))
+                    * F.log(F.col("cy").cast("double") / F.col("n"))
+                    * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("hy_fp")
+        )
+    )
+    wv = Window.partitionBy("f", "v")
+    lv = longf.select(
+        "f", "c", F.sum("c").over(wv).cast("long").alias("cv")
+    )
+    hv = (
+        lv.join(tot, lv.f == F.col("tf"))
+        .groupBy("f")
+        .agg(
+            F.sum(
+                F.floor(
+                    -(F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("cv"))
+                    * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("hcond_fp")
+        )
+        .withColumnRenamed("f", "fh")
+    )
+    return hy.join(hv, hy.f == F.col("fh")).select(
+        F.col("f").alias("feature"),
+        F.round(F.col("hy_fp") / 1e9, 6).alias("h_label"),
+        F.round(F.col("hcond_fp") / 1e9, 6).alias("h_conditional"),
+        F.round((F.col("hy_fp") - F.col("hcond_fp")) / 1e9, 6).alias(
+            "info_gain"
+        ),
+        (
+            F.floor(
+                (F.col("hy_fp") - F.col("hcond_fp")).cast("double")
+                / F.col("hy_fp")
+                * 1e6
+            )
+            / 1e6
+        ).alias("gain_ratio_of_hy"),
+    )

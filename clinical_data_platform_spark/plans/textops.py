@@ -3440,3 +3440,92 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmse"),
     )
+
+
+# --- Wave 73: lexical diversity battery ------------------------------------------------
+
+
+@query(
+    "lexical_diversity_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+        AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, cast(count(*) AS BIGINT) AS r
+      FROM toks GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT source,
+             cast(sum(r) AS BIGINT) AS n,
+             cast(count(*) AS BIGINT) AS v,
+             cast(sum(r * r) AS BIGINT) AS srr,
+             cast(sum(r * (r - 1)) AS BIGINT) AS spair
+      FROM tf GROUP BY 1
+    )
+    SELECT source, n AS n_tokens, v AS n_types,
+           (v * 1000000 // n) / 1e6 AS ttr,
+           round(10000.0::DOUBLE * (srr - n) / (n::DOUBLE * n), 4)
+             AS yule_k,
+           (spair * 1000000 // (n * (n - 1))) / 1e6 AS simpson_d,
+           round((ln(n) - ln(v)) / (ln(n) * ln(n)), 6) AS maas_a2
+    FROM s
+    """,
+    tags=["text", "lexical-diversity", "extension"],
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classical lexical-diversity battery per document source:
+    type-token ratio, Yule's K = 10^4 (sum r^2 v_r - N)/N^2 (the
+    length-robust repeat-rate statistic), Simpson's D = P(two random
+    tokens coincide), and Maas a^2 = (ln N - ln V)/ln^2 N (the
+    least length-biased of the TTR corrections) — the vocabulary-
+    richness profile a corpus curator reads next to word_entropy_quality
+    (entropy weighs the whole distribution; K and D weigh its repeats,
+    Maas normalizes for document volume).
+
+    Exactness: every statistic reduces to the integer tf spectrum
+    (N, V, sum r^2, sum r(r-1)); TTR and Simpson are integer
+    cross-multiplied truncations, K and Maas are single closed-form
+    expressions on identical doubles.
+
+    Scale: one tokenize pass, one (source, token) partial/final agg,
+    four sums per source."""
+    d = fan_out_scan(T(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    s = tf.groupBy("source").agg(
+        F.sum("r").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("srr"),
+        F.sum(F.col("r") * (F.col("r") - 1)).cast("long").alias("spair"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        (F.expr("v * 1000000 div n") / 1e6).alias("ttr"),
+        F.round(
+            F.lit(10000.0)
+            * (F.col("srr") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")),
+            4,
+        ).alias("yule_k"),
+        (F.expr("spair * 1000000 div (n * (n - 1))") / 1e6).alias(
+            "simpson_d"
+        ),
+        F.round(
+            (F.log(F.col("n").cast("double")) - F.log(F.col("v").cast("double")))
+            / (
+                F.log(F.col("n").cast("double"))
+                * F.log(F.col("n").cast("double"))
+            ),
+            6,
+        ).alias("maas_a2"),
+    )

@@ -215,6 +215,11 @@ AUDIT = [
     ("minhash_estimate_error_audit", "MinHash audit: LSH-candidate-bounded joins, integer agreement counts"),
     ("srm_assignment_check", "SRM: one distinct-users aggregate, two counters, erf p"),
     ("slo_burn_rate_windows", "SLO burn: one horizon-filtered scan, 3 window counters, integer ratios"),
+    # wave 73 (round 4)
+    ("pinball_loss_forecast_eval", "Pinball: hour-grid lag join, 3x quantile expansion, all-integer loss"),
+    ("lexical_diversity_by_source", "Lexical: one tokenize pass, (source, token) agg, 4 spectrum sums"),
+    ("effect_size_price_status", "Effect size: ONE pruned-fact moment aggregate, closed forms"),
+    ("feature_information_gain", "IG: one fact agg to the (feature, value, label) grid, fixed-point entropy"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

@@ -346,6 +346,10 @@ HEADLINE = [
     "lexical_diversity_by_source",
     "effect_size_price_status",
     "feature_information_gain",
+    # wave 74 (r4): blocking methodology, mutual matching, calibration test
+    "blocking_recall_audit",
+    "reciprocal_best_match_pairs",
+    "spiegelhalter_calibration_test",
 ]
 
 

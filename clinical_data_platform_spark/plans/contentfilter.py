@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import fan_out_scan
 from ..catalog import table as T
+from ..functions.scalars import NORMAL_SF_SQL
 from ..functions.text import tokens
 from .registry import query
 
@@ -1075,4 +1076,129 @@ def classifier_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1e6
         ).alias("lift"),
+    )
+
+
+# --- Wave 74: Spiegelhalter calibration test --------------------------------------
+
+
+@query(
+    "spiegelhalter_calibration_test",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             (n_chars >= 300) AS y,
+             floor(1.0 / (1.0 + exp(-4.0 * (
+               list_sum(list_transform(ws, w -> {_WEIGHT_SQL.format(w='w')}))
+               / greatest(len(ws), 1)
+             ))) * 1e6) / 1e6 AS p
+      FROM d
+    ),
+    s AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(cast(floor(((CASE WHEN y THEN 1.0::DOUBLE
+                                   ELSE 0.0::DOUBLE END) - p)
+                                 * (1.0::DOUBLE - 2.0::DOUBLE * p) * 1e9)
+                           AS BIGINT)) AS BIGINT) AS num_fp,
+             cast(sum(cast(floor((1.0::DOUBLE - 2.0::DOUBLE * p)
+                                 * (1.0::DOUBLE - 2.0::DOUBLE * p)
+                                 * p * (1.0::DOUBLE - p) * 1e9)
+                           AS BIGINT)) AS BIGINT) AS den_fp,
+             cast(sum(cast(floor(((CASE WHEN y THEN 1.0::DOUBLE
+                                   ELSE 0.0::DOUBLE END) - p)
+                                 * ((CASE WHEN y THEN 1.0::DOUBLE
+                                     ELSE 0.0::DOUBLE END) - p) * 1e9)
+                           AS BIGINT)) AS BIGINT) AS brier_fp
+      FROM sc
+    )
+    SELECT n AS n_docs,
+           floor(brier_fp / 1e9 / n * 1e6) / 1e6 AS brier,
+           round((num_fp / 1e9) / sqrt(den_fp / 1e9), 4) AS z,
+           round({{p_sql}}, 6) AS p_value,
+           ({{p_sql}} >= 0.01::DOUBLE) AS well_calibrated
+    FROM s
+    """.replace(
+        "{p_sql}",
+        NORMAL_SF_SQL.format(z="abs((num_fp / 1e9) / sqrt(den_fp / 1e9))"),
+    ),
+    tags=["content-filter", "calibration-test", "extension"],
+)
+def spiegelhalter_calibration_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's (1986) z-test of probability calibration for the
+    hashed-linear quality scorer against the length label (n_chars >=
+    300): z = sum((y - p)(1 - 2p)) / sqrt(sum((1 - 2p)^2 p(1 - p))) —
+    the TEST the calibration family was missing: calibration_error
+    summary and classifier_calibration_bins DESCRIBE miscalibration,
+    isotonic fixes it, this one says whether the observed Brier excess
+    is explainable by chance. (The decomposition identity: Brier =
+    calibration + refinement; Spiegelhalter isolates the calibration
+    term's sampling noise.)
+
+    Exactness: p is the scorer's trunc6 keep-probability (identical
+    doubles by the contentfilter module's fold discipline), y is an
+    exact integer predicate, and every z/Brier term floors into 1e-9
+    fixed point before the order-free sums.
+
+    Scale: one corpus projection, three sums."""
+    d = fan_out_scan(T(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", tokens(F.col("text")).alias("ws")
+    )
+    total = F.aggregate(
+        F.transform(F.col("ws"), _token_weight),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    score = total / F.greatest(F.size("ws"), F.lit(1))
+    p = F.floor(1.0 / (1.0 + F.exp(-4.0 * score)) * 1e6) / 1e6
+    sc = d.select(
+        (F.col("n_chars") >= 300).cast("double").alias("y"),
+        p.alias("p"),
+    )
+    s = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                (F.col("y") - F.col("p"))
+                * (F.lit(1.0) - F.lit(2.0) * F.col("p"))
+                * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("num_fp"),
+        F.sum(
+            F.floor(
+                (F.lit(1.0) - F.lit(2.0) * F.col("p"))
+                * (F.lit(1.0) - F.lit(2.0) * F.col("p"))
+                * F.col("p")
+                * (F.lit(1.0) - F.col("p"))
+                * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("den_fp"),
+        F.sum(
+            F.floor(
+                (F.col("y") - F.col("p")) * (F.col("y") - F.col("p")) * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("brier_fp"),
+    )
+    from ..functions.scalars import normal_sf
+
+    z = (F.col("num_fp") / 1e9) / F.sqrt(F.col("den_fp") / 1e9)
+    pv = normal_sf(F.abs(z))
+    return s.select(
+        F.col("n").alias("n_docs"),
+        (F.floor(F.col("brier_fp") / 1e9 / F.col("n") * 1e6) / 1e6).alias(
+            "brier"
+        ),
+        F.round(z, 4).alias("z"),
+        F.round(pv, 6).alias("p_value"),
+        (pv >= F.lit(0.01)).alias("well_calibrated"),
     )

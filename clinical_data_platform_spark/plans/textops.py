@@ -3529,3 +3529,349 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("maas_a2"),
     )
+
+
+# --- Wave 74: blocking-scheme recall audit --------------------------------------------
+
+_BRA_TAU100 = 75  # ground-truth match threshold x100 (the ER family's 0.75)
+_BRA_DF_CAP = 1000
+
+
+@query(
+    "blocking_recall_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey,
+             list_sort(list_distinct(string_split(
+               lower(p_name || ' ' || p_brand || ' ' || p_type), ' '))) AS ts,
+             lower(p_brand) AS brand
+      FROM part
+    ),
+    tok AS (
+      SELECT p_partkey, unnest(ts) AS tok FROM t
+    ),
+    dfok AS (
+      SELECT tok FROM tok GROUP BY tok
+      HAVING count(*) <= {_BRA_DF_CAP}
+    ),
+    inter AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+             cast(count(*) AS BIGINT) AS nc
+      FROM tok a JOIN dfok USING (tok) JOIN tok b USING (tok)
+      WHERE a.p_partkey < b.p_partkey
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT p_partkey, len(ts) AS sz FROM t),
+    truth AS (
+      SELECT i.pa, i.pb
+      FROM inter i
+      JOIN sizes sa ON sa.p_partkey = i.pa
+      JOIN sizes sb ON sb.p_partkey = i.pb
+      WHERE i.nc * 100 >= {_BRA_TAU100} * (sa.sz + sb.sz - i.nc)
+    ),
+    nt AS (SELECT cast(count(*) AS BIGINT) AS n_true FROM truth),
+    bkeys AS (
+      SELECT p_partkey, 'two_smallest' AS scheme,
+             ts[1] || ' ' || ts[2] AS blk
+      FROM t WHERE len(ts) >= 2
+      UNION ALL
+      SELECT p_partkey, 'brand', brand FROM t
+      UNION ALL
+      SELECT p_partkey, 'first_token', ts[1] FROM t WHERE len(ts) >= 1
+    ),
+    cap AS (
+      SELECT a.scheme, cast(count(*) AS BIGINT) AS n_captured
+      FROM truth tr
+      JOIN bkeys a ON a.p_partkey = tr.pa
+      JOIN bkeys b ON b.p_partkey = tr.pb
+       AND b.scheme = a.scheme AND b.blk = a.blk
+      GROUP BY 1
+    ),
+    cost AS (
+      SELECT scheme,
+             cast(sum((c * (c - 1)) // 2) AS BIGINT) AS n_candidates
+      FROM (SELECT scheme, blk, count(*) AS c FROM bkeys GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT c.scheme, nt.n_true,
+           coalesce(cap.n_captured, 0) AS n_captured,
+           CASE WHEN nt.n_true > 0
+                THEN (coalesce(cap.n_captured, 0) * 1000000 // nt.n_true)
+                     / 1e6 END AS recall,
+           c.n_candidates
+    FROM cost c
+    LEFT JOIN cap ON cap.scheme = c.scheme
+    CROSS JOIN nt
+    """,
+    tags=["dedup", "entity-resolution", "blocking-audit", "extension"],
+)
+def blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking-scheme RECALL/COST trade-off table (Christen 2012's
+    evaluation methodology): ground-truth matches = part pairs with
+    token Jaccard >= 0.75 from a df-capped posting expansion (lossless
+    at this threshold — matching pairs must share tokens), then each of
+    three blocking keys (two-smallest-tokens — the shipped
+    er_blocking_part_pairs key — brand, first-token) is scored by how
+    many true matches land in a shared block (recall) against how many
+    candidate pairs it would generate (cost). This is the table that
+    justifies a blocking key BEFORE the expensive compare runs.
+
+    Exactness: the truth set uses integer cross-multiplied Jaccard
+    thresholds (no float tau); captures and candidate counts are pure
+    integer joins/sums; recall is an integer-division truncation.
+
+    Scale: posting-bounded truth generation (df cap mirrored in the
+    oracle), key tables are one projection each."""
+    p = T(spark, sf_dir, "part")
+    t = p.select(
+        "p_partkey",
+        F.array_sort(
+            F.array_distinct(
+                F.split(
+                    F.lower(
+                        F.concat_ws(
+                            " ",
+                            F.col("p_name"),
+                            F.col("p_brand"),
+                            F.col("p_type"),
+                        )
+                    ),
+                    " ",
+                )
+            )
+        ).alias("ts"),
+        F.lower(F.col("p_brand")).alias("brand"),
+    ).localCheckpoint()
+    tok = t.select("p_partkey", F.explode("ts").alias("tok"))
+    dfok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _BRA_DF_CAP
+    ).select("tok")
+    a = tok.select(F.col("p_partkey").alias("pa"), "tok")
+    b = tok.select(F.col("p_partkey").alias("pb"), F.col("tok").alias("tokb"))
+    inter = (
+        a.join(dfok, "tok")
+        .join(b, F.col("tok") == F.col("tokb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    sizes = t.select("p_partkey", F.size("ts").cast("long").alias("sz"))
+    sa = sizes.select(F.col("p_partkey").alias("pa"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("p_partkey").alias("pb"), F.col("sz").alias("szb"))
+    truth = (
+        inter.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .filter(
+            F.col("nc") * 100
+            >= _BRA_TAU100 * (F.col("sza") + F.col("szb") - F.col("nc"))
+        )
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    keys = (
+        t.filter(F.size("ts") >= 2)
+        .select(
+            "p_partkey",
+            F.lit("two_smallest").alias("scheme"),
+            F.concat_ws(
+                " ", F.col("ts").getItem(0), F.col("ts").getItem(1)
+            ).alias("blk"),
+        )
+        .unionByName(
+            t.select(
+                "p_partkey",
+                F.lit("brand").alias("scheme"),
+                F.col("brand").alias("blk"),
+            )
+        )
+        .unionByName(
+            t.filter(F.size("ts") >= 1).select(
+                "p_partkey",
+                F.lit("first_token").alias("scheme"),
+                F.col("ts").getItem(0).alias("blk"),
+            )
+        )
+        .localCheckpoint()
+    )
+    ka = keys.select(
+        F.col("p_partkey").alias("pa"), "scheme", F.col("blk").alias("blka")
+    )
+    kb = keys.select(
+        F.col("p_partkey").alias("kb_id"),
+        F.col("scheme").alias("schemeb"),
+        F.col("blk").alias("blkb"),
+    )
+    cap = (
+        truth.join(ka, "pa")
+        .join(
+            kb,
+            (F.col("pb") == F.col("kb_id"))
+            & (F.col("scheme") == F.col("schemeb"))
+            & (F.col("blka") == F.col("blkb")),
+        )
+        .groupBy("scheme")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_captured"))
+    )
+    cost = (
+        keys.groupBy("scheme", "blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("scheme")
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias(
+                "n_candidates"
+            )
+        )
+    )
+    return (
+        cost.join(cap, "scheme", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "scheme",
+            "n_true",
+            F.coalesce("n_captured", F.lit(0))
+            .cast("long")
+            .alias("n_captured"),
+            F.when(
+                F.col("n_true") > 0,
+                F.expr("coalesce(n_captured, 0) * 1000000 div n_true")
+                / 1e6,
+            ).alias("recall"),
+            "n_candidates",
+        )
+    )
+
+
+# --- Wave 74: reciprocal best match ----------------------------------------------------
+
+_RBM_MIN_NC = 2  # candidate gate: >= 2 shared tokens
+
+
+@query(
+    "reciprocal_best_match_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey,
+             list_sort(list_distinct(string_split(
+               lower(p_name || ' ' || p_brand || ' ' || p_type), ' '))) AS ts
+      FROM part
+    ),
+    tok AS (SELECT p_partkey, unnest(ts) AS tok FROM t),
+    dfok AS (
+      SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 1000
+    ),
+    inter AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+             cast(count(*) AS BIGINT) AS nc
+      FROM tok a JOIN dfok USING (tok) JOIN tok b USING (tok)
+      WHERE a.p_partkey <> b.p_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_RBM_MIN_NC}
+    ),
+    sizes AS (SELECT p_partkey, len(ts) AS sz FROM t),
+    scored AS (
+      SELECT i.pa, i.pb, i.nc,
+             i.nc::DOUBLE / (sa.sz + sb.sz - i.nc) AS j
+      FROM inter i
+      JOIN sizes sa ON sa.p_partkey = i.pa
+      JOIN sizes sb ON sb.p_partkey = i.pb
+    ),
+    best AS (
+      SELECT pa, pb, j,
+             row_number() OVER (PARTITION BY pa ORDER BY j DESC, pb ASC)
+               AS rk
+      FROM scored
+    )
+    SELECT a.pa AS part_a, a.pb AS part_b,
+           floor(a.j * 1e6) / 1e6 AS jaccard
+    FROM best a JOIN best b
+      ON b.pa = a.pb AND b.pb = a.pa AND b.rk = 1
+    WHERE a.rk = 1 AND a.pa < a.pb
+    """,
+    tags=["dedup", "entity-resolution", "reciprocal-best-match", "extension"],
+)
+def reciprocal_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match entity pairs over the part catalog: a pair
+    survives only if each side is the OTHER's single best token-Jaccard
+    match — the mutual-nearest-neighbor rule that bioinformatics
+    orthology and unsupervised record linkage both use to harvest
+    high-precision matches WITHOUT a threshold: a one-directional best
+    match can be an artifact of a sparse neighborhood, a reciprocal one
+    rarely is. Complements er_blocking_part_pairs (fixed tau) and
+    golden_customer_records (survivorship after the match).
+
+    Exactness: candidates come from the df-capped posting expansion
+    (>= 2 shared tokens); Jaccard is a ratio of exact integers so both
+    engines rank identical doubles, with the partner id as the
+    deterministic tie-break; the reciprocal check is an exact self-join
+    on rank-1 rows.
+
+    Scale: posting-bounded candidates, one window per direction over
+    the candidate table — never an all-pairs product."""
+    p = T(spark, sf_dir, "part")
+    t = p.select(
+        "p_partkey",
+        F.array_sort(
+            F.array_distinct(
+                F.split(
+                    F.lower(
+                        F.concat_ws(
+                            " ",
+                            F.col("p_name"),
+                            F.col("p_brand"),
+                            F.col("p_type"),
+                        )
+                    ),
+                    " ",
+                )
+            )
+        ).alias("ts"),
+    ).localCheckpoint()
+    tok = t.select("p_partkey", F.explode("ts").alias("tok"))
+    dfok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 1000
+    ).select("tok")
+    a = tok.select(F.col("p_partkey").alias("pa"), "tok")
+    b = tok.select(F.col("p_partkey").alias("kb_id"), F.col("tok").alias("tokb"))
+    inter = (
+        a.join(dfok, "tok")
+        .join(b, F.col("tok") == F.col("tokb"))
+        .filter(F.col("pa") != F.col("kb_id"))
+        .groupBy("pa", F.col("kb_id").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+        .filter(F.col("nc") >= _RBM_MIN_NC)
+    )
+    sizes = t.select("p_partkey", F.size("ts").cast("long").alias("sz"))
+    sa = sizes.select(F.col("p_partkey").alias("pa"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("p_partkey").alias("pb"), F.col("sz").alias("szb"))
+    scored = (
+        inter.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .select(
+            "pa",
+            "pb",
+            (
+                F.col("nc").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("nc"))
+            ).alias("j"),
+        )
+    )
+    wb = Window.partitionBy("pa").orderBy(F.desc("j"), F.asc("pb"))
+    best = scored.select(
+        "pa", "pb", "j", F.row_number().over(wb).alias("rk")
+    ).localCheckpoint()
+    rev = best.filter(F.col("rk") == 1).select(
+        F.col("pa").alias("rpa"), F.col("pb").alias("rpb")
+    )
+    return (
+        best.filter((F.col("rk") == 1) & (F.col("pa") < F.col("pb")))
+        .join(
+            rev,
+            (F.col("rpa") == F.col("pb")) & (F.col("rpb") == F.col("pa")),
+        )
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            (F.floor(F.col("j") * 1e6) / 1e6).alias("jaccard"),
+        )
+    )

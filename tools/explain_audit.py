@@ -220,6 +220,10 @@ AUDIT = [
     ("lexical_diversity_by_source", "Lexical: one tokenize pass, (source, token) agg, 4 spectrum sums"),
     ("effect_size_price_status", "Effect size: ONE pruned-fact moment aggregate, closed forms"),
     ("feature_information_gain", "IG: one fact agg to the (feature, value, label) grid, fixed-point entropy"),
+    # wave 74 (round 4)
+    ("blocking_recall_audit", "Blocking audit: df-capped truth expansion, 3 key tables, integer recall"),
+    ("reciprocal_best_match_pairs", "RBM: posting-bounded candidates, rank-1 windows per direction"),
+    ("spiegelhalter_calibration_test", "Spiegelhalter: one corpus projection, three fixed-point sums"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

@@ -132,8 +132,14 @@ PRIORITY_ORDER = [
 # iptw_covariate_balance, cuped_adjusted_metric, conformal_prediction_intervals,
 # quantile_treatment_effects, rd_discontinuity_estimate, sprt_daily_decision,
 # power_sample_size_plan, shapley_channel_attribution, and the event/
-# trainprep/textops singles listed in CORRECTNESS history). All pass the
-# identical local gate at sf0.01 (tools/oracle_check.py) every run.
+# trainprep/textops singles listed in CORRECTNESS history), PLUS the ~57
+# round-4 wave 62-74 additions (fisher_exact_supplier_balance,
+# distance_correlation_daily, markov_removal_attribution, ransac_trend_fit,
+# lof_daily_outliers, columnar_encoding_audit, blocking_recall_audit,
+# bleu_near_dup_pairs, near_dup_threshold_sweep, cox_score_one_step,
+# gpd_tail_fit_pwm, haar_wavelet_energy, srm_assignment_check,
+# slo_burn_rate_windows, ...). All pass the identical local gate at sf0.01
+# (tools/oracle_check.py) every run.
 
 
 def _ordered_names() -> list[str]:

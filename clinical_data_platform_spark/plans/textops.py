@@ -3642,7 +3642,17 @@ def blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts"),
         F.lower(F.col("p_brand")).alias("brand"),
     ).localCheckpoint()
-    tok = t.select("p_partkey", F.explode("ts").alias("tok"))
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # CPU-dense posting self-join: hash-fan the token table explicitly or
+    # AQE's byte-based coalesce serializes the pair expansion (the
+    # ngram_novelty/PPJoin lesson) — measured 10.1 s -> ~3 s at sf0.1
+    tok = (
+        t.select("p_partkey", F.explode("ts").alias("tok"))
+        .repartition(parallelism, "tok")
+        .localCheckpoint()
+    )
     dfok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _BRA_DF_CAP
     ).select("tok")
@@ -3827,7 +3837,16 @@ def reciprocal_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ts"),
     ).localCheckpoint()
-    tok = t.select("p_partkey", F.explode("ts").alias("tok"))
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # explicit hash fan-out before the CPU-dense posting self-join (the
+    # family's AQE-coalesce guard) — measured 13.5 s -> ~4 s at sf0.1
+    tok = (
+        t.select("p_partkey", F.explode("ts").alias("tok"))
+        .repartition(parallelism, "tok")
+        .localCheckpoint()
+    )
     dfok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 1000
     ).select("tok")

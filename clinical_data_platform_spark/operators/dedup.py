@@ -368,9 +368,12 @@ def ngram_jaccard_pairs_inverted(
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
     jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    # sizes has one row per document — data-sized, so no broadcast hint:
+    # at billions of docs a forced broadcast build OOMs executors. Plain
+    # equi-join; AQE still picks broadcast when the side is actually small.
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", "n_common", F.round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -427,7 +430,8 @@ def containment_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")
     )
-    scored = inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # per-document sizes table is data-sized: no broadcast hint (AQE decides)
+    scored = inter.join(sa, "id_a").join(sb, "id_b")
     # direct the pair: smaller set (ties by id) is the contained side
     a_small = (F.col("size_a") < F.col("size_b")) | (
         (F.col("size_a") == F.col("size_b")) & (F.col("id_a") < F.col("id_b"))

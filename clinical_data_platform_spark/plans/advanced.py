@@ -415,18 +415,49 @@ def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts", tags=["approx", "A5"])
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS parts_within_3sigma,
+           TRUE AS median_within_rank_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=["approx", "A5"],
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct + approximate percentile — the
-    100 TB substitutes for exact COUNT(DISTINCT)/percentile. Sketches are
-    engine-specific, so this is a rows-only check; the exact twins
-    (distinct_counts_by_flag, median_price_by_priority) carry the oracle."""
+    100 TB substitutes for exact COUNT(DISTINCT)/percentile. Sketch
+    estimates are engine-specific, so the oracle is a TOLERANCE BAND
+    (r4 verdict item 7, replacing the old rows-only check): the Spark side
+    emits booleans asserting the HLL++ estimate lies within 3 sigma of the
+    exact count (rsd=0.02 -> 6%) and the approximate median within the
+    KLL rank-error band (accuracy=10000 -> quantile 0.5 +/- 1e-4, checked
+    against the 10x-margin exact 0.499/0.501 order statistics); DuckDB
+    asserts the exact count and TRUE literals. A sketch regression now
+    hash-mismatches instead of passing rows-only."""
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+            F.expr("percentile(l_extendedprice, 0.499)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.501)").alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("ap") - F.col("exact_parts"))
+                <= 0.06 * F.col("exact_parts")
+            ).alias("parts_within_3sigma"),
+            F.col("am").between(F.col("lo"), F.col("hi")).alias(
+                "median_within_rank_band"
+            ),
         )
     )
 
@@ -455,12 +486,30 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_meta(payloads)
 
 
-@query("multimodal_features", tags=["multimodal", "mapInPandas"])
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+    SELECT doc_id, i AS dim_idx,
+           ((strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1))
+           / 255.0 AS feature_value
+    FROM h, range(0, 8) r(i)
+    """,
+    tags=["multimodal", "mapInPandas"],
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake featurizer over binary payloads (embedding-model
-    stand-in; rows-only — array<double> output)."""
+    stand-in), exercising the Arrow-batched binary -> vector mapInPandas
+    path. Promoted from rows-only to an EXACT oracle (r4 verdict item 7):
+    the feature vector is sha256(payload) bytes / 255.0, so posexploding
+    to (doc_id, dim_idx, feature_value) long form makes every value a
+    bit-identical double DuckDB reproduces from its own sha256 hex."""
     payloads = attach_payload(T(spark, sf_dir, "documents"), "doc_id", "text")
-    return featurize_payload(payloads, dim=8)
+    feats = featurize_payload(payloads, dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim_idx", "feature_value")
+    ).select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"), "feature_value")
 
 
 # ---------------------------------------------------------------------------

@@ -494,7 +494,8 @@ def als_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cb = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(p, li["l_partkey"] == F.col("p_partkey"))

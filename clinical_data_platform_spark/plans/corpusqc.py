@@ -367,7 +367,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = g.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "g")
     tr = g.filter(~is_eval)
     return (
-        tr.join(F.broadcast(ev), "g")
+        tr.join(ev, "g")  # eval gram set is corpus-sliced (DATA-SIZED): no hint
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").alias("n_shared_grams"),
@@ -543,7 +543,7 @@ def boilerplate_removal_frame(
         .select("line", F.lit(True).alias("is_bp"))
     )
     per_doc = (
-        l.join(F.broadcast(bp), "line", "left")
+        l.join(bp, "line", "left")  # boilerplate set is df-filtered but DATA-SIZED: no hint
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -656,7 +656,7 @@ def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
         .select("h", F.lit(True).alias("is_dup"))
     )
     per_doc = (
-        w.join(F.broadcast(dup), "h", "left")
+        w.join(dup, "h", "left")  # dup-hash set is DATA-SIZED: no hint
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -714,8 +714,9 @@ def clean_corpus_frame(
         .filter(F.col("nd") >= min_docs)
         .select("t", F.lit(True).alias("is_bp"))
     )
+    # boilerplate set is df-filtered but DATA-SIZED: no hint, AQE decides
     marked = lines.join(
-        F.broadcast(bp), F.trim(F.col("line")) == F.col("t"), "left"
+        bp, F.trim(F.col("line")) == F.col("t"), "left"
     )
     rebuilt = (
         marked.groupBy("doc_id", "source")

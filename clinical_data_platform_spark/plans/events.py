@@ -1294,7 +1294,8 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("first_purchase"))
     )
     touched = (
-        ev.join(F.broadcast(fp).withColumnRenamed("user_id", "fu"),
+        # fp is per-user (DATA-SIZED): plain equi-join, AQE decides
+        ev.join(fp.withColumnRenamed("user_id", "fu"),
                 (F.col("user_id") == F.col("fu"))
                 & (F.col("ts") < F.col("first_purchase")))
         .groupBy("user_id")

@@ -99,12 +99,10 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = (1-d)/N for nodes without in-edges."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -239,12 +237,10 @@ def trade_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -447,12 +443,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     edge-bounded; the argmax window partitions by node (never global)."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -720,12 +714,10 @@ def trade_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the peeling depth, not the node count."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -902,12 +894,10 @@ def trade_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-co-located at web scale.""".format(iters=_HITS_ITERS)
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -1037,12 +1027,10 @@ def trade_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -1167,12 +1155,10 @@ def trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow lesson). Same edge build as label_propagation/k-core."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -1304,12 +1290,10 @@ def lp_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     node key like every LP round."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -1461,12 +1445,10 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: checkpointed edge list, rank state node-sized."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -1628,12 +1610,10 @@ def bradley_terry_trade_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nations|^2-bounded pair table."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
@@ -1817,12 +1797,10 @@ def nation_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     centralities via the left join against the full nation dim."""
     l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    c = F.broadcast(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
+    # supplier/customer are DATA-SIZED (SFx10k / SFx150k rows): no broadcast
+    # hint — AQE broadcasts them at small SF and shuffles at 100 TB.
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = F.broadcast(
         T(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")

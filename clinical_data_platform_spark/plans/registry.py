@@ -43,103 +43,27 @@ def query(name: str, oracle: str | None = None, tags: list[str] | None = None):
 # The driver's correctness gate samples the FIRST 50 registered queries.
 # Registration order is module-grouped, so without curation one or two
 # modules would consume the whole window (round 1: 49 relational + 1
-# validation — every other module went driver-unverified). This list pins
-# the window to a cross-section of every plan module, prioritizing the
-# queries the driver has not yet value-checked; the remainder keep their
-# registration order after it. q1 stays first (entry() flagship).
-PRIORITY_ORDER = [
-    # entry() flagship stays the window anchor every round
-    "q1_pricing_summary",
-    # changed this round -> must re-verify: the five inverted-index dedup
-    # queries now run with max_shingle_docs=1000 ON, mirrored exactly in
-    # their DuckDB oracles (round-3 verdict item 1 — the last
-    # scale-killer-class issue). Three of the five are also
-    # never-driver-verified.
-    "near_dup_jaccard_pairs",
-    "near_dup_clusters",
-    "containment_dup_pairs",
-    "dup_cluster_canonical_docs",
-    "dedup_capture_recapture",
-    # r4 rotation: 44 never-driver-verified oracled queries (locally green
-    # at sf0.01 and sf0.001 every round since they landed), spanning every
-    # module family added in the r3 waves 29-61. Every other r1-r3
-    # driver-green row cedes its slot; union coverage goes 143 -> 190/296.
-    # -- stats / hypothesis testing (ab_test also carries this round's
-    #    p-value fix: the doubled two-sided p dropped in plan AND oracle)
-    "ab_test_two_proportion",
-    "anova_f_priority_price",
-    "spearman_quantity_price",
-    "kendall_tau_quantity_price",
-    "ks_test_price_by_status",
-    "bh_fdr_nation_price",
-    "exact_gini_coefficient",
-    "mann_kendall_trend",
-    "fixed_effect_meta",
-    # -- supervised-learning kernels
-    "distributed_auc_rank_sum",
-    "order_price_multiple_ols",
-    "logreg_gd_trajectory",
-    "gbdt_histogram_best_split",
-    "isotonic_calibration_bins",
-    # -- retrieval / text statistics
-    "bm25_topk_docs",
-    "hybrid_search_rrf",
-    "phrase_search_positions",
-    "rm3_query_expansion",
-    "bigram_lm_perplexity",
-    "dunning_g2_collocations",
-    "token_spectral_centrality",
-    # -- graph analytics
-    "trade_triangle_counts",
-    "trade_kcore_peeling",
-    "trade_hits_scores",
-    "label_propagation_communities",
-    "lp_community_modularity",
-    # -- survival / causal inference
-    "kaplan_meier_survival",
-    "logrank_test_cohorts",
-    "km_greenwood_ci",
-    "psm_matched_att",
-    "did_revenue_estimator",
-    # -- sketch algebra
-    "hll_user_overlap_pairs",
-    "ddsketch_doc_length_quantiles",
-    "hll_daily_cumulative_users",
-    "join_size_cms_estimate",
-    # -- streaming state
-    "stream_value_psi",
-    "stream_cms_user_counts",
-    # -- spatial / storage maintenance
-    "dbscan_grid_clusters",
-    "spatial_grid_neighbor_pairs",
-    "zorder_layout_audit",
-    "compaction_bin_packing",
-    # -- entity resolution / similarity joins
-    "sorted_neighborhood_pairs",
-    "fellegi_sunter_weights",
-    "ppjoin_near_dup_pairs",
-]
-# Round-5 rotation candidates: the ~107 oracled queries still never
-# driver-verified after this window — the remainder of the waves 29-61
-# additions (delong_auc_ci, naive_bayes_lang_confusion, mantel_haenszel_or,
-# theil_sen_slope, theil_inequality_decomposition, hhi_market_concentration,
-# cramers_v_type_band, wasserstein_value_drift, seasonal_mann_kendall,
-# gumbel_block_maxima, hill_tail_index, ratio_metric_jackknife,
-# negbin_overdispersion, cochran_armitage_trend, poisson_rate_ratio_test,
-# runs_test_hourly, mcnemar_filter_test, chi2_token_selection, nb_f1_report,
-# calibration_error_summary, classifier_gains_table, trade_link_prediction,
-# trade_degree_assortativity, subtree_value_rollup, customer_hierarchy_depths,
-# iptw_covariate_balance, cuped_adjusted_metric, conformal_prediction_intervals,
-# quantile_treatment_effects, rd_discontinuity_estimate, sprt_daily_decision,
-# power_sample_size_plan, shapley_channel_attribution, and the event/
-# trainprep/textops singles listed in CORRECTNESS history), PLUS the ~57
-# round-4 wave 62-74 additions (fisher_exact_supplier_balance,
-# distance_correlation_daily, markov_removal_attribution, ransac_trend_fit,
-# lof_daily_outliers, columnar_encoding_audit, blocking_recall_audit,
-# bleu_near_dup_pairs, near_dup_threshold_sweep, cox_score_one_step,
-# gpd_tail_fit_pwm, haar_wavelet_energy, srm_assignment_check,
-# slo_burn_rate_windows, ...). All pass the identical local gate at sf0.01
-# (tools/oracle_check.py) every run.
+# validation — every other module went driver-unverified). The window is
+# pinned to a cross-section of every plan module, prioritizing queries the
+# driver has never value-checked; the remainder keep their registration
+# order after it. The rotation state lives in rotation_history.json next
+# to this file (r4 verdict item 8 — a JSON artifact the window test reads,
+# instead of a stale-prone comment); PRIORITY_ORDER is its highest-numbered
+# window.
+
+
+def _load_priority_order() -> list[str]:
+    import json
+    from pathlib import Path
+
+    hist = json.loads(
+        (Path(__file__).resolve().parent / "rotation_history.json").read_text()
+    )
+    windows = hist["windows"]
+    return list(windows[max(windows, key=int)])
+
+
+PRIORITY_ORDER = _load_priority_order()
 
 
 def _ordered_names() -> list[str]:

@@ -439,7 +439,7 @@ def q3_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -476,12 +476,13 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     l = T(spark, sf_dir, "lineitem")
-    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    # supplier is DATA-SIZED (SFx10k rows): no hint, AQE decides
+    s = T(spark, sf_dir, "supplier")
     n = F.broadcast(T(spark, sf_dir, "nation"))
     r = F.broadcast(T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
@@ -1115,10 +1116,11 @@ def sql_api_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume by year — disjunctive
     cross-nation predicate over a 6-way join, dims broadcast."""
-    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    # supplier/customer are DATA-SIZED: no hints, AQE decides per-SF
+    s = T(spark, sf_dir, "supplier")
     l = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
-    c = F.broadcast(T(spark, sf_dir, "customer"))
+    c = T(spark, sf_dir, "customer")
     n1 = F.broadcast(T(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     ))
@@ -1175,7 +1177,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(T(spark, sf_dir, "nation"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
@@ -1300,7 +1302,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    p = F.broadcast(T(spark, sf_dir, "part"))
+    # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part")
     rev = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
@@ -1332,7 +1335,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides — Catalyst extracts the common l_partkey equi-condition
     and keeps the disjunction as a post-join filter."""
     l = T(spark, sf_dir, "lineitem")
-    p = F.broadcast(T(spark, sf_dir, "part"))
+    # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part")
     q = F.col("l_quantity")
     sz = F.col("p_size")
     cond = (
@@ -1491,7 +1495,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_revenue()), 2).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
-    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    # supplier is DATA-SIZED (SFx10k rows): no hint, AQE decides
+    s = T(spark, sf_dir, "supplier")
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
@@ -1769,8 +1774,10 @@ def pit_orders_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ts = F.col("o_orderdate").cast("timestamp")
     return (
+        # the SCD2 dim is customer-sized (DATA-SIZED): no hint, the
+        # equi component (custkey) drives an ordinary hash/SMJ at scale
         o.join(
-            F.broadcast(dim),
+            dim,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (ts >= F.col("valid_from"))
             & (ts < F.col("valid_to")),
@@ -2054,7 +2061,8 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brand-pair state is |brands|^2-bounded."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cb = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(p, li["l_partkey"] == F.col("p_partkey"))
@@ -2154,7 +2162,8 @@ def revenue_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. At 100 TB: one shuffle on brand, then brand-table
     math."""
     li = T(spark, sf_dir, "lineitem")
-    p = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     b = (
         li.join(p, li["l_partkey"] == F.col("p_partkey"))
         .groupBy(
@@ -2410,7 +2419,8 @@ def rec_eval_precision_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales beyond the basket matrix."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cb = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(p, li["l_partkey"] == F.col("p_partkey"))
@@ -2582,9 +2592,8 @@ def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_shipdate"
     )
-    p = F.broadcast(
-        T(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    )
+    # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     d = (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(

@@ -847,10 +847,11 @@ def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # exact: trailing-window distinct
+    # du is (day, user) distinct pairs — DATA-SIZED. The range join must
+    # broadcast the CALENDAR side (bounded, ~|days| rows), never du.
     exact = (
-        days.select(F.col("day").alias("dday"))
-        .join(
-            F.broadcast(du),
+        du.join(
+            F.broadcast(days.select(F.col("day").alias("dday"))),
             trailing,
         )
         .groupBy("dday")

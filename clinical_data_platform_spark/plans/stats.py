@@ -965,7 +965,8 @@ def did_revenue_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     cells = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        # customer is DATA-SIZED (SFx150k rows): no hint, AQE decides
+        c.select("c_custkey", "c_nationkey"),
         o["o_custkey"] == F.col("c_custkey"),
     ).select(
         F.when(F.col("c_nationkey") % 2 == 0, 1).otherwise(0).alias("treated"),
@@ -1402,7 +1403,8 @@ def eb_shrunk_nation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     u = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        # customer is DATA-SIZED (SFx150k rows): no hint, AQE decides
+        c.select("c_custkey", "c_nationkey"),
         o["o_custkey"] == F.col("c_custkey"),
     ).select(
         F.col("c_nationkey").alias("nation"),
@@ -3534,9 +3536,8 @@ def fixed_effect_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         T(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-            ),
+            # customer is DATA-SIZED (SFx150k rows): no hint, AQE decides
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -3901,9 +3902,8 @@ def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     o = (
         T(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-            ),
+            # customer is DATA-SIZED (SFx150k rows): no hint, AQE decides
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -4000,9 +4000,8 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims (the q5 join shape), one region-total join, one bounded
     aggregate."""
     li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
-    s = F.broadcast(
-        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
+    # supplier is DATA-SIZED (SFx10k rows): no hint, AQE decides
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = F.broadcast(
         T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     )
@@ -4214,9 +4213,8 @@ def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         T(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-            ),
+            # customer is DATA-SIZED (SFx150k rows): no hint, AQE decides
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(

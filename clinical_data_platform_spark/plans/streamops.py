@@ -46,9 +46,39 @@ def stream_dedup_user_type_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.dedup_user_type(spark, sf_dir)
 
 
-@query("stream_session_windows", tags=["streaming", "sessionization"])
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE AS sess_end,
+           cast(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=["streaming", "sessionization"],
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window aggregation (rows-only check)."""
+    """Native session_window aggregation, promoted from rows-only to a full
+    oracle (r4 verdict item 7): over a single availableNow batch the final
+    complete-mode state is deterministic, and Spark's session merge rule —
+    an event extends the session while its time is < previous ts + gap,
+    with window end = last ts + gap — is exactly gap-based sessionization,
+    which DuckDB expresses as a lag()/cumulative-flag window. Session
+    composition is invariant to tie order among equal timestamps (a zero
+    gap never splits), so the comparison is deterministic."""
     tune_session(spark)
     return S.session_windows(spark, sf_dir)
 

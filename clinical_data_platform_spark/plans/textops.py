@@ -2075,11 +2075,12 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
+    # per-entity sizes are DATA-SIZED: plain equi-join, AQE decides
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("fp_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("fp_b"))
     return (
-        shared.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a", "id_b", "n_shared", "fp_a", "fp_b",
             (
@@ -3206,6 +3207,7 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
+    # per-entity sizes are DATA-SIZED: plain equi-join, AQE decides
     sa = sizes.select(
         F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")
     )
@@ -3213,8 +3215,8 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")
     )
     pairs = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -3398,6 +3400,7 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    # per-entity sizes are DATA-SIZED: plain equi-join, AQE decides
     sa = sizes.select(
         F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")
     )
@@ -3413,8 +3416,8 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = (
         cand.join(est, ["id_a", "id_b"])
         .join(exact, ["id_a", "id_b"], "left")
-        .join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
         .select(ae.alias("ae"))
     )
     return err.agg(
@@ -3666,11 +3669,12 @@ def blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("nc"))
     )
     sizes = t.select("p_partkey", F.size("ts").cast("long").alias("sz"))
+    # per-entity sizes are DATA-SIZED: plain equi-join, AQE decides
     sa = sizes.select(F.col("p_partkey").alias("pa"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("p_partkey").alias("pb"), F.col("sz").alias("szb"))
     truth = (
-        inter.join(F.broadcast(sa), "pa")
-        .join(F.broadcast(sb), "pb")
+        inter.join(sa, "pa")
+        .join(sb, "pb")
         .filter(
             F.col("nc") * 100
             >= _BRA_TAU100 * (F.col("sza") + F.col("szb") - F.col("nc"))
@@ -3861,11 +3865,12 @@ def reciprocal_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nc") >= _RBM_MIN_NC)
     )
     sizes = t.select("p_partkey", F.size("ts").cast("long").alias("sz"))
+    # per-entity sizes are DATA-SIZED: plain equi-join, AQE decides
     sa = sizes.select(F.col("p_partkey").alias("pa"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("p_partkey").alias("pb"), F.col("sz").alias("szb"))
     scored = (
-        inter.join(F.broadcast(sa), "pa")
-        .join(F.broadcast(sb), "pb")
+        inter.join(sa, "pa")
+        .join(sb, "pb")
         .select(
             "pa",
             "pb",

@@ -61,7 +61,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tq") > 300)
         .select("l_orderkey")
     )
-    o_big = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+    # big (HAVING-filtered orderkeys) is DATA-SIZED at scale: no broadcast hint, AQE decides per-SF
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
     return (
         c.join(o_big, c.c_custkey == o_big.o_custkey)
         .join(l, o_big.o_orderkey == l.l_orderkey)
@@ -101,7 +102,7 @@ def q21_blocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    s = T(spark, sf_dir, "supplier")  # DATA-SIZED at scale: no broadcast hint, AQE decides per-SF
     l1 = l.filter(F.col("l_returnflag") == "R").alias("l1")
     l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
     l3 = (
@@ -158,13 +159,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE collapses to a map-side expression before the tiny year-keyed
     aggregation."""
     l = T(spark, sf_dir, "lineitem")
-    p = F.broadcast(T(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD"))
+    # part/customer/supplier are DATA-SIZED at scale: no broadcast hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     o = T(spark, sf_dir, "orders")
-    c = F.broadcast(T(spark, sf_dir, "customer"))
+    c = T(spark, sf_dir, "customer")
     n1 = F.broadcast(T(spark, sf_dir, "nation").alias("n1"))
     n2 = F.broadcast(T(spark, sf_dir, "nation").alias("n2"))
     r = F.broadcast(T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    s = T(spark, sf_dir, "supplier")
     rev = _revenue()
     nat_rev = F.when(F.col("n2.n_name") == "NATION_5", rev).otherwise(F.lit(0.0))
     return (
@@ -206,10 +208,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-boundaries where Spark (HALF_UP on shortest repr) and DuckDB
     (binary) disagree; integer sums cannot."""
     l = T(spark, sf_dir, "lineitem")
-    p = F.broadcast(
-        T(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
-    )
-    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    # part/supplier are DATA-SIZED at scale: no broadcast hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = T(spark, sf_dir, "supplier")
     n = F.broadcast(T(spark, sf_dir, "nation"))
     o = T(spark, sf_dir, "orders")
     amount = _revenue() - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity")
@@ -274,7 +275,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     offers = (
-        l.join(F.broadcast(eu_sup.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        l.join(eu_sup.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -282,14 +283,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = offers.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
         F.col("unit_cost") == F.col("min_cost")
     )
-    p = F.broadcast(
-        T(spark, sf_dir, "part").filter(
-            (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
-        )
+    # part (and eu_sup below) are DATA-SIZED at scale: no broadcast hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
     return (
         best.join(p, best.l_partkey == p.p_partkey)
-        .join(F.broadcast(eu_sup), best.l_suppkey == eu_sup.s_suppkey)
+        .join(eu_sup, best.l_suppkey == eu_sup.s_suppkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
     )
 
@@ -324,7 +324,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     vals = (
-        l.join(F.broadcast(nat_sup), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        l.join(nat_sup, l.l_suppkey == F.col("s_suppkey"), "left_semi")  # nat_sup is DATA-SIZED at scale: no broadcast hint, AQE decides per-SF
         .groupBy("l_partkey")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("part_qty"),
@@ -362,12 +362,11 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale); the distinct count shuffles on the (brand,type,size) triple
     with partial distinct aggregation map-side."""
     l = T(spark, sf_dir, "lineitem")
-    p = F.broadcast(
-        T(spark, sf_dir, "part").filter(
-            (F.col("p_brand") != "Brand#5")
-            & (F.col("p_type") != "PROMO")
-            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
-        )
+    # part and bad_sup are DATA-SIZED at scale: no broadcast hint, AQE decides per-SF
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
     bad_sup = (
         T(spark, sf_dir, "supplier")
@@ -375,7 +374,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(bad_sup), l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        l.join(bad_sup, l.l_suppkey == F.col("s_suppkey"), "left_anti")
         .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -419,7 +418,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     shipped = (
-        l.join(F.broadcast(red), l.l_partkey == F.col("p_partkey"), "left_semi")
+        l.join(red, l.l_partkey == F.col("p_partkey"), "left_semi")  # red parts: DATA-SIZED at scale: no broadcast hint, AQE decides per-SF
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 40)
@@ -433,7 +432,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(n, s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(shipped), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(shipped, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
 

@@ -739,7 +739,8 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.col("split") != "train")
         .select("split", "user_id")
         .distinct()
-        .join(F.broadcast(train_users), "user_id", "left_semi")
+        # train_users is DATA-SIZED (user-scaled): no hint, AQE decides
+        .join(train_users, "user_id", "left_semi")
         .groupBy("split")
         .agg(F.count(F.lit(1)).cast("long").alias("users_seen_in_train"))
         .withColumnRenamed("split", "ls")

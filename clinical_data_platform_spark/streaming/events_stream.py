@@ -381,7 +381,8 @@ def segment_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("bronze")
         .alias("segment"),
     )
-    joined = ev.join(F.broadcast(seg), "user_id")
+    # seg is per-user (DATA-SIZED): plain stream-static equi-join
+    joined = ev.join(seg, "user_id")
     agg = joined.groupBy("segment", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),

@@ -55,21 +55,26 @@ def scan_section(plan: str, table: str) -> str:
     return "\n".join(blocks)
 
 
-def test_q8_broadcasts_all_dims_shuffles_one_join(no_auto_broadcast):
+def test_q8_broadcasts_fixed_dims_only(no_auto_broadcast):
+    """r5 hint policy (r4 verdict items 2-3): only FIXED-cardinality dims
+    (nation x2, region) keep broadcast hints. part/customer/supplier are
+    data-sized (SFx200k/150k/10k rows — un-broadcastable at 100 TB), so
+    with statistics disabled they must show as shuffle joins; at bench SF
+    the real session's AQE still broadcasts them from size stats."""
     spark = no_auto_broadcast
     plan = simple_plan(tpch_deep.q8_market_share(spark, SF))
-    # six hinted dims -> six broadcast joins even with stats disabled
-    assert plan.count("BroadcastHashJoin") >= 6, plan[:3000]
-    # the single fact-fact join (lineitem<->orders) is the only shuffle join
-    assert plan.count("SortMergeJoin") == 1, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    # lineitem<->orders plus the three un-hinted data-sized sides
+    assert 1 <= plan.count("SortMergeJoin") <= 4, plan[:3000]
     assert "CartesianProduct" not in plan
 
 
-def test_q9_profit_broadcasts_dims(no_auto_broadcast):
+def test_q9_profit_broadcasts_fixed_dims_only(no_auto_broadcast):
     spark = no_auto_broadcast
     plan = simple_plan(tpch_deep.q9_profit_by_nation_year(spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
-    assert plan.count("SortMergeJoin") == 1, plan[:3000]
+    # nation keeps its hint; part/supplier are data-sized (no hint)
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:3000]
+    assert 1 <= plan.count("SortMergeJoin") <= 3, plan[:3000]
 
 
 def test_q21_decorrelates_to_semi_and_anti(no_auto_broadcast):
@@ -100,12 +105,15 @@ def test_q18_prunes_lineitem_for_having_subquery(spark):
     assert "l_partkey" not in li, li
 
 
-def test_q16_not_in_is_broadcast_anti(no_auto_broadcast):
+def test_q16_not_in_is_anti_join(no_auto_broadcast):
     spark = no_auto_broadcast
     plan = simple_plan(tpch_deep.q16_supplier_part_counts(spark, SF))
+    # NOT IN decorrelates to an anti join, never a nested loop. The
+    # exclusion list is a supplier fraction (data-sized), so it carries no
+    # broadcast hint (r5 policy); AQE broadcasts it at bench SF from stats.
     assert "LeftAnti" in plan, plan[:3000]
-    # the exclusion list is hinted broadcast: anti join must not shuffle
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_q2_min_is_window_not_per_row_subquery(no_auto_broadcast):
@@ -126,28 +134,32 @@ def test_interval_join_is_equi_not_nested_loop(no_auto_broadcast):
     assert "LeftSemi" in plan, plan[:3000]
 
 
-def test_boilerplate_membership_is_broadcast(no_auto_broadcast):
-    """The vocabulary-sized boilerplate set must reach the corpus via a
-    BROADCAST join even with statistics disabled (explicit hint) — at
-    100 TB a shuffle here would move the whole corpus."""
+def test_boilerplate_membership_is_equi_join(no_auto_broadcast):
+    """The boilerplate line set is df-filtered but grows with the corpus
+    (DATA-SIZED — more sources means more templates), so under the r5
+    hint policy it carries NO broadcast hint: with statistics disabled
+    the membership join shows as a hash-partitioned equi join (the honest
+    100 TB plan); at bench SF the real session's AQE broadcasts the small
+    side from size stats. What must never appear is a nested loop."""
     from clinical_data_platform_spark.plans.corpusqc import (
         boilerplate_removal_stats,
     )
 
     plan = simple_plan(boilerplate_removal_stats(no_auto_broadcast, SF))
-    assert "BroadcastHashJoin" in plan
-    # the corpus side must not sort-merge against the boilerplate set
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_dup_span_membership_is_broadcast(no_auto_broadcast):
+def test_dup_span_membership_is_equi_join(no_auto_broadcast):
     from clinical_data_platform_spark.plans.corpusqc import (
         dup_span_fraction_by_source,
     )
 
     plan = simple_plan(dup_span_fraction_by_source(no_auto_broadcast, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_bloom_probe_is_map_side_over_broadcast_sketch(no_auto_broadcast):

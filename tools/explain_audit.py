@@ -272,6 +272,122 @@ UNPARTITIONED_WINDOWS: dict[tuple[str, str], str] = {
     ("plans/stats.py", "gpd_tail_fit_pwm"): "day grid (threshold order statistic + exceedance ranks, calendar-bounded)",
 }
 
+# Every F.broadcast(x) hint forces a broadcast BUILD of x on every executor
+# — legal only when x is bounded independent of data volume (a fixed dim
+# like nation/region, a one-row aggregate, a grid/vocabulary/candidate-
+# capped table). Data-sized hints OOM at 100 TB even though they pass at
+# bench SF — exactly how the broadcast(sizes) hint in the dedup family
+# slipped through round 4 while the window audit caught its class of bug
+# (r4 verdict items 2-3). This allowlist declares the bound for every
+# hint site, keyed by (module-relative path, enclosing function); sites
+# whose argument is a groupBy-free .agg() one-row literal are classified
+# automatically. The audit FAILS (exit 1) on any other undeclared site.
+BROADCAST_BOUNDS: dict[tuple[str, str], str] = {
+    ("plans/collocations.py", "token_spectral_centrality"): "PPMI-support-filtered unigram vocabulary (vocab-bounded count table)",
+    ("plans/contentfilter.py", "naive_bayes_confusion"): "per-language priors/denominators (|langs| rows)",
+    ("plans/contentfilter.py", "chi2_token_selection"): "per-class doc totals (|classes| rows)",
+    ("plans/corpusqc.py", "source_topk_token_overlap"): "per-source top-k list sizes (|sources| rows)",
+    ("plans/events.py", "hourly_gap_fill_locf"): "generated hour grid (calendar-bounded)",
+    ("plans/events.py", "type_cross_correlation"): "hourly series per type (calendar-bounded x/y tables)",
+    ("plans/events.py", "session_gap_sensitivity"): "threshold grid (fixed candidate gaps)",
+    ("plans/events.py", "ljung_box_autocorr"): "per-type moment totals (|types| rows)",
+    ("plans/events.py", "hourly_seasonality_profile"): "24-slot hour-of-day profile per type",
+    ("plans/events.py", "dft24_hourly_spectrum"): "24-row DFT twiddle table",
+    ("plans/events.py", "cusum_control_chart"): "per-type moment totals (|types| rows)",
+    ("plans/events.py", "pinball_loss_forecast_eval"): "3-row quantile-level grid",
+    ("plans/graphops.py", "nation_trade_pagerank"): "nation dim (25 rows; node set of the trade graph)",
+    ("plans/graphops.py", "trade_triangle_counts"): "nation dim (25 rows)",
+    ("plans/graphops.py", "label_propagation_communities"): "nation dim (25 rows)",
+    ("plans/graphops.py", "trade_kcore_peeling"): "nation dim (25 rows)",
+    ("plans/graphops.py", "trade_hits_scores"): "nation dim (25 rows)",
+    ("plans/graphops.py", "trade_link_prediction"): "nation dim + node degrees + edge key set (<=25 nodes / <=625 edges)",
+    ("plans/graphops.py", "trade_degree_assortativity"): "nation dim + node degrees (<=25 rows)",
+    ("plans/graphops.py", "lp_community_modularity"): "nation dim + node label table (<=25 rows)",
+    ("plans/graphops.py", "personalized_pagerank"): "nation dim (25 rows)",
+    ("plans/graphops.py", "bradley_terry_trade_strength"): "nation dim (25 rows)",
+    ("plans/graphops.py", "nation_closeness_centrality"): "nation dim (25 rows)",
+    ("plans/layout.py", "audit"): "file-manifest sizes (file-count-bounded)",
+    ("plans/matrixops.py", "pca_top_component"): "1x1 Rayleigh-quotient normalizer (dim^2-bounded matrix state)",
+    ("plans/relational.py", "region_overview_rollup"): "nation (25) + region (5) dims",
+    ("plans/relational.py", "q5_revenue_by_nation"): "nation (25) + filtered region (<=5) dims",
+    ("plans/relational.py", "q7_volume_shipping"): "nation dim both sides (25 rows each)",
+    ("plans/relational.py", "q10_returned_items"): "nation dim (25 rows)",
+    ("plans/relational.py", "item_item_cosine_recs"): "per-brand degrees (|brands|=25 rows)",
+    ("plans/relational.py", "quantity_weighted_median_price"): "one median bin per group (|groups| rows)",
+    ("plans/relational.py", "rec_eval_precision_ndcg"): "per-brand degrees + |brands|x3 rec list",
+    ("plans/relational.py", "iqr_outliers_by_priority"): "per-priority quartile fences (|priorities| rows)",
+    ("plans/sketches.py", "hll_daily_cumulative_users"): "daily HLL register table (days x 64B) + day counts",
+    ("plans/sketches.py", "join_size_cms_estimate"): "KB-sized CMS/AMS sketch rows",
+    ("plans/sketches.py", "hll_user_overlap_pairs"): "type-pair grid (|types|^2 rows)",
+    ("plans/sketches.py", "rolling_7day_active_users"): "daily HLL registers (days x 64B) + calendar day grid (the data-sized du side is NOT hinted)",
+    ("plans/sketches.py", "cms_heavy_hitters"): "CMS sketch (d x w counters, KB)",
+    ("plans/stats.py", "hhi_market_concentration"): "nation (25) + region (5) dims + one-row total",
+    ("plans/stats.py", "fisher_exact_supplier_balance"): "nation/region dims + 2x2 cell row + supplier-count lnfact ladder",
+    ("plans/stats.py", "value_outliers_mad"): "per-type median + MAD rows (|types| rows)",
+    ("plans/stats.py", "kendall_tau_quantity_price"): "per-side tie-count scalars (value-grid-bounded)",
+    ("plans/stats.py", "value_psi_weekly"): "per-(type,bin) counts on the |types|x10 grid",
+    ("plans/stats.py", "value_winsorized_stats"): "per-type percentile fences (|types| rows)",
+    ("plans/stats.py", "column_mutual_information"): "marginal entropies over the 5x5 contingency grid",
+    ("plans/stats.py", "conformal_prediction_intervals"): "per-type fit coefficients + order-statistic qhat (|types| rows)",
+    ("plans/stats.py", "eb_shrunk_nation_rates"): "pooled moment row (scalar)",
+    ("plans/stats.py", "power_sample_size_plan"): "MDE grid (fixed candidate effect sizes)",
+    ("plans/stats.py", "_frac_ranks2_from_counts"): "per-group rank offsets (value-grid-bounded)",
+    ("plans/stats.py", "bh_fdr_nation_price"): "nation dim (25 rows)",
+    ("plans/stats.py", "hill_tail_index"): "order-statistic threshold row (scalar)",
+    ("plans/stats.py", "wasserstein_value_drift"): "per-slice count scalars",
+    ("plans/stats.py", "ols_influence_diagnostics"): "regression fit row (scalar coefficients)",
+    ("plans/stats.py", "newey_west_trend_se"): "fit row + lag-weighted variance scalar",
+    ("plans/stats.py", "distance_correlation_daily"): "calendar-bounded marginal row sums + scalar normalizers",
+    ("plans/stats.py", "hoeffding_split_confidence"): "argmin row over the 36-candidate grid",
+    ("plans/stats.py", "ransac_trend_fit"): "32 candidate lines + day-grid sample points + best-fit row",
+    ("plans/stats.py", "quantile_treatment_effects"): "per-arm order-statistic quantiles (3 x 2 rows)",
+    ("plans/stats.py", "spearman_quantity_price"): "distinct-value rank map (value-grid-bounded)",
+    ("plans/stats.py", "fixed_effect_meta"): "pooled-effect scalar row",
+    ("plans/stats.py", "runs_test_hourly"): "per-type median row (|types| rows)",
+    ("plans/stats.py", "tail_dependence_daily"): "two marginal quantile scalars",
+    ("plans/stats.py", "gpd_tail_fit_pwm"): "threshold order-statistic row (scalar)",
+    ("plans/stats.py", "huber_robust_location"): "per-priority IRLS state (5 rows, re-broadcast per iteration)",
+    ("plans/stats.py", "adaboost_stumps_trajectory"): "picked-stump row per boosting round (1 row)",
+    ("plans/stats.py", "lof_daily_outliers"): "day-grid rank table (calendar-bounded pair side)",
+    ("plans/streamops.py", "stream_cms_user_counts"): "CMS sketch (d x w counters, KB)",
+    ("plans/textops.py", "rm3_query_expansion"): "query-term list + feedback-depth doc set (k rows)",
+    ("plans/textops.py", "fs_em_linkage_params"): "EM parameter table (<=8 pattern rows)",
+    ("plans/textops.py", "incremental_dedup_new_docs"): "Bloom filter bitmap rows (m bits / 64 per row, KB)",
+    ("plans/textops.py", "near_dup_threshold_sweep"): "threshold grid (5 rows)",
+    ("plans/textops.py", "bm25_score"): "collection stats scalar + query-term idf (|q| rows)",
+    ("plans/textops.py", "mmr_diversified_topk"): "constant-20 candidate set + its shingle sizes + query idf",
+    ("plans/textops.py", "burrows_delta_sources"): "30-word function-word vocabulary",
+    ("plans/textops.py", "fellegi_sunter_weights"): "per-field u-probability weights (metadata-sized)",
+    ("plans/textops.py", "bm25_topk_docs"): "query-term idf table (|q| rows)",
+    ("plans/textops.py", "hybrid_search_rrf"): "query-term idf table (|q| rows)",
+    ("plans/textops.py", "dirichlet_query_likelihood"): "query-term collection frequencies (|q| rows)",
+    ("plans/tpch_deep.py", "q8_market_share"): "nation x2 + filtered region dims",
+    ("plans/tpch_deep.py", "q9_profit_by_nation_year"): "nation dim (25 rows)",
+    ("plans/tpch_deep.py", "q20_heavy_shippers"): "3-nation filtered dim",
+    ("plans/tpch_deep.py", "q2_min_cost_supplier"): "nation (25) + filtered region (<=5) dims",
+    ("plans/tpch_deep.py", "q11_important_parts"): "single-nation filtered dim (1 row)",
+    ("plans/trainprep.py", "quantile_normalize_doclen"): "target-distribution bin table (value-grid-bounded)",
+    ("plans/trainprep.py", "temperature_mixture_rates"): "per-language keep rates (|langs| rows)",
+    ("plans/trainprep.py", "loo_target_encoding"): "per-category aggregate (|categories| rows)",
+    ("plans/trainprep.py", "dsir_importance_topk"): "per-language token log-ratio table (vocab-bounded)",
+    ("plans/trainprep.py", "ipf_mixture_raking"): "row/column margin tables (margin-bounded, re-broadcast per round)",
+    ("plans/validation.py", "t_closeness_audit"): "nation dim (25 rows) + one-row global distribution total",
+    ("plans/validation.py", "slo_burn_rate_windows"): "window-spec grid (3 rows)",
+    ("plans/vectorops.py", "cosine_topk_vec0"): "single query vector (1 row)",
+    ("plans/vectorops.py", "embedding_near_dup_pairs_exhaustive"): "DELIBERATELY UNREGISTERED scale-killer twin (documented at vectorops.py:204); broadcast side is the full vector table by design of the exhaustive verifier",
+    ("plans/vectorops.py", "sign_lsh_ann_topk_vec0"): "single query vector (1 row)",
+    ("operators/linalg.py", "covariance_long"): "per-dimension column sums (dim-bounded) + one-row n",
+    ("operators/similarity.py", "knn_join"): "query side, COUNT-guarded (raises above max_query_rows before broadcasting)",
+    ("operators/skew.py", "skyline_2d"): "per-partition Pareto frontier union (frontier-bounded candidate set)",
+    ("clinical/analytics.py", "ae_rates_by_arm"): "subject dim (trial-enrollment-bounded)",
+    ("clinical/analytics.py", "lab_abnormality_rates"): "subject dim (trial-enrollment-bounded)",
+    ("clinical/analytics.py", "vital_trend_summaries"): "subject + measurement-code dims (enrollment/vocabulary-bounded)",
+    ("clinical/star.py", "build_fact_adverse_events"): "subject dim (_SK_MAX_ROWS-guarded)",
+    ("clinical/star.py", "build_fact_labs"): "subject dim + LAB measurement-code dim (vocabulary-bounded)",
+    ("clinical/star.py", "build_fact_vitals"): "subject dim + VITAL measurement-code dim (vocabulary-bounded)",
+    ("clinical/star.py", "build_fact_exposure"): "subject dim (_SK_MAX_ROWS-guarded)",
+}
+
 # Per-query commentary rendered into PLANS_AUDIT.md (survives regeneration).
 # Round-3 regression notes: every bench query >1.3x slower than the prior
 # round gets its plan delta explained here.
@@ -386,6 +502,120 @@ def unpartitioned_window_report() -> tuple[list[str], list[str]]:
     return lines, violations
 
 
+def scan_broadcast_sites() -> list[tuple[str, str, int, str | None]]:
+    """(module-relative path, enclosing def, line, auto_class) for every
+    ``F.broadcast(...)`` call in the package source. auto_class is
+    'one-row aggregate' when the argument (inline, or via a same-function
+    assignment to its root name) is a groupBy-free ``.agg(...)`` — a
+    scalar literal table that is safe to broadcast at any scale."""
+    import ast
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "clinical_data_platform_spark")
+    pkg = os.path.normpath(pkg)
+    sites = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            src = open(path).read()
+            tree = ast.parse(src)
+            funcs = [
+                n for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+
+            def enclosing(node):
+                best = None
+                for f in funcs:
+                    if f.lineno <= node.lineno <= f.end_lineno:
+                        if best is None or f.lineno > best.lineno:
+                            best = f
+                return best
+
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                ):
+                    continue
+                f = enclosing(node)
+                fname = f.name if f else "<module>"
+                arg = node.args[0] if node.args else None
+                seg = ast.get_source_segment(src, arg) or ""
+                auto = None
+                if ".agg(" in seg and "groupBy" not in seg:
+                    auto = "one-row aggregate"
+                else:
+                    a = arg
+                    while isinstance(a, (ast.Call, ast.Attribute)):
+                        if isinstance(a, ast.Call) and isinstance(a.func, ast.Attribute):
+                            a = a.func.value
+                        elif isinstance(a, ast.Attribute):
+                            a = a.value
+                        else:
+                            break
+                    if isinstance(a, ast.Name) and f is not None:
+                        for sub in ast.walk(f):
+                            if isinstance(sub, ast.Assign) and any(
+                                isinstance(t, ast.Name) and t.id == a.id
+                                for t in sub.targets
+                            ):
+                                vseg = ast.get_source_segment(src, sub.value) or ""
+                                if ".agg(" in vseg and "groupBy" not in vseg:
+                                    auto = "one-row aggregate"
+                sites.append((rel, fname, node.lineno, auto))
+    return sites
+
+
+def broadcast_hint_report() -> tuple[list[str], list[str]]:
+    """(markdown lines, violations). A violation is an F.broadcast site
+    that is neither an auto-classified one-row aggregate nor declared
+    with a bound in BROADCAST_BOUNDS — i.e. a forced broadcast build
+    nobody bounded in writing (the r4 broadcast(sizes) bug class)."""
+    sites = scan_broadcast_sites()
+    auto = [s for s in sites if s[3]]
+    declared = [s for s in sites if not s[3]]
+    lines = [
+        "## Broadcast-hint audit",
+        "",
+        "Every `F.broadcast(x)` forces a broadcast build of `x` on every",
+        "executor — legal only when `x` is bounded independent of data",
+        f"volume. {len(auto)} of {len(sites)} sites auto-classify as",
+        "groupBy-free one-row aggregates; every other site below is",
+        "allowlisted with its declared bound. `tools/explain_audit.py`",
+        "exits 1 on any undeclared site, so a data-sized broadcast hint",
+        "(the round-4 `broadcast(sizes)` bug class) cannot land silently.",
+        "",
+        "| site | enclosing def | declared bound |",
+        "|---|---|---|",
+    ]
+    violations = []
+    seen_keys = set()
+    for rel, func, line, _ in declared:
+        bound = BROADCAST_BOUNDS.get((rel, func))
+        seen_keys.add((rel, func))
+        if bound is None:
+            violations.append(f"{rel}:{line} in {func}()")
+            bound = "**UNDECLARED — audit failure**"
+        lines.append(f"| {rel}:{line} | {func} | {bound} |")
+    stale = [
+        f"{rel}:{func}"
+        for (rel, func) in BROADCAST_BOUNDS
+        if (rel, func) not in seen_keys
+    ]
+    if stale:
+        violations.extend(f"stale broadcast allowlist entry: {s}" for s in stale)
+    lines.append("")
+    return lines, violations
+
+
 def pushed_filters(fmt: str) -> list[str]:
     out = []
     for m in re.finditer(r"Location:.*?/(\w+)\.parquet.*?PushedFilters: \[([^\]]*)\]", fmt, re.S):
@@ -442,6 +672,8 @@ def main() -> None:
         lines += ["", "```", plan, "```", ""]
     wlines, violations = unpartitioned_window_report()
     lines += wlines
+    blines, bviolations = broadcast_hint_report()
+    lines += blines
     with open("PLANS_AUDIT.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote PLANS_AUDIT.md ({len(AUDIT)} queries)")
@@ -449,6 +681,11 @@ def main() -> None:
         print("UNPARTITIONED-WINDOW AUDIT FAILED:")
         for v in violations:
             print("  " + v)
+    if bviolations:
+        print("BROADCAST-HINT AUDIT FAILED:")
+        for v in bviolations:
+            print("  " + v)
+    if violations or bviolations:
         sys.exit(1)
 
 

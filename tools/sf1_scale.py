@@ -1,0 +1,216 @@
+"""sf0.1 -> sf1 empirical scaling probe (r4 verdict item 4).
+
+The dedup/ER family's scale claims (df-capped posting expansions, sum(df^2)
+pair bounds, band-bucket joins) were argued from plan shape; this tool
+MEASURES them. It synthesizes an sf1-equivalent corpus by replicating the
+driver's sf0.1 tables 10x with structure-preserving remaps, runs BENCH_CORE
+plus the dedup/ER family at both scales, and writes SCALE.md with per-query
+sf0.1 -> sf1 wall-clock ratios. Linear operators land near the data ratio
+(10x) or below (per-query job overhead amortizes; output-bounded queries
+stay flat); anything clearly super-linear is a plan bug to note.
+
+Replication rules (why the 10x corpus is a FAIR scale-up, not 10 copies of
+the same problem):
+- fact keys are offset per replica (orderkey/custkey/partkey/suppkey/
+  event_id/user_id/doc_id/vec_id), so joins see 10x distinct keys and
+  shuffles carry 10x volume — never 10x duplicates of one key;
+- dims (nation/region) stay fixed, exactly like real TPC-H scaling;
+- document TEXT is passed through a replica-specific bijective character
+  rotation (F.translate over the 10 highest-frequency letters), so each
+  replica's shingle universe is isomorphic to sf0.1's but disjoint across
+  replicas: per-shingle document frequencies — the quantity the sum(df^2)
+  bound lives on — keep the sf0.1 distribution while the corpus grows 10x.
+  Naive copying would instead make every document a 10-way duplicate and
+  quadratically explode the TRUE pair count, measuring a data artifact
+  rather than the engine;
+- embeddings get a replica-specific circular dimension shift (norm- and
+  geometry-preserving within a replica, decorrelated across replicas) so
+  cell populations grow 10x without manufacturing 10-way exact duplicates.
+
+Usage: python tools/sf1_scale.py [src_sf_dir] [factor]   (writes SCALE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# the queries whose at-scale behavior round 4 asked to validate empirically
+DEDUP_ER_FAMILY = [
+    "near_dup_jaccard_pairs",
+    "near_dup_clusters",
+    "minhash_lsh_pairs_md5",
+    "winnowing_fingerprint_pairs",
+    "bleu_near_dup_pairs",
+    "near_dup_threshold_sweep",
+    "minhash_estimate_error_audit",
+    "blocking_recall_audit",
+    "reciprocal_best_match_pairs",
+    "sorted_neighborhood_pairs",
+    "levenshtein_match_pairs",
+    "fellegi_sunter_weights",
+    "incremental_dedup_new_docs",
+    "embedding_near_dup_pairs",
+    "semantic_near_dup_pairs",
+]
+
+
+def replicate(spark, src: str, out: str, factor: int) -> None:
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.catalog import TABLES, table
+
+    os.makedirs(out, exist_ok=True)
+    # bijective rotation alphabet: the 10 most frequent English letters —
+    # almost every shingle contains one, so cross-replica shingle overlap
+    # is negligible while each replica stays isomorphic to the original
+    alpha = "etaoinsrhl"
+
+    def key_offset(df, col, r, step):
+        return df.withColumn(col, F.col(col) + F.lit(r * step))
+
+    for name in TABLES:
+        src_df = table(spark, src, name)
+        if name in ("nation", "region"):
+            src_df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+            continue
+        # per-table key step: beyond any real key in the source
+        steps = {
+            "customer": ("c_custkey",),
+            "supplier": ("s_suppkey",),
+            "part": ("p_partkey",),
+            "orders": ("o_orderkey", "o_custkey"),
+            "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+            "events": ("event_id", "user_id"),
+            "documents": ("doc_id",),
+            "embeddings": ("vec_id",),
+        }[name]
+        maxes = src_df.agg(
+            *[F.max(c).alias(c) for c in steps]
+        ).collect()[0].asDict()
+        parts = []
+        for r in range(factor):
+            d = src_df
+            for c in steps:
+                d = key_offset(d, c, r, int(maxes[c]) + 1)
+            if name == "documents":
+                rot = alpha[r:] + alpha[:r]
+                d = d.withColumn("text", F.translate("text", alpha, rot))
+            if name == "embeddings":
+                dim = 64
+                shift = r % dim
+                if shift:
+                    d = d.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", shift + 1, dim - shift),
+                            F.slice("embedding", 1, shift),
+                        ),
+                    )
+            parts.append(d)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(32).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+
+
+def run_suite(spark, qs, names, sf_dir: str) -> dict[str, float]:
+    timings = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    import __spark_entry__ as E
+    from bench import BENCH_CORE
+    from clinical_data_platform_spark.session import get_spark
+
+    spark = get_spark("sf1-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    names = list(dict.fromkeys(BENCH_CORE + DEDUP_ER_FAMILY))
+
+    out = tempfile.mkdtemp(prefix="cdp_sf1_")
+    t0 = time.time()
+    replicate(spark, src, out, factor)
+    t_rep = round(time.time() - t0, 1)
+
+    # warmup both dirs (JVM, codegen, parquet footers)
+    qs["event_type_counts"](spark, src).write.format("noop").mode("overwrite").save()
+    qs["event_type_counts"](spark, out).write.format("noop").mode("overwrite").save()
+
+    t_small = run_suite(spark, qs, names, src)
+    t_big = run_suite(spark, qs, names, out)
+
+    rows = []
+    for n in names:
+        r = round(t_big[n] / t_small[n], 2) if t_small[n] > 0 else None
+        rows.append((n, t_small[n], t_big[n], r))
+    rows.sort(key=lambda x: -(x[3] or 0))
+
+    lines = [
+        "# SCALE.md — empirical sf0.1 -> sf1 scaling (auto-generated by tools/sf1_scale.py)",
+        "",
+        f"Corpus: {factor}x key-remapped replication of `{src}` (see the tool",
+        "docstring for why this preserves per-shingle df distributions and is",
+        f"a fair scale-up). Replication wall-clock: {t_rep}s. Suite: BENCH_CORE",
+        f"+ the dedup/ER family ({len(names)} queries).",
+        "",
+        "Reading the ratio column: data grew 10x, so <= ~10 is at-worst-linear;",
+        "well under 10 means fixed per-query scheduling floor or output-bounded",
+        "work dominates; markedly above 10 is super-linear and gets a note.",
+        "",
+        "| query | sf0.1 s | sf1 s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n, a, b, r in rows:
+        lines.append(f"| {n} | {a} | {b} | {r} |")
+    total_small = round(sum(t_small.values()), 1)
+    total_big = round(sum(t_big.values()), 1)
+    lines += [
+        "",
+        f"**Totals: {total_small}s -> {total_big}s "
+        f"({round(total_big / total_small, 2)}x on {factor}x data).**",
+        "",
+    ]
+    sup = [n for n, a, b, r in rows if r and r > factor * 1.3]
+    if sup:
+        lines += ["Super-linear rows (> 1.3x the data ratio) to explain:", ""]
+        for n in sup:
+            lines.append(f"- {n}")
+    else:
+        lines.append(
+            "No query exceeded 1.3x the data ratio — every measured plan "
+            "scales at-worst-linearly over this decade."
+        )
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    with open(os.path.join(here, "SCALE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "metric": "sf0.1->sf1 scaling",
+        "factor": factor,
+        "total_small_sec": total_small,
+        "total_big_sec": total_big,
+        "ratio": round(total_big / total_small, 2),
+        "super_linear": sup,
+    }))
+    shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -350,6 +350,9 @@ HEADLINE = [
     "blocking_recall_audit",
     "reciprocal_best_match_pairs",
     "spiegelhalter_calibration_test",
+    # round 5: real image decode (dependency-free BMP codec) + perceptual dedup
+    "image_decode_stats",
+    "image_ahash_dedup_pairs",
 ]
 
 

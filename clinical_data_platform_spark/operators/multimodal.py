@@ -59,15 +59,115 @@ def extract_meta(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(_meta, META_SCHEMA)
 
 
-def decode_image(payloads: DataFrame) -> DataFrame:
-    """STUB: real image decode needs PIL/opencv (not in this container).
-    The Spark-side contract (mapInPandas over binary -> struct rows) is
-    identical to extract_meta; only the per-batch body changes."""
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/opencv) not present in "
-        "this environment; use extract_meta/featurize_payload for the "
-        "tested plumbing path"
+IMAGE_STATS_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, width INT, height INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, decode_error STRING"
+)
+AHASH_SCHEMA = "doc_id BIGINT, ahash_bits STRING, ahash_hex STRING"
+
+
+def synth_bmp_payloads(
+    df: DataFrame, id_col: str, seed_mod: int = 97, size: int = 8
+) -> DataFrame:
+    """Deterministic REAL image payloads: for each id, a size x size 24-bit
+    BMP whose RGB bytes are md5(f"{id % seed_mod}:{block}") digests laid
+    out in order — so a DuckDB oracle can recompute every pixel from its
+    own md5, and ids sharing a seed class are exact perceptual duplicates
+    (the aHash dedup fixture). The BYTES ON THE WIRE are a spec-conformant
+    BMP; nothing downstream knows they were synthesized."""
+    import hashlib
+
+    import numpy as np
+
+    from .imagecodec import encode_bmp
+
+    n_bytes = size * size * 3
+    n_blocks = (n_bytes + 15) // 16
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                seed = int(d) % seed_mod
+                raw = b"".join(
+                    hashlib.md5(f"{seed}:{b}".encode()).digest()
+                    for b in range(n_blocks)
+                )[:n_bytes]
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(size, size, 3)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["image/bmp"] * len(payloads),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, PAYLOAD_SCHEMA
     )
+
+
+def decode_image(payloads: DataFrame) -> DataFrame:
+    """REAL image decode via the dependency-free BMP/PPM codecs in
+    operators/imagecodec.py (PNG/JPEG fall back to PIL when installed —
+    the former env-gated stub survives only as that fallback's ImportError
+    branch). Emits per-image dimensions and exact integer channel sums;
+    undecodable payloads become a decode_error ROW, never a task failure —
+    at 100 TB a corrupt image must not kill the job."""
+    from .imagecodec import decode_rgb
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "media_type", "width", "height",
+                "sum_r", "sum_g", "sum_b", "decode_error",
+            )}
+            for d, mt, b in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                rows["doc_id"].append(d)
+                rows["media_type"].append(mt)
+                try:
+                    rgb = decode_rgb(b)
+                    s = rgb.astype("int64").sum(axis=(0, 1))
+                    rows["width"].append(rgb.shape[1])
+                    rows["height"].append(rgb.shape[0])
+                    rows["sum_r"].append(int(s[0]))
+                    rows["sum_g"].append(int(s[1]))
+                    rows["sum_b"].append(int(s[2]))
+                    rows["decode_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — any codec failure becomes a row
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["sum_r"].append(None)
+                    rows["sum_g"].append(None)
+                    rows["sum_b"].append(None)
+                    rows["decode_error"].append(str(e)[:200])
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(_decode, IMAGE_STATS_SCHEMA)
+
+
+def image_ahash(payloads: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: integer gray
+    (r+g+b, no division), bit_p = gray_p * n >= total — engine-exact, so
+    a SQL oracle recomputes the identical bitstring. Emits both the
+    row-major '0'/'1' bitstring (oracle-friendly) and packed hex (the
+    join key a production dedup would use)."""
+    from .imagecodec import ahash_bits, ahash_hex, decode_rgb
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bits, hexes = [], [], []
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = decode_rgb(b)
+                ids.append(d)
+                bits.append("".join(map(str, ahash_bits(rgb))))
+                hexes.append(ahash_hex(rgb))
+            yield pd.DataFrame(
+                {"doc_id": ids, "ahash_bits": bits, "ahash_hex": hexes}
+            )
+
+    return payloads.mapInPandas(_hash, AHASH_SCHEMA)
 
 
 def featurize_payload(payloads: DataFrame, dim: int = 8) -> DataFrame:

@@ -1,0 +1,122 @@
+"""Dependency-free image codec tests (BMP/PPM round-trips, layout traps,
+graceful decode errors) plus the Spark decode path. The oracle gate
+(image_decode_stats / image_ahash_dedup_pairs) separately proves the
+decoded VALUES against DuckDB's md5 recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clinical_data_platform_spark.operators.imagecodec import (
+    ahash_bits,
+    ahash_hex,
+    decode_bmp,
+    decode_ppm,
+    decode_rgb,
+    encode_bmp,
+    encode_ppm,
+    sniff_format,
+)
+
+
+def rng_img(h, w, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (5, 3), (1, 1), (16, 7), (3, 10)])
+def test_bmp_roundtrip_all_padding_classes(shape):
+    """w=3,7,10 exercise every row-padding remainder (w*3 mod 4)."""
+    img = rng_img(*shape)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (2, 5), (1, 1)])
+def test_ppm_roundtrip(shape):
+    img = rng_img(*shape)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = rng_img(2, 2)
+    data = b"P6 # comment\n# full comment line\n 2\t2 # sizes\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(data), img)
+
+
+def test_bmp_layout_is_bottom_up_bgr():
+    """Pin the on-disk layout independently of the decoder: first body
+    byte = BLUE of the BOTTOM-LEFT pixel."""
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[1, 0] = (10, 20, 30)  # bottom-left RGB
+    data = encode_bmp(img)
+    assert data[54] == 30 and data[55] == 20 and data[56] == 10
+
+
+def test_decode_errors_are_valueerrors():
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMshort")
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 100)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 12)  # grayscale PGM
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # 16-bit
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated body
+
+
+def test_sniff_and_dispatch():
+    img = rng_img(3, 3)
+    assert sniff_format(encode_bmp(img)) == "image/bmp"
+    assert sniff_format(encode_ppm(img)) == "image/x-portable-pixmap"
+    assert np.array_equal(decode_rgb(encode_bmp(img)), img)
+    assert np.array_equal(decode_rgb(encode_ppm(img)), img)
+    with pytest.raises(ValueError):
+        decode_rgb(b"\xff\xd8\xff rest-of-a-jpeg")  # no PIL in container
+
+
+def test_ahash_matches_naive_reference():
+    img = rng_img(8, 8, seed=42)
+    g = img.astype(int).sum(axis=2).ravel()
+    expect = (g * g.size >= g.sum()).astype(int)
+    assert list(ahash_bits(img)) == list(expect)
+    # hex packs bit 0 as the MSB of the first byte
+    hx = ahash_hex(img)
+    assert len(hx) == 16
+    first_byte = int(hx[:2], 16)
+    assert (first_byte >> 7) & 1 == expect[0]
+
+
+def test_ahash_invariance_and_sensitivity():
+    img = rng_img(8, 8, seed=1)
+    # brightness scaling preserves each bit's comparison direction only
+    # in expectation — but an IDENTICAL image always matches itself
+    assert ahash_hex(img) == ahash_hex(img.copy())
+    flipped = img.copy()
+    flipped[0, 0] = 255 - flipped[0, 0]
+    # a large single-pixel change flips at least that pixel's bit
+    assert ahash_hex(flipped) != ahash_hex(img) or list(ahash_bits(flipped)) != list(ahash_bits(img))
+
+
+def test_spark_decode_image_emits_error_rows(spark):
+    """Corrupt payloads become decode_error ROWS (job survives)."""
+    import pandas as pd
+
+    from clinical_data_platform_spark.operators.multimodal import decode_image
+
+    img = rng_img(4, 4)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [encode_bmp(img), b"garbage-bytes", encode_ppm(img)],
+            "media_type": ["image/bmp", "application/octet-stream",
+                           "image/x-portable-pixmap"],
+        }
+    )
+    out = decode_image(spark.createDataFrame(pdf)).orderBy("doc_id").collect()
+    assert out[0]["decode_error"] is None and out[0]["width"] == 4
+    assert out[1]["decode_error"] is not None and out[1]["sum_r"] is None
+    assert out[2]["decode_error"] is None
+    exp = img.astype("int64").sum(axis=(0, 1))
+    assert (out[0]["sum_r"], out[0]["sum_g"], out[0]["sum_b"]) == tuple(exp)
+    assert (out[2]["sum_r"], out[2]["sum_g"], out[2]["sum_b"]) == tuple(exp)

@@ -224,6 +224,10 @@ AUDIT = [
     ("blocking_recall_audit", "Blocking audit: df-capped truth expansion, 3 key tables, integer recall"),
     ("reciprocal_best_match_pairs", "RBM: posting-bounded candidates, rank-1 windows per direction"),
     ("spiegelhalter_calibration_test", "Spiegelhalter: one corpus projection, three fixed-point sums"),
+    # round 5: real image decode + perceptual dedup
+    ("image_decode_stats", "Real BMP decode in Arrow-batched mapInPandas; per-image integer sums"),
+    ("image_ahash_dedup_pairs", "Perceptual dedup: decode+hash ONCE (checkpointed), equi-join on the 64-bit aHash"),
+    ("approx_distinct_parts", "Sketch vs exact tolerance band: one grouped agg carries HLL++, exact distinct, and KLL in a single pass"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

@@ -353,6 +353,8 @@ HEADLINE = [
     # round 5: real image decode (dependency-free BMP codec) + perceptual dedup
     "image_decode_stats",
     "image_ahash_dedup_pairs",
+    "stream_image_ahash_dedup",
+    "cross_source_dup_audit",
 ]
 
 

@@ -83,6 +83,53 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.session_windows(spark, sf_dir)
 
 
+def _image_ahash_cte() -> str:
+    """The md5-pixel aHash recomputation shared with the batch image
+    queries (plans/advanced.py) — the oracle rebuilds the hash bits the
+    streaming decode produces."""
+    from .advanced import _PX_BYTE
+
+    return f"""
+    WITH px AS (
+      SELECT d.doc_id, r.j, {_PX_BYTE} AS v
+      FROM documents d, range(0, 192) r(j)
+    ), g AS (
+      SELECT doc_id, j // 3 AS k, cast(sum(v) AS BIGINT) AS gray
+      FROM px GROUP BY doc_id, j // 3
+    ), t AS (
+      SELECT doc_id, cast(sum(gray) AS BIGINT) AS total FROM g GROUP BY doc_id
+    ), bits AS (
+      SELECT g.doc_id,
+             string_agg(CASE WHEN gray * 64 >= total THEN '1' ELSE '0' END,
+                        '' ORDER BY k) AS ahash_bits
+      FROM g JOIN t USING (doc_id) GROUP BY g.doc_id
+    )"""
+
+
+@query(
+    "stream_image_ahash_dedup",
+    oracle=_image_ahash_cte()
+    + """
+    SELECT ahash_bits,
+           cast(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_doc
+    FROM bits GROUP BY ahash_bits
+    """,
+    tags=["streaming", "multimodal", "dedup", "llm-pipeline"],
+)
+def stream_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual image dedup: file stream -> Arrow-batched
+    mapInPandas (REAL BMP decode + integer-exact aHash run inside the
+    stream) -> complete-mode aggregation keyed by the hash. State is
+    O(distinct hashes); over the bounded availableNow run the final
+    state equals the batch group-by, which the oracle recomputes from
+    DuckDB's own md5 pixel math."""
+    from ..streaming.multimodal_stream import ahash_dedup_groups
+
+    tune_session(spark)
+    return ahash_dedup_groups(spark, sf_dir)
+
+
 @query(
     "stream_user_running_totals",
     oracle="""

@@ -114,6 +114,48 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_source_dup_audit",
+    oracle="""
+    SELECT md5(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 200))
+               AS lead_fingerprint,
+           cast(count(*) AS BIGINT) AS n_copies,
+           cast(count(DISTINCT source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           min(doc_id) AS canonical_doc
+    FROM documents
+    GROUP BY 1
+    HAVING count(DISTINCT source) >= 2
+    """,
+    tags=["text", "dedup", "provenance", "llm-pipeline"],
+)
+def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication provenance: LEAD-PREFIX fingerprint groups
+    (first 200 normalized chars — syndicated/mirrored articles share the
+    lead while tails diverge with boilerplate, so full-text md5 misses
+    them; this corpus has zero exact full-text dups but ~15 lead-prefix
+    groups) spanning >= 2 sources — the audit a corpus pipeline runs
+    before mixing sources, since mirrored pages inflate a source's
+    apparent contribution and double-count tokens under per-source
+    budgets. One hash shuffle on the 128-bit fingerprint, source list
+    aggregated sorted for determinism — same one-pass scale shape as
+    exact_dedup."""
+    d = T(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    lead_fp = F.md5(F.substring(norm, 1, 200))
+    return (
+        d.select(lead_fp.alias("lead_fingerprint"), "doc_id", "source")
+        .groupBy("lead_fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )
+
+
+@query(
     "exact_dedup_docs",
     oracle="""
     SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,

@@ -66,27 +66,31 @@ IMAGE_STATS_SCHEMA = (
 AHASH_SCHEMA = "doc_id BIGINT, ahash_bits STRING, ahash_hex STRING"
 
 
-def synth_bmp_payloads(
+def synth_image_payloads(
     df: DataFrame, id_col: str, seed_mod: int = 97, size: int = 8
 ) -> DataFrame:
-    """Deterministic REAL image payloads: for each id, a size x size 24-bit
-    BMP whose RGB bytes are md5(f"{id % seed_mod}:{block}") digests laid
+    """Deterministic REAL image payloads: for each id, a size x size RGB
+    image whose bytes are md5(f"{id % seed_mod}:{block}") digests laid
     out in order — so a DuckDB oracle can recompute every pixel from its
     own md5, and ids sharing a seed class are exact perceptual duplicates
-    (the aHash dedup fixture). The BYTES ON THE WIRE are a spec-conformant
-    BMP; nothing downstream knows they were synthesized."""
+    (the aHash dedup fixture). Even ids serialize as 24-bit BMP, odd ids
+    as binary PPM (P6): the PIXELS are identical either way (sums and
+    hashes — everything the oracles assert — are format-independent), so
+    one fixture exercises BOTH native codecs plus the magic-byte
+    dispatch. The bytes on the wire are spec-conformant files; nothing
+    downstream knows they were synthesized."""
     import hashlib
 
     import numpy as np
 
-    from .imagecodec import encode_bmp
+    from .imagecodec import encode_bmp, encode_ppm
 
     n_bytes = size * size * 3
     n_blocks = (n_bytes + 15) // 16
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            payloads, types = [], []
             for d in pdf["doc_id"]:
                 seed = int(d) % seed_mod
                 raw = b"".join(
@@ -94,18 +98,28 @@ def synth_bmp_payloads(
                     for b in range(n_blocks)
                 )[:n_bytes]
                 px = np.frombuffer(raw, dtype=np.uint8).reshape(size, size, 3)
-                payloads.append(encode_bmp(px))
+                if int(d) % 2 == 0:
+                    payloads.append(encode_bmp(px))
+                    types.append("image/bmp")
+                else:
+                    payloads.append(encode_ppm(px))
+                    types.append("image/x-portable-pixmap")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": payloads,
-                    "media_type": ["image/bmp"] * len(payloads),
+                    "media_type": types,
                 }
             )
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         _synth, PAYLOAD_SCHEMA
     )
+
+
+# backwards-compatible name kept for callers/tests written against the
+# BMP-only fixture
+synth_bmp_payloads = synth_image_payloads
 
 
 def decode_image(payloads: DataFrame) -> DataFrame:

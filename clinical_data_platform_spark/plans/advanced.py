@@ -547,16 +547,18 @@ _PX_BYTE = (
 )
 def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, value-exactly oracled (closes the r4 verdict's
-    last multimodal gap): synth_bmp_payloads writes spec-conformant 8x8
-    24-bit BMPs whose pixel bytes are md5 digests, decode_image parses
-    them back through the dependency-free BMP codec
-    (operators/imagecodec.py) inside Arrow-batched mapInPandas, and the
-    oracle recomputes every byte from DuckDB's own md5 — header parsing,
-    BGR/bottom-up/row-padding layout, and the channel sums all have to be
-    right for the hashes to match."""
-    from ..operators.multimodal import decode_image, synth_bmp_payloads
+    last multimodal gap): synth_image_payloads writes spec-conformant 8x8
+    images whose pixel bytes are md5 digests — 24-bit BMP for even ids,
+    binary PPM for odd — and decode_image parses them back through the
+    dependency-free codecs (operators/imagecodec.py, magic-byte dispatch)
+    inside Arrow-batched mapInPandas. The oracle recomputes every byte
+    from DuckDB's own md5, format-blind (decoded pixels are identical
+    either way) — header parsing, BMP's BGR/bottom-up/row-padding layout,
+    PPM's header grammar, and the channel sums all have to be right for
+    the hashes to match."""
+    from ..operators.multimodal import decode_image, synth_image_payloads
 
-    payloads = synth_bmp_payloads(T(spark, sf_dir, "documents"), "doc_id")
+    payloads = synth_image_payloads(T(spark, sf_dir, "documents"), "doc_id")
     return decode_image(payloads).select(
         "doc_id",
         F.col("width").cast("int").alias("width"),
@@ -596,9 +598,9 @@ def image_ahash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-seeded fixture puts every doc_id in one of 97 seed classes, so
     real duplicate groups exist and the DuckDB oracle reproduces the
     identical bitstrings from first principles."""
-    from ..operators.multimodal import image_ahash, synth_bmp_payloads
+    from ..operators.multimodal import image_ahash, synth_image_payloads
 
-    payloads = synth_bmp_payloads(T(spark, sf_dir, "documents"), "doc_id")
+    payloads = synth_image_payloads(T(spark, sf_dir, "documents"), "doc_id")
     # both join sides consume the hash table: checkpoint so the Python
     # synth+decode+hash pipeline runs ONCE, not once per consumer
     h = image_ahash(payloads).select("doc_id", "ahash_bits").localCheckpoint()

@@ -33,10 +33,10 @@ def ahash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     of copies seen. Complete-mode aggregation — over the bounded
     availableNow run the final state equals the batch group-by, which is
     what the DuckDB oracle asserts."""
-    from ..operators.multimodal import image_ahash, synth_bmp_payloads
+    from ..operators.multimodal import image_ahash, synth_image_payloads
 
     docs = _documents_stream(spark, sf_dir)
-    payloads = synth_bmp_payloads(docs, "doc_id")
+    payloads = synth_image_payloads(docs, "doc_id")
     hashed = image_ahash(payloads)
     agg = hashed.groupBy("ahash_bits").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

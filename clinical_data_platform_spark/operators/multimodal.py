@@ -3,9 +3,12 @@
 Design (north-star, BASELINE.json): image/audio/video travel as BINARY
 columns with a metadata struct alongside; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` over the binary
-column. The image/audio codec libraries are NOT in this container, so the
-actual decode is STUBBED (clearly marked below); everything Spark-side —
-schema, batching, partitioning, UDF signatures — is real and tested.
+column. Image decode is REAL for BMP, PPM (P6) and baseline PNG via the
+dependency-free codecs in operators/imagecodec.py; JPEG (and exotic PNG
+variants) fall back to PIL when installed, else surface as decode_error
+rows. Audio/video decode remains a deterministic stand-in (no codec libs
+in this container); the Spark-side plumbing — schema, batching,
+partitioning, UDF signatures — is real and tested either way.
 
 At 100 TB the binary column dominates I/O: keep payloads in their own
 parquet column (column pruning skips them unless referenced), partition by
@@ -63,7 +66,9 @@ IMAGE_STATS_SCHEMA = (
     "doc_id BIGINT, media_type STRING, width INT, height INT, "
     "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, decode_error STRING"
 )
-AHASH_SCHEMA = "doc_id BIGINT, ahash_bits STRING, ahash_hex STRING"
+AHASH_SCHEMA = (
+    "doc_id BIGINT, ahash_bits STRING, ahash_hex STRING, decode_error STRING"
+)
 
 
 def synth_image_payloads(
@@ -166,19 +171,33 @@ def image_ahash(payloads: DataFrame) -> DataFrame:
     (r+g+b, no division), bit_p = gray_p * n >= total — engine-exact, so
     a SQL oracle recomputes the identical bitstring. Emits both the
     row-major '0'/'1' bitstring (oracle-friendly) and packed hex (the
-    join key a production dedup would use)."""
+    join key a production dedup would use). Same corrupt-payload policy
+    as decode_image: a codec failure becomes a null-hash row carrying
+    decode_error, never a task failure — consumers keying on the hash
+    filter ``ahash_bits IS NOT NULL``."""
     from .imagecodec import ahash_bits, ahash_hex, decode_rgb
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, bits, hexes = [], [], []
+            ids, bits, hexes, errs = [], [], [], []
             for d, b in zip(pdf["doc_id"], pdf["payload"]):
-                rgb = decode_rgb(b)
                 ids.append(d)
-                bits.append("".join(map(str, ahash_bits(rgb))))
-                hexes.append(ahash_hex(rgb))
+                try:
+                    rgb = decode_rgb(b)
+                    bits.append("".join(map(str, ahash_bits(rgb))))
+                    hexes.append(ahash_hex(rgb))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — codec failure becomes a row
+                    bits.append(None)
+                    hexes.append(None)
+                    errs.append(str(e)[:200])
             yield pd.DataFrame(
-                {"doc_id": ids, "ahash_bits": bits, "ahash_hex": hexes}
+                {
+                    "doc_id": ids,
+                    "ahash_bits": bits,
+                    "ahash_hex": hexes,
+                    "decode_error": errs,
+                }
             )
 
     return payloads.mapInPandas(_hash, AHASH_SCHEMA)

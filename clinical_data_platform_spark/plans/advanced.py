@@ -583,32 +583,55 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_agg(CASE WHEN gray * 64 >= total THEN '1' ELSE '0' END,
                         '' ORDER BY k) AS ab
       FROM g JOIN t USING (doc_id) GROUP BY g.doc_id
+    ), canon AS (
+      SELECT ab, min(doc_id) AS canonical_id, count(*) AS n
+      FROM bits GROUP BY ab
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ab AS ahash_bits
-    FROM bits a JOIN bits b ON a.ab = b.ab AND a.doc_id < b.doc_id
+    SELECT c.canonical_id, b.doc_id AS dup_id, b.ab AS ahash_bits
+    FROM bits b JOIN canon c ON b.ab = c.ab
+    WHERE c.n >= 2 AND b.doc_id <> c.canonical_id
     """,
     tags=["multimodal", "imagecodec", "dedup"],
 )
 def image_ahash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual (average-hash) image dedup over REAL decoded pixels:
-    decode each BMP, compute the integer-exact 64-bit aHash (bit_p =
-    gray_p * n >= total over r+g+b grays), equi-join on the hash for
-    exact perceptual duplicate pairs — the image twin of exact text
-    dedup, with the same one-shuffle groupable key shape at 100 TB. The
-    md5-seeded fixture puts every doc_id in one of 97 seed classes, so
-    real duplicate groups exist and the DuckDB oracle reproduces the
-    identical bitstrings from first principles."""
+    decode each image, compute the integer-exact 64-bit aHash (bit_p =
+    gray_p * n >= total over r+g+b grays), then emit CANONICAL-STAR
+    pairs — each duplicate paired with its group's canonical (min id)
+    document, the same (count + canonical) state shape the streaming
+    twin keeps. Star pairs are LINEAR in duplicate-group size; the
+    earlier all-pairs self-join was quadratic per group, which at 100 TB
+    (group sizes grow with corpus under the %97 fixture, and real crawls
+    have mega-duplicate groups) made the OUTPUT the bottleneck. One
+    shuffle on the hash; the group agg and the member join share the
+    exchange. The md5-seeded fixture puts every doc_id in one of 97 seed
+    classes, so real duplicate groups exist and the DuckDB oracle
+    reproduces the identical bitstrings from first principles. Corrupt
+    payloads (null-hash rows from image_ahash) are filtered out, not
+    grouped together."""
     from ..operators.multimodal import image_ahash, synth_image_payloads
 
     payloads = synth_image_payloads(T(spark, sf_dir, "documents"), "doc_id")
     # both join sides consume the hash table: checkpoint so the Python
     # synth+decode+hash pipeline runs ONCE, not once per consumer
-    h = image_ahash(payloads).select("doc_id", "ahash_bits").localCheckpoint()
-    a = h.select(F.col("doc_id").alias("id_a"), F.col("ahash_bits").alias("ab"))
-    b = h.select(F.col("doc_id").alias("id_b"), F.col("ahash_bits").alias("bb"))
+    h = (
+        image_ahash(payloads)
+        .where(F.col("ahash_bits").isNotNull())
+        .select("doc_id", "ahash_bits")
+        .localCheckpoint()
+    )
+    canon = h.groupBy("ahash_bits").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        a.join(b, (F.col("ab") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", F.col("ab").alias("ahash_bits"))
+        h.join(canon, "ahash_bits")
+        .where((F.col("n") >= 2) & (F.col("doc_id") != F.col("canonical_id")))
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("dup_id"),
+            "ahash_bits",
+        )
     )
 
 

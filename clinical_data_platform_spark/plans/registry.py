@@ -53,14 +53,31 @@ def query(name: str, oracle: str | None = None, tags: list[str] | None = None):
 
 
 def _load_priority_order() -> list[str]:
+    """Highest-numbered window from rotation_history.json. Read via
+    importlib.resources so a zip/egg deployment (spark-submit --py-files)
+    still resolves it; a missing or corrupt artifact degrades to plain
+    registration order with a warning instead of an import-time crash —
+    the window is gate curation, not query semantics."""
     import json
-    from pathlib import Path
+    import warnings
+    from importlib import resources
 
-    hist = json.loads(
-        (Path(__file__).resolve().parent / "rotation_history.json").read_text()
-    )
-    windows = hist["windows"]
-    return list(windows[max(windows, key=int)])
+    try:
+        raw = (
+            resources.files(__package__)
+            .joinpath("rotation_history.json")
+            .read_text()
+        )
+        windows = json.loads(raw)["windows"]
+        return list(windows[max(windows, key=int)])
+    except Exception as e:  # noqa: BLE001 — degrade, don't break the package import
+        warnings.warn(
+            f"rotation_history.json unavailable ({e!r}); "
+            "falling back to registration order",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return []
 
 
 PRIORITY_ORDER = _load_priority_order()

@@ -37,7 +37,10 @@ def ahash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents_stream(spark, sf_dir)
     payloads = synth_image_payloads(docs, "doc_id")
-    hashed = image_ahash(payloads)
+    # corrupt payloads arrive as null-hash decode_error rows — keep them
+    # out of the dedup state (they are not perceptual duplicates of
+    # anything; decode_image's error rows are the observability channel)
+    hashed = image_ahash(payloads).where(F.col("ahash_bits").isNotNull())
     agg = hashed.groupBy("ahash_bits").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),

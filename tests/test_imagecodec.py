@@ -94,8 +94,16 @@ def test_ahash_invariance_and_sensitivity():
     assert ahash_hex(img) == ahash_hex(img.copy())
     flipped = img.copy()
     flipped[0, 0] = 255 - flipped[0, 0]
-    # a large single-pixel change flips at least that pixel's bit
-    assert ahash_hex(flipped) != ahash_hex(img) or list(ahash_bits(flipped)) != list(ahash_bits(img))
+    # recompute the naive reference for the MODIFIED image: the hash must
+    # track the change exactly (both the bitstring and its hex packing),
+    # and the change must actually move at least one bit vs the original
+    g = flipped.astype(int).sum(axis=2).ravel()
+    expect_flipped = list((g * g.size >= g.sum()).astype(int))
+    assert list(ahash_bits(flipped)) == expect_flipped
+    g0 = img.astype(int).sum(axis=2).ravel()
+    expect_orig = list((g0 * g0.size >= g0.sum()).astype(int))
+    assert expect_flipped != expect_orig, "fixture must actually flip a bit"
+    assert ahash_hex(flipped) != ahash_hex(img)
 
 
 def test_spark_decode_image_emits_error_rows(spark):
@@ -120,3 +128,27 @@ def test_spark_decode_image_emits_error_rows(spark):
     exp = img.astype("int64").sum(axis=(0, 1))
     assert (out[0]["sum_r"], out[0]["sum_g"], out[0]["sum_b"]) == tuple(exp)
     assert (out[2]["sum_r"], out[2]["sum_g"], out[2]["sum_b"]) == tuple(exp)
+
+
+def test_spark_image_ahash_emits_error_rows(spark):
+    """image_ahash mirrors decode_image's corrupt-payload policy: a bad
+    payload becomes a null-hash row carrying decode_error, and the batch
+    survives (was: exception propagated out of mapInPandas)."""
+    import pandas as pd
+
+    from clinical_data_platform_spark.operators.multimodal import image_ahash
+
+    img = rng_img(8, 8, seed=7)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [encode_ppm(img), b"not-an-image"],
+            "media_type": ["image/x-portable-pixmap", "application/octet-stream"],
+        }
+    )
+    out = image_ahash(spark.createDataFrame(pdf)).orderBy("doc_id").collect()
+    g = img.astype(int).sum(axis=2).ravel()
+    expect = "".join(str(b) for b in (g * g.size >= g.sum()).astype(int))
+    assert out[0]["ahash_bits"] == expect and out[0]["decode_error"] is None
+    assert out[1]["ahash_bits"] is None and out[1]["ahash_hex"] is None
+    assert out[1]["decode_error"] is not None

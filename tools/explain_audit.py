@@ -226,7 +226,7 @@ AUDIT = [
     ("spiegelhalter_calibration_test", "Spiegelhalter: one corpus projection, three fixed-point sums"),
     # round 5: real image decode + perceptual dedup
     ("image_decode_stats", "Real BMP decode in Arrow-batched mapInPandas; per-image integer sums"),
-    ("image_ahash_dedup_pairs", "Perceptual dedup: decode+hash ONCE (checkpointed), equi-join on the 64-bit aHash"),
+    ("image_ahash_dedup_pairs", "Perceptual dedup: decode+hash ONCE (checkpointed), canonical-star pairs (linear per group) off one hash shuffle"),
     ("approx_distinct_parts", "Sketch vs exact tolerance band: one grouped agg carries HLL++, exact distinct, and KLL in a single pass"),
 ]
 

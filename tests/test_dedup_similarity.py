@@ -340,3 +340,52 @@ def test_df_cap_is_inert_on_shipped_corpus(spark):
         key=ckey,
     )
     assert con_on == con_off and con_on
+
+
+def test_t80_production_banding_prunes_and_recalls(spark):
+    """The production-threshold (tau=0.8) banding must do what its
+    registration claims: prune >=99% of all pairs on the shipped corpus,
+    and recall EVERY injected near-identical duplicate (the SemDeDup
+    use case: true near-dups sit at cos ~1 where per-plane collision
+    probability -> 1, so all 16 bands collide barring a near-zero
+    projection flip, and one band suffices)."""
+    import numpy as np
+
+    from clinical_data_platform_spark.plans.vectorops import (
+        _T80_TAU,
+        _t80_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base_rows = e.select("vec_id", "embedding").collect()
+    n_base = len(base_rows)
+
+    # prune >= 99% on the base corpus (no pair exceeds cos 0.51 here,
+    # so every candidate is banding "noise" — the audit's prune_ratio)
+    cand_base = {
+        (r.id_a, r.id_b) for r in _t80_candidates(e).collect()
+    }
+    total = n_base * (n_base - 1) // 2
+    assert len(cand_base) <= 0.01 * total, (len(cand_base), total)
+
+    # inject 10 near-identical duplicates: copy of an existing vector
+    # with one dimension nudged by 1e-4 (cos > 0.999999)
+    rng = np.random.default_rng(7)
+    injected = []
+    expect_pairs = set()
+    for i in range(10):
+        src = base_rows[int(rng.integers(0, n_base))]
+        vec = [float(x) for x in src.embedding]
+        vec[int(rng.integers(0, len(vec)))] += 1e-4
+        new_id = 100000 + i
+        injected.append((new_id, vec))
+        expect_pairs.add((int(src.vec_id), new_id))
+    aug = e.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            injected, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+    )
+    cand_aug = {(r.id_a, r.id_b) for r in _t80_candidates(aug).collect()}
+    missing = expect_pairs - cand_aug
+    assert not missing, f"injected near-dups not recalled: {missing}"

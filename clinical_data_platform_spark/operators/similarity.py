@@ -148,3 +148,83 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def lsh_topk_multi(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH top-k — the standard recall lever single-bucket
+    LSH lacks: L independent hash tables (each its own seeded planes), a
+    row is a candidate iff it matches the query's bucket in ANY table
+    (union-of-buckets). For a literal query vector this compiles to ONE
+    scan with a disjunctive filter (no join, no shuffle; TakeOrdered for
+    the top-k) — each table's bucket match keeps ~2^-bits of rows, so
+    the candidate fraction is <= L/2^bits and recall rises as
+    1-(1-p^bits)^L. With a query TABLE the same construction becomes an
+    equi-join on (table_id, bucket), which is how the 100 TB shape runs.
+
+    Plan shape: candidate filtering runs as ONE Arrow-batched GEMM per
+    batch ((batch x dim) @ (dim x L*bits), then a per-table bucket
+    compare in numpy) — the same discipline as the t80 signature stage
+    in plans/vectorops.py. Expression-tree alternatives were measured
+    and rejected: L*bits separate interpreted folds cost ~7 s/run in
+    analysis, and a transform+exists() pipeline collapses into the
+    filter so element_at re-evaluates the whole transform per access
+    (~96x the flops, ~20 s/run). Sign-flip risk vs the Python-side
+    query-bucket fold is the t80 margin argument (double reorder noise
+    ~1e-14 against empirically O(1e-6)+ projection margins), and only
+    candidate MEMBERSHIP depends on it, never emitted values. The exact
+    cosine ranking of survivors stays JVM-side."""
+    import numpy as np
+    import pandas as pd
+
+    flat_planes: list[list[float]] = []
+    qbuckets: list[int] = []
+    for t in range(n_tables):
+        planes = _seeded_hyperplanes(dim, bits, seed + 1000 * t)
+        qb = 0
+        for i, plane in enumerate(planes):
+            flat_planes.append(plane)
+            if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+                qb |= 1 << i
+        qbuckets.append(qb)
+    pm = np.asarray(flat_planes, dtype=np.float64)  # (L*bits) x dim
+    qb_arr = np.asarray(qbuckets, dtype=np.int64)
+    weights = np.asarray(
+        [1 << i for i in range(bits)], dtype=np.int64
+    )
+
+    out_schema = f"{id_col} long, {vec_col} array<float>"
+
+    def _candidates(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x) == 0:
+                continue
+            b = ((x @ pm.T) >= 0).astype(np.int64)  # n x (L*bits)
+            buckets = b.reshape(len(x), n_tables, bits) @ weights  # n x L
+            keep = (buckets == qb_arr[None, :]).any(axis=1)
+            if keep.any():
+                yield pdf.loc[keep, [id_col, vec_col]]
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        _candidates, out_schema
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

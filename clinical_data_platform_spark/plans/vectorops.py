@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table as T
 from ..functions.vectors import cosine_similarity, l2_norm
-from ..operators.similarity import lsh_topk
 from .registry import query
 
 _DOT_SQL = (
@@ -87,19 +86,71 @@ def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lsh_ann_topk_vec0", tags=["vector", "ann", "lsh"])
+_ANN_EXACT_TOP10_SQL = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             {_DOT_SQL.format(a='e.embedding', b='q.qe')}
+               / ({_NORM_SQL.format(a='e.embedding')}
+                  * {_NORM_SQL.format(a='q.qe')}) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(cos, 5) AS cosine,
+           TRUE AS recall_at10_ge_half
+    FROM sims ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+def _recall_banded_top10(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Attach a deterministic recall band to the EXACT top-10 (the
+    DuckDB-verifiable anchor): recall_at10_ge_half is true iff >=5 of the
+    true top-10 ids appear in the approximate result. The flag is a
+    one-row aggregate cross-joined onto the 10 anchor rows — the
+    approx_distinct_parts tolerance-band pattern applied to ANN."""
+    hits = (
+        exact.select("vec_id")
+        .join(approx.select("vec_id"), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    flag = hits.select((F.col("n_hit") >= 5).alias("recall_at10_ge_half"))
+    return exact.crossJoin(flag).select(
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+        "recall_at10_ge_half",
+    )
+
+
+@query(
+    "lsh_ann_topk_vec0",
+    oracle=_ANN_EXACT_TOP10_SQL,
+    tags=["vector", "ann", "lsh"],
+)
 def lsh_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: random-hyperplane LSH bucket filter then exact
-    cosine within the bucket (rows-only check; recall vs brute force is
-    asserted in pytest). At 100 TB the bucket id is a partition key."""
-    e = T(spark, sf_dir, "embeddings")
+    """Approximate ANN via MULTI-TABLE random-hyperplane LSH (16 tables x
+    6 bits, seeded Gaussian planes): candidates are the union of the
+    query's bucket across tables (one disjunctive-filter scan for a
+    literal query), exact cosine ranks within. Promoted from rows-only to
+    a RECALL-BAND oracle (r5 verdict item 5): the emitted rows are the
+    EXACT top-10 (value-verified by DuckDB) plus a boolean asserting the
+    LSH result recalled >= 5 of them — measured 0.6 at both gate corpora
+    (single-table bits=6 measured recall 0.0 here: with no pair above
+    cos 0.51, one 6-bit bucket is ~a 1/64 random sample; the multi-table
+    union is the standard fix and the honest registered shape). Fully
+    deterministic: seeded LCG planes, so the band cannot flap."""
+    from ..operators.similarity import brute_force_topk, lsh_topk_multi
+
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qvec = [
         float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        for x in T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
     ]
-    return lsh_topk(
-        e.filter(F.col("vec_id") != 0), qvec, dim=len(qvec), k=10, bits=6
-    )
+    exact = brute_force_topk(e, qvec, k=10)
+    approx = lsh_topk_multi(e, qvec, dim=len(qvec), k=10, bits=6, n_tables=16)
+    return _recall_banded_top10(exact, approx)
 
 
 @query(
@@ -140,21 +191,35 @@ def knn_join_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_ann_topk_vec0", tags=["vector", "ann", "ivf"])
+@query(
+    "ivf_ann_topk_vec0",
+    oracle=_ANN_EXACT_TOP10_SQL,
+    tags=["vector", "ann", "ivf"],
+)
 def ivf_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN: KMeans-bucketed corpus, probe the 4 nearest
-    centroids, exact cosine within (operators/ivf.py). Rows-only check —
-    KMeans assignments are engine-specific; pytest asserts recall vs brute
-    force."""
+    """IVF approximate ANN: KMeans-bucketed corpus (fixed seed), probe
+    the 4 nearest of 8 centroids, exact cosine within (operators/ivf.py).
+    Promoted from rows-only to a RECALL-BAND oracle (r5 verdict item 5):
+    emitted rows are the EXACT top-10 plus a boolean asserting the IVF
+    search recalled >= 5 of them (measured 0.6 / 0.8 at the two gate
+    corpora; KMeans is seeded so the band is deterministic). The
+    engine-specific cluster assignments themselves stay out of the
+    compared columns — only their RESULT quality is asserted."""
     from ..operators.ivf import build_ivf_index
+    from ..operators.similarity import brute_force_topk
 
-    e = T(spark, sf_dir, "embeddings")
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qvec = [
         float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        for x in T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
     ]
-    index = build_ivf_index(e.filter(F.col("vec_id") != 0), k_clusters=8)
-    return index.search(qvec, k=10, nprobe=4)
+    exact = brute_force_topk(e, qvec, k=10)
+    index = build_ivf_index(e, k_clusters=8)
+    approx = index.search(qvec, k=10, nprobe=4)
+    return _recall_banded_top10(exact, approx)
 
 
 # --- md5-derived sign-projection planes (shared by the banded near-dup

@@ -1,14 +1,16 @@
-"""Dependency-free image codecs: BMP (24-bit uncompressed) and PPM (P6).
+"""Dependency-free image codecs: BMP (24-bit uncompressed), PPM (P6),
+and baseline PNG (8-bit truecolor/truecolor-alpha, filters 0-4, stdlib
+zlib inflate + CRC verification).
 
 Round-4 verdict's remaining multimodal gap: ``decode_image`` was an
-env-gated stub because no codec library ships in this container. These two
-formats need none — their specs are a fixed-size header plus raw RGB bytes
-— so the DECODE path itself can be real, exercised end-to-end through the
-Arrow-batched ``mapInPandas`` plumbing, and (because the test payloads'
-pixels derive from md5) verified value-exactly against a DuckDB oracle.
-JPEG/PNG/audio stay behind the PIL-gated fallback in
-``operators/multimodal.py::decode_image`` — same dispatch, richer codecs
-when the library exists.
+env-gated stub because no codec library ships in this container. These
+formats need none — BMP/PPM are a header plus raw RGB bytes, and PNG's
+compression is stdlib zlib — so the DECODE path itself is real, exercised
+end-to-end through the Arrow-batched ``mapInPandas`` plumbing, and
+(because the test payloads' pixels derive from md5) verified value-exactly
+against a DuckDB oracle. JPEG — and PNG profiles outside the baseline
+(palette, grayscale, 16-bit, Adam7) — stay behind the PIL-gated fallback
+in ``decode_rgb``: same dispatch, richer codecs when the library exists.
 
 Everything here is pure numpy over one in-memory payload: the SCALE story
 (batching, partitioning, constant memory per Arrow batch) lives in the
@@ -116,6 +118,161 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one raw scanline (ints mod 256).
+    left/up/upleft are the RECONSTRUCTED neighbors, which at encode time
+    are just the raw bytes."""
+    r = row.astype(np.int64)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prev.astype(np.int64)
+    upleft = np.zeros_like(r)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = r
+    elif ftype == 1:  # Sub
+        out = r - left
+    elif ftype == 2:  # Up
+        out = r - up
+    elif ftype == 3:  # Average
+        out = r - (left + up) // 2
+    elif ftype == 4:  # Paeth
+        out = r - _paeth(left, up, upleft)
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized: pick a/b/c minimizing |p - x| with the
+    spec's a-then-b-then-c tie order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a baseline PNG (8-bit
+    truecolor, non-interlaced, zlib-compressed scanlines). ``filter_type``
+    (0-4, applied to every row) exists so tests exercise every unfilter
+    path in :func:`decode_png`; 0 is the spec's always-valid choice."""
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 RGB array")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = pixels.reshape(h, w * 3)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        filt = _png_filter_row(filter_type, raw[y], prev, bpp=3)
+        lines.append(bytes([filter_type]) + filt.tobytes())
+        prev = raw[y]
+    idat = zlib.compress(b"".join(lines))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Parse a baseline PNG back to an (h, w, 3) uint8 RGB array: 8-bit
+    truecolor (color type 2) or truecolor+alpha (6, alpha dropped),
+    non-interlaced, any mix of per-row filters 0-4 (None/Sub/Up/Average/
+    Paeth — the full filter set). Chunk CRCs are verified. Anything
+    outside that profile (palette, grayscale, 16-bit, Adam7) raises
+    ValueError — callers surface it as a decode_error row (or hand the
+    payload to PIL when installed). Pure stdlib zlib + numpy, from the
+    public PNG spec (RFC 2083 / W3C PNG)."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_n not in (2, 6) or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG profile (depth={depth}, color_type={ctype_n})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    ch = 3 if ctype_n == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up — fully vectorized
+            rec = (line + prev) % 256
+        else:
+            # Sub/Average/Paeth need the reconstructed LEFT neighbor:
+            # sequential in x, vectorized across the pixel's channels
+            rec = np.zeros(stride, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            for x in range(0, stride, ch):
+                up = prev[x : x + ch]
+                cur = line[x : x + ch]
+                if ftype == 1:
+                    val = cur + left
+                elif ftype == 3:
+                    val = cur + (left + up) // 2
+                elif ftype == 4:
+                    val = cur + _paeth(left, up, upleft)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                val %= 256
+                rec[x : x + ch] = val
+                left, upleft = val, up.copy()
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    return px[:, :, :3]
+
+
 def sniff_format(data: bytes) -> str:
     if data[:2] == b"BM":
         return "image/bmp"
@@ -129,13 +286,27 @@ def sniff_format(data: bytes) -> str:
 
 
 def decode_rgb(data: bytes) -> np.ndarray:
-    """Dispatch on magic bytes; BMP/PPM decode natively, PNG/JPEG fall
-    back to PIL when (and only when) it is installed."""
+    """Dispatch on magic bytes; BMP/PPM/baseline-PNG decode natively.
+    JPEG — and PNG profiles outside the baseline (palette, 16-bit,
+    Adam7) — fall back to PIL when (and only when) it is installed."""
     fmt = sniff_format(bytes(data))
     if fmt == "image/bmp":
         return decode_bmp(bytes(data))
     if fmt == "image/x-portable-pixmap":
         return decode_ppm(bytes(data))
+    if fmt == "image/png":
+        try:
+            return decode_png(bytes(data))
+        except ValueError as err:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError:
+                raise err  # keep the native decoder's diagnosis
+            return np.asarray(  # pragma: no cover - env-gated
+                Image.open(io.BytesIO(bytes(data))).convert("RGB")
+            )
     try:  # pragma: no cover - env-gated richer-codec path
         import io
 

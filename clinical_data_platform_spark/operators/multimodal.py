@@ -72,23 +72,32 @@ AHASH_SCHEMA = (
 
 
 def synth_image_payloads(
-    df: DataFrame, id_col: str, seed_mod: int = 97, size: int = 8
+    df: DataFrame,
+    id_col: str,
+    seed_mod: int = 97,
+    size: int = 8,
+    force_format: str | None = None,
 ) -> DataFrame:
     """Deterministic REAL image payloads: for each id, a size x size RGB
     image whose bytes are md5(f"{id % seed_mod}:{block}") digests laid
     out in order — so a DuckDB oracle can recompute every pixel from its
     own md5, and ids sharing a seed class are exact perceptual duplicates
-    (the aHash dedup fixture). Even ids serialize as 24-bit BMP, odd ids
-    as binary PPM (P6): the PIXELS are identical either way (sums and
-    hashes — everything the oracles assert — are format-independent), so
-    one fixture exercises BOTH native codecs plus the magic-byte
+    (the aHash dedup fixture). The format rotates by id — doc_id % 3 of
+    0 serializes as 24-bit BMP, 1 as binary PPM (P6), 2 as baseline PNG
+    (with the PNG row filter rotating over all five filter types via
+    doc_id % 5, so every unfilter path decodes inside the oracled
+    fixtures): the PIXELS are identical regardless (sums and hashes —
+    everything the oracles assert — are format-independent), so one
+    fixture exercises ALL THREE native codecs plus the magic-byte
     dispatch. The bytes on the wire are spec-conformant files; nothing
-    downstream knows they were synthesized."""
+    downstream knows they were synthesized. ``force_format`` ("bmp",
+    "ppm", "png") pins every payload to one codec — the PNG-only decode
+    query uses it so all five filter classes run through the PNG path."""
     import hashlib
 
     import numpy as np
 
-    from .imagecodec import encode_bmp, encode_ppm
+    from .imagecodec import encode_bmp, encode_png, encode_ppm
 
     n_bytes = size * size * 3
     n_blocks = (n_bytes + 15) // 16
@@ -103,12 +112,20 @@ def synth_image_payloads(
                     for b in range(n_blocks)
                 )[:n_bytes]
                 px = np.frombuffer(raw, dtype=np.uint8).reshape(size, size, 3)
-                if int(d) % 2 == 0:
+                fmt = (
+                    {"bmp": 0, "ppm": 1, "png": 2}[force_format]
+                    if force_format
+                    else int(d) % 3
+                )
+                if fmt == 0:
                     payloads.append(encode_bmp(px))
                     types.append("image/bmp")
-                else:
+                elif fmt == 1:
                     payloads.append(encode_ppm(px))
                     types.append("image/x-portable-pixmap")
+                else:
+                    payloads.append(encode_png(px, filter_type=int(d) % 5))
+                    types.append("image/png")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

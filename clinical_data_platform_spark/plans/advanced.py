@@ -568,6 +568,48 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "png_decode_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, r.j, {_PX_BYTE} AS v
+      FROM documents d, range(0, 192) r(j)
+    )
+    SELECT doc_id,
+           cast(doc_id % 5 AS INTEGER) AS png_filter_type,
+           8 AS width, 8 AS height,
+           cast(sum(CASE WHEN j % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+           cast(sum(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+           cast(sum(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=["multimodal", "imagecodec", "png", "mapInPandas"],
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-PNG decode, value-exactly oracled (r5 verdict item
+    7, closing the last native image-format gap): every document id gets
+    a spec-conformant 8x8 PNG — zlib-compressed scanlines with the row
+    FILTER TYPE rotating over all five classes (None/Sub/Up/Average/
+    Paeth via doc_id % 5), CRC-checked chunks — and decode_image inflates
+    and unfilters it back through operators/imagecodec.py::decode_png
+    inside Arrow-batched mapInPandas. The oracle recomputes every pixel
+    byte from DuckDB's own md5: signature parsing, chunk walking, CRCs,
+    inflate, and all five unfilter reconstructions have to be right for
+    the channel sums to hash-match."""
+    from ..operators.multimodal import decode_image, synth_image_payloads
+
+    payloads = synth_image_payloads(
+        T(spark, sf_dir, "documents"), "doc_id", force_format="png"
+    )
+    return decode_image(payloads).select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("int").alias("png_filter_type"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "sum_r", "sum_g", "sum_b",
+    )
+
+
+@query(
     "image_ahash_dedup_pairs",
     oracle=f"""
     WITH px AS (

@@ -152,3 +152,129 @@ def test_spark_image_ahash_emits_error_rows(spark):
     assert out[0]["ahash_bits"] == expect and out[0]["decode_error"] is None
     assert out[1]["ahash_bits"] is None and out[1]["ahash_hex"] is None
     assert out[1]["decode_error"] is not None
+
+# --- baseline PNG codec ------------------------------------------------------
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(8, 8), (5, 3), (1, 1), (16, 7)])
+def test_png_roundtrip_every_filter_type(shape, ftype):
+    """Every PNG row filter (None/Sub/Up/Average/Paeth) must reconstruct
+    exactly, across widths (bpp-offset edge at w=1) and heights (Up/Paeth
+    first-row zero-prior edge)."""
+    from clinical_data_platform_spark.operators.imagecodec import (
+        decode_png,
+        encode_png,
+    )
+
+    img = rng_img(*shape, seed=11)
+    data = encode_png(img, filter_type=ftype)
+    assert sniff_format(data) == "image/png"
+    assert np.array_equal(decode_png(data), img)
+    # decode_rgb dispatches PNG natively (no PIL in this container)
+    assert np.array_equal(decode_rgb(data), img)
+
+
+def test_png_rgba_alpha_dropped():
+    """Color type 6 (truecolor+alpha) decodes with the alpha dropped."""
+    import struct
+    import zlib
+
+    from clinical_data_platform_spark.operators.imagecodec import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    img = rng_img(4, 6, seed=2)
+    rgba = np.concatenate(
+        [img, np.full((4, 6, 1), 128, np.uint8)], axis=2
+    )
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    data = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_error_paths():
+    """Corrupt CRC, unsupported profiles, and truncation all raise
+    ValueError (the decode_error-row contract), never crash."""
+    import struct
+    import zlib
+
+    from clinical_data_platform_spark.operators.imagecodec import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    img = rng_img(4, 4, seed=3)
+    good = encode_png(img)
+
+    flipped = bytearray(good)
+    flipped[-6] ^= 0xFF  # inside IEND/CRC tail
+    with pytest.raises(ValueError):
+        decode_png(bytes(flipped))
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(4))
+    for ihdr in (
+        struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0),  # 16-bit
+        struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0),   # palette
+        struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1),   # Adam7
+    ):
+        data = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(data)
+
+    with pytest.raises(ValueError):
+        decode_png(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"junk")
+
+
+def test_synth_payload_format_rotation(spark):
+    """The shared fixture rotates BMP/PPM/PNG by doc_id % 3 and decodes
+    to identical pixels regardless of format."""
+    import pandas as pd
+
+    from clinical_data_platform_spark.operators.multimodal import (
+        decode_image,
+        synth_image_payloads,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(6))})
+    )
+    rows = synth_image_payloads(df, "doc_id").orderBy("doc_id").collect()
+    assert [r.media_type for r in rows] == [
+        "image/bmp", "image/x-portable-pixmap", "image/png",
+        "image/bmp", "image/x-portable-pixmap", "image/png",
+    ]
+    out = decode_image(
+        synth_image_payloads(df, "doc_id")
+    ).orderBy("doc_id").collect()
+    assert all(r.decode_error is None for r in out)
+    # ids 97 apart share a seed class -> identical sums across formats;
+    # here: same id mod 97, different formats by construction is not
+    # available in 0..5, so assert sums match a direct recompute instead
+    import hashlib
+
+    for r in out:
+        raw = b"".join(
+            hashlib.md5(f"{r.doc_id % 97}:{b}".encode()).digest()
+            for b in range(12)
+        )[:192]
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+        s = px.astype("int64").sum(axis=(0, 1))
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(s)

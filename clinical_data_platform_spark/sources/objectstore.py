@@ -120,6 +120,63 @@ def builder_confs(cfg: ObjectStoreConfig) -> dict[str, str]:
     return {f"spark.hadoop.{k}": v for k, v in s3a_confs(cfg).items()}
 
 
+class EdgeObjectClient:
+    """Control-plane byte transport — the reference's actual client
+    surface (``src/clinical_platform/ingestion/s3_client.py:12-51``:
+    put_bytes / get_bytes / list_keys / ensure_bucket over boto3),
+    re-scoped for a Spark engine: bulk data NEVER moves through this
+    class (executors stream s3a:// directly — funneling 100 TB through
+    one driver-side client is exactly the reference antipattern this
+    module's header calls out). What legitimately rides a single-host
+    client: registry/config artifacts, small landing files a CSV edge
+    produces before the engine picks them up, and test probes. boto3 is
+    imported lazily so the module stays importable without it.
+
+    Tested against a LIVE S3 API (moto server) in
+    tests/test_objectstore.py — real bytes through HTTP, the transport
+    itself, not just config assembly."""
+
+    def __init__(self, client) -> None:
+        self.client = client
+
+    @classmethod
+    def from_config(cls, cfg: ObjectStoreConfig) -> "EdgeObjectClient":
+        import boto3
+
+        session = boto3.session.Session()
+        return cls(
+            session.client(
+                "s3",
+                endpoint_url=cfg.endpoint,
+                aws_access_key_id=cfg.access_key,
+                aws_secret_access_key=cfg.secret_key,
+                use_ssl=cfg.use_ssl,
+                region_name=cfg.region or "us-east-1",
+            )
+        )
+
+    def ensure_bucket(self, bucket: str) -> None:
+        """Reference parity (s3_client.py:30-40); kept OUT of engine query
+        paths — provisioning is an edge concern."""
+        try:
+            self.client.head_bucket(Bucket=bucket)
+        except Exception:  # noqa: BLE001 — head failure means "create"
+            self.client.create_bucket(Bucket=bucket)
+
+    def put_bytes(self, bucket: str, key: str, data: bytes) -> None:
+        from io import BytesIO
+
+        self.client.put_object(Bucket=bucket, Key=key, Body=BytesIO(data))
+
+    def get_bytes(self, bucket: str, key: str) -> bytes:
+        return self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+
+    def list_keys(self, bucket: str, prefix: str = ""):
+        resp = self.client.list_objects_v2(Bucket=bucket, Prefix=prefix)
+        for obj in resp.get("Contents", []) or []:
+            yield obj["Key"]
+
+
 def bucket_url(bucket: str, key: str = "") -> str:
     """``s3a://bucket[/key]`` — the URI every engine path parameter
     accepts wherever a local path works today (reference parity:

@@ -87,3 +87,74 @@ def test_s3a_read_path_fails_fast_without_connector(spark):
         spark.read.parquet("s3a://no-such-bucket/x.parquet").collect()
     msg = str(ei.value)
     assert "s3a" in msg.lower() or "S3AFileSystem" in msg
+
+
+# --- live byte transport (moto S3 server) ------------------------------------
+
+moto = pytest.importorskip("moto.server", reason="moto not installed")
+pytest.importorskip("boto3", reason="boto3 not installed")
+
+
+@pytest.fixture(scope="module")
+def live_s3():
+    """A REAL S3 HTTP endpoint (moto server) — bytes actually move over
+    the wire, unlike the config-assembly tests above."""
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    yield f"http://127.0.0.1:{port}"
+    server.stop()
+
+
+def _edge(live_s3):
+    from clinical_data_platform_spark.sources.objectstore import (
+        EdgeObjectClient,
+        minio_local,
+    )
+
+    cfg = minio_local(endpoint=live_s3, access_key="t", secret_key="t")
+    return EdgeObjectClient.from_config(cfg)
+
+
+def test_edge_client_byte_roundtrip(live_s3):
+    """put_bytes -> list_keys -> get_bytes against the live endpoint —
+    the reference's transport surface (s3_client.py:41-51) moving real
+    bytes, closing the S5 'no bytes ever moved' gap to the extent this
+    container allows (the s3a bulk path still needs the hadoop-aws jar,
+    absent here; its conf assembly is contract-tested above)."""
+    edge = _edge(live_s3)
+    edge.ensure_bucket("bronze")
+    edge.ensure_bucket("bronze")  # idempotent (head-then-create)
+    payload = bytes(range(256)) * 11
+    edge.put_bytes("bronze", "raw/domain=DM/part-0.bin", payload)
+    assert list(edge.list_keys("bronze", "raw/domain=DM/")) == [
+        "raw/domain=DM/part-0.bin"
+    ]
+    assert edge.get_bytes("bronze", "raw/domain=DM/part-0.bin") == payload
+
+
+def test_parquet_lands_through_edge_and_spark_reads_it(spark, live_s3, tmp_path):
+    """The reference's bronze landing flow (ingest_csv.py:141-146):
+    frame -> parquet bytes -> put_bytes(bronze, key); then the engine
+    side: get_bytes -> local staging -> spark.read.parquet, asserting
+    value equality end to end."""
+    from io import BytesIO
+
+    edge = _edge(live_s3)
+    edge.ensure_bucket("bronze")
+    src = spark.range(100).selectExpr(
+        "id", "cast(id * 2 as double) AS v", "concat('r', id) AS name"
+    )
+    buf = BytesIO()
+    src.toPandas().to_parquet(buf, index=False, compression="snappy")
+    edge.put_bytes("bronze", "sdtm/dm/part-0.parquet", buf.getvalue())
+
+    staged = tmp_path / "part-0.parquet"
+    staged.write_bytes(edge.get_bytes("bronze", "sdtm/dm/part-0.parquet"))
+    back = spark.read.parquet(str(staged))
+    assert back.count() == 100
+    a = sorted(src.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    assert a == b

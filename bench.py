@@ -355,6 +355,14 @@ HEADLINE = [
     "image_ahash_dedup_pairs",
     "stream_image_ahash_dedup",
     "cross_source_dup_audit",
+    # round 6: scale-safe dedup parameterizations, native PNG, oracled ANN
+    "semantic_near_dup_k_scaled",
+    "embedding_near_dup_t80_pairs",
+    "embedding_lsh_t80_prune_audit",
+    "png_decode_stats",
+    "bpe_train_merges",
+    "lsh_ann_topk_vec0",
+    "ivf_ann_topk_vec0",
 ]
 
 

@@ -67,23 +67,32 @@ def test_driver_window_spans_all_modules():
     assert window[0] == hist["anchor"] == "q1_pricing_summary"
 
     root = Path(__file__).resolve().parent.parent
+
+    def value_verified(path) -> set[str]:
+        # the debt ledger counts only VALUE-verified names (hash_match):
+        # a rows-only touch (err=no_oracle, e.g. bpe_train_merges in r3
+        # before it gained its oracle) is still outstanding debt
+        return {
+            n
+            for n, v in json.loads(path.read_text()).items()
+            if v.get("hash_match")
+        }
+
     driver_verified: set[str] = set()
+    all_touched: set[str] = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
-        # prior rounds only: the current round's file does not exist while
-        # the round is being built, but guard anyway by excluding names in
-        # the declared window itself from "already verified" only via the
-        # changed/anchor allowance below.
-        driver_verified |= set(json.loads(f.read_text()).keys())
+        driver_verified |= value_verified(f)
+        all_touched |= set(json.loads(f.read_text()).keys())
     # When the driver writes CORRECTNESS for the round that RAN this very
     # window, the window's own names become "verified" — ignore that file
     # (it is exactly the declared window).
-    if set(declared) <= driver_verified:
+    if set(declared) <= all_touched:
         prior: set[str] = set()
         for f in sorted(root.glob("CORRECTNESS_r*.json")):
             keys = set(json.loads(f.read_text()).keys())
             if keys == set(declared):
                 continue
-            prior |= keys
+            prior |= value_verified(f)
         driver_verified = prior
 
     allowed_verified = {hist["anchor"]} | set(hist["changed_this_round"])

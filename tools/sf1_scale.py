@@ -58,6 +58,12 @@ DEDUP_ER_FAMILY = [
     "incremental_dedup_new_docs",
     "embedding_near_dup_pairs",
     "semantic_near_dup_pairs",
+    # round 6: the scale-safe registered parameterizations (the k-scaled
+    # SemDeDup is now a first-class oracled query — it derives k from the
+    # corpus count itself, so no hand-rolled extra is needed here)
+    "semantic_near_dup_k_scaled",
+    "embedding_near_dup_t80_pairs",
+    "embedding_lsh_t80_prune_audit",
 ]
 
 
@@ -131,16 +137,21 @@ NOTES = {
         "them), so on 10x vectors each cell grows 10x and the cell-local "
         "pairwise stage does ~100x work: this is exactly the documented "
         "SemDeDup discipline that k MUST grow with the corpus. The "
-        "semantic_near_dup_k_scaled row below runs the SAME operator "
-        "(semantic_near_dup_frame) with k scaled by the data factor and "
-        "lands near-linear — the operator obeys its contract; the demo's "
-        "fixed k is the thing that does not scale."
+        "semantic_near_dup_k_scaled row runs the SAME operator "
+        "(semantic_near_dup_frame) with k derived from the corpus count "
+        "(a REGISTERED, fully-oracled query since r6) and lands "
+        "near-linear — the operator obeys its contract; the demo's "
+        "fixed k is the thing that does not scale, and it stays "
+        "registered only as the labeled contract demonstration."
     ),
     "embedding_near_dup_pairs": (
         "At the data ratio (10.9x on 10x): banded sign-LSH at the demo "
         "threshold tau=0.45 prunes little (documented in PLANS_AUDIT.md); "
-        "candidate volume grows with data, per-pair work constant. At "
-        "production thresholds (tau>=0.8) banding prunes >99.9%."
+        "candidate volume grows with data, per-pair work constant. The "
+        "production-threshold registrations (embedding_near_dup_t80_pairs "
+        "+ its prune audit, tau=0.8 with 16x12 banding, REGISTERED and "
+        "oracled since r6) prune >99% and their rows below show the "
+        "scale behavior a near-dup user actually gets."
     ),
     "reciprocal_best_match_pairs": (
         "SUB-linear by fixture interaction, not magic: parts replicate "
@@ -192,24 +203,12 @@ def main() -> None:
     qs["event_type_counts"](spark, src).write.format("noop").mode("overwrite").save()
     qs["event_type_counts"](spark, out).write.format("noop").mode("overwrite").save()
 
-    # the SemDeDup operator driven PER ITS CONTRACT (k grows with data):
-    # k=8 at sf0.1 (the registered demo's value), k=8*factor at sf1 —
-    # same operator, obeying the "k proportional to n" discipline
-    from clinical_data_platform_spark.catalog import table as cat_table
-    from clinical_data_platform_spark.plans.clustering import (
-        semantic_near_dup_frame,
-    )
-
-    def _sem_scaled(sf_dir):
-        k = 8 if sf_dir == src else 8 * factor
-        return semantic_near_dup_frame(
-            cat_table(spark, sf_dir, "embeddings"), k=k
-        )
-
-    extra = {"semantic_near_dup_k_scaled": _sem_scaled}
-    t_small = run_suite(spark, qs, names, src, extra)
-    t_big = run_suite(spark, qs, names, out, extra)
-    names = names + list(extra)
+    # semantic_near_dup_k_scaled is a REGISTERED query since r6: it derives
+    # k from the corpus count (k = clamp(ceil(n/32), 8, 4096)), so driving
+    # it on the replicated corpus exercises the k-grows-with-n contract
+    # with no hand-rolled twin (r5 verdict item 2).
+    t_small = run_suite(spark, qs, names, src)
+    t_big = run_suite(spark, qs, names, out)
 
     rows = []
     for n in names:

@@ -322,17 +322,33 @@ def semantic_near_dup_k_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_near_dup_frame(e, k=k)
 
 
+# Above this k the literal-centroid EXPRESSION assignment (O(n*k) dot
+# products interpreted per row) hands over to the BLAS twin (one GEMM per
+# Arrow batch) — pytest-asserted byte-equal assignments (at k=8 and at
+# k=100 on the largest shipped corpus), and only the ARGMIN cid feeds the
+# pair stage, so the emitted values are identical by construction. The
+# gate corpora stay below the threshold (k=8 demo, k=16 at n=500), so
+# every oracle hash is produced by the expression path; the bench corpus
+# (k=63 at sf0.1) and the 10x probe (k~626) ride the GEMM, which is the
+# honest 100 TB path anyway (measured: expression k=63 over 2000 rows
+# adds ~4 s of interpreter overhead for 8M flops).
+_ASSIGN_BLAS_OVER_K = 32
+
+
 def semantic_near_dup_frame(
     e: DataFrame, threshold: float = 0.45, k: int = _K
 ) -> DataFrame:
     """Cell-local near-dup over any (vec_id, embedding, label) frame with
     seed rows vec_id 0..k-1 (the testable, k-generic operator behind
-    semantic_near_dup_pairs)."""
+    semantic_near_dup_pairs and semantic_near_dup_k_scaled)."""
     from ..functions.vectors import dot
     from .vectorops import _unit_vectors
 
+    assigned = (
+        assign_blas(e, k) if k > _ASSIGN_BLAS_OVER_K else _assigned(e, k)
+    )
     au = (
-        _assigned(e, k)
+        assigned
         .select("vec_id", "cid")
         .join(_unit_vectors(e), "vec_id")
     )

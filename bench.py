@@ -363,6 +363,10 @@ HEADLINE = [
     "bpe_train_merges",
     "lsh_ann_topk_vec0",
     "ivf_ann_topk_vec0",
+    # round 6 wave 75: product quantization (IVF-PQ ANN layout)
+    "pq_encode_distortion",
+    "pq_adc_topk_vec0",
+    "ivf_pq_ann_topk_vec0",
 ]
 
 
@@ -410,11 +414,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # Idle-host protocol (r5 verdict item 8): with SPARK_GRAFT_BENCH_REPEAT=N
+    # the suite runs N back-to-back passes in ONE warm JVM and records the
+    # per-query MIN — host-load spikes inflate a query in one pass but
+    # rarely in both, so round-over-round diffs stop needing the ±15%
+    # variance caveat. The driver (env unset) keeps the single-pass contract.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    passes: list[dict[str, float]] = []
+    for _ in range(repeat):
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t[name] = round(time.time() - t0, 3)
+        passes.append(t)
+    timings = {n: min(p[n] for p in passes) for n in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     core = round(sum(timings[n] for n in BENCH_CORE if n in timings), 3)
@@ -430,6 +444,12 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
     }
+    if repeat > 1:
+        full["protocol"] = f"min of {repeat} back-to-back passes, one warm JVM"
+        full["pass_totals"] = [round(sum(p.values()), 3) for p in passes]
+        full["passes"] = passes  # full per-pass maps: diffs can stay
+        # protocol-comparable (pass 1 vs an old single-pass map) while the
+        # min map becomes the low-noise baseline for future rounds
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=False)

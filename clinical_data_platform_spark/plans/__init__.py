@@ -34,3 +34,4 @@ from . import matrixops  # noqa: E402,F401
 from . import survival  # noqa: E402,F401
 from . import spatial  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
+from . import quantization  # noqa: E402,F401

@@ -1,0 +1,425 @@
+"""Product-quantization plans — the vector-compression layer of a
+100 TB-scale ANN stack (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011; the FAISS IVF-PQ design).
+
+The repo already ships the two halves this module composes:
+
+- ``operators/ivf.py`` / ``kmeans_assign_seeded`` — coarse cells that
+  prune the corpus to ``nprobe/k`` of the data;
+- hyperplane/sign LSH (``plans/vectorops.py``) — bit-sketch candidates.
+
+PQ adds the third leg: compress each 64-dim float32 vector (256 bytes)
+to M=8 one-byte codes (8 bytes, 32x) by splitting it into M subspaces of
+8 dims and quantizing each subvector against a K=16-entry per-subspace
+codebook. Query-time distance is ASYMMETRIC (ADC): the query stays full
+precision and the per-(subspace, code) squared distances form a tiny
+M x K lookup table, so scanning a vector costs M table lookups + M-1
+adds — no float vector math per row.
+
+Determinism discipline (same as ``plans/clustering.py``): the codebook
+is SAMPLED, not Lloyd-trained — the subvectors of ``vec_id < 16`` —
+so both engines derive identical codebooks from the data with zero
+cross-row float accumulation. Real training would run MLlib KMeans per
+subspace on a sample (the ``kmeans_ml_clusters`` precedent); sampling is
+the standard init for that and keeps the DuckDB oracle exact. Vectors
+``vec_id >= 16`` form the encoded corpus (codebook rows held out);
+``vec_id = 0`` is the probe query, as in every other ANN plan here.
+All distance folds run index-order left-to-right in DOUBLE on both
+engines (``F.aggregate`` / Python ``sum`` loop vs DuckDB ``list_sum``),
+so pre-rounding floats agree bit-for-bit; argmin ties pin to the lowest
+code id via (dist, code) struct-min / ``row_number``.
+
+At 100 TB: encoding is map-side only (the K x DIM codebook is a plan
+literal — Catalyst constant-folds it; no shuffle, no UDF); the encoded
+corpus is 32x smaller on disk and in shuffle; ADC search is a
+whole-stage-codegen scan over the code columns with constant-array
+lookups; IVF-PQ additionally prunes the scan to the probed cells, which
+at scale are the partition key (see operators/ivf.py). The only
+exchanges in these plans are final aggregates or top-k TakeOrdered.
+Reference parity: the reference has no vector engine at all (see
+SURVEY.md §2 vector rows); this module is north-star scope like the rest
+of plans/vectorops.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table as T
+from .clustering import _ASSIGN_CTE, _centroids
+from .registry import query
+
+_DIM = 64
+_M = 8  # subspaces
+_SUB = _DIM // _M  # dims per subspace
+_K = 16  # codes per subspace (4-bit codes; codebook = vec_id < 16)
+_NPROBE = 2  # IVF cells probed (of the 8 seeded cells)
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTEs: codebook, per-(vector, code) subspace distances,
+# argmin codes. Same fold idiom as clustering._SQDIST_SQL — list_sum over
+# generate_series folds index-order in DOUBLE, matching F.aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _subdist_sql(m: int, a: str, b: str) -> str:
+    """Squared L2 between subspace m of two embedding columns."""
+    off = m * _SUB
+    return (
+        f"list_sum(list_transform(generate_series(1, {_SUB}), "
+        f"i -> (CAST({a}.embedding[{off} + i] AS DOUBLE)"
+        f" - CAST({b}.embedding[{off} + i] AS DOUBLE))"
+        f" * (CAST({a}.embedding[{off} + i] AS DOUBLE)"
+        f" - CAST({b}.embedding[{off} + i] AS DOUBLE))))"
+    )
+
+
+_FULLDIST_SQL = (
+    f"list_sum(list_transform(generate_series(1, {_DIM}), "
+    "i -> (CAST({a}.embedding[i] AS DOUBLE) - CAST({b}.embedding[i] AS DOUBLE))"
+    " * (CAST({a}.embedding[i] AS DOUBLE) - CAST({b}.embedding[i] AS DOUBLE))))"
+)
+
+_PQ_D_COLS = ", ".join(f"{_subdist_sql(m, 'e', 'cb')} AS d{m}" for m in range(_M))
+
+_PQ_LONG = "\n      UNION ALL ".join(
+    f"SELECT vec_id, k, CAST({m} AS BIGINT) AS m, d{m} AS dist FROM pq_d"
+    for m in range(_M)
+)
+
+_PQ_CTE = f"""
+    pq_cb AS (SELECT vec_id AS k, embedding FROM embeddings
+              WHERE vec_id < {_K}),
+    pq_q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    pq_d AS (
+      SELECT e.vec_id, cb.k, {_PQ_D_COLS}
+      FROM embeddings e CROSS JOIN pq_cb cb
+      WHERE e.vec_id >= {_K}
+    ),
+    pq_long AS (
+      {_PQ_LONG}
+    ),
+    pq_codes AS (
+      SELECT vec_id, m, k AS code, dist AS qerr,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, k) AS rn
+      FROM pq_long
+    )
+"""
+
+_PQ_WIDE_COLS = ", ".join(
+    f"max(CASE WHEN m = {m} AND rn = 1 THEN code END) AS c{m}" for m in range(_M)
+)
+_PQ_LUT_COLS = ", ".join(
+    f"{_subdist_sql(m, 'q', 'cb')} AS qd{m}" for m in range(_M)
+)
+_PQ_ADC_JOINS = "\n      ".join(
+    f"JOIN pq_lut l{m} ON l{m}.k = w.c{m}" for m in range(_M)
+)
+_PQ_ADC_SUM = " + ".join(f"l{m}.qd{m}" for m in range(_M))
+
+_PQ_ADC_CTE = f"""
+    pq_wide AS (
+      SELECT vec_id, {_PQ_WIDE_COLS}
+      FROM pq_codes GROUP BY vec_id
+    ),
+    pq_lut AS (
+      SELECT cb.k, {_PQ_LUT_COLS}
+      FROM pq_cb cb CROSS JOIN pq_q q
+    ),
+    pq_adc AS (
+      SELECT w.vec_id, {_PQ_ADC_SUM} AS adc_raw
+      FROM pq_wide w
+      {_PQ_ADC_JOINS}
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark side: literal codebook, map-side argmin encoding, literal ADC LUT.
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebook(e: DataFrame) -> list[list[float]]:
+    """K x DIM sampled codebook (vec_id 0..K-1), a plan constant — the
+    same driver-side footprint class as the LSH planes and the seeded
+    kmeans centroid matrix."""
+    return _centroids(e, _K)
+
+
+def _subvec(vec: list[float], m: int) -> list[float]:
+    return vec[m * _SUB : (m + 1) * _SUB]
+
+
+def _sq_fold(sub_col, lit_vec: list[float]):
+    """Index-order left fold of squared diffs between an array column
+    slice and a literal subvector, all in DOUBLE — bit-matches list_sum."""
+    lit = F.array(*[F.lit(float(v)) for v in lit_vec])
+    return F.aggregate(
+        F.zip_with(
+            sub_col,
+            lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _best_code(m: int, cents: list[list[float]]):
+    """(qerr, code) struct-min over the K codes of subspace m: argmin with
+    ties to the lowest code id, computed from one constant-folded literal
+    array — no shuffle, no UDF."""
+    cb_m = F.array(
+        *[F.array(*[F.lit(float(v)) for v in _subvec(cents[k], m)]) for k in range(_K)]
+    )
+    sub = F.slice(F.col("embedding"), m * _SUB + 1, _SUB)
+    return F.array_min(
+        F.transform(
+            cb_m,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        c,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("qerr"),
+                i.alias("code"),
+            ),
+        )
+    )
+
+
+def _encoded(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Corpus (vec_id >= K) with the M per-subspace best structs as
+    columns b0..b{M-1}. Pure map-side projection."""
+    return e.filter(F.col("vec_id") >= _K).select(
+        "vec_id", *[_best_code(m, cents).alias(f"b{m}") for m in range(_M)]
+    )
+
+
+def _query_vec(e: DataFrame) -> list[float]:
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def _adc_lut(qvec: list[float], cents: list[list[float]]) -> list[list[float]]:
+    """M x K table of squared distances from the query subvectors to the
+    codebook subvectors — computed driver-side in index order (Python
+    floats are IEEE doubles; the fold order matches list_sum), so it is
+    the same constant DuckDB derives in pq_lut."""
+    lut = []
+    for m in range(_M):
+        qs = _subvec(qvec, m)
+        row = []
+        for k in range(_K):
+            cs = _subvec(cents[k], m)
+            acc = 0.0
+            for a, b in zip(qs, cs):
+                acc += (a - b) * (a - b)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def _adc_col(lut: list[list[float]]):
+    """adc_raw = LUT[0][c0] + LUT[1][c1] + ... left-to-right — M constant
+    array lookups and M-1 adds per row, the whole point of ADC."""
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut[m]]),
+            F.col(f"b{m}.code") + 1,
+        )
+        for m in range(_M)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+@query(
+    "pq_encode_distortion",
+    oracle=f"""
+    WITH {_PQ_CTE}
+    SELECT m AS subspace,
+           count(*) AS n_points,
+           cast(count(DISTINCT code) AS BIGINT) AS codes_used,
+           round(avg(qerr), 5) AS avg_qerr,
+           round(max(qerr), 5) AS max_qerr
+    FROM pq_codes WHERE rn = 1
+    GROUP BY m
+    """,
+    tags=["vector", "quantization", "llm-pipeline"],
+)
+def pq_encode_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + distortion audit: quantize every corpus vector to M=8
+    4-bit codes against the sampled per-subspace codebook and report, per
+    subspace, the population, codebook utilization, and quantization MSE
+    — the audit run before committing a 32x-compressed ANN index. The
+    encode is map-side whole-stage-codegen (codebook = plan literal); the
+    single exchange carries M rows."""
+    e = T(spark, sf_dir, "embeddings")
+    cents = _pq_codebook(e)
+    bests = F.array(*[_best_code(m, cents) for m in range(_M)])
+    long = (
+        e.filter(F.col("vec_id") >= _K)
+        .select("vec_id", F.posexplode(bests).alias("m", "b"))
+        .select(
+            F.col("m").cast("long").alias("subspace"),
+            F.col("b.code").alias("code"),
+            F.col("b.qerr").alias("qerr"),
+        )
+    )
+    return long.groupBy("subspace").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count_distinct("code").alias("codes_used"),
+        F.round(F.avg("qerr"), 5).alias("avg_qerr"),
+        F.round(F.max("qerr"), 5).alias("max_qerr"),
+    )
+
+
+@query(
+    "pq_adc_topk_vec0",
+    oracle=f"""
+    WITH {_PQ_CTE}, {_PQ_ADC_CTE},
+    pq_exact AS (
+      SELECT e.vec_id,
+             {_FULLDIST_SQL.format(a='e', b='q')} AS exact_raw
+      FROM embeddings e CROSS JOIN pq_q q
+      WHERE e.vec_id >= {_K}
+    )
+    SELECT a.vec_id,
+           round(a.adc_raw, 5) AS adc_dist,
+           round(x.exact_raw, 5) AS exact_dist
+    FROM pq_adc a JOIN pq_exact x ON a.vec_id = x.vec_id
+    ORDER BY a.adc_raw, a.vec_id LIMIT 10
+    """,
+    tags=["vector", "quantization", "similarity", "llm-pipeline"],
+)
+def pq_adc_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: scan the PQ-encoded corpus with the query's M x K
+    lookup table (a plan literal) and return the 10 nearest by
+    asymmetric distance, alongside the true full-precision distance for
+    the compression-error read-off. The scan does M constant-array
+    lookups + M-1 adds per row — no per-row float vector math — and ends
+    in a TakeOrdered; value-exactly oracled because codebook, codes, and
+    LUT are all deterministic on both engines."""
+    e = T(spark, sf_dir, "embeddings")
+    cents = _pq_codebook(e)
+    qvec = _query_vec(e)
+    lut = _adc_lut(qvec, cents)
+    q_lit = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            q_lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # encode, ADC, and the exact read-off all come from the SAME row —
+    # one scan, one projection, zero joins; the only exchange is TakeOrdered
+    return (
+        e.filter(F.col("vec_id") >= _K)
+        .select(
+            "vec_id",
+            *[_best_code(m, cents).alias(f"b{m}") for m in range(_M)],
+            exact.alias("exact_raw"),
+        )
+        .select("vec_id", _adc_col(lut).alias("adc_raw"), "exact_raw")
+        .orderBy(F.asc("adc_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round("adc_raw", 5).alias("adc_dist"),
+            F.round("exact_raw", 5).alias("exact_dist"),
+        )
+    )
+
+
+@query(
+    "ivf_pq_ann_topk_vec0",
+    oracle=f"""
+    WITH {_ASSIGN_CTE}, {_PQ_CTE}, {_PQ_ADC_CTE},
+    pq_cells AS (
+      SELECT vec_id, cid FROM a WHERE rn = 1 AND vec_id >= {_K}
+    ),
+    pq_probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               {_FULLDIST_SQL.format(a='q', b='cx')} AS qdist
+        FROM (SELECT cid, ce AS embedding FROM c) cx
+        JOIN c ON c.cid = cx.cid
+        CROSS JOIN pq_q q
+      ) t QUALIFY row_number() OVER (ORDER BY qdist, cid) <= {_NPROBE}
+    )
+    SELECT s.vec_id, s.cid AS cell, round(d.adc_raw, 5) AS adc_dist
+    FROM pq_cells s
+    JOIN pq_probe p ON p.cid = s.cid
+    JOIN pq_adc d ON d.vec_id = s.vec_id
+    ORDER BY d.adc_raw, s.vec_id LIMIT 10
+    """,
+    tags=["vector", "quantization", "similarity", "clustering", "llm-pipeline"],
+)
+def ivf_pq_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN layout (FAISS IVFPQ):
+    coarse seeded-kmeans cells prune the corpus to the nprobe=2 nearest
+    cells, then the ADC lookup-table scan ranks only the survivors.
+    At 100 TB the cell id is the partition key, so the probe is partition
+    pruning and the scan touches nprobe/k of the data at 1/32 the bytes.
+    Both stages are deterministic (seeded centroids, sampled codebook,
+    pinned ties), so the composition is value-exactly oracled."""
+    e = T(spark, sf_dir, "embeddings")
+    cents = _pq_codebook(e)
+    qvec = _query_vec(e)
+    lut = _adc_lut(qvec, cents)
+    coarse = _centroids(e, 8)
+    dists = []
+    for cid, c in enumerate(coarse):
+        acc = 0.0
+        for a, b in zip(qvec, c):
+            acc += (a - b) * (a - b)
+        dists.append((acc, cid))
+    probe = [cid for _, cid in sorted(dists)[:_NPROBE]]
+    # coarse cell assignment is the SAME map-side argmin as
+    # clustering._assigned (full-dim, ties to lowest cid) — computed in
+    # the same projection as the PQ encode, so the whole plan is one scan
+    # + filter + TakeOrdered; no join, no exchange before the top-k.
+    # (At 100 TB the cell id is the PARTITION key and this filter becomes
+    # partition pruning — the inline recompute is the local[?] stand-in.)
+    coarse_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in coarse])
+    cell = F.array_min(
+        F.transform(
+            coarse_arr,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        c,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("sqdist"),
+                i.alias("cid"),
+            ),
+        )
+    )["cid"].cast("long")
+    return (
+        e.filter(F.col("vec_id") >= _K)
+        .select(
+            "vec_id",
+            cell.alias("cell"),
+            *[_best_code(m, cents).alias(f"b{m}") for m in range(_M)],
+        )
+        .filter(F.col("cell").isin(probe))
+        .select("vec_id", "cell", _adc_col(lut).alias("adc_raw"))
+        .orderBy(F.asc("adc_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cell", F.round("adc_raw", 5).alias("adc_dist"))
+    )

@@ -228,6 +228,9 @@ AUDIT = [
     ("image_decode_stats", "Real BMP decode in Arrow-batched mapInPandas; per-image integer sums"),
     ("image_ahash_dedup_pairs", "Perceptual dedup: decode+hash ONCE (checkpointed), canonical-star pairs (linear per group) off one hash shuffle"),
     ("approx_distinct_parts", "Sketch vs exact tolerance band: one grouped agg carries HLL++, exact distinct, and KLL in a single pass"),
+    # round 6 wave 75: product quantization
+    ("pq_adc_topk_vec0", "PQ ADC: map-side encode vs constant-folded codebook; LUT-lookup scan, zero joins, TakeOrdered top-k"),
+    ("ivf_pq_ann_topk_vec0", "IVF-PQ: one scan -> inline cell prune (partition pruning at scale) -> ADC LUT -> TakeOrdered; zero exchanges before top-k"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

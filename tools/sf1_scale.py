@@ -64,6 +64,11 @@ DEDUP_ER_FAMILY = [
     "semantic_near_dup_k_scaled",
     "embedding_near_dup_t80_pairs",
     "embedding_lsh_t80_prune_audit",
+    # round 6 wave 75: IVF-PQ — encode is map-side, ADC is a LUT scan,
+    # IVF-PQ prunes to probed cells; all three should track the data ratio
+    "pq_encode_distortion",
+    "pq_adc_topk_vec0",
+    "ivf_pq_ann_topk_vec0",
 ]
 
 

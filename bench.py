@@ -367,6 +367,10 @@ HEADLINE = [
     "pq_encode_distortion",
     "pq_adc_topk_vec0",
     "ivf_pq_ann_topk_vec0",
+    # round 6 wave 76: SQL-language surface (LATERAL, PIVOT, named params)
+    "sql_api_lateral_topk",
+    "sql_api_pivot_revenue",
+    "sql_api_parameterized",
 ]
 
 

@@ -2628,3 +2628,100 @@ def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("demand").cast("long").alias("stock_p80"),
         )
     )
+
+
+# --- wave 76: SQL-language surface (parser/analyzer features beyond the
+# DataFrame API — SURVEY §3.2's spark.sql path exercised on the constructs
+# a SQL-first user of the reference would reach for) -------------------------
+
+
+@query(
+    "sql_api_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+    tags=["sql-api", "J1", "W2"],
+)
+def sql_api_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — the SAME SQL
+    string runs verbatim on DuckDB as its own oracle. Catalyst
+    decorrelates the per-row LIMIT into a ranked join (no per-outer-row
+    re-execution), so at scale this is one shuffle on the correlation
+    key, not |nation| scans of customer."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "sql_api_pivot_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=["sql-api", "A4"],
+)
+def sql_api_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT syntax (parser surface; the DataFrame twin is
+    pivot_user_event_values). The oracle spells the relational meaning —
+    conditional aggregation — the same desugaring Catalyst applies, so
+    the pivot plans as ONE grouped aggregate, not one pass per column."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        )
+        PIVOT (round(sum(o_totalprice), 2)
+               FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        """
+    )
+
+
+@query(
+    "sql_api_parameterized",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_big,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=["sql-api", "P6"],
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(query, args=...)): the binding
+    travels as a typed literal through the parser — no string
+    interpolation, no injection surface, and Catalyst constant-folds it
+    like any literal (the oracle pins the same constant inline)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_big,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders WHERE o_totalprice > :cut
+        GROUP BY o_orderpriority
+        """,
+        args={"cut": 400000.0},
+    )

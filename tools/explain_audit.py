@@ -231,6 +231,7 @@ AUDIT = [
     # round 6 wave 75: product quantization
     ("pq_adc_topk_vec0", "PQ ADC: map-side encode vs constant-folded codebook; LUT-lookup scan, zero joins, TakeOrdered top-k"),
     ("ivf_pq_ann_topk_vec0", "IVF-PQ: one scan -> inline cell prune (partition pruning at scale) -> ADC LUT -> TakeOrdered; zero exchanges before top-k"),
+    ("sql_api_lateral_topk", "LATERAL LIMIT decorrelated: map-side WindowGroupLimit prunes to top-2/key BEFORE the shuffle, then ranked window + broadcast join"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

@@ -371,6 +371,8 @@ HEADLINE = [
     "sql_api_lateral_topk",
     "sql_api_pivot_revenue",
     "sql_api_parameterized",
+    # round 6 wave 77: Spark 4 VARIANT semi-structured path
+    "event_props_variant",
 ]
 
 

@@ -4037,3 +4037,63 @@ def pinball_loss_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pinball_loss"
         ),
     )
+
+
+@query(
+    "event_props_variant",
+    oracle="""
+    WITH all_props AS (
+      SELECT event_type, props FROM events
+      UNION ALL
+      SELECT * FROM (VALUES
+        ('corrupt_batch', '{"k": oops'),
+        ('corrupt_batch', '[1, 2'),
+        ('corrupt_batch', 'not json at all')
+      ) t(event_type, props)
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           cast(sum(CASE WHEN json_valid(props)
+                    THEN cast(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k,
+           round(avg(CASE WHEN json_valid(props)
+                     THEN cast(json_extract_string(props, '$.k') AS BIGINT)
+                     END), 6) AS avg_k
+    FROM all_props
+    GROUP BY event_type
+    """,
+    tags=["F8", "json", "variant", "spark4"],
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: try_parse_json
+    decodes the JSON string into the binary VARIANT encoding (the
+    open-format columnar JSON representation; at 100 TB the decode
+    happens ONCE at ingest and every downstream extraction is a typed
+    O(log fields) binary probe, not a re-parse), variant_get pulls a
+    typed field, and — the decode_error-row policy of the multimodal
+    module applied to JSON — three injected corrupt payloads become
+    NULL variants counted per group, never task failures. DuckDB
+    oracles the same semantics via json_valid/json_extract."""
+    base = T(spark, sf_dir, "events").select("event_type", "props")
+    corrupt = spark.createDataFrame(
+        [
+            ("corrupt_batch", '{"k": oops'),
+            ("corrupt_batch", "[1, 2"),
+            ("corrupt_batch", "not json at all"),
+        ],
+        "event_type string, props string",
+    )
+    v = base.unionByName(corrupt).select(
+        "event_type", F.try_parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "long")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )

@@ -34,7 +34,24 @@ FLOOR_SECONDS = 2.0
 # Explanations for flagged rows. A row flagged by the gate must have an entry
 # here (keyed by query name) or the tool exits 1. Keep these honest: each one
 # should say why the ratio moved and why that is (or is not) a plan problem.
-NOTES: dict[str, str] = {}
+NOTES: dict[str, str] = {
+    # r6 flags, both resolved by a targeted min-of-3 warm re-probe on a
+    # fresh 10x corpus (R6_NOTES.md): the ratio moved because ONE HALF of a
+    # single-sample probe caught a cold/GC outlier, not because a plan
+    # changed — no code touching either query changed between the probes.
+    "semantic_near_dup_k_scaled": (
+        "re-probe: small 2.18s / big 5.36s warm -> ratio ~2.5 reproducible "
+        "(the prior 1.83 was the optimistic single sample; the 11.0s big "
+        "half was a cold outlier). 2.5x on 10x data — sub-linear, k-scaling "
+        "contract intact."
+    ),
+    "blocking_recall_audit": (
+        "re-probe: small 6.78s / big 2.40s -> ratio ~0.35, matching the "
+        "prior 0.33; the flagged 0.44 paired a slow small half with a slow "
+        "big half. Strongly SUB-linear either way (df-cap gates prune "
+        "harder at sf1)."
+    ),
+}
 
 ROW_RE = re.compile(r"^\|\s*([a-z0-9_]+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*$")
 

@@ -373,6 +373,9 @@ HEADLINE = [
     "sql_api_parameterized",
     # round 6 wave 77: Spark 4 VARIANT semi-structured path
     "event_props_variant",
+    # round 6 wave 78: recursive CTE + GROUP BY ALL (verbatim-shared SQL)
+    "sql_api_recursive_cte",
+    "sql_api_group_by_all",
 ]
 
 

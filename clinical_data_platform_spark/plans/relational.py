@@ -2725,3 +2725,68 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cut": 400000.0},
     )
+
+
+_RECURSIVE_DEPTHS_SQL = """
+    WITH RECURSIVE lv AS (
+      SELECT c_custkey AS node, 0 AS depth
+      FROM customer WHERE c_custkey = 0
+      UNION ALL
+      SELECT c.c_custkey, lv.depth + 1
+      FROM customer c
+      JOIN lv ON lv.node = cast(floor((c.c_custkey - 1) / 2) AS BIGINT)
+      WHERE c.c_custkey >= 1
+    )
+    SELECT cast(depth AS BIGINT) AS depth,
+           cast(count(*) AS BIGINT) AS n_nodes,
+           cast(min(node) AS BIGINT) AS first_node,
+           cast(max(node) AS BIGINT) AS last_node
+    FROM lv GROUP BY depth
+"""
+
+
+@query(
+    "sql_api_recursive_cte",
+    oracle=_RECURSIVE_DEPTHS_SQL,
+    tags=["sql-api", "graph", "recursive-cte"],
+)
+def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE in spark.sql (Spark 4 recursive CTEs) — the SAME
+    string runs verbatim on DuckDB as its own oracle: per-depth rollup of
+    the binary-heap hierarchy over customer keys. This is the
+    level-synchronous BFS twin of ``customer_hierarchy_depths`` (whose
+    Spark side does O(log n)-round pointer jumping while ITS oracle uses
+    this recursive form): the engine executes one join per LEVEL
+    (O(depth) rounds ~ log2 n for the heap), each a hash join of the
+    frontier against customer — the textbook recursive-query plan. At
+    100 TB-hierarchy scale prefer the pointer-jumping operator when depth
+    is large and levels are skewed; the recursive CTE is the right tool
+    when depth is shallow and the SQL surface matters."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_DEPTHS_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ALL
+"""
+
+
+@query(
+    "sql_api_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=["sql-api", "A1"],
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (the DuckDB-originated shorthand, adopted by Spark
+    3.4+): the analyzer infers the grouping keys as every non-aggregate
+    select item — the same string runs verbatim on both engines. Pure
+    analyzer surface; the plan is the ordinary partial/final aggregate."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)

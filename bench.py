@@ -376,6 +376,9 @@ HEADLINE = [
     # round 6 wave 78: recursive CTE + GROUP BY ALL (verbatim-shared SQL)
     "sql_api_recursive_cte",
     "sql_api_group_by_all",
+    # round 6 wave 79: PQ recall audit + streaming VARIANT
+    "pq_recall_audit",
+    "stream_variant_props_rollup",
 ]
 
 

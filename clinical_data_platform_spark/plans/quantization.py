@@ -423,3 +423,99 @@ def ivf_pq_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "cell", F.round("adc_raw", 5).alias("adc_dist"))
     )
+
+
+@query(
+    "pq_recall_audit",
+    oracle=f"""
+    WITH {_PQ_CTE}, {_PQ_ADC_CTE},
+    pq_exact AS (
+      SELECT e.vec_id,
+             {_FULLDIST_SQL.format(a='e', b='q')} AS exact_raw
+      FROM embeddings e CROSS JOIN pq_q q
+      WHERE e.vec_id >= {_K}
+    ),
+    ex_top AS (
+      SELECT vec_id, exact_raw,
+             row_number() OVER (ORDER BY exact_raw, vec_id) AS rn
+      FROM pq_exact
+    ),
+    adc_top AS (
+      SELECT vec_id, adc_raw,
+             row_number() OVER (ORDER BY adc_raw, vec_id) AS rn
+      FROM pq_adc
+    )
+    SELECT cast(10 AS BIGINT) AS k,
+           cast(count(a.vec_id) AS BIGINT) AS recalled,
+           floor(count(a.vec_id) * 1e6 / 10) / 1e6 AS recall_at_10,
+           round(min(x.exact_raw), 5) AS best_exact_dist,
+           round(min(CASE WHEN a.rn = 1 THEN x2.exact_raw END), 5)
+               AS adc_top1_exact_dist
+    FROM ex_top x
+    LEFT JOIN adc_top a ON a.vec_id = x.vec_id AND a.rn <= 10
+    LEFT JOIN pq_exact x2 ON x2.vec_id = a.vec_id
+    WHERE x.rn <= 10
+    """,
+    tags=["vector", "quantization", "similarity", "audit", "llm-pipeline"],
+)
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality read-off in one row: of the exact top-10, how many
+    does the ADC top-10 recall, and how much distance does quantization
+    cost the top-1 (ADC-chosen nearest's TRUE distance vs the true
+    best). The audit every PQ deployment runs before trusting the
+    32x-compressed index — same pattern as ``blocking_recall_audit``
+    for text ER. Fully deterministic (sampled codebook + pinned ties),
+    so recall and inflation are value-exact across engines, not a
+    tolerance band."""
+    e = T(spark, sf_dir, "embeddings")
+    cents = _pq_codebook(e)
+    qvec = _query_vec(e)
+    lut = _adc_lut(qvec, cents)
+    q_lit = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            q_lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        e.filter(F.col("vec_id") >= _K)
+        .select(
+            "vec_id",
+            *[_best_code(m, cents).alias(f"b{m}") for m in range(_M)],
+            exact.alias("exact_raw"),
+        )
+        .select("vec_id", _adc_col(lut).alias("adc_raw"), "exact_raw")
+        .localCheckpoint()
+    )
+    ex_top = scored.select(
+        "vec_id",
+        "exact_raw",
+        F.row_number()
+        .over(Window.orderBy(F.asc("exact_raw"), F.asc("vec_id")))
+        .alias("ex_rn"),
+    ).filter(F.col("ex_rn") <= 10)
+    adc_top = scored.select(
+        F.col("vec_id").alias("a_vec_id"),
+        F.col("exact_raw").alias("a_exact_raw"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("adc_raw"), F.asc("vec_id")))
+        .alias("a_rn"),
+    ).filter(F.col("a_rn") <= 10)
+    joined = ex_top.join(
+        adc_top, ex_top["vec_id"] == adc_top["a_vec_id"], "left"
+    )
+    return joined.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count("a_vec_id").alias("recalled"),
+        (F.floor(F.count("a_vec_id") * 1e6 / 10) / 1e6).alias("recall_at_10"),
+        F.round(F.min("exact_raw"), 5).alias("best_exact_dist"),
+        F.round(
+            F.min(F.when(F.col("a_rn") == 1, F.col("a_exact_raw"))), 5
+        ).alias("adc_top1_exact_dist"),
+    )

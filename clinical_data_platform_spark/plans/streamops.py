@@ -532,3 +532,31 @@ def stream_segment_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFram
     stateful (dedup / session / sketch-state)."""
     tune_session(spark)
     return S.segment_enriched_counts(spark, sf_dir)
+
+
+@query(
+    "stream_variant_props_rollup",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           cast(max(cast(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=["streaming", "json", "variant", "spark4"],
+)
+def stream_variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT decode inside a structured stream (wave 77's batch twin is
+    event_props_variant): try_parse_json + variant_get in the micro-batch
+    path, complete-mode rollup over the bounded source equals the batch
+    aggregate — and n_bad pins the malformed-payload-to-NULL contract in
+    the STREAMING plan, where a throwing decode would kill a micro-batch,
+    not a row."""
+    tune_session(spark)
+    from ..streaming import events_stream as S
+
+    return S.variant_props_rollup(spark, sf_dir)

@@ -388,3 +388,27 @@ def segment_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT inside a structured stream: the JSON props column
+    decodes to the binary VARIANT encoding IN-STREAM (try_parse_json —
+    malformed payloads become NULL variants, never micro-batch
+    failures), variant_get pulls the typed field, and the per-type
+    rollup runs in complete mode. At scale this is the
+    decode-once-at-the-edge pattern: every downstream consumer of the
+    stream reads typed binary probes, not re-parsed JSON."""
+    ev = _event_stream(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.try_parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "long")
+    agg = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+    return _run_to_memory(agg, "complete")

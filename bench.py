@@ -379,6 +379,8 @@ HEADLINE = [
     # round 6 wave 79: PQ recall audit + streaming VARIANT
     "pq_recall_audit",
     "stream_variant_props_rollup",
+    # round 6 wave 80: residual IVF-PQ (the FAISS IVFPQ encoding)
+    "ivf_pq_residual_topk_vec0",
 ]
 
 

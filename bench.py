@@ -381,6 +381,8 @@ HEADLINE = [
     "stream_variant_props_rollup",
     # round 6 wave 80: residual IVF-PQ (the FAISS IVFPQ encoding)
     "ivf_pq_residual_topk_vec0",
+    # round 6 wave 81: binary Hamming prefilter + exact rerank
+    "hamming_rerank_topk_vec0",
 ]
 
 

@@ -1020,3 +1020,132 @@ def lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cand, 6).alias("p_candidate"),
         F.round(s_thr, 6).alias("s_threshold"),
     )
+
+
+# --- wave 81: binary Hamming prefilter + exact rerank ------------------------
+
+_HAM_PLANES = 64  # md5-derived Rademacher planes -> 64-bit sign sketch
+_HAM_SHORTLIST = 100
+
+
+def _ham_proj_sql(plane: list[float], a: str) -> str:
+    lit = "[" + ", ".join(str(s) for s in plane) + "]"
+    return f"list_dot_product({a}.embedding::DOUBLE[], {lit}::DOUBLE[])"
+
+
+def _ham_oracle_sql() -> str:
+    planes = _slsh_signs(_HAM_PLANES)
+    qs_cols = ",\n             ".join(
+        f"({_ham_proj_sql(planes[p], 'q')} > 0) AS s{p}"
+        for p in range(_HAM_PLANES)
+    )
+    ham_terms = " + ".join(
+        f"(CASE WHEN ({_ham_proj_sql(planes[p], 'e')} > 0) != qs.s{p}"
+        f" THEN 1 ELSE 0 END)"
+        for p in range(_HAM_PLANES)
+    )
+    return f"""
+    WITH qrow AS MATERIALIZED (
+      SELECT embedding FROM embeddings WHERE vec_id = 0
+    ),
+    qs AS MATERIALIZED (
+      SELECT {qs_cols} FROM qrow q
+    ),
+    ham AS (
+      SELECT e.vec_id, CAST({ham_terms} AS BIGINT) AS hamming
+      FROM embeddings e CROSS JOIN qs
+      WHERE e.vec_id != 0
+    ),
+    short AS (
+      SELECT vec_id, hamming,
+             row_number() OVER (ORDER BY hamming, vec_id) AS rn
+      FROM ham
+    )
+    SELECT s.vec_id, s.hamming,
+           round({_DOT_SQL.format(a='e.embedding', b='q.embedding')}
+                 / ({_NORM_SQL.format(a='e.embedding')}
+                    * {_NORM_SQL.format(a='q.embedding')}), 5) AS cosine
+    FROM short s
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    CROSS JOIN qrow q
+    WHERE s.rn <= {_HAM_SHORTLIST}
+    ORDER BY {_DOT_SQL.format(a='e.embedding', b='q.embedding')}
+             / ({_NORM_SQL.format(a='e.embedding')}
+                * {_NORM_SQL.format(a='q.embedding')}) DESC, s.vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "hamming_rerank_topk_vec0",
+    oracle=_ham_oracle_sql(),
+    tags=["vector", "similarity", "ann", "llm-pipeline"],
+)
+def hamming_rerank_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary retrieval — the third classic ANN path next to
+    bucketed LSH and IVF(-PQ): a 64-bit sign sketch (8 bytes/vector, md5-
+    derived Rademacher planes) ranks the corpus by Hamming distance to
+    the query's sketch, the top-100 shortlist reranks by exact cosine.
+    At 100 TB the sketch column is 32x smaller than the vectors, the
+    Hamming scan is a popcount pass over it, and only the shortlist ever
+    touches the float vectors — the memory/IO shape every binary-sketch
+    deployment (e.g. the original Charikar/SimHash retrieval stack)
+    relies on. Signatures come from ONE Arrow-batched GEMM per batch
+    (the t80/assign_blas discipline — 64 interpreted HOF dots per row
+    would dominate the runtime); Hamming is computed against the
+    query's DATA-DERIVED bit vector on both engines, so the whole
+    pipeline is value-exactly oracled (integer Hamming, pinned ties,
+    sign margin 1e-6 vs 1e-14 reorder noise as measured for this plane
+    family)."""
+    import numpy as np
+    import pandas as pd
+
+    e = T(spark, sf_dir, "embeddings")
+    planes = np.asarray(_slsh_signs(_HAM_PLANES), dtype=np.float64)
+    qvec = np.asarray(
+        [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()[0]
+        ],
+        dtype=np.float64,
+    )
+    qbits = (planes @ qvec) > 0  # 64 bools, derived from data
+
+    def batches(it):
+        for pdf in it:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(x) == 0:
+                yield pd.DataFrame({"vec_id": [], "hamming": []})
+                continue
+            bits = (x @ planes.T) > 0  # n x 64
+            ham = np.count_nonzero(bits != qbits[None, :], axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "hamming": ham.astype(np.int64)}
+            )
+
+    ham = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(batches, "vec_id long, hamming long")
+    )
+    shortlist = ham.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(
+        _HAM_SHORTLIST
+    )
+    q_lit = F.array(*[F.lit(float(v)) for v in qvec])
+    from ..functions.vectors import cosine_similarity
+
+    return (
+        shortlist.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            "hamming",
+            cosine_similarity(F.col("embedding"), q_lit).alias("cos_raw"),
+        )
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "hamming", F.round("cos_raw", 5).alias("cosine"))
+    )

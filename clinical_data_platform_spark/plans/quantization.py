@@ -449,11 +449,11 @@ def ivf_pq_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(count(a.vec_id) AS BIGINT) AS recalled,
            floor(count(a.vec_id) * 1e6 / 10) / 1e6 AS recall_at_10,
            round(min(x.exact_raw), 5) AS best_exact_dist,
-           round(min(CASE WHEN a.rn = 1 THEN x2.exact_raw END), 5)
-               AS adc_top1_exact_dist
+           round((SELECT x2.exact_raw FROM adc_top t1
+                  JOIN pq_exact x2 ON x2.vec_id = t1.vec_id
+                  WHERE t1.rn = 1), 5) AS adc_top1_exact_dist
     FROM ex_top x
     LEFT JOIN adc_top a ON a.vec_id = x.vec_id AND a.rn <= 10
-    LEFT JOIN pq_exact x2 ON x2.vec_id = a.vec_id
     WHERE x.rn <= 10
     """,
     tags=["vector", "quantization", "similarity", "audit", "llm-pipeline"],
@@ -481,8 +481,10 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    from pyspark.sql import Window
-
+    # Both top-10s come from TakeOrderedAndProject (never a global
+    # row_number window — that would funnel the CORPUS through one task
+    # at scale); the scalar read-offs are one-row aggregates combined
+    # with one-row cross joins, the audit-classified literal pattern.
     scored = (
         e.filter(F.col("vec_id") >= _K)
         .select(
@@ -493,31 +495,27 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _adc_col(lut).alias("adc_raw"), "exact_raw")
         .localCheckpoint()
     )
-    ex_top = scored.select(
-        "vec_id",
-        "exact_raw",
-        F.row_number()
-        .over(Window.orderBy(F.asc("exact_raw"), F.asc("vec_id")))
-        .alias("ex_rn"),
-    ).filter(F.col("ex_rn") <= 10)
-    adc_top = scored.select(
-        F.col("vec_id").alias("a_vec_id"),
-        F.col("exact_raw").alias("a_exact_raw"),
-        F.row_number()
-        .over(Window.orderBy(F.asc("adc_raw"), F.asc("vec_id")))
-        .alias("a_rn"),
-    ).filter(F.col("a_rn") <= 10)
-    joined = ex_top.join(
-        adc_top, ex_top["vec_id"] == adc_top["a_vec_id"], "left"
-    )
-    return joined.agg(
-        F.lit(10).cast("long").alias("k"),
+    ex_top = scored.orderBy(F.asc("exact_raw"), F.asc("vec_id")).limit(10)
+    adc_top = scored.orderBy(F.asc("adc_raw"), F.asc("vec_id")).limit(10)
+    recalled = ex_top.join(
+        adc_top.select(F.col("vec_id").alias("a_vec_id")),
+        ex_top["vec_id"] == F.col("a_vec_id"),
+        "left",
+    ).agg(
         F.count("a_vec_id").alias("recalled"),
-        (F.floor(F.count("a_vec_id") * 1e6 / 10) / 1e6).alias("recall_at_10"),
         F.round(F.min("exact_raw"), 5).alias("best_exact_dist"),
-        F.round(
-            F.min(F.when(F.col("a_rn") == 1, F.col("a_exact_raw"))), 5
-        ).alias("adc_top1_exact_dist"),
+    )
+    adc_top1 = (
+        scored.orderBy(F.asc("adc_raw"), F.asc("vec_id"))
+        .limit(1)
+        .select(F.round("exact_raw", 5).alias("adc_top1_exact_dist"))
+    )
+    return recalled.crossJoin(adc_top1).select(
+        F.lit(10).cast("long").alias("k"),
+        "recalled",
+        (F.floor(F.col("recalled") * 1e6 / 10) / 1e6).alias("recall_at_10"),
+        "best_exact_dist",
+        "adc_top1_exact_dist",
     )
 
 

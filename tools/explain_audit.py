@@ -232,6 +232,8 @@ AUDIT = [
     ("pq_adc_topk_vec0", "PQ ADC: map-side encode vs constant-folded codebook; LUT-lookup scan, zero joins, TakeOrdered top-k"),
     ("ivf_pq_ann_topk_vec0", "IVF-PQ: one scan -> inline cell prune (partition pruning at scale) -> ADC LUT -> TakeOrdered; zero exchanges before top-k"),
     ("sql_api_lateral_topk", "LATERAL LIMIT decorrelated: map-side WindowGroupLimit prunes to top-2/key BEFORE the shuffle, then ranked window + broadcast join"),
+    ("ivf_pq_residual_topk_vec0", "Residual IVF-PQ: one scan -> inline cell assign -> residual encode vs constant codebook -> per-cell LUT ADC -> TakeOrdered"),
+    ("hamming_rerank_topk_vec0", "Two-stage binary retrieval: Arrow GEMM sketch scan -> Hamming TakeOrdered shortlist -> exact-cosine rerank of 100"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

@@ -14,10 +14,12 @@ Three tiers, mirroring the repo's exact/approximate twin convention:
 - ``kmeans_cluster_purity``  — cluster-vs-ground-truth-label contingency:
   majority label and purity per cluster. Exact DuckDB oracle.
 - ``kmeans_ml_clusters``     — real Lloyd iterations via Spark ML
-  ``KMeans`` (k-means|| init, fixed seed): cluster sizes + per-cluster
-  mean distance. Rows-only driver check; determinism and
-  inertia-vs-seeded-assignment are asserted in pytest
-  (tests/test_clustering.py).
+  ``KMeans`` (k-means|| init, fixed seed), registered as an
+  INVARIANT-BAND oracled row since r7 (exact point count + fixed-point
+  seeded inertia, plus TRUE-literal claims: all k clusters non-empty,
+  Lloyd inertia <= seeded-assignment inertia). Per-cluster detail stays
+  in the unregistered ``kmeans_ml_cluster_profile``; determinism is
+  asserted in pytest (tests/test_clustering.py).
 
 At 100 TB: assignment is embarrassingly parallel (no shuffle, no UDF —
 whole-stage codegen over array expressions); the k-row aggregate is a
@@ -206,10 +208,36 @@ _NORM_SQL = (
 )
 
 
+# Demo-registration input bound (r6 verdict item: the registry must hold
+# ZERO queries that degrade super-linearly at any corpus size). The k=8
+# contract demonstration below is pedagogical — fixed k means cell
+# populations grow with the corpus and pair work grows quadratically — so
+# its INPUT is pinned to a deterministic sample (vec_id < _DEMO_CAP, a
+# min/max-prunable parquet predicate). Every shipped fixture has <= 2048
+# embeddings, so all existing oracle hashes and bench rows are unchanged;
+# on anything larger the demo reads a bounded prefix instead of degrading.
+_DEMO_CAP = 2048
+
+_ASSIGN_CTE_DEMO = f"""
+    c AS (SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < {_K}),
+    d AS (
+      SELECT e.vec_id, e.label, c.cid, {_SQDIST_SQL} AS sqdist
+      FROM (SELECT * FROM embeddings WHERE vec_id < {_DEMO_CAP}) e, c
+    ),
+    a AS (
+      SELECT vec_id, label, cid, sqdist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sqdist, cid) AS rn
+      FROM d
+    )
+"""
+
+
 @query(
     "semantic_near_dup_pairs",
     oracle=f"""
-    WITH {_ASSIGN_CTE},
+    WITH {_ASSIGN_CTE_DEMO},
     m AS (
       SELECT a.vec_id, a.cid, e.embedding,
              {_NORM_SQL.format(a='e.embedding')} AS nrm
@@ -247,11 +275,17 @@ def semantic_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTE: this registration pins k=8 as the CONTRACT DEMONSTRATION (a
     fixed, human-checkable cell structure for the oracle). k=8 does not
     scale — cells grow with the corpus, so pair work inside each cell is
-    quadratic in corpus size (measured 82x on 10x data, SCALE.md). The
-    production parameterization is ``semantic_near_dup_k_scaled`` below,
-    which derives k from the corpus row count so cell populations stay
-    bounded."""
-    return semantic_near_dup_frame(T(spark, sf_dir, "embeddings"))
+    quadratic in corpus size (measured 63x on 10x data in r6's SCALE.md)
+    — so since r7 the demo's INPUT is bounded to the deterministic
+    vec_id < _DEMO_CAP sample (the oracle applies the identical bound;
+    every shipped fixture sits entirely inside it, so the pinned hashes
+    are unchanged). Pair work is therefore O(_DEMO_CAP^2 / k) at ANY
+    corpus size and the predicate prunes the scan. The production
+    parameterization is ``semantic_near_dup_k_scaled`` below, which
+    derives k from the corpus row count so cell populations stay
+    bounded with the FULL corpus as input."""
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _DEMO_CAP)
+    return semantic_near_dup_frame(e)
 
 
 # SemDeDup's scale discipline: cell population pinned (~_CELL_TARGET
@@ -447,12 +481,14 @@ def semantic_near_dup_blas(
     return au.groupBy("cid").applyInPandas(per_cell, schema=out_schema)
 
 
-@query("kmeans_ml_clusters", tags=["vector", "clustering", "ml"])
-def kmeans_ml_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_ml_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd via Spark ML KMeans (k=8, k-means|| init,
     seed=42, 10 iterations) over the embedding column: cluster sizes and
-    mean distance-to-centroid, largest first. Rows-only driver check;
-    determinism and quality-vs-seeded-assignment are pytest-asserted.
+    mean distance-to-centroid, largest first. UNREGISTERED detail frame
+    (cluster ids are MLlib-labeling-dependent, so the per-cluster rows
+    have no SQL twin); the registered ``kmeans_ml_clusters`` derives its
+    invariant-band row from this. Determinism and
+    quality-vs-seeded-assignment are pytest-asserted.
 
     At scale each iteration broadcasts the k x dim centroid matrix and
     reduces per-partition partial sums — no row ever leaves its
@@ -492,6 +528,80 @@ def kmeans_ml_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dist"), 5).alias("avg_dist"),
         )
         .orderBy(F.desc("n_points"), F.asc("cid"))
+    )
+
+
+@query(
+    "kmeans_ml_clusters",
+    oracle=f"""
+    WITH {_ASSIGN_CTE}
+    SELECT cast({_K} AS BIGINT) AS k,
+           cast(count(*) AS BIGINT) AS n_points,
+           cast(sum(cast(floor(sqdist * 1e6) AS BIGINT)) AS BIGINT)
+             AS seeded_inertia_fp,
+           TRUE AS all_k_clusters_nonempty,
+           TRUE AS ml_inertia_le_seeded
+    FROM a WHERE rn = 1
+    """,
+    tags=["vector", "clustering", "ml"],
+)
+def kmeans_ml_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML KMeans promoted from rows-only to an INVARIANT-BAND
+    oracle (r6 verdict item 6, the approx_distinct/lsh_ann TRUE-literal
+    pattern): MLlib's cluster labels have no SQL twin, but the run's
+    QUALITY CONTRACT does. The row carries (a) exact DuckDB-verified
+    values — point count and the seeded-assignment inertia in
+    order-free int64 fixed point (floor(sqdist*1e6) per point, so float
+    sum order cannot flap the hash) — and (b) two deterministic-seed
+    claims DuckDB emits as TRUE literals: all k clusters are non-empty,
+    and 10 Lloyd iterations from k-means|| init end at-or-below the
+    naive seeded assignment's inertia (x1.001 float-noise allowance).
+    A broken fit (collapsed cluster, diverging inertia, seed drift)
+    flips a boolean and fails the hash; the per-cluster detail frame
+    stays available as ``kmeans_ml_cluster_profile``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = T(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=_K, seed=42, maxIter=10).fit(feats)
+    pred = model.transform(feats)
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    arr = vector_to_array(F.col("features"))
+    sq_by_cid = [
+        F.aggregate(
+            F.zip_with(
+                arr,
+                F.array(*[F.lit(v) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in cents
+    ]
+    sq = F.element_at(F.array(*sq_by_cid), F.col("prediction") + 1)
+    ml = pred.select(F.col("prediction").alias("cid"), sq.alias("sqdist")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count_distinct("cid").alias("k_eff"),
+        F.sum("sqdist").alias("ml_inertia"),
+    )
+    seeded = _assigned(e).agg(
+        F.sum("sqdist").alias("seeded_inertia"),
+        F.sum(F.floor(F.col("sqdist") * 1e6).cast("long"))
+        .cast("long")
+        .alias("seeded_inertia_fp"),
+    )
+    return ml.crossJoin(seeded).select(
+        F.lit(_K).cast("long").alias("k"),
+        F.col("n_points").cast("long").alias("n_points"),
+        "seeded_inertia_fp",
+        (F.col("k_eff") == _K).alias("all_k_clusters_nonempty"),
+        (F.col("ml_inertia") <= F.col("seeded_inertia") * 1.001).alias(
+            "ml_inertia_le_seeded"
+        ),
     )
 
 
@@ -566,22 +676,11 @@ def semantic_near_dup_blas_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_near_dup_blas(T(spark, sf_dir, "embeddings"))
 
 
-@query("als_brand_recs", tags=["recsys", "ml", "als"])
-def als_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Implicit-feedback ALS matrix factorization (Hu, Koren & Volinsky
-    2008) over the customer x brand purchase-count matrix via Spark ML
-    (rank 8, seed 42, 5 iterations, implicitPrefs): per-brand top-3
-    most-similar brands by factor cosine. Rows-only driver check — the
-    alternating least-squares iterations have no SQL twin; the value
-    gate lives in pytest (determinism; reconstruction beating the
-    global-mean baseline; cosine neighbors overlapping the exact
-    co-occurrence neighbors from item_item_cosine_recs).
-
-    At 100 TB this is the canonical distributed MF: each ALS half-step
-    solves per-entity ridge systems with the other side's factors
-    block-broadcast; Spark ML's blocked implementation is exactly that.
-    The similarity fold here is |brands|^2 on 8-dim factors — driver
-    trivial."""
+def _als_fit(spark: SparkSession, sf_dir: str):
+    """Fit the shared implicit-feedback ALS (rank 8, seed 42, 5
+    iterations, regParam 0.1) over the customer x brand purchase-count
+    matrix; returns (model, ratings). Brand ids are the digits of
+    'Brand#xy'."""
     from pyspark.ml.recommendation import ALS
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -613,7 +712,26 @@ def als_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratingCol="rating",
         coldStartStrategy="drop",
     )
-    model = als.fit(ratings)
+    return als.fit(ratings), ratings
+
+
+def als_brand_rec_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS matrix factorization (Hu, Koren & Volinsky
+    2008) over the customer x brand purchase-count matrix via Spark ML
+    (rank 8, seed 42, 5 iterations, implicitPrefs): per-brand top-3
+    most-similar brands by factor cosine. UNREGISTERED detail frame
+    (factor values are MLlib-internal, no SQL twin); the registered
+    ``als_brand_recs`` derives its invariant-band row from this. The
+    per-row value gate lives in pytest (determinism; cosine neighbors
+    overlapping the exact co-occurrence neighbors from
+    item_item_cosine_recs).
+
+    At 100 TB this is the canonical distributed MF: each ALS half-step
+    solves per-entity ridge systems with the other side's factors
+    block-broadcast; Spark ML's blocked implementation is exactly that.
+    The similarity fold here is |brands|^2 on 8-dim factors — driver
+    trivial."""
+    model, _ = _als_fit(spark, sf_dir)
     f = model.itemFactors.select(
         F.col("id").alias("item"), F.col("features").alias("vec")
     )
@@ -646,4 +764,87 @@ def als_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_b",
             F.round("cos", 4).alias("cosine"),
         )
+    )
+
+
+# Margin for the ALS ranking-quality band: mean predicted preference over
+# OBSERVED (customer, brand) cells must exceed the mean over UNOBSERVED
+# cells of the full interaction grid by at least this much. Implicit ALS
+# (Hu-Koren-Volinsky) trains preferences toward 1 on observed cells and 0
+# elsewhere, so a sound fit separates the two means decisively (measured
+# gap 0.13-0.27 across the shipped sfs); 0.05 keeps seed-stable float
+# jitter from flapping the boolean while a broken fit (gap ~0) still fails.
+# This invariant survives interaction-matrix densification, unlike
+# factor-vs-co-occurrence neighbor overlap, which decays to chance as the
+# matrix saturates (measured 13/25 brands at sf0.001 but 2/25 at sf0.1).
+_ALS_AUC_MARGIN = 0.05
+
+
+@query(
+    "als_brand_recs",
+    oracle="""
+    WITH cb AS (
+      SELECT DISTINCT o.o_custkey AS cust,
+             cast(regexp_replace(p.p_brand, '[^0-9]', '', 'g') AS INT)
+               AS item
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p   ON p.p_partkey = l.l_partkey
+    )
+    SELECT cast(count(DISTINCT item) AS BIGINT) AS n_brands,
+           cast(count(*) AS BIGINT) AS n_cells,
+           cast(8 AS BIGINT) AS als_rank,
+           TRUE AS observed_pref_beats_unobserved
+    FROM cb
+    """,
+    tags=["recsys", "ml", "als"],
+)
+def als_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS promoted from rows-only to an INVARIANT-BAND oracle (r6
+    verdict item 6): the factor matrix has no SQL twin, but the training
+    input and the model's ranking contract do. The row carries (a)
+    DuckDB-exact values — the distinct brand count and the size of the
+    customer x brand interaction matrix ALS trains on — and (b) a
+    TRUE-literal claim: over the FULL user x brand grid, the mean
+    predicted preference on observed cells exceeds the mean on
+    unobserved cells by > _ALS_AUC_MARGIN (the separation implicit ALS
+    exists to produce; a broken/diverged/seed-drifted fit collapses the
+    gap and flips the boolean, failing the hash). The grid is
+    |users| x |brands| — 25 brands, so linear in users; scoring is one
+    model.transform, no per-row Python. Per-brand recommendation rows
+    stay available as ``als_brand_rec_rows`` (pytest pins their
+    determinism and factor-vs-co-occurrence neighbor overlap at the
+    sparse sf where that signal exists)."""
+    model, ratings = _als_fit(spark, sf_dir)
+    r = ratings.localCheckpoint()
+    totals = r.agg(
+        F.count_distinct("item").cast("long").alias("n_brands"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    grid = (
+        r.select("user").distinct().crossJoin(r.select("item").distinct())
+    )
+    labeled = grid.join(
+        r.select("user", "item", F.lit(True).alias("obs")),
+        ["user", "item"],
+        "left",
+    ).select("user", "item", F.coalesce("obs", F.lit(False)).alias("obs"))
+    scored = model.transform(labeled)
+    gap = (
+        scored.groupBy("obs")
+        .agg(F.avg("prediction").alias("m"))
+        .groupBy()
+        .pivot("obs", [True, False])
+        .agg(F.first("m"))
+    )
+    band = gap.select(
+        (F.col("true") > F.col("false") + _ALS_AUC_MARGIN).alias(
+            "observed_pref_beats_unobserved"
+        )
+    )
+    return totals.crossJoin(band).select(
+        "n_brands",
+        "n_cells",
+        F.lit(8).cast("long").alias("als_rank"),
+        "observed_pref_beats_unobserved",
     )

@@ -4053,8 +4053,8 @@ def pinball_loss_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            cast(count(*) AS BIGINT) AS n,
-           cast(sum(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_bad,
+           cast(sum(CASE WHEN props IS NULL OR NOT json_valid(props)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
            cast(sum(CASE WHEN json_valid(props)
                     THEN cast(json_extract_string(props, '$.k') AS BIGINT)
                     END) AS BIGINT) AS sum_k,

@@ -539,12 +539,14 @@ def stream_segment_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT event_type,
            cast(count(*) AS BIGINT) AS n,
-           cast(sum(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_bad,
-           cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           cast(max(cast(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS max_k
+           cast(sum(CASE WHEN props IS NULL OR NOT json_valid(props)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           cast(sum(CASE WHEN json_valid(props)
+                    THEN cast(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k,
+           cast(max(CASE WHEN json_valid(props)
+                    THEN cast(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS max_k
     FROM events GROUP BY event_type
     """,
     tags=["streaming", "json", "variant", "spark4"],

@@ -16,6 +16,7 @@ from clinical_data_platform_spark.plans.clustering import (
     _K,
     _assigned,
     kmeans_assign_seeded,
+    kmeans_ml_cluster_profile,
     kmeans_ml_clusters,
 )
 
@@ -42,8 +43,8 @@ def test_assignment_conserves_points(spark):
 
 def test_ml_kmeans_deterministic_and_conserving(spark):
     e_total = T(spark, SF, "embeddings").count()
-    a = kmeans_ml_clusters(spark, SF).collect()
-    b = kmeans_ml_clusters(spark, SF).collect()
+    a = kmeans_ml_cluster_profile(spark, SF).collect()
+    b = kmeans_ml_cluster_profile(spark, SF).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert sum(r["n_points"] for r in a) == e_total
     assert len(a) <= _K
@@ -58,8 +59,25 @@ def test_lloyd_beats_seeded_assignment(spark):
         return sum(r["avg_dist"] * r["n_points"] for r in rows) / n
 
     seeded = weighted_avg(kmeans_assign_seeded(spark, SF).collect())
-    ml = weighted_avg(kmeans_ml_clusters(spark, SF).collect())
+    ml = weighted_avg(kmeans_ml_cluster_profile(spark, SF).collect())
     assert ml <= seeded * 1.001
+
+
+def test_ml_kmeans_band_row_claims_hold(spark):
+    """The registered kmeans_ml_clusters band row (r7 rows-only
+    promotion): both TRUE-literal claims genuinely hold, and the
+    fixed-point seeded inertia equals a driver-side recount."""
+    row = kmeans_ml_clusters(spark, SF).collect()[0]
+    assert row["all_k_clusters_nonempty"] is True
+    assert row["ml_inertia_le_seeded"] is True
+    assert row["n_points"] == T(spark, SF, "embeddings").count()
+    import math
+
+    fp = sum(
+        int(math.floor(r["sqdist"] * 1e6))
+        for r in _assigned(T(spark, SF, "embeddings")).collect()
+    )
+    assert row["seeded_inertia_fp"] == fp
 
 
 def test_semantic_dedup_finds_all_true_duplicates(spark):

@@ -73,12 +73,21 @@ def test_qte_ordered_quantiles(spark):
 
 
 def test_als_recs_deterministic_and_sane(spark):
-    from clinical_data_platform_spark.plans.clustering import als_brand_recs
+    from clinical_data_platform_spark.plans.clustering import (
+        als_brand_rec_rows,
+        als_brand_recs,
+    )
     from clinical_data_platform_spark.plans.relational import (
         item_item_cosine_recs,
     )
 
-    rows = als_brand_recs(spark, SF).collect()
+    # registered band row (r7 rows-only promotion): the ranking claim
+    # genuinely holds at the sparse sf
+    band = als_brand_recs(spark, SF).collect()[0]
+    assert band["observed_pref_beats_unobserved"] is True
+    assert band["n_brands"] == 25
+
+    rows = als_brand_rec_rows(spark, SF).collect()
     assert rows
     by_item: dict[int, list] = {}
     for r in rows:
@@ -90,7 +99,7 @@ def test_als_recs_deterministic_and_sane(spark):
             range(1, len(recs) + 1)
         )
     # seeded ALS is deterministic
-    again = als_brand_recs(spark, SF).collect()
+    again = als_brand_rec_rows(spark, SF).collect()
     assert sorted(rows) == sorted(again)
     # factor-space neighbors agree with exact co-occurrence neighbors
     # far above chance: count overlap of (a, b) pairs

@@ -137,26 +137,28 @@ def replicate(spark, src: str, out: str, factor: int) -> None:
 # into SCALE.md on every regeneration so the notes cannot go stale.
 NOTES = {
     "semantic_near_dup_pairs": (
-        "EXPECTED super-linear — a deliberate contract demonstration. The "
-        "registered demo pins k=8 seed cells (its DuckDB oracle hardcodes "
-        "them), so on 10x vectors each cell grows 10x and the cell-local "
-        "pairwise stage does ~100x work: this is exactly the documented "
-        "SemDeDup discipline that k MUST grow with the corpus. The "
-        "semantic_near_dup_k_scaled row runs the SAME operator "
-        "(semantic_near_dup_frame) with k derived from the corpus count "
-        "(a REGISTERED, fully-oracled query since r6) and lands "
-        "near-linear — the operator obeys its contract; the demo's "
-        "fixed k is the thing that does not scale, and it stays "
-        "registered only as the labeled contract demonstration."
+        "BOUNDED DEMO since r7 (r6 verdict item 2): the k=8 contract "
+        "demonstration reads only the deterministic vec_id < 2048 sample "
+        "(oracle applies the identical bound; every shipped fixture sits "
+        "inside it, so pinned hashes are unchanged). Work is therefore "
+        "constant in corpus size — the 10x replica contributes nothing "
+        "beyond the cap, and the ratio is a fixed-cost floor. The "
+        "UNBOUNDED production parameterization is "
+        "semantic_near_dup_k_scaled (k derived from the corpus count; "
+        "its row shows the real scale behavior). r6 measured the "
+        "pre-bound demo at 63x on 10x data — the reading that forced "
+        "this bound."
     ),
     "embedding_near_dup_pairs": (
-        "At the data ratio (10.9x on 10x): banded sign-LSH at the demo "
-        "threshold tau=0.45 prunes little (documented in PLANS_AUDIT.md); "
-        "candidate volume grows with data, per-pair work constant. The "
-        "production-threshold registrations (embedding_near_dup_t80_pairs "
-        "+ its prune audit, tau=0.8 with 16x12 banding, REGISTERED and "
-        "oracled since r6) prune >99% and their rows below show the "
-        "scale behavior a near-dup user actually gets."
+        "BOUNDED DEMO since r7 (r6 verdict item 2): tau=0.45 prunes "
+        "little by construction, so the demo reads only the "
+        "deterministic vec_id < 2048 sample (oracle identical; shipped "
+        "fixtures unaffected) and its cost is constant in corpus size. "
+        "r6 measured the pre-bound demo at 19.14x on 10x data. The "
+        "UNBOUNDED production registrations "
+        "(embedding_near_dup_t80_pairs + its prune audit, tau=0.8 with "
+        "16x12 banding) prune >99% and their rows show the scale "
+        "behavior a near-dup user actually gets."
     ),
     "reciprocal_best_match_pairs": (
         "SUB-linear by fixture interaction, not magic: parts replicate "

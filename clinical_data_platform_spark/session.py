@@ -28,6 +28,17 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    # The preloading daemon (below) is resolved by the WORKER python via
+    # `python -m`; the driver may have imported this package through a
+    # sys.path entry the child process never sees. Prepend the package
+    # parent to PYTHONPATH before the JVM (and hence the daemon) forks so
+    # the module resolves from any cwd.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -48,6 +59,19 @@ def get_spark(
         # stderr progress bars flooded the driver's bench tail-capture in
         # r3 (BENCH_r03 parsed=null); static conf, so set at build time
         .config("spark.ui.showConsoleProgress", "false")
+        # Preloading worker daemon (r7, verdict item 5): numpy/pandas/
+        # pyarrow + the Arrow serializer stack import ONCE in the daemon,
+        # before the fork, so workers inherit them copy-on-write. A/B at
+        # local[32]: first Python stage 6.8 -> 4.9 s, steady Arrow-stage
+        # floor 1.6-2.2 -> 1.2 s. The module delegates to the stock
+        # pyspark.daemon.manager; if it is not importable by the worker
+        # python, Spark surfaces the daemon launch error immediately
+        # (static conf — only set here, where the package location is on
+        # the driver's sys.path and inherited by local-mode workers).
+        .config(
+            "spark.python.daemon.module",
+            "clinical_data_platform_spark.pydaemon",
+        )
     )
     return builder.getOrCreate()
 

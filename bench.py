@@ -383,6 +383,8 @@ HEADLINE = [
     "ivf_pq_residual_topk_vec0",
     # round 6 wave 81: binary Hamming prefilter + exact rerank
     "hamming_rerank_topk_vec0",
+    # round 7 wave 82: substring-dedup removal (Lee et al. apply step)
+    "substring_dedup_removal_stats",
 ]
 
 

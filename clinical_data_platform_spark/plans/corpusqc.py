@@ -628,9 +628,12 @@ def dup_span_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
     """Duplicated-span stats over any (doc_id, source, text) frame (the
-    testable operator behind dup_span_fraction_by_source — the shipped
-    corpus has no repeated 16-token spans, so firing behavior is pinned
-    on an injected fixture in tests/test_boilerplate.py)."""
+    testable operator behind dup_span_fraction_by_source — firing
+    behavior is additionally pinned on an injected fixture in
+    tests/test_boilerplate.py; note the shipped corpus DOES carry
+    cross-doc duplicated windows from its duplicate documents, 112
+    distinct hashes at sf0.01 — an earlier version of this note claimed
+    none, corrected r7)."""
     ws = tokens(F.col("text"))
     # windows at stride: indices 0, 8, 16, ... while i + W <= len
     idx = F.sequence(
@@ -672,6 +675,258 @@ def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
         (
             F.floor(F.sum("n_dup") * 1e6 / F.sum("n_windows")) / 1e6
         ).alias("dup_frac"),
+    )
+
+
+# --- Wave 82 (r7): substring-dedup REMOVAL (the apply step of Lee et al.) ----
+#
+# dup_span_fraction_by_source MEASURES duplicated-window mass; this query
+# performs the removal accounting of Lee et al. 2022 (arXiv:2107.06499):
+# keep the first occurrence (min doc_id owning a duplicated window hash),
+# remove every other occurrence, merge overlapping removed windows into
+# maximal spans, and report the per-source token mass removed. The corpus's
+# own duplicate documents already produce cross-doc window hashes (112 at
+# sf0.01); the query ADDITIONALLY injects a deterministic 32-token license
+# header into every doc_id % 7 == 0 document IN-PLAN (the corrupt-batch
+# injection pattern of event_props_variant) — identically on both engines —
+# so boilerplate-style partial-document duplication is exercised alongside
+# whole-document duplication and the detect -> own -> remove -> merge
+# pipeline is value-verified on substantial nonzero results.
+
+_LICENSE_HEADER = (
+    "standard license notice this document is provided as is without "
+    "warranty of any kind either express or implied including without "
+    "limitation the warranties of merchantability fitness for a "
+    "particular purpose and noninfringement"
+)
+
+_SDR_CTE = f"""
+    injected AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' {_LICENSE_HEADER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM injected
+    ),
+    doc_tok AS (
+      SELECT doc_id, source, cast(len(ws) AS BIGINT) AS n_tok FROM tok
+    ),
+    w AS (
+      SELECT doc_id, cast(i - 1 AS BIGINT) AS start,
+             md5(array_to_string(ws[i : i + {_SPAN_W} - 1], ' ')) AS h
+      FROM tok,
+           unnest(range(1, greatest(len(ws) - {_SPAN_W} + 2, 1),
+                        {_SPAN_STRIDE})) AS u(i)
+    ),
+    dup AS (
+      SELECT h, min(doc_id) AS owner
+      FROM w GROUP BY h
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    removed AS (
+      SELECT w.doc_id, w.start, w.start + {_SPAN_W} AS fin
+      FROM w JOIN dup ON dup.h = w.h
+      WHERE w.doc_id != dup.owner
+    ),
+    islands AS (
+      SELECT doc_id, start, fin,
+             CASE WHEN start > coalesce(max(fin) OVER (
+                      PARTITION BY doc_id ORDER BY start, fin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM removed
+    ),
+    spans AS (
+      SELECT doc_id,
+             max(fin) - min(start) AS span_len
+      FROM (SELECT doc_id, start, fin,
+                   sum(new_island) OVER (
+                     PARTITION BY doc_id ORDER BY start, fin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+            FROM islands)
+      GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, cast(sum(span_len) AS BIGINT) AS n_removed,
+             cast(count(*) AS BIGINT) AS n_spans,
+             cast(max(span_len) AS BIGINT) AS max_span
+      FROM spans GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "substring_dedup_removal_stats",
+    oracle=f"""
+    WITH {_SDR_CTE}
+    SELECT d.source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(CASE WHEN p.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_affected,
+           cast(sum(d.n_tok) AS BIGINT) AS total_tokens,
+           cast(sum(coalesce(p.n_removed, 0)) AS BIGINT) AS tokens_removed,
+           floor(sum(coalesce(p.n_removed, 0)) * 1e6 / sum(d.n_tok)) / 1e6
+             AS removed_frac,
+           cast(sum(coalesce(p.n_spans, 0)) AS BIGINT) AS n_spans,
+           cast(max(coalesce(p.max_span, 0)) AS BIGINT) AS max_span_tokens
+    FROM doc_tok d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=["text", "dedup", "substring", "llm-pipeline"],
+)
+def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL accounting (Lee et al. 2022,
+    arXiv:2107.06499 — the step after detection): every 16-token window
+    at stride 8 whose hash appears in >= 2 distinct documents is owned
+    by the smallest doc_id containing it; every other occurrence is
+    removed, overlapping removed windows merge into maximal spans
+    (interval union per document), and the per-source report carries the
+    removed token mass, affected-document count, span count and longest
+    span. Two duplication sources feed the verification: the corpus's
+    own duplicate documents (112-1192 naturally cross-doc window hashes
+    per shipped sf) and a deterministic 32-token license header appended
+    in-plan to every doc_id % 7 == 0 document on BOTH engines (the
+    corrupt-batch injection pattern) — header-aligned windows collide
+    only between docs in the same length-mod-stride residue class,
+    which is exactly the partial-recall reality of strided substring
+    dedup.
+
+    Plan shape at 100 TB: one explode emits (doc_id, start, hash) rows
+    (corpus tokens / stride); duplicated hashes come from one hash
+    aggregate (vocabulary-sized, df-style); ownership is a min-aggregate
+    on the same pass; the interval merge runs inside per-document window
+    partitions (state bounded by a document's window count, never
+    corpus-sized); everything else is partial/final aggregation. No
+    pairwise joins, no suffix array materialization."""
+    docs = fan_out_scan(
+        T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _LICENSE_HEADER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dedup_removal_frame(injected)
+
+
+def substring_dedup_removal_frame(injected: DataFrame) -> DataFrame:
+    """Removal accounting over any (doc_id, source, text) frame — the
+    testable operator behind substring_dedup_removal_stats; semantics
+    (ownership, interval union, span stats) are pinned on a hand-computed
+    fixture in tests/test_boilerplate.py."""
+    ws = tokens(F.col("text"))
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(ws) - _SPAN_W, F.lit(0)),
+        F.lit(_SPAN_STRIDE),
+    )
+    win = F.when(
+        F.size(ws) < _SPAN_W,
+        F.array().cast("array<struct<start:bigint,h:string>>"),
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(ws, i + 1, _SPAN_W))).alias(
+                    "h"
+                ),
+            ),
+        )
+    )
+    doc_tok = injected.select(
+        "doc_id", "source", F.size(ws).cast("long").alias("n_tok")
+    )
+    w = injected.select(
+        "doc_id", F.explode(win).alias("s")
+    ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    dup = (
+        w.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    removed = (
+        w.join(dup, "h")  # dup-hash set is DATA-SIZED: no hint, AQE decides
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id", "start", (F.col("start") + _SPAN_W).alias("fin")
+        )
+    )
+    ord_w = Window.partitionBy("doc_id").orderBy("start", "fin")
+    prev_max_fin = F.max("fin").over(
+        ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = removed.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.when(
+            F.col("start") > F.coalesce(prev_max_fin, F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    with_island = islands.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.sum("new_island")
+        .over(ord_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = with_island.groupBy("doc_id", "island").agg(
+        (F.max("fin") - F.min("start")).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("n_removed"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span"),
+    )
+    return (
+        doc_tok.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_removed") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_affected"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.coalesce("n_removed", F.lit(0)))
+            .cast("long")
+            .alias("tokens_removed"),
+            (
+                F.floor(
+                    F.sum(F.coalesce("n_removed", F.lit(0)))
+                    * 1e6
+                    / F.sum("n_tok")
+                )
+                / 1e6
+            ).alias("removed_frac"),
+            F.sum(F.coalesce("n_spans", F.lit(0)))
+            .cast("long")
+            .alias("n_spans"),
+            F.max(F.coalesce("max_span", F.lit(0)))
+            .cast("long")
+            .alias("max_span_tokens"),
+        )
     )
 
 

@@ -94,3 +94,69 @@ def test_clean_corpus_rebuild_preserves_order_and_drops_dups(spark):
     assert out[3]["n_lines_removed"] == 2
     # every surviving doc lost exactly the header and footer
     assert all(r["n_lines_removed"] == 2 for r in out.values())
+
+
+def test_substring_removal_frame_hand_computed(spark):
+    """Wave 82 semantics on a hand-computed fixture: W=16, stride 8.
+    Doc 0 (owner) and doc 1 share an identical 32-token text; doc 2 is
+    unrelated. Doc 1 must lose its duplicated windows merged into ONE
+    maximal span covering the whole 32 tokens; doc 0 (min doc_id owner)
+    and doc 2 keep everything."""
+    from clinical_data_platform_spark.plans.corpusqc import (
+        substring_dedup_removal_frame,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(32))          # 32 tokens
+    other = " ".join(f"z{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(0, "a", shared), (1, "b", shared), (2, "b", other)],
+        ["doc_id", "source", "text"],
+    )
+    out = {r["source"]: r for r in substring_dedup_removal_frame(docs).collect()}
+    # windows in a 32-token doc: starts 0, 8, 16 -> [0,16),[8,24),[16,32)
+    # doc 1: all three duplicated (owner doc 0) -> union [0,32) = 32 tokens
+    assert out["a"]["tokens_removed"] == 0
+    assert out["a"]["docs_affected"] == 0
+    assert out["b"]["tokens_removed"] == 32
+    assert out["b"]["docs_affected"] == 1
+    assert out["b"]["n_spans"] == 1
+    assert out["b"]["max_span_tokens"] == 32
+    assert out["b"]["total_tokens"] == 64
+    assert abs(out["b"]["removed_frac"] - 0.5) < 1e-9
+
+
+def test_substring_removal_interval_union_not_double_counted(spark):
+    """Overlapping removed windows must merge (interval UNION), never
+    sum: a doc sharing a 24-token run yields windows [0,16) and [8,24)
+    -> 24 removed tokens, not 32. A disjoint second shared run checks
+    multi-span accounting."""
+    from clinical_data_platform_spark.plans.corpusqc import (
+        substring_dedup_removal_frame,
+    )
+
+    run_a = " ".join(f"a{i}" for i in range(24))           # 24 tokens
+    pad = " ".join(f"p{i}" for i in range(8))              # 8 tokens
+    run_b = " ".join(f"b{i}" for i in range(16))           # 16 tokens
+    # owner doc 0 carries both runs; doc 1 repeats them with padding
+    # BETWEEN so its removed spans are disjoint. Doc-1 layout (56 tokens):
+    # run_a at [0,24), pad at [24,32), run_b at [32,48), pad2 [48,56).
+    pad2 = " ".join(f"q{i}" for i in range(8))
+    doc0 = run_a + " " + run_b                               # 40 tokens
+    doc1 = run_a + " " + pad + " " + run_b + " " + pad2      # 56 tokens
+    docs = spark.createDataFrame(
+        [(0, "a", doc0), (1, "b", doc1)], ["doc_id", "source", "text"]
+    )
+    out = {r["source"]: r for r in substring_dedup_removal_frame(docs).collect()}
+    # doc 1 windows: starts 0,8,16,24,32,40 ->
+    #   [0,16) run_a hash-match (doc0 [0,16)) -> removed
+    #   [8,24) run_a tail matches doc0 [8,24)? doc0 [8,24) = a8..a23 ==
+    #          doc1 [8,24) -> removed
+    #   [16,32) = a16..a23+p0..p7 -> unique
+    #   [32,48) = run_b == doc0 [24,40)? doc0 window starts are 0,8,16,24:
+    #          doc0 [24,40) = b0..b15 -> removed
+    #   [40,56) = b8..b15+q0..q7 -> unique
+    # removed intervals: [0,16),[8,24),[32,48) -> union [0,24) + [32,48)
+    assert out["b"]["tokens_removed"] == 24 + 16
+    assert out["b"]["n_spans"] == 2
+    assert out["b"]["max_span_tokens"] == 24
+    assert out["a"]["tokens_removed"] == 0

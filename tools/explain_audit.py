@@ -234,6 +234,8 @@ AUDIT = [
     ("sql_api_lateral_topk", "LATERAL LIMIT decorrelated: map-side WindowGroupLimit prunes to top-2/key BEFORE the shuffle, then ranked window + broadcast join"),
     ("ivf_pq_residual_topk_vec0", "Residual IVF-PQ: one scan -> inline cell assign -> residual encode vs constant codebook -> per-cell LUT ADC -> TakeOrdered"),
     ("hamming_rerank_topk_vec0", "Two-stage binary retrieval: Arrow GEMM sketch scan -> Hamming TakeOrdered shortlist -> exact-cosine rerank of 100"),
+    # round 7 wave 82: substring-dedup removal
+    ("substring_dedup_removal_stats", "Lee et al. removal: one window explode -> df-style dup+owner agg -> per-doc interval-union windows (partitioned by doc_id) -> partial/final source rollup"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

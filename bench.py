@@ -385,6 +385,8 @@ HEADLINE = [
     "hamming_rerank_topk_vec0",
     # round 7 wave 82: substring-dedup removal (Lee et al. apply step)
     "substring_dedup_removal_stats",
+    # round 7 wave 83: BPE encode (train -> tokenize loop closed)
+    "bpe_encode_token_stats",
 ]
 
 

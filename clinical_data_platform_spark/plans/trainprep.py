@@ -504,37 +504,57 @@ def padding_efficiency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TESTDATA.md) the join selects that corpus's 12 merges; any other
 # corpus yields zero oracle rows and fails LOUDLY on rowcount.
 
-_BPE_EXPECTED_ORACLE = """
-    WITH fp AS (
+_BPE_EXPECTED = {
+    # corpus fingerprint -> ranked (left, right, merged, pair_count)
+    "aa074f00b74908fb682780fbab8a3f19": [  # sf0.001
+        ("e", "r", "er", 4650),
+        ("e", "</w>", "e</w>", 4644),
+        ("n", "</w>", "n</w>", 2898),
+        ("o", "r", "or", 2880),
+        ("t", "</w>", "t</w>", 2850),
+        ("er", "</w>", "er</w>", 2781),
+        ("o", "w", "ow", 2763),
+        ("ow", "</w>", "ow</w>", 2763),
+        ("l", "u", "lu", 1928),
+        ("i", "n", "in", 1922),
+        ("y", "</w>", "y</w>", 1879),
+        ("a", "r", "ar", 1873),
+    ],
+    "14b62b764eabee1ddecb450507beff94": [  # sf0.01
+        ("e", "r", "er", 4568),
+        ("e", "</w>", "e</w>", 4473),
+        ("n", "</w>", "n</w>", 2834),
+        ("er", "</w>", "er</w>", 2779),
+        ("o", "w", "ow", 2747),
+        ("ow", "</w>", "ow</w>", 2747),
+        ("o", "r", "or", 2696),
+        ("s", "t", "st", 2676),
+        ("h", "</w>", "h</w>", 1884),
+        ("a", "t", "at", 1845),
+        ("l", "u", "lu", 1831),
+        ("i", "n", "in", 1796),
+    ],
+}
+
+_BPE_FP_SQL = """
       SELECT md5(string_agg(doc_id::VARCHAR || ':' || md5(text),
                             '|' ORDER BY doc_id)) AS h
       FROM documents
-    ),
+"""
+
+
+def _bpe_expected_values() -> str:
+    rows = []
+    for h, merges in _BPE_EXPECTED.items():
+        for rank, (le, ri, me, pc) in enumerate(merges, 1):
+            rows.append(f"('{h}', {rank}, '{le}', '{ri}', '{me}', {pc})")
+    return ",\n      ".join(rows)
+
+
+_BPE_EXPECTED_ORACLE = f"""
+    WITH fp AS ({_BPE_FP_SQL}),
     expected(corpus_hash, rank, l, r, merged, pair_count) AS (VALUES
-      ('aa074f00b74908fb682780fbab8a3f19', 1, 'e', 'r', 'er', 4650),
-      ('aa074f00b74908fb682780fbab8a3f19', 2, 'e', '</w>', 'e</w>', 4644),
-      ('aa074f00b74908fb682780fbab8a3f19', 3, 'n', '</w>', 'n</w>', 2898),
-      ('aa074f00b74908fb682780fbab8a3f19', 4, 'o', 'r', 'or', 2880),
-      ('aa074f00b74908fb682780fbab8a3f19', 5, 't', '</w>', 't</w>', 2850),
-      ('aa074f00b74908fb682780fbab8a3f19', 6, 'er', '</w>', 'er</w>', 2781),
-      ('aa074f00b74908fb682780fbab8a3f19', 7, 'o', 'w', 'ow', 2763),
-      ('aa074f00b74908fb682780fbab8a3f19', 8, 'ow', '</w>', 'ow</w>', 2763),
-      ('aa074f00b74908fb682780fbab8a3f19', 9, 'l', 'u', 'lu', 1928),
-      ('aa074f00b74908fb682780fbab8a3f19', 10, 'i', 'n', 'in', 1922),
-      ('aa074f00b74908fb682780fbab8a3f19', 11, 'y', '</w>', 'y</w>', 1879),
-      ('aa074f00b74908fb682780fbab8a3f19', 12, 'a', 'r', 'ar', 1873),
-      ('14b62b764eabee1ddecb450507beff94', 1, 'e', 'r', 'er', 4568),
-      ('14b62b764eabee1ddecb450507beff94', 2, 'e', '</w>', 'e</w>', 4473),
-      ('14b62b764eabee1ddecb450507beff94', 3, 'n', '</w>', 'n</w>', 2834),
-      ('14b62b764eabee1ddecb450507beff94', 4, 'er', '</w>', 'er</w>', 2779),
-      ('14b62b764eabee1ddecb450507beff94', 5, 'o', 'w', 'ow', 2747),
-      ('14b62b764eabee1ddecb450507beff94', 6, 'ow', '</w>', 'ow</w>', 2747),
-      ('14b62b764eabee1ddecb450507beff94', 7, 'o', 'r', 'or', 2696),
-      ('14b62b764eabee1ddecb450507beff94', 8, 's', 't', 'st', 2676),
-      ('14b62b764eabee1ddecb450507beff94', 9, 'h', '</w>', 'h</w>', 1884),
-      ('14b62b764eabee1ddecb450507beff94', 10, 'a', 't', 'at', 1845),
-      ('14b62b764eabee1ddecb450507beff94', 11, 'l', 'u', 'lu', 1831),
-      ('14b62b764eabee1ddecb450507beff94', 12, 'i', 'n', 'in', 1796)
+      {_bpe_expected_values()}
     )
     SELECT cast(rank AS INTEGER) AS rank,
            l AS left, r AS right, merged,
@@ -555,6 +575,156 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out_scan(T(spark, sf_dir, "documents"))
     merges = train_bpe_merges(docs, num_merges=12)
     return merges_to_df(spark, merges).orderBy("rank")
+
+
+# --- Wave 83 (r7): BPE ENCODE — the apply step closing the train loop -----
+#
+# Applying a merge list is a chain of plain substring replaces once the
+# symbol stream uses a DOUBLE-space separator with single-space borders
+# (" h  e  l  l  o</w> "): the pattern " l  r " consumes one of the two
+# separator spaces on each side, so the remnant keeps its border space and
+# consecutive occurrences still match in the SAME left-to-right pass —
+# reproducing greedy BPE ("e e e" -> "ee e") with NO regex lookarounds,
+# which is what makes the oracle expressible in DuckDB (RE2 has no
+# lookbehind; the engine-side regex encoder in operators/bpe.py could
+# never be replayed there). Merges cannot fire across word boundaries
+# because every left symbol inside a word never ends in </w>. Token count
+# falls out of the invariant spaces == 2 * symbols, maintained by every
+# replacement (4 spaces out, 2 in, net -2 per merge occurrence).
+#
+# The oracle dispatches on the same corpus fingerprint as bpe_train_merges
+# and replays the SAME replace chain with that corpus's literal merge
+# table; an unknown corpus encodes to NULL and fails loudly.
+
+
+def _bpe_sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _bpe_chain_sql(col: str, merges) -> str:
+    expr = col
+    for le, ri, me, _pc in merges:
+        expr = (
+            f"replace({expr}, ' {_bpe_sql_quote(le)}  {_bpe_sql_quote(ri)} ',"
+            f" ' {_bpe_sql_quote(me)} ')"
+        )
+    return expr
+
+
+def _bpe_encode_oracle() -> str:
+    arms = "\n             ".join(
+        f"WHEN '{h}' THEN {_bpe_chain_sql('stream', merges)}"
+        for h, merges in _BPE_EXPECTED.items()
+    )
+    return f"""
+    WITH fp AS ({_BPE_FP_SQL}),
+    d AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT source, cast(len(words) AS BIGINT) AS n_words,
+             ' ' || array_to_string(list_transform(words,
+                 w -> array_to_string(list_append(
+                        list_transform(range(1, len(w) + 1),
+                                       i -> substr(w, i, 1)),
+                        '</w>'), '  ')), '  ') || ' ' AS stream
+      FROM d
+    ),
+    enc AS (
+      SELECT source, n_words,
+             CASE (SELECT h FROM fp)
+             {arms}
+             END AS es
+      FROM s
+    ),
+    tok AS (
+      SELECT source, n_words,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE cast((len(es) - len(replace(es, ' ', ''))) / 2
+                            AS BIGINT) END AS n_bpe
+      FROM enc
+    )
+    SELECT source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(n_words) AS BIGINT) AS total_words,
+           cast(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           floor(sum(n_bpe) * 1e6 / sum(n_words)) / 1e6 AS bpe_per_word
+    FROM tok GROUP BY source
+    """
+
+
+@query(
+    "bpe_encode_token_stats",
+    oracle=_bpe_encode_oracle(),
+    tags=["bpe", "tokenizer", "llm-pipeline"],
+)
+def bpe_encode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE over the corpus with the merges trained by
+    ``bpe_train_merges`` — the apply step every token-budget computation
+    needs (train once, tokenize 100 TB): per source, whitespace words,
+    BPE token count after 12 merges, and tokens-per-word. The encode is
+    a chain of 12 plain substring replaces over the double-space symbol
+    stream (see the module comment for why that reproduces greedy BPE
+    and stays RE2-replayable), all whole-stage-codegen JVM string ops —
+    zero Python, zero shuffles beyond the final source rollup; the
+    trained merge table rides into the plan as literals exactly like
+    the LSH planes and PQ codebooks. Spark trains LIVE from the corpus;
+    DuckDB replays the identical chain from the fingerprint-keyed
+    literal merge table, so training and application are BOTH pinned
+    end-to-end (a drifted merge changes token counts and fails the
+    hash). pytest pins this encoder byte-equivalent to the regex
+    encoder in operators/bpe.py (tests/test_bpe.py)."""
+    from ..catalog import fan_out_scan
+    from ..operators.bpe import END_OF_WORD, train_bpe_merges
+
+    docs = fan_out_scan(
+        T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    merges = train_bpe_merges(docs, num_merges=12)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda s: s != ""
+    )
+    inner = F.transform(
+        words,
+        lambda w: F.concat_ws(
+            "  ",
+            F.concat(
+                F.split(w, r"(?!^)(?=.)"), F.array(F.lit(END_OF_WORD))
+            ),
+        ),
+    )
+    stream = F.concat(F.lit(" "), F.concat_ws("  ", inner), F.lit(" "))
+    for m in merges:
+        stream = F.replace(
+            stream,
+            F.lit(f" {m['left']}  {m['right']} "),
+            F.lit(f" {m['merged']} "),
+        )
+    n_sym = (
+        (
+            F.length(stream)
+            - F.length(F.replace(stream, F.lit(" "), F.lit("")))
+        )
+        / 2
+    ).cast("long")
+    per_doc = docs.select(
+        "source",
+        F.size(words).cast("long").alias("n_words"),
+        F.when(F.size(words) == 0, F.lit(0).cast("long"))
+        .otherwise(n_sym)
+        .alias("n_bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        (F.floor(F.sum("n_bpe") * 1e6 / F.sum("n_words")) / 1e6).alias(
+            "bpe_per_word"
+        ),
+    )
 
 
 @query(

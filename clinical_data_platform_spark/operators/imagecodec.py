@@ -1,6 +1,7 @@
 """Dependency-free image codecs: BMP (24-bit uncompressed), PPM (P6),
-and baseline PNG (8-bit truecolor/truecolor-alpha, filters 0-4, stdlib
-zlib inflate + CRC verification).
+baseline PNG (8-bit truecolor/truecolor-alpha, filters 0-4, stdlib zlib
+inflate + CRC verification), and — via operators/jpegcodec.py — baseline
+sequential JPEG (8-bit Huffman, 4:2:0/4:4:4).
 
 Round-4 verdict's remaining multimodal gap: ``decode_image`` was an
 env-gated stub because no codec library ships in this container. These
@@ -286,14 +287,31 @@ def sniff_format(data: bytes) -> str:
 
 
 def decode_rgb(data: bytes) -> np.ndarray:
-    """Dispatch on magic bytes; BMP/PPM/baseline-PNG decode natively.
-    JPEG — and PNG profiles outside the baseline (palette, 16-bit,
-    Adam7) — fall back to PIL when (and only when) it is installed."""
+    """Dispatch on magic bytes; BMP/PPM/baseline-PNG/baseline-JPEG decode
+    natively (JPEG since r8 — operators/jpegcodec.py; the PIL fallback
+    survives only for non-baseline profiles: progressive/arithmetic/
+    12-bit/DRI JPEG and PNG outside the baseline: palette, 16-bit,
+    Adam7)."""
     fmt = sniff_format(bytes(data))
     if fmt == "image/bmp":
         return decode_bmp(bytes(data))
     if fmt == "image/x-portable-pixmap":
         return decode_ppm(bytes(data))
+    if fmt == "image/jpeg":
+        from .jpegcodec import decode_jpeg
+
+        try:
+            return decode_jpeg(bytes(data))
+        except ValueError as err:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError:
+                raise err  # keep the native decoder's diagnosis
+            return np.asarray(  # pragma: no cover - env-gated
+                Image.open(io.BytesIO(bytes(data))).convert("RGB")
+            )
     if fmt == "image/png":
         try:
             return decode_png(bytes(data))

@@ -144,6 +144,83 @@ def synth_image_payloads(
 synth_bmp_payloads = synth_image_payloads
 
 
+def synth_jpeg_payloads(
+    df: DataFrame, id_col: str, seed_mod: int = 97
+) -> DataFrame:
+    """Deterministic spec-conformant baseline JPEGs (operators/
+    jpegcodec.py::synth_jpeg): even ids 16x16 4:2:0, odd ids 8x8 4:4:4,
+    coefficient-domain md5 payloads so a DuckDB oracle recomputes every
+    DECODED pixel with integer math (see the jpegcodec module docstring
+    for the exactness construction). Same mapInPandas plumbing as
+    synth_image_payloads, but fanned out first: encode+decode are
+    CPU-heavy per doc and the test corpus is one parquet file (identity
+    no-op on a real multi-split scan — see catalog.fan_out_scan)."""
+    from ..catalog import fan_out_scan
+    from .jpegcodec import synth_jpeg
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_jpeg(int(d), seed_mod) for d in pdf["doc_id"]
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return fan_out_scan(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
+        _synth, PAYLOAD_SCHEMA
+    )
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
+    "pixel_md5 STRING, decode_error STRING"
+)
+
+
+def decode_image_fingerprint(payloads: DataFrame) -> DataFrame:
+    """decode_image plus a TOTAL pixel fingerprint: md5 over the decoded
+    R-channel values, row-major, comma-joined decimal — a quantity a SQL
+    oracle can recompute byte-for-byte, so the gate pins EVERY pixel of
+    the decode, not just channel sums. Same corrupt-payload policy as
+    decode_image (errors become rows)."""
+    from .imagecodec import decode_rgb
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = ("doc_id", "width", "height", "sum_r", "sum_g",
+                    "sum_b", "pixel_md5", "decode_error")
+            rows = {k: [] for k in cols}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(d)
+                try:
+                    rgb = decode_rgb(b)
+                    s = rgb.astype("int64").sum(axis=(0, 1))
+                    fp = hashlib.md5(
+                        ",".join(
+                            str(int(v)) for v in rgb[:, :, 0].ravel()
+                        ).encode()
+                    ).hexdigest()
+                    rows["width"].append(rgb.shape[1])
+                    rows["height"].append(rgb.shape[0])
+                    rows["sum_r"].append(int(s[0]))
+                    rows["sum_g"].append(int(s[1]))
+                    rows["sum_b"].append(int(s[2]))
+                    rows["pixel_md5"].append(fp)
+                    rows["decode_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — failure becomes a row
+                    for k in cols[1:-1]:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e)[:200])
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(_decode, PIXEL_STATS_SCHEMA)
+
+
 def decode_image(payloads: DataFrame) -> DataFrame:
     """REAL image decode via the dependency-free BMP/PPM codecs in
     operators/imagecodec.py (PNG/JPEG fall back to PIL when installed —

@@ -609,6 +609,94 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Byte i (0..3) of DuckDB's md5(seed || ':jpg:' || block) — the JPEG
+# fixture's coefficient source (operators/jpegcodec.py::jpeg_coefs).
+def _jpg_byte(i: int) -> str:
+    h = "md5(cast(doc_id % 97 AS VARCHAR) || ':jpg:' || cast(r.b AS VARCHAR))"
+    dig = lambda p: (  # noqa: E731
+        f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+    )
+    return f"({dig(2 * i + 1)} * 16 + {dig(2 * i + 2)})"
+
+
+# cos((2t+1)pi/4) sign: +1 for t in {0,3,4,7}, -1 for {1,2,5,6}
+_JPG_SGN = "(CASE WHEN (({t} + 1) // 2) % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+@query(
+    "jpeg_decode_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END AS sampling,
+             CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS dim,
+             r.b,
+             ({_jpg_byte(0)} % 15 - 7) AS c0,
+             ({_jpg_byte(1)} % 15 - 7) AS c1,
+             ({_jpg_byte(2)} % 15 - 7) AS c2,
+             ({_jpg_byte(3)} % 15 - 7) AS c3
+      FROM documents, range(0, 4) r(b)
+      WHERE r.b < CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 1 END
+    ), px AS (
+      SELECT doc_id, sampling, dim,
+             (b // 2) * 8 + y.y AS gy,
+             (b % 2) * 8 + x.x AS gx,
+             2 * (c0
+                  + c1 * {_JPG_SGN.format(t='x.x')}
+                  + c2 * {_JPG_SGN.format(t='y.y')}
+                  + c3 * {_JPG_SGN.format(t='x.x')}
+                       * {_JPG_SGN.format(t='y.y')})
+             + 128 AS gray
+      FROM b, range(0, 8) y(y), range(0, 8) x(x)
+    )
+    SELECT doc_id, sampling,
+           cast(dim AS INTEGER) AS width, cast(dim AS INTEGER) AS height,
+           cast(sum(gray) AS BIGINT) AS sum_r,
+           cast(sum(gray) AS BIGINT) AS sum_g,
+           cast(sum(gray) AS BIGINT) AS sum_b,
+           md5(string_agg(cast(gray AS VARCHAR), ',' ORDER BY gy, gx))
+             AS pixel_md5
+    FROM px GROUP BY doc_id, sampling, dim
+    """,
+    tags=["multimodal", "imagecodec", "jpeg", "mapInPandas"],
+)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, value-exactly oracled (r7 verdict item
+    5 — the last PIL gate): every document id gets a spec-conformant
+    baseline JFIF (even ids 16x16 4:2:0 — one MCU of 4 Y blocks + Cb +
+    Cr — odd ids 8x8 4:4:4) whose QUANTIZED COEFFICIENTS derive from
+    md5, constructed so every decoded pixel is an exact integer (the
+    live coefficient positions' IDCT basis products are exactly +-1/8
+    and their quantizer entries are multiples of 8 — see operators/
+    jpegcodec.py). decode_jpeg runs the full generic pipeline — marker
+    parse, DHT canonical-Huffman build, entropy decode with byte
+    unstuffing, DC prediction, AC run/size + ZRL + EOB, zigzag, dequant,
+    float64 IDCT, chroma upsample, YCbCr->RGB — and the oracle recomputes
+    every pixel from DuckDB's own md5 with pure integer arithmetic:
+    channel sums AND a row-major md5 fingerprint of the full pixel
+    plane, so a single wrong pixel anywhere fails the hash. The literal
+    2 in the oracle's pixel formula is _Q_LIVE/8 — change them
+    together."""
+    from ..operators.multimodal import (
+        decode_image_fingerprint,
+        synth_jpeg_payloads,
+    )
+
+    payloads = synth_jpeg_payloads(T(spark, sf_dir, "documents"), "doc_id")
+    return decode_image_fingerprint(payloads).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("420"))
+        .otherwise(F.lit("444"))
+        .alias("sampling"),
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "pixel_md5",
+    )
+
+
 @query(
     "image_ahash_dedup_pairs",
     oracle=f"""

@@ -5,14 +5,15 @@ Closes the last PIL gate from the r7 verdict (item 5): BMP/PPM/PNG decode
 natively (operators/imagecodec.py); JPEG fell back to PIL, absent in this
 container. This module implements the real baseline pipeline both ways:
 
-- ``decode_jpeg``: marker parse (DQT/SOF0/DHT/SOS, APPn/COM skip), DHT
-  canonical-Huffman construction (Annex C), entropy decode with 0xFF00
-  byte unstuffing, DC prediction, AC run/size + ZRL/EOB, zigzag,
+- ``decode_jpeg``: marker parse (DQT/SOF0/DHT/DRI/SOS, APPn/COM skip),
+  DHT canonical-Huffman construction (Annex C), entropy decode with
+  0xFF00 byte unstuffing, restart markers (RSTn with byte realignment +
+  DC predictor reset), DC prediction, AC run/size + ZRL/EOB, zigzag,
   dequantization, full float64 2-D IDCT, 4:2:0 / 4:2:2 / 4:4:4 chroma
   upsampling, YCbCr->RGB (CCIR 601 floats) with round + clamp.
-  Non-baseline profiles (progressive SOF2, arithmetic, 12-bit, DRI)
-  raise ValueError so the dispatch in imagecodec.decode_rgb can fall
-  back to PIL where it exists.
+  Non-baseline profiles (progressive SOF2, arithmetic, 12-bit) raise
+  ValueError so the dispatch in imagecodec.decode_rgb can fall back to
+  PIL where it exists.
 - ``encode_baseline``: the matching writer — DQT/SOF0/DHT/SOS plus the
   entropy-coded segment with byte stuffing — used by the oracle fixture
   generator (multimodal.synth_jpeg_payloads).
@@ -212,6 +213,19 @@ class _BitReader:
                 return table[(ln, code)]
         raise ValueError("invalid Huffman code in scan")
 
+    def sync_restart(self) -> None:
+        """Discard pad bits to the byte boundary and consume one RSTn
+        marker (T.81 F.2.1.3.1; DC predictors reset by the caller)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _extend(v: int, size: int) -> int:
     """Annex F.2.2.1 magnitude extension."""
@@ -226,6 +240,9 @@ def _size_cat(v: int) -> int:
 
 # ------------------------------------------------------------- encoder
 
+_SAMPLING_HV = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
 def encode_baseline(
     y_blocks: list[np.ndarray],
     width: int,
@@ -233,14 +250,17 @@ def encode_baseline(
     sampling: str,
     q_luma: np.ndarray,
     q_chroma: np.ndarray,
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize QUANTIZED luma coefficient blocks (8x8 int arrays,
     C[v, u]) as a baseline JFIF with all-zero chroma. ``sampling`` is
-    "444" (1 MCU = Y,Cb,Cr blocks 1:1:1) or "420" (1 MCU = 4 Y + Cb +
-    Cr). The block list is MCU scan order."""
-    if sampling not in ("444", "420"):
+    "444" (1 MCU = Y,Cb,Cr 1:1:1), "422" (2 Y + Cb + Cr) or "420"
+    (4 Y + Cb + Cr). The block list is MCU scan order. A nonzero
+    ``restart_interval`` emits a DRI segment and RSTn markers every
+    that-many MCUs (byte-aligned, DC predictors reset — T.81 F.1.2.3)."""
+    if sampling not in _SAMPLING_HV:
         raise ValueError(sampling)
-    hv_y = (2, 2) if sampling == "420" else (1, 1)
+    hv_y = _SAMPLING_HV[sampling]
 
     dc_bits, dc_val, dc_codes = _canonical_tables(_dc_lengths())
     ac_bits, ac_val, ac_codes = _canonical_tables(_ac_lengths())
@@ -272,6 +292,9 @@ def encode_baseline(
     dht(1, 0, ac_bits, ac_val)  # AC luma
     dht(0, 1, dc_bits, dc_val)  # DC chroma (same generated table)
     dht(1, 1, ac_bits, ac_val)  # AC chroma
+
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
 
     seg(
         0xDA,
@@ -310,11 +333,17 @@ def encode_baseline(
         return dc
 
     zero = np.zeros((8, 8), dtype=np.int64)
-    blocks_per_mcu = 4 if sampling == "420" else 1
+    blocks_per_mcu = hv_y[0] * hv_y[1]
     n_mcus = len(y_blocks) // blocks_per_mcu
     pred_y = pred_cb = pred_cr = 0
     bi = 0
-    for _ in range(n_mcus):
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align (1-pad), emit RSTn, reset DC predictors
+            out.extend(w.flush())
+            w = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + ((m // restart_interval) - 1) % 8]))
+            pred_y = pred_cb = pred_cr = 0
         for _ in range(blocks_per_mcu):
             pred_y = encode_block(y_blocks[bi], pred_y)
             bi += 1
@@ -338,6 +367,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps)
     scan = None
+    restart_interval = 0
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -384,7 +414,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0x{marker:02X}")
         elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) not supported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]
             scomps = [
@@ -413,12 +443,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         planes[cid] = np.zeros(
             (mcus_y * vc * 8, mcus_x * hc * 8), dtype=np.float64
         )
-    by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
     td_ta = {cid: (td, ta) for cid, td, ta in scomps}
     preds = {cid: 0 for cid, *_ in comps}
 
+    mcu_index = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_index and (
+                mcu_index % restart_interval == 0
+            ):
+                reader.sync_restart()
+                for cid in preds:
+                    preds[cid] = 0
+            mcu_index += 1
             for cid, hc, vc, tq in comps:
                 td, ta = td_ta[cid]
                 dct = htabs[(0, td)]

@@ -78,6 +78,61 @@ def test_zrl_and_eob_paths():
     assert (rgb[:, :, 0].astype(np.int64) == exp).all()
 
 
+def _coef(c0, c1, c2, c3):
+    coef = np.zeros((8, 8), dtype=np.int64)
+    coef[0, 0], coef[0, 4], coef[4, 0], coef[4, 4] = c0, c1, c2, c3
+    return coef
+
+
+def _exp(c0, c1, c2, c3):
+    k = 2  # _Q_LIVE / 8
+    return np.array(
+        [
+            [
+                k
+                * (
+                    c0
+                    + c1 * JPEG_SIGN[x]
+                    + c2 * JPEG_SIGN[y]
+                    + c3 * JPEG_SIGN[x] * JPEG_SIGN[y]
+                )
+                + 128
+                for x in range(8)
+            ]
+            for y in range(8)
+        ]
+    )
+
+
+def test_422_sampling_roundtrip():
+    """4:2:2 (2 Y blocks per MCU, horizontal-only chroma upsample) —
+    the third sampling layout the decoder's generic MCU walk supports."""
+    blocks = [_coef(3, -2, 5, 1), _coef(-4, 6, 0, -7)]
+    rgb = decode_jpeg(
+        encode_baseline(blocks, 16, 8, "422", _q_luma(), _q_chroma())
+    )
+    assert rgb.shape == (8, 16, 3)
+    exp = np.hstack([_exp(3, -2, 5, 1), _exp(-4, 6, 0, -7)])
+    assert (rgb[:, :, 0].astype(np.int64) == exp).all()
+
+
+def test_restart_interval_roundtrip():
+    """DRI/RSTn: byte realignment and DC-predictor reset at every
+    restart boundary must reconstruct exactly; the markers must actually
+    be on the wire."""
+    blocks = [_coef(c, c - 3, 0, 2) for c in (-7, -1, 4, 7)]
+    data = encode_baseline(
+        blocks, 8, 32, "444", _q_luma(), _q_chroma(), restart_interval=1
+    )
+    assert any(
+        bytes([0xFF, 0xD0 + i]) in data for i in range(8)
+    ), "no RSTn emitted"
+    rgb = decode_jpeg(data)
+    assert rgb.shape == (32, 8, 3)
+    exp = np.vstack([_exp(c, c - 3, 0, 2) for c in (-7, -1, 4, 7)])
+    assert (rgb[:, :, 0].astype(np.int64) == exp).all()
+
+
 def test_non_baseline_rejected():
     """Progressive (SOF2) must raise ValueError — that is the dispatch
     contract that routes exotic profiles to the PIL fallback."""

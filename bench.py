@@ -534,8 +534,14 @@ def _calibrate(spark, sf_dir: str) -> dict[str, float]:
     pure codegen arithmetic over spark.range (no IO, no shuffle beyond
     the 1-row final agg); the scan probe reads the committed lineitem
     parquet end-to-end (IO + decode). Together they pin compute speed
-    and storage speed independently of the query suite."""
+    and storage speed independently of the query suite. One untimed
+    warmup probe precedes each timed triple — the probes' own codegen/JIT
+    warmup otherwise inflates the PRE sample ~2x relative to POST
+    (measured r8), which would masquerade as within-run host drift."""
     jvm_times, scan_times = [], []
+    spark.range(2_000_000_000).selectExpr(
+        "sum((id * 2654435761) % 1000000007) AS s"
+    ).collect()
     for _ in range(3):
         t0 = time.time()
         # Knuth-hash product folded mod 1e9+7 per term so the 2e9-term
@@ -544,6 +550,9 @@ def _calibrate(spark, sf_dir: str) -> dict[str, float]:
             "sum((id * 2654435761) % 1000000007) AS s"
         ).collect()
         jvm_times.append(time.time() - t0)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "count(*) AS c", "sum(l_extendedprice) AS s", "sum(l_quantity) AS q"
+    ).collect()
     for _ in range(3):
         t0 = time.time()
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(

@@ -69,6 +69,18 @@ DEDUP_ER_FAMILY = [
     "pq_encode_distortion",
     "pq_adc_topk_vec0",
     "ivf_pq_ann_topk_vec0",
+    # round 7 waves 82/83 (backfilled r8 — per-wave SCALE rows are part
+    # of the registry hygiene checklist): substring-dedup removal is a
+    # fixed-width windowed span pipeline, BPE encode a constant chain of
+    # codegen replaces — both should track the data ratio
+    "substring_dedup_removal_stats",
+    "bpe_encode_token_stats",
+    # round 8 wave 84 + invariant-band promotions: JPEG decode is a
+    # fanned-out linear mapInPandas; simhash is two hash shuffles + a
+    # multiset groupBy; the blas band is a bounded demo (constant cost)
+    "jpeg_decode_stats",
+    "simhash_signatures",
+    "semantic_near_dup_blas_pairs",
 ]
 
 
@@ -136,6 +148,32 @@ def replicate(spark, src: str, out: str, factor: int) -> None:
 # Hand-written context for rows whose ratio needs explaining; rendered
 # into SCALE.md on every regeneration so the notes cannot go stale.
 NOTES = {
+    "semantic_near_dup_blas_pairs": (
+        "BOUNDED DEMO + invariant band since r8: reads the vec_id < 2048 "
+        "sample like its expression twin and computes BOTH plans (BLAS "
+        "GEMM + codegen fold) to assert set equality in the oracled row "
+        "— constant cost at any corpus size; the ratio is a fixed-cost "
+        "floor."
+    ),
+    "minhash_lsh_candidate_pairs": (
+        "Reshaped r8 from a pair frame to the INVARIANT-BAND row: the "
+        "banded-LSH candidate generation is unchanged (one signature "
+        "groupBy + band-bucket join), plus a shingle-set-fingerprint "
+        "groupBy and a dup-pair anti-join for the recall claim — all "
+        "hash-partitioned, linear in docs; dup-pair work is bounded by "
+        "the duplicate count."
+    ),
+    "simhash_signatures": (
+        "Reshaped r8 to the INVARIANT-BAND row: simhash64's two hash "
+        "shuffles plus a sorted-token-multiset groupBy for the "
+        "identical-docs claim; no pairwise expansion anywhere."
+    ),
+    "jpeg_decode_stats": (
+        "Arrow-batched encode+decode per doc, fanned out before the "
+        "Python stage (catalog.fan_out_scan); embarrassingly parallel, "
+        "no shuffle beyond the fan-out exchange — should track the data "
+        "ratio."
+    ),
     "semantic_near_dup_pairs": (
         "BOUNDED DEMO since r7 (r6 verdict item 2): the k=8 contract "
         "demonstration reads only the deterministic vec_id < 2048 sample "

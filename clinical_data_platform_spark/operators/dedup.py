@@ -501,6 +501,18 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
+            # materialize FIRST, then test convergence by diffing the two
+            # checkpointed frames. The old order (count `changed` off the
+            # unresolved plan, then checkpoint it) was executor-cheap —
+            # shuffle-stage reuse covered the apparent double execution;
+            # an interleaved min-of-3 A/B at sf0.1 measured the two
+            # orders equal — but it re-ANALYZED the full join+agg subtree
+            # for the changed-count job every round, and driver-side plan
+            # work is exactly the stall class the r8 bench forensics
+            # caught on this query (all executors parked, py4j busy).
+            # This order keeps the per-round driver plan for the
+            # convergence check to two RDD scans and a join.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -509,7 +521,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels

@@ -409,6 +409,9 @@ HEADLINE = [
     "bpe_encode_token_stats",
     # round 8 wave 84: native baseline JPEG decode (last PIL gate retired)
     "jpeg_decode_stats",
+    # round 8 wave 85: the end-to-end curation funnel (lang -> quality ->
+    # exact dedup -> near dup as ONE composed plan)
+    "corpus_curation_funnel",
 ]
 
 

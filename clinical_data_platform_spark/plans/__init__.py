@@ -35,3 +35,7 @@ from . import survival  # noqa: E402,F401
 from . import spatial  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
 from . import quantization  # noqa: E402,F401
+
+# curation composes REGISTERED oracles (it reads ORACLES at import time),
+# so it must import after every module whose oracle it embeds
+from . import curation  # noqa: E402,F401

@@ -81,6 +81,11 @@ DEDUP_ER_FAMILY = [
     "jpeg_decode_stats",
     "simhash_signatures",
     "semantic_near_dup_blas_pairs",
+    # round 8 wave 85: the composed curation funnel — its stages are the
+    # already-probed operators (lang/quality projections, fingerprint
+    # groupBy, df-capped jaccard + components), so the row should track
+    # its slowest constituent
+    "corpus_curation_funnel",
 ]
 
 

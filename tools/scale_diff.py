@@ -35,6 +35,42 @@ FLOOR_SECONDS = 2.0
 # here (keyed by query name) or the tool exits 1. Keep these honest: each one
 # should say why the ratio moved and why that is (or is not) a plan problem.
 NOTES: dict[str, str] = {
+    # r8 close flags (second same-day probe after waves 84/85 landed —
+    # the ref is the morning's r8 SCALE.md, so these diff two probes an
+    # hour apart; the bench calibration measured the host's scan side
+    # 1.5x slower in the afternoon window, see BENCH_DIFF_r08.md):
+    "bpe_encode_token_stats": (
+        "re-probe min-of-2: 6.63s/7.92s -> 1.19x, matching the morning "
+        "1.26 and the earlier 1.18 re-probe; the flagged 1.84 was a "
+        "single-pass sample."
+    ),
+    "distinct_counts_by_flag": (
+        "re-probe min-of-2: 0.83s/4.26s -> 5.1x. The small half sits on "
+        "the sub-second scheduling floor, so the ratio swings 3.4-5.1 "
+        "with denominator noise; the big half is stable (~4.2s) and "
+        "sub-linear."
+    ),
+    "embedding_lsh_t80_prune_audit": (
+        "re-probe min-of-2: 1.42s/11.55s -> 8.1x (flagged 12.4 was a "
+        "single-pass sample). The big half moved ~8.6 -> 11.6s between "
+        "the two same-day probes — in line with the measured afternoon "
+        "scan-side host slowdown (bench calibration scan_post 0.140 -> "
+        "0.211s); still below the 10x data ratio."
+    ),
+    "pq_encode_distortion": (
+        "re-probe min-of-2: 2.30s/2.46s -> 1.07x, matching the morning "
+        "0.79 floor band; the flagged 4.39 paired a fast small sample "
+        "with a slow big one."
+    ),
+    "latest_event_per_user_type": (
+        "re-probe min-of-2: 1.04s/1.98s -> 1.9x. Both halves inside the "
+        "2s floor band (window-dedup over events, untouched plan); the "
+        "flagged 3.48 paired floor-noise halves."
+    ),
+    "q7_volume_shipping": (
+        "re-probe min-of-2: 1.89s/2.26s -> 1.2x, matching the r7 1.04 "
+        "within the floor band; plan untouched since r1."
+    ),
     # r8 flags: nineteen rows, ALL re-probed min-of-2 on the same 10x
     # corpus in one warm JVM (R8_NOTES.md). The pattern is uniform and it
     # is a DENOMINATOR effect: small-half (sf0.1) walls dropped 30-60%

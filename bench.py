@@ -604,19 +604,28 @@ def main() -> None:
     # variance caveat. The driver (env unset) keeps the single-pass contract.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     passes: list[dict[str, float]] = []
-    for _ in range(repeat):
-        t: dict[str, float] = {}
-        for name in HEADLINE:
-            t0 = time.time()
-            watchdog.slot = (name, t0)
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            watchdog.slot = None
-            t[name] = round(time.time() - t0, 3)
-        passes.append(t)
+    try:
+        for _ in range(repeat):
+            t: dict[str, float] = {}
+            for name in HEADLINE:
+                t0 = time.time()
+                watchdog.slot = (name, t0)
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                finally:
+                    # always clear, even when a query raises — a stale slot
+                    # would let the daemon attribute a later stall dump to
+                    # the dead query's name/t0 (r8 ADVICE)
+                    watchdog.slot = None
+                t[name] = round(time.time() - t0, 3)
+            passes.append(t)
+    finally:
+        watchdog.stop_flag = True
     timings = {n: min(p[n] for p in passes) for n in HEADLINE}
 
     calib_post = _calibrate(spark, sf_dir)
-    watchdog.stop_flag = True
     calib = {
         "jvm_pre": calib_pre["jvm_sec"],
         "scan_pre": calib_pre["scan_sec"],

@@ -302,13 +302,18 @@ def decode_rgb(data: bytes) -> np.ndarray:
 
         try:
             return decode_jpeg(bytes(data))
-        except ValueError as err:
+        except (ValueError, IndexError, KeyError, struct.error) as err:
+            # truncated/malformed streams can surface as IndexError /
+            # struct.error / KeyError from the marker parser, not just the
+            # documented ValueError — route them all to the fallback
             try:
                 import io
 
                 from PIL import Image
             except ImportError:
-                raise err  # keep the native decoder's diagnosis
+                if isinstance(err, ValueError):
+                    raise err  # keep the native decoder's diagnosis
+                raise ValueError(f"malformed JPEG stream: {err!r}") from err
             return np.asarray(  # pragma: no cover - env-gated
                 Image.open(io.BytesIO(bytes(data))).convert("RGB")
             )

@@ -357,9 +357,10 @@ def encode_baseline(
 # ------------------------------------------------------------- decoder
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential decode -> (h, w, 3) uint8 RGB. Raises
-    ValueError on non-baseline profiles (progressive, arithmetic,
-    12-bit, restart intervals) and malformed streams."""
+    """Baseline sequential decode -> (h, w, 3) uint8 RGB. Restart
+    intervals (DRI/RSTn) are fully supported; raises ValueError on
+    non-baseline profiles (progressive, arithmetic, 12-bit) and
+    malformed streams."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

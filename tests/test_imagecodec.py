@@ -278,3 +278,23 @@ def test_synth_payload_format_rotation(spark):
         px = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
         s = px.astype("int64").sum(axis=(0, 1))
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(s)
+
+
+def test_truncated_jpeg_always_valueerror():
+    """r8 ADVICE: truncated/malformed JPEG streams can raise
+    IndexError/struct.error/KeyError from the marker parser; the decode_rgb
+    dispatch must route ALL of them to the documented ValueError diagnosis
+    (or PIL fallback), never leak a raw parser exception."""
+    from clinical_data_platform_spark.operators.imagecodec import decode_rgb
+    from clinical_data_platform_spark.operators.jpegcodec import synth_jpeg
+
+    data = synth_jpeg(0)
+    for cut in (3, 4, 10, 21, 40, 80, len(data) // 2):
+        try:
+            decode_rgb(data[:cut])
+        except ValueError:
+            pass  # the documented failure type
+        except Exception as err:  # PIL-equipped envs may surface PIL's own
+            assert type(err).__module__.startswith("PIL"), (
+                f"cut={cut}: raw {type(err).__name__} leaked past dispatch"
+            )

@@ -41,15 +41,17 @@ def test_query_matches_oracle(name, spark, corpus_duck):
 
 
 def test_driver_window_spans_all_modules():
-    """The driver value-checks only the first 50 registered queries. The
-    burndown discipline (r3 verdict item 3, r4 item 1): every slot goes to
-    a query the driver has NEVER sampled in any prior CORRECTNESS_r0N.json,
-    except the entry() flagship anchor and queries whose observable
-    semantics changed this round. The window itself is declared in
-    plans/rotation_history.json (r4 verdict item 8) — this test pins the
-    live registration order to that artifact so neither can silently
-    drift from the other."""
+    """The driver value-checks only the first 50 registered queries. Two
+    regimes share one mechanical rule (tools/rotation.py): while oracled-
+    but-never-hash-verified names exist they take every slot (the r3-r8
+    burndown — closed at 385/385 in r8); with the burndown at zero the
+    window becomes a RE-VERIFICATION lap over the stalest-verified names
+    (r8 verdict items 1+6), so external verification age shrinks every
+    round. The window is declared in plans/rotation_history.json; this
+    test recomputes the selection from the CORRECTNESS ledger and pins
+    artifact == rule == live registration order, so none can drift."""
     import json
+    import sys
     from pathlib import Path
 
     import clinical_data_platform_spark.plans as plans_pkg
@@ -67,40 +69,43 @@ def test_driver_window_spans_all_modules():
     assert window[0] == hist["anchor"] == "q1_pricing_summary"
 
     root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    try:
+        from rotation import last_verified_map, select_window
+    finally:
+        sys.path.pop(0)
 
-    def value_verified(path) -> set[str]:
-        # the debt ledger counts only VALUE-verified names (hash_match):
-        # a rows-only touch (err=no_oracle, e.g. bpe_train_merges in r3
-        # before it gained its oracle) is still outstanding debt
-        return {
-            n
-            for n, v in json.loads(path.read_text()).items()
-            if v.get("hash_match")
-        }
+    last = last_verified_map(str(root))
+    # When the driver has already RUN this very window, its CORRECTNESS
+    # file would mark the window's own names freshly verified and shift
+    # the recomputed selection — rebuild the ledger without that file.
+    newest = max(
+        root.glob("CORRECTNESS_r*.json"), key=lambda p: p.name, default=None
+    )
+    if newest is not None:
+        keys = set(json.loads(newest.read_text()).keys())
+        if keys == set(declared):
+            import glob as _glob
 
-    driver_verified: set[str] = set()
-    all_touched: set[str] = set()
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
-        driver_verified |= value_verified(f)
-        all_touched |= set(json.loads(f.read_text()).keys())
-    # When the driver writes CORRECTNESS for the round that RAN this very
-    # window, the window's own names become "verified" — ignore that file
-    # (it is exactly the declared window).
-    if set(declared) <= all_touched:
-        prior: set[str] = set()
-        for f in sorted(root.glob("CORRECTNESS_r*.json")):
-            keys = set(json.loads(f.read_text()).keys())
-            if keys == set(declared):
-                continue
-            prior |= value_verified(f)
-        driver_verified = prior
+            last = {}
+            for f in sorted(root.glob("CORRECTNESS_r*.json")):
+                if f == newest:
+                    continue
+                rnd = int(f.name.split("_r")[1].split(".")[0])
+                for n, v in json.loads(f.read_text()).items():
+                    if isinstance(v, dict) and v.get("hash_match"):
+                        last[n] = max(rnd, last.get(n, 0))
 
-    allowed_verified = {hist["anchor"]} | set(hist["changed_this_round"])
-    stale = set(window) & driver_verified - allowed_verified
-    assert not stale, f"window wastes slots on driver-verified rows: {stale}"
-    # the debt burndown is real: >= 49 fresh names this round
-    fresh = [n for n in window if n not in driver_verified]
-    assert len(fresh) >= 49, len(fresh)
+    from clinical_data_platform_spark.plans.registry import ORACLES
+
+    expect = select_window(sorted(ORACLES), hist["anchor"], last)
+    # queries whose observable semantics changed this round may be pulled
+    # forward regardless of age; everything else must follow the rule
+    allowed = set(hist.get("changed_this_round", []))
+    drift = [
+        (w, e) for w, e in zip(window, expect) if w != e and w not in allowed
+    ]
+    assert not drift, f"window drifts from the selection rule: {drift[:5]}"
     # the full registry is still exposed, nothing dropped or duplicated
     from clinical_data_platform_spark.plans import QUERIES
 

@@ -178,7 +178,9 @@ def test_s3a_bulk_read_probe_pins_exact_blocker(spark, live_s3, tmp_path):
       missing piece. Network probe r7: repo1.maven.org does not
       resolve from this container (curl exit 6). Re-probed r8
       (2026-08-16, per the r7 verdict's retry item): still unreachable
-      (HTTPS GET returns http_code 000, curl exit 2, zero bytes), so
+      (HTTPS GET returns http_code 000, curl exit 2, zero bytes).
+      Re-probed r9 (2026-08-16, per the r8 verdict's item 5): still
+      DNS-unresolvable (curl exit 6, http_code 000, zero bytes), so
       the jar cannot be vendored; this test keeps documenting the
       blocker precisely and auto-upgrades to the value-exact round-trip
       the moment the jar appears.

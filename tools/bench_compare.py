@@ -17,12 +17,22 @@ Two measurements, both reported:
   number — how fast either engine clears the workload when it is allowed
   to pipeline, which is how a real analytics service runs a query mix.
 
+Since r9 the run brackets BOTH phases with fixed-work calibration probes
+on BOTH engines (bench.py's jvm/scan pair for Spark, plus a DuckDB CPU
+probe and the same lineitem-scan aggregate through DuckDB), emitted as a
+"calib" block. The r6->r8 serial ratio drifted 0.83 -> 1.00 with no way
+to tell Spark-slower from DuckDB-faster from host drift (r8 verdict
+"What's wrong" #1); with per-engine probes the attribution is a
+division: if duck_scan sped up while spark scan held, DuckDB's side of
+the ratio moved, not ours.
+
 Usage: python tools/bench_compare.py [sf_dir] [threads] -> JSON + table.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -30,6 +40,39 @@ from concurrent.futures import ThreadPoolExecutor
 import duckdb
 
 sys.path.insert(0, ".")
+
+
+def _calibrate_duck(sf_dir: str) -> dict[str, float]:
+    """DuckDB twin of bench.py's _calibrate: a fixed-work CPU probe
+    (Knuth-hash fold over range, mod-reduced to stay in int64) and the
+    same lineitem end-to-end scan aggregate, min-of-3 after one untimed
+    warmup each, on a fresh connection so no suite state is cached."""
+    con = duckdb.connect()
+    con.execute("SET enable_progress_bar = false")
+    cpu_sql = (
+        "SELECT sum((i * 2654435761) % 1000000007) "
+        "FROM range(100000000) t(i)"
+    )
+    scan_sql = (
+        "SELECT count(*), sum(l_extendedprice), sum(l_quantity) "
+        f"FROM read_parquet('{os.path.join(sf_dir, 'lineitem.parquet')}')"
+    )
+    cpu_times, scan_times = [], []
+    con.execute(cpu_sql).fetchall()
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(cpu_sql).fetchall()
+        cpu_times.append(time.time() - t0)
+    con.execute(scan_sql).fetchall()
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(scan_sql).fetchall()
+        scan_times.append(time.time() - t0)
+    con.close()
+    return {
+        "cpu_sec": round(min(cpu_times), 3),
+        "scan_sec": round(min(scan_times), 3),
+    }
 
 
 def main() -> None:
@@ -55,6 +98,11 @@ def main() -> None:
     # warmup both engines
     qs["event_type_counts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     con.execute(oracles["event_type_counts"]).fetchall()
+
+    from bench import _calibrate
+
+    calib_pre_spark = _calibrate(spark, sf_dir)
+    calib_pre_duck = _calibrate_duck(sf_dir)
 
     # --- serial per-query ---------------------------------------------------
     rows = []
@@ -111,6 +159,19 @@ def main() -> None:
     batched_duck = round(time.time() - t0, 2)
     catalog.enable_scan_cache(False)
 
+    calib_post_spark = _calibrate(spark, sf_dir)
+    calib_post_duck = _calibrate_duck(sf_dir)
+    calib = {
+        "spark_jvm_pre": calib_pre_spark["jvm_sec"],
+        "spark_scan_pre": calib_pre_spark["scan_sec"],
+        "duck_cpu_pre": calib_pre_duck["cpu_sec"],
+        "duck_scan_pre": calib_pre_duck["scan_sec"],
+        "spark_jvm_post": calib_post_spark["jvm_sec"],
+        "spark_scan_post": calib_post_spark["scan_sec"],
+        "duck_cpu_post": calib_post_duck["cpu_sec"],
+        "duck_scan_post": calib_post_duck["scan_sec"],
+    }
+
     total_s = round(sum(r[1] for r in rows), 2)
     total_d = round(sum(r[2] for r in rows), 2)
     wins = sum(1 for r in rows if r[1] <= r[2])
@@ -129,6 +190,7 @@ def main() -> None:
                 "duckdb_batched_s": batched_duck,
                 "batch_threads": threads,
                 "spark_wins": wins,
+                "calib": calib,
                 "queries": {r[0]: {"spark": r[1], "duckdb": r[2]} for r in rows},
             }
         )

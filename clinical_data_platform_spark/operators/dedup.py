@@ -454,76 +454,133 @@ def containment_pairs(
     )
 
 
+# Pair count below which connected_components solves the graph on the
+# driver (union-find over the collected pair list) instead of running the
+# distributed propagation loop. 1M pairs is ~16 MB of long pairs — the
+# same order as Spark's own autoBroadcastJoinThreshold, i.e. "small
+# enough to ship to one node" by the engine's own standard. The candidate
+# PAIR set is the heavily-pruned output of banded/df-capped generation,
+# not the corpus: at 100 TB a pair graph can exceed any driver, and then
+# the distributed loop below takes over unchanged.
+_CC_LOCAL_MAX_PAIRS = 1_000_000
+
+
+def _cc_local(pairs: DataFrame) -> DataFrame:
+    """Driver-side union-find for a bounded candidate-pair graph.
+
+    Classic weighted quick-union with path halving over the Arrow-fetched
+    pair list, then each class is relabeled to its MIN member id — the
+    same (node, component=min reachable id) contract as the distributed
+    loop. O(E alpha(N)) on one core: microseconds at the scale the
+    _CC_LOCAL_MAX_PAIRS gate admits, and zero Spark jobs beyond the
+    fetch, which is what retires the per-round scheduling floor the r8
+    stall forensics measured on this operator."""
+    pdf = pairs.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path halving
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # roots chosen by min-union are already class minima; one more pass
+    # resolves every node to its root
+    import pandas as pd
+
+    nodes = sorted(parent)
+    out = pd.DataFrame(
+        {"node": nodes, "component": [find(n) for n in nodes]}
+    )
+    schema = "node {t}, component {t}".format(
+        t=pairs.schema["src"].dataType.simpleString()
+    )
+    return pairs.sparkSession.createDataFrame(out, schema=schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    local_max_pairs: int = _CC_LOCAL_MAX_PAIRS,
 ) -> DataFrame:
-    """Dedup clusters: connected components over candidate pairs by
-    iterative min-label propagation (the alternating large/small-star idea
-    in its simplest form). Converges in O(component diameter) rounds; each
-    round is one join + one groupBy. Lineage is truncated per round with
-    localCheckpoint so the plan doesn't grow with iterations.
+    """Dedup clusters: connected components over candidate pairs.
+
+    Size-adaptive (r8 verdict item 3 — the per-round driver/scheduling
+    cost of the propagation loop was THE measured stall class of the
+    suite): the pair list is materialized once and counted; below
+    ``local_max_pairs`` the graph is solved with driver-side union-find
+    (``_cc_local``) — the same small-side escape hatch Spark's AQE applies
+    to joins — otherwise iterative min-label propagation runs
+    distributed: each round one join + one groupBy over a self-looped
+    edge table, lineage truncated with catalog.iter_checkpoint (the
+    labels state feeds joins every round — plain localCheckpoint would
+    carry multiplied sizeInBytes stats), convergence detected by the
+    strictly-decreasing sum of labels (one tiny scan of the checkpointed
+    state, replacing the old join-of-two-checkpoints changed-count whose
+    plan re-analysis dominated the r8 in-flight stall capture).
 
     Returns (node, component) where component = min node id reachable —
     the canonical "keep" document per near-duplicate cluster.
     """
-    # materialize the candidate pairs once: the two union branches below
-    # would otherwise each re-execute the (expensive) pair-generation
-    # subtree when the edges cache is first populated
+    from ..catalog import iter_checkpoint
+
+    # materialize the candidate pairs once: the count gate and the union
+    # branches below would otherwise each re-execute the (expensive)
+    # pair-generation subtree
     pairs = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
+    if pairs.count() <= local_max_pairs:
+        return _cc_local(pairs)
+
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select("src").distinct()
+    # self-loops fold the "keep my own component" term into the edge
+    # table, so one propagation hop is a single join + groupBy that
+    # references the labels state exactly ONCE (the old left-join form
+    # referenced it twice, which doubles the analyzed subtree per
+    # consumer)
     edges = (
-        pairs.unionByName(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        sym.unionByName(nodes.select("src", F.col("src").alias("dst")))
         .distinct()
         .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    labels = iter_checkpoint(
+        nodes.select(F.col("src").alias("node")).withColumn(
+            "component", F.col("node")
+        )
     )
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
+        labels = iter_checkpoint(
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+            .agg(F.min("component").alias("component"))
+            .withColumnRenamed("src", "node")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
-            # materialize FIRST, then test convergence by diffing the two
-            # checkpointed frames. The old order (count `changed` off the
-            # unresolved plan, then checkpoint it) was executor-cheap —
-            # shuffle-stage reuse covered the apparent double execution;
-            # an interleaved min-of-3 A/B at sf0.1 measured the two
-            # orders equal — but it re-ANALYZED the full join+agg subtree
-            # for the changed-count job every round, and driver-side plan
-            # work is exactly the stall class the r8 bench forensics
-            # caught on this query (all executors parked, py4j busy).
-            # This order keeps the per-round driver plan for the
-            # convergence check to two RDD scans and a join.
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # per-node labels only ever decrease, so the total is strictly
+        # decreasing until the fixed point: equal consecutive sums ==
+        # converged. decimal(38,0) keeps the sum exact for any id range.
+        cur = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur == prev_sum:
             break
+        prev_sum = cur
     return labels
 
 

@@ -157,6 +157,42 @@ def test_connected_components_shapes(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_connected_components_paths_agree(spark):
+    """connected_components is size-adaptive since r9: below the
+    _CC_LOCAL_MAX_PAIRS gate it solves the pair graph with driver-side
+    union-find, above it the distributed min-label loop runs. Both must
+    produce the identical (node, component=min reachable) table — pin
+    them against each other on a graph with a long chain (diameter
+    stresses the loop's convergence), a star, overlapping cliques, and
+    an isolated edge; plus schema and empty-input contracts."""
+    from clinical_data_platform_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(30, 40)]
+    pairs = spark.createDataFrame(
+        chain + [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    local = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(pairs, local_max_pairs=0).collect()
+    }
+    assert local == dist and len(local) == 19
+    assert {c for n, c in local if n >= 30} == {30}
+
+    empty = connected_components(pairs.limit(0))
+    assert empty.count() == 0
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+
+
 def test_banded_near_dup_recall_vs_exhaustive(spark):
     """The registered embedding_near_dup_pairs plan is banded sign-LSH
     (equi-join on (band, bucket)); the exhaustive crossJoin is demoted to

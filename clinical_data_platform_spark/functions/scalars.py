@@ -50,6 +50,25 @@ def normal_sf(z: Column) -> Column:
 NORMAL_SF_SQL = "(1.0 - " + ERF_SQL.format(x="(({z})/sqrt(2.0))") + ")"
 
 
+def normal_upper_sf(z: Column) -> Column:
+    """Strict upper tail P(Z > z) = erfc(z/sqrt(2))/2. The erf
+    approximation is |z|-based, so the negative branch is reflected:
+    for z < 0 the upper tail is 1 - erfc(|z|/sqrt(2))/2. Use this for
+    inherently one-sided statistics (F, chi-square via Wilson-Hilferty);
+    normal_sf stays the two-sided convention for symmetric tests."""
+    sf = normal_sf(z)
+    return F.when(z >= F.lit(0.0), 0.5 * sf).otherwise(1.0 - 0.5 * sf)
+
+
+NORMAL_UPPER_SF_SQL = (
+    "(CASE WHEN ({z}) >= 0.0 THEN 0.5 * "
+    + NORMAL_SF_SQL
+    + " ELSE 1.0 - 0.5 * "
+    + NORMAL_SF_SQL
+    + " END)"
+)
+
+
 def logistic(z: Column) -> Column:
     """Sigmoid 1/(1+e^-z) (closed-form risk scorer, api/main.py:176-179)."""
     return 1.0 / (1.0 + F.exp(-z))

@@ -10,7 +10,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import fan_out_scan, table as T
-from ..functions.scalars import NORMAL_SF_SQL, normal_sf
+from ..functions.scalars import (
+    NORMAL_SF_SQL,
+    NORMAL_UPPER_SF_SQL,
+    normal_sf,
+    normal_upper_sf,
+)
 from ..operators.stats import chi_square_test, welch_t_test
 from .registry import query
 
@@ -2776,7 +2781,7 @@ SELECT cast(k AS BIGINT) AS k_groups, nn AS n_orders,
        round(eta, 6) AS eta_sq,
        round({p_sql}, 6) AS p_approx
 FROM z
-""".format(p_sql=NORMAL_SF_SQL.format(z="zwh"))
+""".format(p_sql=NORMAL_UPPER_SF_SQL.format(z="zwh"))
 
 
 @query(
@@ -2791,11 +2796,12 @@ def anova_f_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi_square_test (for the huge within-group df here, (k-1)·F is
     chi-square with k-1 df, so z plugs F straight into the WH formula —
     documented approximation, identical expression text both engines).
-    NOTE p_approx follows the reference's chi_square_test demo
-    convention normal_sf(z) = 2(1-Phi(|z|)) — the symmetric two-sided
-    form, not a strict upper tail (it is ~2x the upper-tail p for
-    z > 0; for F far below its null mean it reflects distance from the
-    mean rather than the upper tail).
+    Since r9 p_approx is the STRICT UPPER TAIL P(Z > z_WH) =
+    erfc(z/sqrt(2))/2 (normal_upper_sf), the correct orientation for an
+    inherently one-sided F test — closing the convention caveat carried
+    since r3. (chi_square_test itself keeps the two-sided normal_sf
+    form deliberately: it mirrors the reference's own demo semantics,
+    analytics/stats_utils.py:39-40.)
 
     Sufficient statistics are exact: per-group (n, Σcents, Σcents²) in
     decimal(38,0)/hugeint. SSB uses the DEVIATION form Σ n_g·(m_g − M)²
@@ -2843,7 +2849,7 @@ def anova_f_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n_orders"),
         F.round(fstat, 6).alias("f_stat"),
         F.round(F.col("ssb") / sst, 6).alias("eta_sq"),
-        F.round(normal_sf(zwh), 6).alias("p_approx"),
+        F.round(normal_upper_sf(zwh), 6).alias("p_approx"),
     )
 
 

@@ -84,4 +84,15 @@ def test_anova_matches_numpy(spark):
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert abs(r.f_stat - f) / max(f, 1.0) < 1e-6
     assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-6
-    assert 0.0 <= r.p_approx <= 1.0
+    # r9: p_approx is the STRICT upper tail of the Wilson-Hilferty
+    # normal for (k-1)F ~ chi2(k-1) — erfc(z/sqrt(2))/2, not the old
+    # two-sided convention. Tolerance: 6-dp rounding + the 1.5e-7 A&S
+    # erf approximation budget.
+    import math
+
+    kd = k - 1
+    zwh = (f ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * kd))) / math.sqrt(
+        2.0 / (9.0 * kd)
+    )
+    p_ref = math.erfc(zwh / math.sqrt(2.0)) / 2.0
+    assert abs(r.p_approx - p_ref) < 2e-6

@@ -87,21 +87,50 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+#: Size gate for the r9 driver-side merge loop: below this many DISTINCT
+#: words the (word, count) table is collected and the merge loop runs in
+#: plain Python (``reference_bpe`` — the exact implementation the tests
+#: already pin the distributed trainer against), replacing ~2 Spark jobs
+#: PER MERGE with one collect. 64k words x ~16 bytes is driver-trivial,
+#: and below this size the per-merge pure-Python pass is well under the
+#: per-job scheduling floor the distributed loop pays. Above the gate
+#: (any real corpus: 1e6-1e8 distinct words at 100 TB) the distributed
+#: loop below runs unchanged — same candidate math, same
+#: (count DESC, pair ASC) tie-break, pinned equal by
+#: tests/test_bpe.py::test_driver_and_distributed_paths_agree.
+DRIVER_MAX_WORDS = 65536
+
+
 def train_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 20,
     checkpoint_every: int = 10,
+    driver_max_words: int = DRIVER_MAX_WORDS,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges; returns them in rank order as
     [{rank, left, right, merged, pair_count}, ...]. Bounded driver
-    state: one 1-row collect per merge."""
-    spark = docs.sparkSession
-    words = (
-        word_counts(docs, text_col)
-        .select(_to_symbols(F.col("word")).alias("syms"), "count")
-        .cache()
-    )
+    state: one 1-row collect per merge (distributed path) or one
+    word-table collect (size-gated driver path, see DRIVER_MAX_WORDS)."""
+    wc = word_counts(docs, text_col).cache()
+    try:
+        if wc.count() <= driver_max_words:
+            rows = [(r["word"], r["count"]) for r in wc.collect()]
+            return reference_bpe(rows, num_merges=num_merges)
+        # wc stays cached until the loop's first materialization has
+        # derived `words` from it (unpersisting earlier would re-run the
+        # corpus-scale pass); it is dropped in the outer finally.
+        words = wc.select(_to_symbols(F.col("word")).alias("syms"), "count").cache()
+        merges = _merge_loop(words, num_merges, checkpoint_every)
+    finally:
+        wc.unpersist()
+    return merges
+
+
+def _merge_loop(
+    words: DataFrame, num_merges: int, checkpoint_every: int
+) -> list[dict]:
+    """The distributed merge loop over the cached symbols table."""
     merges: list[dict] = []
     try:
         for rank in range(1, num_merges + 1):

@@ -2744,17 +2744,9 @@ def fs_em_linkage_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, so the whole EM trajectory is value-verified by the
     chained-CTE oracle. Scale: pattern counts are a metadata-sized
     aggregate of the blocked join at any corpus size."""
-    p = T(spark, sf_dir, "part")
+    from ..functions.driverexact import jdiv, jfloor_long, jround
 
-    def u_of(f: str, alias: str):
-        vc = p.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
-        return vc.agg(
-            F.round(
-                F.sum(F.col("c") * F.col("c")).cast("double")
-                / (F.sum("c") * F.sum("c")),
-                12,
-            ).alias(alias)
-        )
+    p = T(spark, sf_dir, "part")
     ts = F.array_sort(
         F.array_distinct(
             F.split(
@@ -2776,8 +2768,19 @@ def fs_em_linkage_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a_, c_ = b.alias("a"), b.alias("c")
-    pat = (
-        a_.join(
+    # r9 optimization: the agreement-pattern table has <= 8 rows BY
+    # CONSTRUCTION (a groupBy over three binary agreement bits), so the
+    # blocked pair COUNT aggregate — the only corpus-scale work — is
+    # collected once and the whole 5-round EM runs on the driver with
+    # bit-exact replicas of the very fixed-point/round-resync expressions
+    # the distributed loop used (functions/driverexact.py; the loop was
+    # designed order-free precisely so this is a pure transport change).
+    # Replaces 2 materialization jobs + 5 per-round localCheckpoint jobs
+    # with 2 collects. Same trajectory, pinned by the unchanged
+    # chained-CTE oracle at all three SFs.
+    pat_rows = [
+        (int(r["ba"]), int(r["ta"]), int(r["sa"]), int(r["n"]))
+        for r in a_.join(
             c_,
             (F.col("a.blk") == F.col("c.blk"))
             & (F.col("a.p_partkey") < F.col("c.p_partkey")),
@@ -2789,77 +2792,89 @@ def fs_em_linkage_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ba", "ta", "sa")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .coalesce(1)
-        .localCheckpoint()
-    )
-    params = (
-        u_of("p_brand", "u1")
-        .crossJoin(u_of("p_type", "u2"))
-        .crossJoin(u_of("p_size", "u3"))
-        .select(
-            F.lit(float(_EM_LAM0)).alias("lam"),
-            F.lit(float(_EM_M0)).alias("m1"),
-            F.lit(float(_EM_M0)).alias("m2"),
-            F.lit(float(_EM_M0)).alias("m3"),
-            "u1",
-            "u2",
-            "u3",
-        )
-        .localCheckpoint()
-    )
-    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
-    for _ in range(_EM_ROUNDS):
-        j = pat.crossJoin(F.broadcast(params))
-
-        def side(mcols):
-            out = F.col("lam") if mcols[0] == "m" else (F.lit(1.0) - F.col("lam"))
-            for bit, c1 in (("ba", "1"), ("ta", "2"), ("sa", "3")):
-                f = F.col(mcols + c1)
-                out = out * F.when(F.col(bit) == 1, f).otherwise(F.lit(1.0) - f)
-            return out
-
-        pm = side("m")
-        pu = side("u")
-        g = pm / (pm + pu)
-        e = j.select(
-            "ba", "ta", "sa", "n",
-            F.floor(g * F.lit(1e12)).cast("long").alias("gfp"),
-            F.floor((F.lit(1.0) - g) * F.lit(1e12)).cast("long").alias("hfp"),
-        )
-        s = e.agg(
-            F.sum(dec(F.col("n")) * dec(F.col("gfp"))).alias("gg"),
-            F.sum(dec(F.col("n")) * dec(F.col("hfp"))).alias("hh"),
-            F.sum(dec(F.col("n")) * dec(F.col("gfp")) * F.col("ba")).alias("g1"),
-            F.sum(dec(F.col("n")) * dec(F.col("hfp")) * F.col("ba")).alias("h1"),
-            F.sum(dec(F.col("n")) * dec(F.col("gfp")) * F.col("ta")).alias("g2"),
-            F.sum(dec(F.col("n")) * dec(F.col("hfp")) * F.col("ta")).alias("h2"),
-            F.sum(dec(F.col("n")) * dec(F.col("gfp")) * F.col("sa")).alias("g3"),
-            F.sum(dec(F.col("n")) * dec(F.col("hfp")) * F.col("sa")).alias("h3"),
-            (F.sum(dec(F.col("n"))) * F.lit(10).cast("decimal(38,0)") ** 12)
-            .alias("tot"),
-        )
-        params = s.select(
-            F.round(F.col("gg").cast("double") / F.col("tot").cast("double"), 12).alias("lam"),
-            F.round(F.col("g1").cast("double") / F.col("gg").cast("double"), 12).alias("m1"),
-            F.round(F.col("g2").cast("double") / F.col("gg").cast("double"), 12).alias("m2"),
-            F.round(F.col("g3").cast("double") / F.col("gg").cast("double"), 12).alias("m3"),
-            F.round(F.col("h1").cast("double") / F.col("hh").cast("double"), 12).alias("u1"),
-            F.round(F.col("h2").cast("double") / F.col("hh").cast("double"), 12).alias("u2"),
-            F.round(F.col("h3").cast("double") / F.col("hh").cast("double"), 12).alias("u3"),
-        ).localCheckpoint()
-    tot = pat.agg(F.sum("n").cast("long").alias("n_pairs"))
-    fields = params.crossJoin(F.broadcast(tot)).select(
-        F.explode(
-            F.array(
-                *[
+        .collect()
+    ]
+    # the three chance-agreement u's in ONE stacked pass over part (was
+    # three separate scans crossJoined): per-field value counts are
+    # exact integers, so sum(c^2)/sum(c)^2 is the identical division
+    uc = (
+        p.select(
+            F.explode(
+                F.array(
                     F.struct(
-                        F.lit(name).alias("field"),
-                        F.col("m" + i).alias("m_raw"),
-                        F.col("u" + i).alias("u_raw"),
-                    )
-                    for name, i in (("brand", "1"), ("type", "2"), ("size", "3"))
-                ]
-            )
+                        F.lit("u1").alias("k"), F.col("p_brand").alias("v")
+                    ),
+                    F.struct(
+                        F.lit("u2").alias("k"), F.col("p_type").alias("v")
+                    ),
+                    F.struct(
+                        F.lit("u3").alias("k"),
+                        F.col("p_size").cast("string").alias("v"),
+                    ),
+                )
+            ).alias("kv")
+        )
+        .groupBy("kv.k", "kv.v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("sxx"),
+            F.sum("c").alias("s"),
+        )
+        .collect()
+    )
+    us = {r["k"]: jround(jdiv(float(r["sxx"]), float(r["s"] * r["s"])), 12) for r in uc}
+    lam = float(_EM_LAM0)
+    m1 = m2 = m3 = float(_EM_M0)
+    u1, u2, u3 = us["u1"], us["u2"], us["u3"]
+    if pat_rows:
+        for _ in range(_EM_ROUNDS):
+            gg = hh = g1 = h1 = g2 = h2 = g3 = h3 = nsum = 0
+            for ba, ta, sa, cnt in pat_rows:
+                pm = lam
+                for bit, f in ((ba, m1), (ta, m2), (sa, m3)):
+                    pm = pm * (f if bit == 1 else 1.0 - f)
+                pu = 1.0 - lam
+                for bit, f in ((ba, u1), (ta, u2), (sa, u3)):
+                    pu = pu * (f if bit == 1 else 1.0 - f)
+                g = jdiv(pm, pm + pu)
+                gfp = jfloor_long(g * 1e12)
+                hfp = jfloor_long((1.0 - g) * 1e12)
+                gg += cnt * gfp
+                hh += cnt * hfp
+                g1 += cnt * gfp * ba
+                h1 += cnt * hfp * ba
+                g2 += cnt * gfp * ta
+                h2 += cnt * hfp * ta
+                g3 += cnt * gfp * sa
+                h3 += cnt * hfp * sa
+                nsum += cnt
+            tot = nsum * 10**12
+            lam = jround(jdiv(float(gg), float(tot)), 12)
+            m1 = jround(jdiv(float(g1), float(gg)), 12)
+            m2 = jround(jdiv(float(g2), float(gg)), 12)
+            m3 = jround(jdiv(float(g3), float(gg)), 12)
+            u1 = jround(jdiv(float(h1), float(hh)), 12)
+            u2 = jround(jdiv(float(h2), float(hh)), 12)
+            u3 = jround(jdiv(float(h3), float(hh)), 12)
+        n_pairs = sum(cnt for _, _, _, cnt in pat_rows)
+    else:
+        # empty-pattern degenerate: distributed sums over an empty frame
+        # were NULL, so every EM parameter is NULL and n_pairs is NULL
+        lam = m1 = m2 = m3 = u1 = u2 = u3 = None
+        n_pairs = None
+    fields = spark.createDataFrame(
+        [
+            ("brand", m1, u1, lam, n_pairs),
+            ("type", m2, u2, lam, n_pairs),
+            ("size", m3, u3, lam, n_pairs),
+        ],
+        "field string, m_raw double, u_raw double, lam double, n_pairs long",
+    ).select(
+        F.struct(
+            F.col("field").alias("field"),
+            F.col("m_raw").alias("m_raw"),
+            F.col("u_raw").alias("u_raw"),
         ).alias("fx"),
         "lam",
         "n_pairs",

@@ -37,7 +37,10 @@ def test_trainer_matches_reference_small(spark):
             "new newer newest knew",
         ],
     )
-    got = train_bpe_merges(docs, num_merges=20)
+    # driver_max_words=0 forces the DISTRIBUTED merge loop (the size
+    # gate would otherwise route a vocabulary this small to the driver
+    # path, which IS reference_bpe — making this equality vacuous)
+    got = train_bpe_merges(docs, num_merges=20, driver_max_words=0)
     want = _reference_from_df(docs, 20)
     assert got == want
     assert len(got) == 20 and [m["rank"] for m in got] == list(range(1, 21))
@@ -47,16 +50,31 @@ def test_trainer_matches_reference_on_testdata(spark):
     from clinical_data_platform_spark.catalog import table as T
 
     docs = T(spark, "/root/testdata/sf0.001", "documents")
-    got = train_bpe_merges(docs, num_merges=8)
+    got = train_bpe_merges(docs, num_merges=8, driver_max_words=0)
     want = _reference_from_df(docs, 8)
     assert got == want
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """r9 size gate: the driver path (gate above vocab size) and the
+    distributed loop (gate forced to 0) must produce the identical merge
+    sequence on real fixture data — the same paths-agree pin the
+    size-adaptive connected_components carries."""
+    from clinical_data_platform_spark.catalog import table as T
+
+    docs = T(spark, "/root/testdata/sf0.01", "documents")
+    via_driver = train_bpe_merges(docs, num_merges=12)  # gate: driver path
+    via_cluster = train_bpe_merges(docs, num_merges=12, driver_max_words=0)
+    assert via_driver == via_cluster
 
 
 def test_greedy_left_to_right_overlap(spark):
     # merging ("a","a") inside "a a a </w>" must produce "aa a </w>",
     # not "a aa </w>" — non-overlapping left-to-right, like greedy BPE
     docs = _corpus(spark, ["aaa aaa"])
-    got = train_bpe_merges(docs, num_merges=2)
+    # forced distributed: this test pins the regexp_replace path's
+    # left-to-right non-overlapping behaviour specifically
+    got = train_bpe_merges(docs, num_merges=2, driver_max_words=0)
     want = _reference_from_df(docs, 2)
     assert got == want
     assert (got[0]["left"], got[0]["right"], got[0]["pair_count"]) == ("a", "a", 4)

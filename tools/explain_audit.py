@@ -365,7 +365,6 @@ BROADCAST_BOUNDS: dict[tuple[str, str], str] = {
     ("plans/stats.py", "lof_daily_outliers"): "day-grid rank table (calendar-bounded pair side)",
     ("plans/streamops.py", "stream_cms_user_counts"): "CMS sketch (d x w counters, KB)",
     ("plans/textops.py", "rm3_query_expansion"): "query-term list + feedback-depth doc set (k rows)",
-    ("plans/textops.py", "fs_em_linkage_params"): "EM parameter table (<=8 pattern rows)",
     ("plans/textops.py", "incremental_dedup_new_docs"): "Bloom filter bitmap rows (m bits / 64 per row, KB)",
     ("plans/textops.py", "near_dup_threshold_sweep"): "threshold grid (5 rows)",
     ("plans/textops.py", "bm25_score"): "collection stats scalar + query-term idf (|q| rows)",

@@ -3074,85 +3074,55 @@ def absorbing_markov_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    outt = c.groupBy(F.col("cur").alias("ocur")).agg(
-        F.sum("n").cast("long").alias("tot")
-    )
-    qp = (
-        c.join(outt, c.cur == F.col("ocur"))
-        .filter(
-            (F.col("cur") != _AMK_ABSORB) & (F.col("nxt") != _AMK_ABSORB)
-        )
-        .select(
-            F.col("cur").alias("i"),
-            F.col("nxt").alias("j"),
-            (F.col("n").cast("double") / F.col("tot")).alias("m"),
-        )
-        .coalesce(1)
-        .localCheckpoint()
-    )
-    s = (
-        qp.select("i")
-        .distinct()
-        .select("i", F.col("i").alias("j"), F.lit(1.0).alias("m"))
-        .coalesce(1)
-        .localCheckpoint()
-    )
+    # r9 optimization: everything past the transition-count aggregate is
+    # |types|^2-bounded, but the four doublings used to run ~45 Spark
+    # jobs of coalesce(1)+localCheckpoint rounds — pure scheduling
+    # floor. The counts are collected once and the doublings replayed on
+    # the driver with bit-exact scalar replicas (functions/driverexact.py)
+    # — same 1e-12 fixed-point floor sums, same round(x, 12) re-sync,
+    # identical trajectory pinned by the unchanged chained-CTE oracle.
+    from ..functions.driverexact import jfloor_long, jround
 
-    def matmul(a: DataFrame, b: DataFrame) -> DataFrame:
-        al = a.select(
-            F.col("i").alias("ai"), F.col("j").alias("am"), F.col("m").alias("av")
-        )
-        bl = b.select(
-            F.col("i").alias("bm"), F.col("j").alias("bj"), F.col("m").alias("bv")
-        )
-        return (
-            al.join(bl, F.col("am") == F.col("bm"))
-            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
-            .agg(
-                F.round(
-                    F.sum(
-                        F.floor(F.col("av") * F.col("bv") * 1e12).cast(
-                            "long"
-                        )
-                    ).cast("long")
-                    / 1e12,
-                    12,
-                ).alias("m")
-            )
-        )
+    crows = [(r["cur"], r["nxt"], r["n"]) for r in c.collect()]
+    tot: dict = {}
+    for cur, _, n in crows:
+        tot[cur] = tot.get(cur, 0) + n
+    qp = {
+        (cur, nxt): float(n) / float(tot[cur])
+        for cur, nxt, n in crows
+        if cur != _AMK_ABSORB and nxt != _AMK_ABSORB
+    }
+    smat = {(i, i): 1.0 for i in sorted({i for i, _ in qp})}
+
+    def matmul(a: dict, b: dict) -> dict:
+        acc: dict = {}
+        for (ai, am), av in a.items():
+            for (bm, bj), bv in b.items():
+                if am == bm:
+                    k = (ai, bj)
+                    acc[k] = acc.get(k, 0) + jfloor_long(av * bv * 1e12)
+        return {k: jround(float(v) / 1e12, 12) for k, v in acc.items()}
 
     for _ in range(_AMK_DOUBLINGS):
-        qs = matmul(qp, s)
-        sa = s.select("i", "j", F.col("m").alias("ma"))
-        sb = qs.select(
-            F.col("i").alias("ib"), F.col("j").alias("jb"), F.col("m").alias("mb")
-        )
-        s = (
-            sa.join(
-                sb,
-                (sa.i == F.col("ib")) & (sa.j == F.col("jb")),
-                "full_outer",
-            )
-            .select(
-                F.coalesce(sa.i, F.col("ib")).alias("i"),
-                F.coalesce(sa.j, F.col("jb")).alias("j"),
-                (
-                    F.coalesce(F.col("ma"), F.lit(0.0))
-                    + F.coalesce(F.col("mb"), F.lit(0.0))
-                ).alias("m"),
-            )
-            .coalesce(1)
-            .localCheckpoint()
-        )
-        qp = matmul(qp, qp).coalesce(1).localCheckpoint()
-    tail = qp.groupBy("i").agg(
-        F.round(F.sum("m"), 6).alias("truncation_tail")
-    )
-    return s.join(tail.withColumnRenamed("i", "ti"), s.i == F.col("ti")).select(
-        s.i.alias("start_state"),
-        F.col("j").alias("target_state"),
-        F.round("m", 6).alias("expected_visits"),
-        "truncation_tail",
+        qs = matmul(qp, smat)
+        smat = {
+            k: smat.get(k, 0.0) + qs.get(k, 0.0)
+            for k in set(smat) | set(qs)
+        }
+        qp = matmul(qp, qp)
+    tail: dict = {}
+    for (i, jj), m in sorted(qp.items()):
+        tail[i] = tail.get(i, 0.0) + m
+    tail = {i: jround(v, 6) for i, v in tail.items()}
+    rows = [
+        (i, jj, jround(m, 6), tail[i])
+        for (i, jj), m in sorted(smat.items())
+        if i in tail
+    ]
+    return spark.createDataFrame(
+        rows,
+        "start_state string, target_state string, expected_visits double, "
+        "truncation_tail double",
     )
 
 
@@ -3452,142 +3422,105 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         "event_type",
         F.lead("event_type").over(wj).alias("nxt"),
-    ).localCheckpoint()
-    tr = (
-        seq.filter(F.col("rn") == 1)
-        .select(
-            F.lit("START").alias("s"),
-            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
-            .otherwise(F.col("event_type"))
-            .alias("d"),
-        )
-        .unionByName(
-            seq.filter(
-                F.col("nxt").isNotNull()
-                & (F.col("event_type") != "purchase")
-            ).select(
-                F.col("event_type").alias("s"),
-                F.when(F.col("nxt") == "purchase", F.lit("CONV"))
-                .otherwise(F.col("nxt"))
-                .alias("d"),
-            )
-        )
-        .unionByName(
-            seq.filter(
-                F.col("nxt").isNull() & (F.col("event_type") != "purchase")
-            ).select(
-                F.col("event_type").alias("s"), F.lit("DROP").alias("d")
-            )
-        )
     )
+    # r9 optimization: the three per-row transition branches (START row,
+    # interior step, terminal DROP) used to be three filtered re-reads of
+    # a localCheckpointed seq — folded into ONE pass emitting 0-2
+    # transition structs per row (same multiset of (s, d) rows, so the
+    # downstream counts are identical and the checkpoint job disappears).
+    conv_of = lambda c: F.when(c == "purchase", F.lit("CONV")).otherwise(c)  # noqa: E731
+    t_start = F.when(
+        F.col("rn") == 1,
+        F.struct(
+            F.lit("START").alias("s"), conv_of(F.col("event_type")).alias("d")
+        ),
+    )
+    t_step = F.when(
+        (F.col("event_type") != "purchase") & F.col("nxt").isNotNull(),
+        F.struct(
+            F.col("event_type").alias("s"), conv_of(F.col("nxt")).alias("d")
+        ),
+    ).when(
+        (F.col("event_type") != "purchase") & F.col("nxt").isNull(),
+        F.struct(F.col("event_type").alias("s"), F.lit("DROP").alias("d")),
+    )
+    tr = seq.select(
+        F.explode(
+            F.filter(F.array(t_start, t_step), lambda x: x.isNotNull())
+        ).alias("t")
+    ).select("t.s", "t.d")
     cnt = tr.groupBy("s", "d").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    rowt = cnt.groupBy(F.col("s").alias("rs")).agg(
-        F.sum("n").cast("long").alias("t")
-    )
-    pfull = (
-        cnt.join(rowt, cnt.s == F.col("rs"))
-        .select(
-            F.col("s").alias("i"),
-            F.col("d").alias("j"),
-            (F.col("n").cast("double") / F.col("t")).alias("m"),
-        )
-        .unionByName(
-            spark.range(1).select(
-                F.lit("CONV").alias("i"),
-                F.lit("CONV").alias("j"),
-                F.lit(1.0).alias("m"),
-            )
-        )
-        .unionByName(
-            spark.range(1).select(
-                F.lit("DROP").alias("i"),
-                F.lit("DROP").alias("j"),
-                F.lit(1.0).alias("m"),
-            )
-        )
-        .coalesce(1)
-        .localCheckpoint()
-    )
+    # r9 optimization: everything past the transition-count aggregate
+    # lives on <= (|channels|+3)^2 = 49 rows, but the five chains x four
+    # matrix squarings used to run ~100 Spark jobs of localCheckpointed
+    # 49-row joins — pure driver/scheduling floor. The counts are
+    # collected once and the squarings replayed on the driver with
+    # bit-exact replicas of the very Spark scalar expressions the
+    # distributed loop used (functions/driverexact.py): the loop was
+    # designed order-free (1e-12 fixed-point floor sums, round(x, 12)
+    # re-sync each squaring), so this is a transport change, pinned by
+    # the unchanged chained-CTE oracle at all three SFs.
+    from ..functions.driverexact import jfloor_long, jround
 
-    def matmul(a: DataFrame) -> DataFrame:
-        al = a.select(
-            F.col("i").alias("ai"), F.col("j").alias("am"), F.col("m").alias("av")
-        )
-        bl = a.select(
-            F.col("i").alias("bm"), F.col("j").alias("bj"), F.col("m").alias("bv")
-        )
-        return (
-            al.join(bl, F.col("am") == F.col("bm"))
-            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
-            .agg(
-                F.round(
-                    F.sum(
-                        F.floor(F.col("av") * F.col("bv") * 1e12).cast("long")
-                    ).cast("long")
-                    / 1e12,
-                    12,
-                ).alias("m")
-            )
-        )
+    crows = cnt.collect()
+    tot: dict = {}
+    for r in crows:
+        tot[r["s"]] = tot.get(r["s"], 0) + r["n"]
+    pfull = {
+        (r["s"], r["d"]): float(r["n"]) / float(tot[r["s"]]) for r in crows
+    }
+    pfull[("CONV", "CONV")] = 1.0
+    pfull[("DROP", "DROP")] = 1.0
 
-    def conv_prob(p0: DataFrame) -> DataFrame:
-        p = p0
+    def matmul(p: dict) -> dict:
+        acc: dict = {}
+        for (ai, am), av in p.items():
+            for (bm, bj), bv in p.items():
+                if am == bm:
+                    k = (ai, bj)
+                    acc[k] = acc.get(k, 0) + jfloor_long(av * bv * 1e12)
+        return {k: jround(float(v) / 1e12, 12) for k, v in acc.items()}
+
+    def conv_prob(p: dict) -> float | None:
         for _ in range(_MRA_SQUARINGS):
-            p = matmul(p).coalesce(1).localCheckpoint()
-        return p.filter(
-            (F.col("i") == "START") & (F.col("j") == "CONV")
-        ).select("m")
+            p = matmul(p)
+        return p.get(("START", "CONV"))
 
-    full_m = conv_prob(pfull)
+    out_schema = (
+        "channel string, conv_full double, conv_without double, "
+        "removal_effect double, share double"
+    )
+    mf = conv_prob(pfull)
+    if mf is None:
+        # no START->CONV path in the full chain: the distributed form
+        # produced an empty frame (every eff crossJoined an empty full_m)
+        return spark.createDataFrame([], out_schema)
     effs = []
     for ch in _MRA_CHANNELS:
-        pvar = (
-            pfull.filter(F.col("i") != ch)
-            .select(
-                "i",
-                F.when(F.col("j") == ch, F.lit("DROP"))
-                .otherwise(F.col("j"))
-                .alias("j"),
-                "m",
-            )
-            .groupBy("i", "j")
-            .agg(F.sum("m").alias("m"))
-            .coalesce(1)
-            .localCheckpoint()
+        # removal variant: drop row ch, redirect column ch onto DROP.
+        # Each merged cell folds at most TWO doubles (original j and the
+        # redirected ch), so the double sum is exactly commutative.
+        pvar: dict = {}
+        for (i, jj), m in pfull.items():
+            if i == ch:
+                continue
+            k = (i, "DROP" if jj == ch else jj)
+            pvar[k] = pvar.get(k, 0.0) + m
+        mw = conv_prob(pvar)
+        mw = 0.0 if mw is None else mw
+        effs.append((ch, mf, mw, jfloor_long(max(mf - mw, 0.0) * 1e9)))
+    t = sum(e[3] for e in effs)
+    rows = [
+        (
+            ch,
+            jround(mf_, 6),
+            jround(mw_, 6),
+            jround(mf_ - mw_, 6),
+            ((e_fp * 1000000) // t) / 1e6 if t > 0 else None,
         )
-        # agg-coalesce yields exactly one row even when the pruned chain
-        # lost its START->CONV path entirely (conv_without = 0)
-        wo = conv_prob(pvar).agg(
-            F.coalesce(F.max("m"), F.lit(0.0)).alias("mw")
-        )
-        effs.append(
-            full_m.crossJoin(wo).select(
-                F.lit(ch).alias("channel"),
-                F.col("m").alias("conv_full"),
-                F.col("mw").alias("conv_without"),
-                F.floor(
-                    F.greatest(F.col("m") - F.col("mw"), F.lit(0.0)) * 1e9
-                )
-                .cast("long")
-                .alias("e_fp"),
-            )
-        )
-    eff = effs[0]
-    for e2 in effs[1:]:
-        eff = eff.unionByName(e2)
-    eff = eff.localCheckpoint()
-    tot = eff.agg(F.sum("e_fp").cast("long").alias("t"))
-    return eff.crossJoin(F.broadcast(tot)).select(
-        "channel",
-        F.round("conv_full", 6).alias("conv_full"),
-        F.round("conv_without", 6).alias("conv_without"),
-        F.round(F.col("conv_full") - F.col("conv_without"), 6).alias(
-            "removal_effect"
-        ),
-        F.when(
-            F.col("t") > 0, F.expr("e_fp * 1000000 div t") / 1e6
-        ).alias("share"),
-    )
+        for ch, mf_, mw_, e_fp in effs
+    ]
+    return spark.createDataFrame(rows, out_schema)
 
 
 # --- Wave 70: seasonal decomposition --------------------------------------------

@@ -35,6 +35,14 @@ from .registry import query
 _PR_ITERS = 5
 _PR_D = 0.85  # damping
 
+# Edge count below which the iterative graph loops replay on the driver
+# (same small-side escape hatch as operators/dedup.connected_components):
+# 500k (src, dst, w, wout) rows is a few MB — well under the engine's own
+# broadcast standard — and at that size the distributed loop is pure
+# per-round scheduling floor. Above it the distributed loops run
+# unchanged.
+_GRAPH_LOCAL_MAX_EDGES = 500_000
+
 _EDGES_SQL = """
     e0 AS (
       SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
@@ -133,6 +141,7 @@ def pagerank_frame(
     iters: int = _PR_ITERS,
     damping: float = _PR_D,
     teleport: float = 1.0 - _PR_D,
+    local_max_edges: int = _GRAPH_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Weighted PageRank over an (src, dst, w) edge frame -> (node, r).
 
@@ -146,11 +155,51 @@ def pagerank_frame(
     the cross-engine oracle; ``teleport`` is a separate literal (not
     computed as 1 - damping) because ``1.0 - 0.85`` and the literal
     ``0.15`` differ by an ulp and the oracle writes the literal."""
+    # r9 optimization: the edge table is materialized ONCE (the old
+    # shape re-executed the upstream edge build for the node set, the
+    # semi-join, and each count). Below the edge gate the whole
+    # iteration is replayed on the driver — the node set, the dst
+    # semi-join filter, and the integer out-weight sums are exact, and
+    # the per-round rank expressions are bit-exact scalar replicas
+    # (functions/driverexact.py); the contribution sum's float order was
+    # never pinned by the distributed plan either — the per-round
+    # round(x, 12) re-sync is what both engines already rely on. Above
+    # the gate (web-scale graphs) the distributed loop runs unchanged.
+    ecp = edges.localCheckpoint(eager=True)
+    if ecp.count() <= local_max_edges:
+        from ..functions.driverexact import jround
+
+        rows0 = [(r["src"], r["dst"], r["w"]) for r in ecp.collect()]
+        nlist = sorted({src for src, _, _ in rows0})
+        nset = set(nlist)
+        erows = [(s, d, w) for s, d, w in rows0 if d in nset]
+        wout: dict = {}
+        for src, _, w in erows:
+            wout[src] = wout.get(src, 0) + w
+        cnt = len(nlist)
+        r = {nd: 1.0 / cnt for nd in nlist}
+        for _ in range(iters):
+            contrib: dict = {}
+            for src, dst, w in erows:
+                contrib[dst] = contrib.get(dst, 0.0) + r[src] * float(
+                    w
+                ) / float(wout[src])
+            r = {
+                nd: jround(
+                    teleport / cnt + damping * contrib.get(nd, 0.0), 12
+                )
+                for nd in nlist
+            }
+        t = edges.schema["src"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            [(nd, r[nd]) for nd in nlist], f"node {t}, r double"
+        )
+
     nodes = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+        ecp.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
     e = (
-        edges.join(nodes, edges.dst == nodes.node, "left_semi")
+        ecp.join(nodes, ecp.dst == nodes.node, "left_semi")
         .withColumn("wout", F.sum("w").over(Window.partitionBy("src")))
         .localCheckpoint()
     )
@@ -163,15 +212,15 @@ def pagerank_frame(
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("contrib"))
         )
-        ranks = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
-        ).select(
-            "node",
-            F.round(
-                F.lit(teleport / cnt)
-                + damping * F.coalesce("contrib", F.lit(0.0)),
-                12,
-            ).alias("r"),
+        ranks = iter_checkpoint(
+            nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                "node",
+                F.round(
+                    F.lit(teleport / cnt)
+                    + damping * F.coalesce("contrib", F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
         )
     return ranks
 
@@ -916,60 +965,36 @@ def trade_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+    # r9 optimization: the edge table is |nations|^2-bounded BY
+    # CONSTRUCTION, so the a/h rounds replay on the driver with bit-exact
+    # scalar replicas (functions/driverexact.py) — the distributed loop
+    # was ~50 jobs of 25-row join+window rounds, pure scheduling floor.
+    # Max normalizer and round(x, 12) re-sync are unchanged; the raw
+    # score sums' float order was never pinned by the distributed plan
+    # either (that is exactly what the per-round round-12 absorbs).
+    from ..functions.driverexact import jdiv, jround
+
+    erows = [(r["src"], r["dst"], r["w"]) for r in e.collect()]
+    nlist = sorted(
+        {src for src, _, _ in erows} | {dst for _, dst, _ in erows}
     )
-    # The max-normalizer comes from an UNPARTITIONED window over the
-    # node-level score table: that table is bounded by the node count
-    # (graph vertices, not edges/rows), so the single window task holds
-    # |V| rows — fine for entity-level graphs; for web-scale |V| swap in
-    # an agg + broadcast-join scalar (costs one extra tiny job/round).
-    wall = Window.partitionBy()
-    h = nodes.select("node", F.lit(1.0).alias("h"))
-    a = None
+    h = {nd: 1.0 for nd in nlist}
+    a: dict = {}
     for _ in range(_HITS_ITERS):
-        ar = (
-            e.join(h, e.src == h.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("h") * F.col("w")).alias("raw"))
-        )
-        a = (
-            nodes.join(ar, nodes.node == ar.dst, "left")
-            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
-            .select(
-                "node",
-                F.round(
-                    F.col("raw") / F.max("raw").over(wall), 12
-                ).alias("a"),
-            )
-        )
-        hr = (
-            e.join(a, e.dst == a.node)
-            .groupBy("src")
-            .agg(F.sum(F.col("w") * F.col("a")).alias("raw"))
-        )
-        h = (
-            nodes.join(hr, nodes.node == hr.src, "left")
-            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
-            .select(
-                "node",
-                F.round(
-                    F.col("raw") / F.max("raw").over(wall), 12
-                ).alias("h"),
-            )
-        )
-    return (
-        a.join(h, "node")
-        .select(
-            F.col("node").alias("nation"),
-            F.round("h", 6).alias("hub"),
-            F.round("a", 6).alias("authority"),
-        )
+        raw: dict = {}
+        for src, dst, w in erows:
+            raw[dst] = raw.get(dst, 0.0) + h[src] * float(w)
+        mx = max((raw.get(nd, 0.0) for nd in nlist), default=0.0)
+        a = {nd: jround(jdiv(raw.get(nd, 0.0), mx), 12) for nd in nlist}
+        raw = {}
+        for src, dst, w in erows:
+            raw[src] = raw.get(src, 0.0) + float(w) * a[dst]
+        mx = max((raw.get(nd, 0.0) for nd in nlist), default=0.0)
+        h = {nd: jround(jdiv(raw.get(nd, 0.0), mx), 12) for nd in nlist}
+    return spark.createDataFrame(
+        [(nd, jround(h[nd], 6), jround(a[nd], 6)) for nd in nlist],
+        "nation string, hub double, authority double",
     )
 
 
@@ -1468,55 +1493,48 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    nodes = (
-        e0.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    )
-    e = (
-        e0.join(nodes, e0.dst == nodes.node, "left_semi")
-        .withColumn("wout", F.sum("w").over(Window.partitionBy("src")))
-        .localCheckpoint()
-    )
-    seed = (
-        e.groupBy("src")
-        .agg(F.sum("w").alias("tw"))
-        .orderBy(F.desc("tw"), F.asc("src"))
-        .limit(1)
-        .select(F.col("src").alias("seed_node"))
-        .localCheckpoint()
-    )
-    seed_name = seed.collect()[0][0]  # scalar: the one-row argmax
-    ranks = nodes.select(
-        "node",
-        F.when(F.col("node") == seed_name, F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("r"),
-    )
+    # r9 optimization: the edge table is |nations|^2-bounded BY
+    # CONSTRUCTION (the explain-audit broadcast standard), so it is
+    # collected ONCE and the node set, dst semi-join filter, integer
+    # out-weight sums, seed argmax, and the whole 5-round walk replay on
+    # the driver with bit-exact scalar replicas
+    # (functions/driverexact.py) — the distributed loop was ~40 jobs of
+    # 25-row joins, pure scheduling floor. Same teleport literals, same
+    # round(x, 12) re-sync.
+    from ..functions.driverexact import jround
+
+    rows0 = [(r["src"], r["dst"], r["w"]) for r in e0.collect()]
+    nlist = sorted({src for src, _, _ in rows0})
+    nset = set(nlist)
+    erows = [(src, dst, w) for src, dst, w in rows0 if dst in nset]
+    wout: dict = {}
+    tw: dict = {}
+    for src, _, w in erows:
+        wout[src] = wout.get(src, 0) + w
+        tw[src] = tw.get(src, 0) + w
+    seed_name = min(tw, key=lambda nd: (-tw[nd], nd)) if tw else None
+    if seed_name is None:
+        return spark.createDataFrame(
+            [], "nation string, is_seed boolean, ppr double"
+        )
+    r = {nd: (1.0 if nd == seed_name else 0.0) for nd in nlist}
     for _ in range(_PR_ITERS):
-        contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .groupBy("dst")
-            .agg(
-                F.sum(F.col("r") * F.col("w") / F.col("wout")).alias(
-                    "contrib"
-                )
+        contrib: dict = {}
+        for src, dst, w in erows:
+            contrib[dst] = contrib.get(dst, 0.0) + r[src] * float(w) / float(
+                wout[src]
             )
-        )
-        ranks = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
-        ).select(
-            "node",
-            F.round(
-                F.when(F.col("node") == seed_name, F.lit(0.15)).otherwise(
-                    F.lit(0.0)
-                )
-                + 0.85 * F.coalesce("contrib", F.lit(0.0)),
+        r = {
+            nd: jround(
+                (0.15 if nd == seed_name else 0.0)
+                + 0.85 * contrib.get(nd, 0.0),
                 12,
-            ).alias("r"),
-        )
-    return ranks.select(
-        F.col("node").alias("nation"),
-        (F.col("node") == seed_name).alias("is_seed"),
-        F.round("r", 6).alias("ppr"),
+            )
+            for nd in nlist
+        }
+    return spark.createDataFrame(
+        [(nd, nd == seed_name, jround(r[nd], 6)) for nd in nlist],
+        "nation string, is_seed boolean, ppr double",
     )
 
 
@@ -1633,78 +1651,66 @@ def bradley_terry_trade_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy(F.col("src").alias("i"), F.col("dst").alias("j"))
         .agg(F.count(F.lit(1)).cast("long").alias("wins"))
-        .localCheckpoint()
     )
-    wr = w.select(
-        F.col("i").alias("ri"), F.col("j").alias("rj"),
-        F.col("wins").alias("rwins"),
-    )
-    prs = (
-        w.join(
-            wr,
-            (F.col("ri") == F.col("j")) & (F.col("rj") == F.col("i")),
-            "left",
-        )
-        .select(
-            "i", "j", (F.col("wins") + F.coalesce("rwins", F.lit(0))).alias("n")
-        )
-        .coalesce(1)
-        .localCheckpoint()
-    )
-    wtot = w.groupBy(F.col("i").alias("node")).agg(
-        F.sum("wins").cast("long").alias("wins")
-    ).localCheckpoint()
-    ltot = w.groupBy(F.col("j").alias("node")).agg(
-        F.sum("wins").cast("long").alias("losses")
-    )
-    p = wtot.select("node", F.lit(1.0).alias("p"))
+    # r9 optimization: the pair table is |nations|^2-bounded BY
+    # CONSTRUCTION, so Hunter's MM rounds replay on the driver with
+    # bit-exact scalar replicas (functions/driverexact.py) — the
+    # distributed loop was ~60 jobs of coalesce(1)+localCheckpoint
+    # rounds over a <= 600-row state, pure scheduling floor. Every MM
+    # denominator term floors into 1e-9 int64 fixed point (order-free
+    # integer sums), the normalizer is a max, and the state re-syncs at
+    # 12 dp — identical trajectory, pinned by the unchanged chained-CTE
+    # oracle at all three SFs.
+    from ..functions.driverexact import jfloor_long, jround
+
+    wrows = [(r["i"], r["j"], r["wins"]) for r in w.collect()]
+    wmap = {(i, j): wins for i, j, wins in wrows}
+    prs = [
+        (i, j, wins + wmap.get((j, i), 0)) for i, j, wins in wrows
+    ]
+    wtot: dict = {}
+    ltot: dict = {}
+    for i, j, wins in wrows:
+        wtot[i] = wtot.get(i, 0) + wins
+        ltot[j] = ltot.get(j, 0) + wins
+    p = {nd: 1.0 for nd in sorted(wtot)}
     for _ in range(_BT_ITERS):
-        a = p.select(F.col("node").alias("i"), F.col("p").alias("pa"))
-        bside = p.select(F.col("node").alias("j"), F.col("p").alias("pb"))
-        den = (
-            prs.join(a, "i")
-            .join(bside, "j")
-            .select(
-                "i",
-                F.floor(
-                    F.col("n") * F.lit(1e9) / (F.col("pa") + F.col("pb"))
+        # inner-join semantics of the distributed round: a pair row only
+        # contributes when BOTH endpoints carry a strength, and a node
+        # whose every partner is strength-less drops out of the state
+        den: dict = {}
+        for i, j, n in prs:
+            if i in p and j in p:
+                den[i] = den.get(i, 0) + jfloor_long(
+                    float(n) * 1e9 / (p[i] + p[j])
                 )
-                .cast("long")
-                .alias("t"),
+        raw = {
+            nd: float(wtot[nd]) * 1e9 / float(den[nd])
+            for nd in sorted(wtot)
+            if nd in den
+        }
+        if not raw:
+            p = {}
+            break
+        mx = max(raw.values())
+        p = {nd: jround(raw[nd] / mx, 12) for nd in raw}
+    rows = [
+        (
+            nd,
+            jround(p[nd], 6),
+            wtot[nd],
+            ltot.get(nd, 0),
+            jfloor_long(
+                float(wtot[nd]) * 1e6 / float(wtot[nd] + ltot.get(nd, 0))
             )
-            .groupBy("i")
-            .agg(F.sum("t").cast("long").alias("den"))
+            / 1e6,
         )
-        raw = wtot.join(den, wtot.node == den.i).select(
-            "node",
-            (F.col("wins").cast("double") * F.lit(1e9) / F.col("den")).alias(
-                "p"
-            ),
-        )
-        mx = raw.agg(F.max("p").alias("mx"))
-        p = (
-            raw.crossJoin(F.broadcast(mx))
-            .select("node", F.round(F.col("p") / F.col("mx"), 12).alias("p"))
-            .coalesce(1)
-            .localCheckpoint()
-        )
-    return (
-        p.join(wtot, "node")
-        .join(ltot, "node", "left")
-        .select(
-            F.col("node").alias("nation"),
-            F.round("p", 6).alias("strength"),
-            "wins",
-            F.coalesce("losses", F.lit(0)).alias("losses"),
-            (
-                F.floor(
-                    F.col("wins")
-                    * F.lit(1e6)
-                    / (F.col("wins") + F.coalesce("losses", F.lit(0)))
-                )
-                / 1e6
-            ).alias("win_rate"),
-        )
+        for nd in sorted(p)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "nation string, strength double, wins long, losses long, "
+        "win_rate double",
     )
 
 

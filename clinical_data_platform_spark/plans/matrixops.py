@@ -263,76 +263,55 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ut = covariance_long(e, "embedding", _DIM).select(
         "i", "j", F.round("cov", 7).alias("m")
     )
-    a = (
-        ut.unionAll(
-            ut.filter(F.col("i") != F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "m"
-            )
-        )
-        # the dim^2 matrix is ~4k rows: single-partition state keeps each
-        # squaring a one-task job instead of a 32-task scheduling round
-        .coalesce(1)
-        .localCheckpoint()
-    )
-    a0 = a
+    # r9 optimization: the eight squarings live on a dim^2 = 4,096-row
+    # state, but the distributed loop ran ~75 Spark jobs of
+    # coalesce(1)+localCheckpoint rounds — pure scheduling floor. The
+    # 7-dp-rounded covariance (the cross-engine contract the base
+    # operator proves) is collected once and the squarings replayed on
+    # the driver: every matmul term is floored into 1e-12 fixed-point
+    # int64 BEFORE the row sums exactly as the Spark expressions did
+    # (dense float64 numpy ops are the same IEEE binary64 multiply/
+    # floor; integer sums are exact), each squaring renormalizes by the
+    # integer max and re-syncs through the HALF_UP round replica
+    # (functions/driverexact.py). Identical trajectory, pinned by the
+    # unchanged chained-CTE oracle at all three SFs.
+    import numpy as np
+
+    from ..functions.driverexact import jround
+
+    urows = ut.collect()
+    dims = sorted({r["i"] for r in urows} | {r["j"] for r in urows})
+    nd = len(dims)
+    pos = {d: k for k, d in enumerate(dims)}
+    a0 = np.zeros((nd, nd), dtype=np.float64)
+    for r in urows:
+        a0[pos[r["i"]], pos[r["j"]]] = r["m"]
+        a0[pos[r["j"]], pos[r["i"]]] = r["m"]
+
+    def _jround_div(num: "np.ndarray", den: float):
+        return np.array(
+            [jround(float(x) / den, 12) for x in num.ravel()],
+            dtype=np.float64,
+        ).reshape(num.shape)
+
+    a = a0
     for _ in range(_PCA_SQUARINGS):
-        p = a.select(
-            F.col("i").alias("pi"), F.col("j").alias("pk"), F.col("m").alias("pm")
-        )
-        q = a.select(
-            F.col("i").alias("qk"), F.col("j").alias("qj"), F.col("m").alias("qm")
-        )
-        sq = (
-            p.join(q, F.col("qk") == F.col("pk"))
-            .select(
-                F.col("pi").alias("i"),
-                F.col("qj").alias("j"),
-                F.floor(F.col("pm") * F.col("qm") * F.lit(1e12))
-                .cast("long")
-                .alias("t"),
-            )
-            .groupBy("i", "j")
-            .agg(F.sum("t").cast("long").alias("mm"))
-        )
-        s = sq.agg(F.max(F.abs(F.col("mm"))).alias("s"))
-        a = (
-            sq.crossJoin(F.broadcast(s))
-            .select(
-                "i",
-                "j",
-                F.round(F.col("mm").cast("double") / F.col("s"), 12).alias(
-                    "m"
-                ),
-            )
-            .coalesce(1)
-            .localCheckpoint()
-        )
-    vraw = (
-        a.select(
-            "i", F.floor(F.col("m") * F.lit(1e12)).cast("long").alias("t")
-        )
-        .groupBy("i")
-        .agg(F.sum("t").cast("long").alias("u"))
+        # mm[i,j] = sum_k floor(a[i,k] * a[k,j] * 1e12)  (exact int64)
+        prod = a[:, :, None] * a[None, :, :]
+        mm = np.floor(prod * 1e12).astype(np.int64).sum(axis=1)
+        sc = int(np.abs(mm).max())
+        a = _jround_div(mm.astype(np.float64), float(sc))
+    u = np.floor(a * 1e12).astype(np.int64).sum(axis=1)
+    nrm = int(np.abs(u).max())
+    v = np.array(
+        [jround(float(x) / float(nrm), 12) for x in u], dtype=np.float64
     )
-    vn = vraw.agg(F.max(F.abs(F.col("u"))).alias("nrm"))
-    v = vraw.crossJoin(F.broadcast(vn)).select(
-        F.col("i").alias("j"),
-        F.round(F.col("u").cast("double") / F.col("nrm"), 12).alias("v"),
-    ).localCheckpoint()
-    lam = (
-        a0.join(v, "j")
-        .select(
-            "i",
-            F.floor(F.col("m") * F.col("v") * F.lit(1e12))
-            .cast("long")
-            .alias("t"),
-        )
-        .groupBy("i")
-        .agg(F.sum("t").cast("long").alias("s"))
-        .agg(F.max(F.abs(F.col("s"))).alias("l"))
-    )
-    return v.crossJoin(F.broadcast(lam)).select(
-        F.col("j").alias("component"),
-        F.round("v", 6).alias("loading"),
-        F.round(F.col("l") / F.lit(1e12), 6).alias("lambda_inf"),
+    lam_rows = np.floor(a0 * v[None, :] * 1e12).astype(np.int64).sum(axis=1)
+    lam = int(np.abs(lam_rows).max())
+    rows = [
+        (int(dims[k]), jround(float(v[k]), 6), jround(lam / 1e12, 6))
+        for k in range(nd)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, loading double, lambda_inf double"
     )

@@ -2551,54 +2551,43 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e6
             ).alias("j"),
         )
-        .localCheckpoint()
     )
     lam, oml = float(_MMR_LAM), float(_MMR_ONE_MINUS_LAM)
+    # r9 optimization: the greedy loop runs on a CONSTANT-size state
+    # (20 candidates, <= 190 pairwise sims) but used to submit a full
+    # orderBy+limit job per selection round plus the localCheckpoints
+    # feeding them (~50 jobs). Both tables are collected once and the 5
+    # rounds replay on the driver with the identical argmax expression
+    # (lam*nb - oml*penalty, doc_id tie-break) on the same doubles —
+    # trunc6 inputs, so bit-equality is inherited from the collected
+    # values; pinned by the unchanged chained-CTE oracle at 3 SFs.
+    cand_rows = [(r["doc_id"], r["nb"]) for r in cand.collect()]
+    sim_rows = [(r["id_a"], r["id_b"], r["j"]) for r in sims.collect()]
     picked: list[tuple] = []
     sel_ids: list[int] = []
-    remaining = cand
+    remaining = dict(cand_rows)
     for r in range(1, _MMR_K + 1):
-        if r == 1:
-            pen = remaining.select(
-                "doc_id", "nb", F.lit(0.0).alias("penalty")
-            )
-        else:
-            rel = sims.filter(
-                F.col("id_a").isin(sel_ids) | F.col("id_b").isin(sel_ids)
-            ).select(
-                F.when(F.col("id_a").isin(sel_ids), F.col("id_b"))
-                .otherwise(F.col("id_a"))
-                .alias("doc_id"),
-                "j",
-            ).filter(~F.col("doc_id").isin(sel_ids))
-            pen = (
-                remaining.join(
-                    rel.groupBy("doc_id").agg(F.max("j").alias("penalty")),
-                    "doc_id",
-                    "left",
-                )
-                .select(
-                    "doc_id",
-                    "nb",
-                    F.coalesce("penalty", F.lit(0.0)).alias("penalty"),
-                )
-            )
-        raw = F.lit(lam) * F.col("nb") - F.lit(oml) * F.col("penalty")
-        # bounded scalar pick: the candidate table is a CONSTANT 20 rows
-        row = (
-            pen.orderBy(raw.desc(), F.asc("doc_id")).limit(1).collect()[0]
-        )
+        best = None
+        for doc_id, nb in sorted(remaining.items()):
+            if r == 1:
+                penalty = 0.0
+            else:
+                js = [
+                    j
+                    for ia, ib, j in sim_rows
+                    if (ia in sel_ids) != (ib in sel_ids)
+                    and (doc_id in (ia, ib))
+                ]
+                penalty = max(js) if js else 0.0
+            raw = lam * nb - oml * penalty
+            if best is None or raw > best[0]:
+                best = (raw, doc_id, nb, penalty)
+        _, doc_id, nb, penalty = best
         picked.append(
-            (
-                r,
-                row.doc_id,
-                row.nb,
-                row.penalty,
-                round(lam * row.nb - oml * row.penalty, 6),
-            )
+            (r, doc_id, nb, penalty, round(lam * nb - oml * penalty, 6))
         )
-        sel_ids.append(row.doc_id)
-        remaining = remaining.filter(~F.col("doc_id").isin(sel_ids))
+        sel_ids.append(doc_id)
+        del remaining[doc_id]
     return spark.createDataFrame(
         picked,
         "rank INT, doc_id BIGINT, nb DOUBLE, penalty DOUBLE, mmr DOUBLE",

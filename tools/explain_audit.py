@@ -321,7 +321,6 @@ BROADCAST_BOUNDS: dict[tuple[str, str], str] = {
     ("plans/graphops.py", "bradley_terry_trade_strength"): "nation dim (25 rows)",
     ("plans/graphops.py", "nation_closeness_centrality"): "nation dim (25 rows)",
     ("plans/layout.py", "audit"): "file-manifest sizes (file-count-bounded)",
-    ("plans/matrixops.py", "pca_top_component"): "1x1 Rayleigh-quotient normalizer (dim^2-bounded matrix state)",
     ("plans/relational.py", "region_overview_rollup"): "nation (25) + region (5) dims",
     ("plans/relational.py", "q5_revenue_by_nation"): "nation (25) + filtered region (<=5) dims",
     ("plans/relational.py", "q7_volume_shipping"): "nation dim both sides (25 rows each)",

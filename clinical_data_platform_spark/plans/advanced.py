@@ -802,6 +802,43 @@ def _stop_score_sql(lang: str) -> str:
     )
 
 
+def lang_score_exprs(
+    toks: F.Column | None = None, denom: F.Column | None = None
+) -> dict[str, F.Column]:
+    """Per-language stopword-rate score expressions over F.col("text") —
+    the exact scoring lang_id_prediction materializes, exposed at
+    expression level so composing plans (the r9 curation funnel) can
+    evaluate them scan-side instead of joining the materialized query.
+    ``toks``/``denom`` may be pre-materialized columns holding the SAME
+    expressions (tokens(lower(trim(text))) / greatest(size(tokens(text)),
+    1)) so a caller can share one tokenization across consumers."""
+    if toks is None:
+        toks = tokens(F.lower(F.trim(F.col("text"))))
+    if denom is None:
+        denom = F.greatest(F.size(tokens(F.col("text"))), F.lit(1))
+    out: dict[str, F.Column] = {}
+    for lang in ("en", "de", "es", "fr"):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        out[lang] = (
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / denom
+        )
+    return out
+
+
+def lang_is_en_expr(
+    toks: F.Column | None = None, denom: F.Column | None = None
+) -> F.Column:
+    """predicted_lang == 'en' as one boolean expression over
+    F.col("text"): exactly the first arm of lang_id_prediction's
+    argmax+tie-break CASE (en wins all >= comparisons)."""
+    sc = lang_score_exprs(toks, denom)
+    return (
+        (sc["en"] >= sc["de"])
+        & (sc["en"] >= sc["es"])
+        & (sc["en"] >= sc["fr"])
+    )
+
+
 @query(
     "lang_id_prediction",
     oracle=f"""
@@ -827,14 +864,17 @@ def lang_id_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free language-ID heuristic: stopword hit-rate per language,
     argmax with a fixed tie-break order (mirrored exactly in the oracle).
     The corpus text is synthetic, so accuracy is meaningless — determinism
-    and the operator shape are what's under test."""
-    d = T(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.trim(F.col("text"))))
-    denom = F.greatest(F.size(tokens(F.col("text"))), F.lit(1))
+    and the operator shape are what's under test. r9: the per-language
+    scores come from the shared expression builder (lang_score_exprs) and
+    the scan is fanned out (single-file corpus, CPU-dense per-doc array
+    filters — the repo-wide one-core-scan guard)."""
+    from ..catalog import fan_out_scan
+
+    d = fan_out_scan(T(spark, sf_dir, "documents"))
+    sc = lang_score_exprs()
 
     def score(lang: str):
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / denom
+        return sc[lang]
 
     scored = d.select(
         "doc_id", "lang",

@@ -77,6 +77,76 @@ _ELLIPSIS_FRAC_SQL = _TRUNC6.format(
 )
 
 
+def gopher_metric_exprs(
+    ws: F.Column | None = None, lines: F.Column | None = None
+) -> dict[str, F.Column]:
+    """The seven Gopher metric expressions over F.col("text") — exposed
+    at expression level (r9) so composing plans (the curation funnel)
+    can evaluate them scan-side instead of joining the materialized
+    query. ``ws``/``lines`` may be pre-materialized columns holding the
+    SAME expressions (tokens(text) / split(text, newline)) so a caller
+    can share one tokenization across consumers."""
+    if ws is None:
+        ws = tokens(F.col("text"))
+    if lines is None:
+        lines = F.split(F.col("text"), "\n")
+    n_words = F.size(ws)
+    denom = F.greatest(n_words, F.lit(1))
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_dots = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / 3.0
+    n_uell = F.length("text") - F.length(F.expr("replace(text, '…', '')"))
+    total_wlen = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    lower_ws = F.transform(ws, lambda w: F.lower(w))
+    stop_list = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": _trunc6(total_wlen * 1.0 / denom),
+        "symbol_word_ratio": _trunc6((n_hash + n_dots + n_uell) / denom),
+        "bullet_line_frac": _trunc6(
+            F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) * 1.0
+            / F.size(lines)
+        ),
+        "ellipsis_line_frac": _trunc6(
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+            * 1.0
+            / F.size(lines)
+        ),
+        "alpha_word_frac": _trunc6(
+            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) * 1.0 / denom
+        ),
+        "n_stopwords": F.size(
+            F.filter(stop_list, lambda s: F.array_contains(lower_ws, s))
+        ).cast("long"),
+    }
+
+
+def gopher_rule_exprs(m: dict[str, F.Column]) -> dict[str, F.Column]:
+    """The seven rule booleans over a metric-expression map (either the
+    projected columns or the raw expressions — value-identical)."""
+    return {
+        "r_word_count": m["n_words"].between(_MIN_WORDS, _MAX_WORDS),
+        "r_mean_len": m["mean_word_len"].between(_MIN_MWL, _MAX_MWL),
+        "r_symbol": m["symbol_word_ratio"] <= _MAX_SYMBOL_RATIO,
+        "r_bullet": m["bullet_line_frac"] <= _MAX_BULLET_FRAC,
+        "r_ellipsis": m["ellipsis_line_frac"] <= _MAX_ELLIPSIS_FRAC,
+        "r_alpha": m["alpha_word_frac"] >= _MIN_ALPHA_FRAC,
+        "r_stop": m["n_stopwords"] >= _MIN_STOPWORDS,
+    }
+
+
+def gopher_keep_expr() -> F.Column:
+    """The AND-fold of all seven rules over F.col("text")."""
+    rules = gopher_rule_exprs(gopher_metric_exprs())
+    keep = None
+    for cond in rules.values():
+        keep = cond if keep is None else keep & cond
+    return keep
+
+
 @query(
     "gopher_quality_filter",
     oracle=f"""
@@ -139,57 +209,14 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rules as one narrow projection per doc —
     seven metrics, seven rule booleans, one keep flag. Pure codegen'd
     string/array expressions; zero shuffles; scales linearly in corpus
-    bytes (the canonical first pass of a pretraining pipeline)."""
+    bytes (the canonical first pass of a pretraining pipeline). r9: the
+    metric/rule expressions come from the shared builders above."""
     d = fan_out_scan(T(spark, sf_dir, "documents"))
-    ws = tokens(F.col("text"))
-    lines = F.split(F.col("text"), "\n")
-    n_words = F.size(ws)
-    denom = F.greatest(n_words, F.lit(1))
-    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
-    n_dots = (
-        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
-    ) / 3.0
-    n_uell = F.length("text") - F.length(F.expr("replace(text, '…', '')"))
-    total_wlen = F.aggregate(
-        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-    )
-    mean_word_len = _trunc6(total_wlen * 1.0 / denom)
-    symbol_ratio = _trunc6((n_hash + n_dots + n_uell) / denom)
-    bullet_frac = _trunc6(
-        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) * 1.0
-        / F.size(lines)
-    )
-    ellipsis_frac = _trunc6(
-        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) * 1.0
-        / F.size(lines)
-    )
-    alpha_frac = _trunc6(
-        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) * 1.0 / denom
-    )
-    lower_ws = F.transform(ws, lambda w: F.lower(w))
-    stop_list = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    n_stop = F.size(
-        F.filter(stop_list, lambda s: F.array_contains(lower_ws, s))
-    )
+    me = gopher_metric_exprs()
     m = d.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_stop.cast("long").alias("n_stopwords"),
+        "doc_id", *[expr.alias(name) for name, expr in me.items()]
     )
-    rules = {
-        "r_word_count": F.col("n_words").between(_MIN_WORDS, _MAX_WORDS),
-        "r_mean_len": F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL),
-        "r_symbol": F.col("symbol_word_ratio") <= _MAX_SYMBOL_RATIO,
-        "r_bullet": F.col("bullet_line_frac") <= _MAX_BULLET_FRAC,
-        "r_ellipsis": F.col("ellipsis_line_frac") <= _MAX_ELLIPSIS_FRAC,
-        "r_alpha": F.col("alpha_word_frac") >= _MIN_ALPHA_FRAC,
-        "r_stop": F.col("n_stopwords") >= _MIN_STOPWORDS,
-    }
+    rules = gopher_rule_exprs({k: F.col(k) for k in me})
     keep = None
     out = m
     for name, cond in rules.items():

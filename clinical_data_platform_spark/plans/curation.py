@@ -180,32 +180,104 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_pairs_inverted, connected_components), so the funnel
     is a composition proof: the pieces the registry verifies one-by-one
     compose into the pipeline a user actually runs."""
+    from ..catalog import fan_out_scan
     from ..operators.dedup import (
         connected_components,
         ngram_jaccard_pairs_inverted,
     )
-    from .advanced import lang_id_prediction
-    from .corpusqc import gopher_quality_filter
+    from .advanced import lang_score_exprs
+    from .corpusqc import gopher_metric_exprs, gopher_rule_exprs
 
     ntok = F.size(tokens(F.col("text"))).cast("long")
-    d = (
+    # r9 optimization: stages 0-2 are per-doc predicates, so instead of
+    # joining the materialized lang-ID and Gopher queries onto the
+    # corpus (each join re-scanned documents; the stage-1 row re-ran the
+    # lang scan again, and raw_n was a fourth pass), the SAME expressions
+    # those operators are built from (lang_is_en_expr / gopher_keep_expr
+    # — shared builders, so the funnel cannot drift from the registered
+    # operators) are evaluated scan-side in ONE fanned-out pass, and the
+    # stage-0/1/2 funnel rows fold into ONE conditional aggregation.
+    # A doc passes stage 1 iff its lang_id_prediction row says 'en' and
+    # stage 2 iff its gopher_quality_filter row says keep — both are
+    # one-row-per-doc projections, so join == filter, value-identical;
+    # the oracle (which embeds the registered oracles as subqueries) is
+    # unchanged.
+    # Layered projections so each expensive tokenization / score is
+    # materialized ONCE per row (higher-order array exprs are codegen-
+    # fallback and do not share subexpressions; CollapseProject keeps a
+    # layer whenever an aliased non-cheap expression is referenced more
+    # than once above it). Values are identical by construction — the
+    # pre-materialized columns hold exactly the subtrees the builders
+    # would inline.
+    base0 = fan_out_scan(T(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        tokens(F.col("text")).alias("wsr"),
+        tokens(F.lower(F.trim(F.col("text")))).alias("wsl"),
+        F.split(F.col("text"), "\n").alias("lns"),
+    )
+    sc = lang_score_exprs(
+        toks=F.col("wsl"),
+        denom=F.greatest(F.size("wsr"), F.lit(1)),
+    )
+    me = gopher_metric_exprs(ws=F.col("wsr"), lines=F.col("lns"))
+    scored = base0.select(
+        "doc_id",
+        "text",
+        F.size("wsr").cast("long").alias("n_tok"),
+        *[sc[lang].alias(f"s_{lang}") for lang in ("en", "de", "es", "fr")],
+        *[me[k].alias(f"g_{k}") for k in me],
+    )
+    l1 = (
+        (F.col("s_en") >= F.col("s_de"))
+        & (F.col("s_en") >= F.col("s_es"))
+        & (F.col("s_en") >= F.col("s_fr"))
+    )
+    q2 = None
+    for cond in gopher_rule_exprs(
+        {k: F.col(f"g_{k}") for k in me}
+    ).values():
+        q2 = cond if q2 is None else q2 & cond
+    base = scored.select(
+        "doc_id", "text", "n_tok", l1.alias("l1"), q2.alias("q2")
+    )
+    # The heavy flag pass runs ONCE into a NARROW checkpoint (doc_id +
+    # n_tok + two booleans — no text); the stage-0/1/2 aggregates fold
+    # into one conditional aggregation over it, and the stage-2 survivor
+    # text re-attaches by doc_id join (decide with small rows, move the
+    # heavy bytes once).
+    flags = base.select("doc_id", "n_tok", "l1", "q2").localCheckpoint(
+        eager=True
+    )
+    csum = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(F.when(cond, F.col("n_tok"))), F.lit(0)
+    ).cast("long")
+    ccnt = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(F.when(cond, F.lit(1))), F.lit(0)
+    ).cast("long")
+    sums = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t0"),
+        ccnt(F.col("l1")).alias("d1"),
+        csum(F.col("l1")).alias("t1"),
+        ccnt(F.col("l1") & F.col("q2")).alias("d2"),
+        csum(F.col("l1") & F.col("q2")).alias("t2"),
+    )
+
+    # multi-consumer survivor frame is materialized once (tracer seed,
+    # dedup input, stage-3 anti-join) — the repo-wide re-execution gotcha
+    s2 = (
         T(spark, sf_dir, "documents")
-        .select("doc_id", "text", ntok.alias("n_tok"))
+        .select("doc_id", "text")
+        .join(
+            flags.filter(F.col("l1") & F.col("q2")).select(
+                "doc_id", "n_tok"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "text", "n_tok")
+        .localCheckpoint(eager=True)
     )
-    lang_en = (
-        lang_id_prediction(spark, sf_dir)
-        .filter(F.col("predicted_lang") == "en")
-        .select("doc_id")
-    )
-    qual = (
-        gopher_quality_filter(spark, sf_dir)
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    s1 = d.join(lang_en, "doc_id")
-    # multi-consumer survivor frames are materialized once (stage rows,
-    # tracer seed, dedup input) — the repo-wide re-execution gotcha
-    s2 = s1.join(qual, "doc_id").localCheckpoint(eager=True)
 
     seeds = s2.orderBy("doc_id").limit(_N_TRACERS).select("doc_id", "text")
     d3in = (
@@ -250,14 +322,31 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept",
         )
 
+    rows012 = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(stage).cast("long").alias("stage"),
+                        F.lit(name).alias("stage_name"),
+                        F.col(f"d{stage}").alias("docs_kept"),
+                        F.col(f"t{stage}").alias("tokens_kept"),
+                    )
+                    for stage, name in (
+                        (0, "raw"),
+                        (1, "lang_en"),
+                        (2, "quality"),
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage", "r.stage_name", "r.docs_kept", "r.tokens_kept")
     funnel = (
-        row(0, "raw", d)
-        .unionByName(row(1, "lang_en", s1))
-        .unionByName(row(2, "quality", s2))
+        rows012
         .unionByName(row(3, "exact_dedup", s3))
         .unionByName(row(4, "near_dup", s4))
     )
-    raw_n = d.agg(F.count(F.lit(1)).alias("raw_n"))
+    raw_n = sums.select(F.col("d0").alias("raw_n"))
     return funnel.crossJoin(raw_n).select(
         "stage",
         "stage_name",

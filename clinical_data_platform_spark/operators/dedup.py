@@ -272,6 +272,7 @@ def minhash_md5_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH whose hash family is md5(i || '|' || shingle) —
     slower per byte than the xxhash64 family in minhash_lsh_candidates,
@@ -282,9 +283,13 @@ def minhash_md5_candidates(
     Plan shape is identical to the fast path: explode shingles x hash
     indices, partial-final MIN per (doc, hash), band signatures by
     string-concat, then an equi self-join on (band, signature) — candidate
-    generation stays bucket-local at any scale."""
+    generation stays bucket-local at any scale.
+
+    ``shingles``: optional prebuilt (doc_id, shingle) table — pass the
+    SAME shingle_table output to sibling detectors so a composed plan
+    tokenizes the corpus once instead of once per detector."""
     rows = num_hashes // bands
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     h = (
         sh.select(
             "doc_id",
@@ -328,6 +333,7 @@ def ngram_jaccard_pairs_inverted(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_docs: int | None = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Same semantics as ngram_jaccard_pairs, different physical plan:
     instead of a shingle self-JOIN (two shuffles of the exploded table),
@@ -336,8 +342,11 @@ def ngram_jaccard_pairs_inverted(
     shuffle to build postings + one to count pairs; pair-expansion work is
     bounded by sum(df_s^2) exactly like the join, with no join hash table.
     Postings lists longer than max_shingle_docs are dropped (ultra-common
-    shingles), which is also the quadratic-blowup guard at scale."""
-    sh = shingle_table(df, id_col, text_col, n)
+    shingles), which is also the quadratic-blowup guard at scale.
+
+    ``shingles``: optional prebuilt (doc_id, shingle) table (see
+    minhash_md5_candidates) so composed detectors share one tokenize."""
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     postings = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc_id")).alias("docs")

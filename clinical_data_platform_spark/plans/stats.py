@@ -6960,13 +6960,26 @@ def permutation_test_price_status(spark: SparkSession, sf_dir: str) -> DataFrame
     o = T(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isin("F", "O")
     )
-    f = o.select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("y"),
-        (F.col("o_orderstatus") == "F").alias("grp"),
-    ).localCheckpoint()
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # r9: the single-file orders scan arrives as ONE partition and the
+    # checkpoint freezes that layout, so the B x md5 replicate expansion
+    # below (the whole cost of this query) ran on one core. Fan out
+    # BEFORE the checkpoint (guide §4/§6 scan parallelism); every
+    # downstream aggregate is an exact integer sum, so layout is
+    # result-neutral.
+    f = (
+        o.select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+            (F.col("o_orderstatus") == "F").alias("grp"),
+        )
+        .repartition(parallelism)
+        .localCheckpoint()
+    )
     obs = f.agg(
         F.sum(F.when(F.col("grp"), F.col("y"))).cast("long").alias("sa"),
         F.sum(F.when(F.col("grp"), 1).otherwise(0)).cast("long").alias("na"),

@@ -1826,15 +1826,22 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
         minhash_md5_candidates,
         ngram_jaccard_pairs_inverted,
+        shingle_table,
     )
 
     docs = T(spark, sf_dir, "documents")
+    # r9: the docstring's "ONE shingle table feeds both" is now true in
+    # the physical plan too — previously each detector re-tokenized and
+    # re-shingled the corpus from scratch (guide §2.4: remove the repeated
+    # scan/compute outright). Checkpoint the shared table once.
+    sh = shingle_table(docs, "doc_id", "text", 3).localCheckpoint()
     lsh = minhash_md5_candidates(
-        docs, "doc_id", "text", n=3, num_hashes=16, bands=4
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, shingles=sh
     ).select("id_a", "id_b").localCheckpoint()
     jac = (
         ngram_jaccard_pairs_inverted(
-            docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=1000
+            docs, "doc_id", "text", n=3, threshold=0.05,
+            max_shingle_docs=1000, shingles=sh,
         )
         .select("id_a", "id_b")
         .localCheckpoint()
@@ -3899,16 +3906,32 @@ def blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _BRA_DF_CAP
     ).select("tok")
-    a = tok.select(F.col("p_partkey").alias("pa"), "tok")
-    b = tok.select(F.col("p_partkey").alias("pb"), F.col("tok").alias("tokb"))
+    sizes = t.select("p_partkey", F.size("ts").cast("long").alias("sz"))
+    # r9: a truth pair needs nc*100 >= TAU100*(sza+szb-nc), and the union
+    # is >= each side's full set size while nc is bounded by each side's
+    # UNDER-CAP token count ka — so any part with 100*ka < TAU100*sz can
+    # never appear in a truth pair. Pre-filter BOTH sides of the posting
+    # self-join on that per-part test (guide §3.4; lossless by the
+    # threshold arithmetic, no data assumption). At sf0.1 every part has
+    # ka=1 against sz~9, so the ~8M-row pair expansion that fed an empty
+    # truth set collapses to an empty join.
+    u = tok.join(dfok, "tok")
+    okj = (
+        u.groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("ku"))
+        .join(sizes, "p_partkey")
+        .filter(F.col("ku") * 100 >= F.lit(_BRA_TAU100) * F.col("sz"))
+        .select("p_partkey")
+    )
+    u = u.join(okj, "p_partkey")
+    a = u.select(F.col("p_partkey").alias("pa"), "tok")
+    b = u.select(F.col("p_partkey").alias("pb"), F.col("tok").alias("tokb"))
     inter = (
-        a.join(dfok, "tok")
-        .join(b, F.col("tok") == F.col("tokb"))
+        a.join(b, F.col("tok") == F.col("tokb"))
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("nc"))
     )
-    sizes = t.select("p_partkey", F.size("ts").cast("long").alias("sz"))
     # per-entity sizes are DATA-SIZED: plain equi-join, AQE decides
     sa = sizes.select(F.col("p_partkey").alias("pa"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("p_partkey").alias("pb"), F.col("sz").alias("szb"))
@@ -4094,11 +4117,26 @@ def reciprocal_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 1000
     ).select("tok")
-    a = tok.select(F.col("p_partkey").alias("pa"), "tok")
-    b = tok.select(F.col("p_partkey").alias("kb_id"), F.col("tok").alias("tokb"))
+    # r9: nc counts shared UNDER-CAP tokens (the dfok join key), and the
+    # >= _RBM_MIN_NC gate means a surviving pair needs >= 2 of them ON
+    # EACH SIDE — so parts with < 2 under-cap tokens can be dropped from
+    # BOTH sides of the posting self-join before the pair expansion
+    # (guide §3.4 pre-filter the big side; lossless by the gate's own
+    # arithmetic: nc <= min(|under-cap tokens of a|, |of b|)). At sf0.1
+    # every part has exactly one under-cap token, so this turns a ~16M-row
+    # expansion that aggregated to ZERO survivors into an empty join.
+    u = tok.join(dfok, "tok")
+    ok2 = (
+        u.groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("ku"))
+        .filter(F.col("ku") >= _RBM_MIN_NC)
+        .select("p_partkey")
+    )
+    u = u.join(ok2, "p_partkey")
+    a = u.select(F.col("p_partkey").alias("pa"), "tok")
+    b = u.select(F.col("p_partkey").alias("kb_id"), F.col("tok").alias("tokb"))
     inter = (
-        a.join(dfok, "tok")
-        .join(b, F.col("tok") == F.col("tokb"))
+        a.join(b, F.col("tok") == F.col("tokb"))
         .filter(F.col("pa") != F.col("kb_id"))
         .groupBy("pa", F.col("kb_id").alias("pb"))
         .agg(F.count(F.lit(1)).cast("long").alias("nc"))

@@ -5,6 +5,14 @@ Usage: python tools/qexplain.py --out plans/r09 --suffix _before name [...]
 
 Used by the r9 optimization round to commit before/after physical plans
 (the judge checks plan-shape claims against these files).
+
+``--full``: queries segmented by ``localCheckpoint`` explain only their
+LAST segment (the checkpoint materializes upstream work and replaces it
+with a Scan ExistingRDD), which hides any upstream plan change. With
+--full, DataFrame.localCheckpoint is replaced by identity during plan
+construction so the dump shows the whole computation end-to-end. The
+dumped plan is a CAPTURE ARTIFACT (the real query still checkpoints);
+driver-side collects during plan construction still execute.
 """
 
 from __future__ import annotations
@@ -23,11 +31,22 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--suffix", default="")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--full", action="store_true")
     args = ap.parse_args()
 
     from clinical_data_platform_spark.session import get_spark
 
     import __spark_entry__ as E
+
+    if args.full:
+        # patch the CONCRETE class (pyspark.sql.DataFrame is the abstract
+        # base in Spark 4; the session hands out classic.dataframe's
+        # subclass, whose override would win over a base-class patch)
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        DataFrame.localCheckpoint = (  # type: ignore[method-assign]
+            lambda self, eager=True: self
+        )
 
     spark = get_spark("qexplain")
     spark.sparkContext.setLogLevel("ERROR")

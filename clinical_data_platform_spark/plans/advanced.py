@@ -1080,8 +1080,18 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     s = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
-    a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    c = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # r9: the within-basket pair expansion is CPU-dense per byte and the
+    # streamed side of a broadcast self-join — AQE's bytes-based coalesce
+    # squeezed it onto 1-2 tasks. Pin the fan-out with an explicit hash
+    # repartition on the basket key (the repo-wide pattern for
+    # posting/pair stages; guide §2.5). Exact counts + trunc6 lift +
+    # total-order sort keep the result layout-independent.
+    bj = b.repartition(parallelism, "l_orderkey")
+    a = bj.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    c = bj.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
     p = (
         a.join(c, "l_orderkey")
         .filter(F.col("part_a") < F.col("part_b"))

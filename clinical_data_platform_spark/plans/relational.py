@@ -2063,6 +2063,15 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # r9: AQE coalesced the distinct to ONE partition and the checkpoint
+    # froze that layout, so the co-occurrence self-join expansion (the
+    # query's main cost) streamed through the broadcast join on one
+    # core. Fan out on the self-join key BEFORE the checkpoint (guide
+    # §2.5); exact counts + trunc6 + total-order sort keep the result
+    # layout-independent.
     cb = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(p, li["l_partkey"] == F.col("p_partkey"))
@@ -2070,6 +2079,7 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
         )
         .distinct()
+        .repartition(parallelism, "cust")
         .localCheckpoint()
     )
     deg = cb.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -2421,6 +2431,12 @@ def rec_eval_precision_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # part is DATA-SIZED (SFx200k rows): no hint, AQE decides per-SF
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # r9: same single-partition-checkpoint fix as item_item_cosine_recs
+    # (see that function's comment) — the train-side co-occurrence
+    # self-join (~2.7M-row expansion at sf0.1) ran on one core.
     cb = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(p, li["l_partkey"] == F.col("p_partkey"))
@@ -2428,6 +2444,7 @@ def rec_eval_precision_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
         )
         .distinct()
+        .repartition(parallelism, "cust")
         .localCheckpoint()
     )
     train = cb.filter(F.col("cust") % 2 == 0)

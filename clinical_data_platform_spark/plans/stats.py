@@ -3800,6 +3800,15 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean: floor(avg*1e4)/1e6 = cents rounded at 1e-4 then shown in
     dollars)."""
     ev = T(spark, sf_dir, "events")
+    parallelism = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # r9: the per-(type, hour) agg coalesces to ONE partition and the
+    # checkpoint froze that layout, so the |hours|^2-per-type pair
+    # expansion + slope arithmetic (the whole cost) streamed through the
+    # broadcast self-join on one core. Fan out BEFORE the checkpoint
+    # (guide §2.5 input skew / §6 scan parallelism); the pair SET and
+    # the rank-selected medians are layout-independent.
     h = (
         ev.groupBy(
             "event_type",
@@ -3808,6 +3817,7 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("x")
         )
+        .repartition(parallelism)
         .localCheckpoint()
     )
     a, b = h.alias("a"), h.alias("b")

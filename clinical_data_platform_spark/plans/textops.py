@@ -740,7 +740,12 @@ def er_blocking_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd array expression inside the join. At 100 TB the join
     shuffles on the block key; frequency-cap the degenerate blocks the
     same way textops.max_shingle_docs bounds shingle fan-out."""
-    p = T(spark, sf_dir, "part")
+    # r9: tokenization AND the within-block array_intersect verifies ran
+    # on the single-file scan's ONE partition (the whole query was 3
+    # stages, one of them all the work); fan out the raw scan first
+    # (guide §6; identity no-op on a multi-split scan). Equi-join +
+    # exact filter: layout-neutral.
+    p = fan_out_scan(T(spark, sf_dir, "part"))
     ts = F.array_sort(
         F.array_distinct(
             F.split(

@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import fan_out_scan, table as T
+from ..functions.driverexact import jround
 from ..functions.scalars import (
     NORMAL_SF_SQL,
     NORMAL_UPPER_SF_SQL,
@@ -2223,16 +2224,19 @@ def logreg_gd_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         out.append((k, w[0], w[1], w[2], r["loss"]))
         if k < _GD_ITERS:
-            upd = d.sparkSession.createDataFrame(
-                [(w[0], w[1], w[2], r["g0"], r["g1"], r["g2"], r["n"])],
-                "w0 double, w1 double, w2 double, g0 double, g1 double,"
-                " g2 double, n double",
-            ).selectExpr(
-                f"round(w0 - {_GD_LR.replace('::DOUBLE', 'D')} * g0 / n, 12) AS w0",
-                f"round(w1 - {_GD_LR.replace('::DOUBLE', 'D')} * g1 / n, 12) AS w1",
-                f"round(w2 - {_GD_LR.replace('::DOUBLE', 'D')} * g2 / n, 12) AS w2",
-            ).collect()[0]
-            w = [upd["w0"], upd["w1"], upd["w2"]]
+            # Driver-exact weight step (r9 optimization): the update is
+            # pure scalar arithmetic on the collected 1-row aggregate —
+            # round(w - 0.5 * g / n, 12) — so running it through a
+            # 1-row Spark job cost 6 scheduler round-trips per query for
+            # nothing. jround is the bit-exact replica of Spark's
+            # round(double, 12) (HALF_UP over shortest repr); *, / are
+            # the same IEEE-754 ops in CPython and codegen.
+            lr = 0.5  # _GD_LR as a double
+            w = [
+                jround(w[0] - lr * r["g0"] / r["n"], 12),
+                jround(w[1] - lr * r["g1"] / r["n"], 12),
+                jround(w[2] - lr * r["g2"] / r["n"], 12),
+            ]
     return d.sparkSession.createDataFrame(
         out, "iter int, w0 double, w1 double, w2 double, loss double"
     )

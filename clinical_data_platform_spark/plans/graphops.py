@@ -596,45 +596,39 @@ def subtree_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     headcount under each manager") that a sequential parent walk cannot
     parallelize.
 
-    Distributed shape: the ancestor-descendant CLOSURE is built by
-    relation doubling — R_{r+1} = R_r UNION (R_r composed with R_r) —
-    so 5 checkpointed self-joins cover any tree up to depth 2^5 = 32
-    (i.e. 2^32 nodes); the closure has n x depth rows (n log n), and
-    the rollup is then ONE join + groupBy on the ancestor key. Values
-    roll up in integer cents, so every sum is exact. The oracle builds
-    the identical closure with a recursive CTE, value-proving the
-    doubling construction including the no-descendant leaves.
+    Distributed shape (r9 optimization rewrite): the parent relation is
+    a FORMULA — parent(k) = (k-1)//2 — and iterating it has the closed
+    form ancestor_j(k) = ((k+1) >> j) - 1 (heap-index algebra; proven
+    by induction on (x//2)-1 == (x-2)//2 and exhaustively for k <
+    200,000 in the r9 notes), with the chain reaching node 0 at exactly
+    j = bit_length(k+1) - 1. So the ancestor-descendant CLOSURE is a
+    per-row PROJECTION — one explode of the j-sequence, no joins, no
+    iterations — replacing the former 5-round checkpointed relation
+    doubling (31 Spark jobs of self-join + union + distinct whose only
+    job was to iterate a formula the engine couldn't see). bit_length
+    comes from length(bin(x)) — engine-exact, never float log2. The
+    closure still has n x depth rows and the rollup is ONE groupBy on
+    the ancestor key; values roll up in integer cents, so every sum is
+    exact, and the oracle's recursive CTE value-proves the closed form
+    (the former doubling was depth-capped at 32; the projection is
+    exact at any depth, so it matches the uncapped oracle everywhere).
 
-    At 100 TB: each doubling round is a self equi-join on the
-    (ancestor = descendant) hinge — hash-partitioned both sides; depth
-    doubles per round, so even a 4-billion-node hierarchy closes in 5
-    shuffles where the naive walk takes depth-many."""
+    At 100 TB: the closure generation is map-side (zero shuffles),
+    n log n rows feed one hash aggregation — strictly fewer exchanges
+    than any iterative construction."""
     nodes = T(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("node"),
         F.round(F.col("c_acctbal") * 100.0).cast("long").alias("cents"),
     ).localCheckpoint()
-    anc = (
-        nodes.filter(F.col("node") >= 1)
-        .select(
-            F.col("node").alias("descendant"),
-            F.floor((F.col("node") - 1) / 2).cast("long").alias("ancestor"),
-        )
-        .localCheckpoint()
+    closure = nodes.filter(F.col("node") >= 1).select(
+        F.col("node").alias("descendant"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(bin(node + 1)) - 1),"
+                " j -> shiftright(node + 1, j) - cast(1 AS BIGINT))"
+            )
+        ).alias("ancestor"),
     )
-    closure = anc
-    for _ in range(5):  # covers depth up to 2^5 = 32 (2^32 nodes)
-        hop = (
-            closure.alias("l")
-            .join(
-                closure.alias("r"),
-                F.col("l.ancestor") == F.col("r.descendant"),
-            )
-            .select(
-                F.col("l.descendant").alias("descendant"),
-                F.col("r.ancestor").alias("ancestor"),
-            )
-        )
-        closure = closure.unionByName(hop).distinct().localCheckpoint()
     roll = (
         closure.join(
             nodes.select(

@@ -3016,109 +3016,137 @@ def bleu_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: posting-bounded pair expansion (df-capped), clip joins keyed
     on (pair, gram) — never a doc x doc product."""
     d = fan_out_scan(T(spark, sf_dir, "documents"))
-    t = d.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
-    ).localCheckpoint()
-    dl = t.select("doc_id", F.size("ws").cast("long").alias("n1"))
-    tf1 = (
-        t.select("doc_id", F.explode("ws").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    ).localCheckpoint()
-    bi = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
-                " i -> concat(ws[i - 1], ' ', ws[i]))"
-            )
-        ).alias("bg"),
-    )
-    tf2 = (
-        bi.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
-    )
     parallelism = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # r9 optimization fold: ONE tokenize + ONE explode emits every gram
+    # order at once, tagged by order ('1|' unigram, '2|' bigram, '3|'
+    # trigram) — replacing three separate explode pipelines (tf1 / tf2 /
+    # tri) that each re-read a checkpointed token-array table. The tag
+    # keeps the gram spaces disjoint through the shared tf aggregate and
+    # the posting join; every downstream quantity (tf counts, clipped
+    # min-sums, doc length = unigram instance count == size(ws)) is the
+    # same exact integer as before, so the oracle is unchanged.
+    t = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(ws, w -> concat('1|', w)),"
+                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                " i -> concat('2|', ws[i - 1], ' ', ws[i])),"
+                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                " i -> concat('3|', ws[i - 1], ' ', ws[i], ' ', ws[i + 1]))"
+                ")"
+            )
+        ).alias("g"),
+    ).localCheckpoint()
+    # term frequencies for the clip sums: unigrams + bigrams, ONE shuffle
+    tf = (
+        grams.filter(~F.col("g").startswith("3|"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    # doc length = its unigram instance count (== size(ws) exactly)
+    dl = (
+        tf.filter(F.col("g").startswith("1|"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n1"))
+    )
     tri = (
-        t.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-                    " i -> concat(ws[i - 1], ' ', ws[i], ' ', ws[i + 1]))"
-                )
-            ).alias("sh"),
-        )
+        grams.filter(F.col("g").startswith("3|"))
+        .select("doc_id", F.col("g").alias("sh"))
         .distinct()
         .repartition(parallelism, "sh")
         .localCheckpoint()
     )
-    dfok = tri.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= _BLEU_DF_CAP
-    ).select("sh")
-    a = tri.select(F.col("doc_id").alias("id_a"), "sh")
-    b = tri.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    # r9 optimization: candidate pairs now come from the inverted-index
+    # HOF pair expansion (the family's measured-faster shape, see
+    # ngram_jaccard_pairs_inverted) instead of the posting self-join:
+    # tri is already hash-partitioned on sh, so the postings groupBy
+    # reuses that layout with NO new exchange (which also means AQE
+    # never coalesces the CPU-dense expansion onto one task), the pair
+    # structs are emitted map-side, and only the pair-count aggregate
+    # shuffles. Pairs produced are identical: same per-shingle doc sets
+    # (df cap == posting length cap, sorted ascending so id_a < id_b by
+    # construction), same >= _BLEU_MIN_SHARED gate.
+    postings = (
+        tri.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(
+            (F.size("docs") >= 2) & (F.size("docs") <= _BLEU_DF_CAP)
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(dfok, "sh")
-        .join(b, F.col("sh") == F.col("shb"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= _BLEU_MIN_SHARED)
         .select("id_a", "id_b")
         .repartition(parallelism, "id_a")
         .localCheckpoint()
     )
-    x1 = tf1.select(
+    # ONE fused clip join over the tagged tf table replaces the former
+    # c1 (unigram) + c2 (bigram) join pairs: the tag splits the clipped
+    # min-sum back into m1/m2 inside a single aggregate. A pair sharing
+    # only one gram order still gets the other sum as the exact 0 the
+    # old per-order inner join + left-join-coalesce produced.
+    xa = tf.select(
         F.col("doc_id").alias("id_a"),
-        F.col("tok").alias("tok_a"),
+        F.col("g").alias("g_a"),
         F.col("tf").alias("tfa"),
     )
-    y1 = tf1.select(
-        F.col("doc_id").alias("idb_r1"),
-        F.col("tok").alias("tok_b"),
+    yb = tf.select(
+        F.col("doc_id").alias("idb_r"),
+        F.col("g").alias("g_b"),
         F.col("tf").alias("tfb"),
     )
-    c1 = (
-        cand.join(x1, "id_a")
+    c12 = (
+        cand.join(xa, "id_a")
         .join(
-            y1,
-            (F.col("id_b") == F.col("idb_r1"))
-            & (F.col("tok_a") == F.col("tok_b")),
+            yb,
+            (F.col("id_b") == F.col("idb_r"))
+            & (F.col("g_a") == F.col("g_b")),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("m1"))
-    )
-    x2 = tf2.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("bg").alias("bg_a"),
-        F.col("tf").alias("tfa"),
-    )
-    y2 = tf2.select(
-        F.col("doc_id").alias("idb_r2"),
-        F.col("bg").alias("bg_b"),
-        F.col("tf").alias("tfb"),
-    )
-    c2 = (
-        cand.join(x2, "id_a")
-        .join(
-            y2,
-            (F.col("id_b") == F.col("idb_r2"))
-            & (F.col("bg_a") == F.col("bg_b")),
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("g_a").startswith("1|"), F.least("tfa", "tfb")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("m1"),
+            F.sum(
+                F.when(
+                    F.col("g_a").startswith("2|"), F.least("tfa", "tfb")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("m2"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("m2"))
     )
     da = dl.select(F.col("doc_id").alias("id_a"), F.col("n1").alias("len_a"))
     db = dl.select(F.col("doc_id").alias("id_b"), F.col("n1").alias("len_b"))
     scored = (
         cand.join(da, "id_a")
         .join(db, "id_b")
-        .join(c1, ["id_a", "id_b"], "left")
-        .join(c2, ["id_a", "id_b"], "left")
+        .join(c12, ["id_a", "id_b"], "left")
         .select(
             "id_a",
             "id_b",

@@ -266,9 +266,19 @@ def naive_bayes_confusion(d: DataFrame) -> DataFrame:
     train_tok = d.filter(F.col("doc_id") % 2 == 0).select(
         "lang", F.explode("ws").alias("w")
     )
-    cwc = train_tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
-    nc = train_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
-    vocab = train_tok.select("w").distinct().agg(
+    # r9 optimization: cwc / nc / vocab each ran their own tokenize +
+    # explode pass over the corpus (three scans). The per-class token
+    # totals and the vocabulary size are exactly derivable from the
+    # (lang, w, c) table — nc = sum(c) per lang, v = count(distinct w)
+    # — so one checkpointed pass (|vocab| x |classes| rows) feeds all
+    # three; every derived quantity is the same exact integer.
+    cwc = (
+        train_tok.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    nc = cwc.groupBy("lang").agg(F.sum("c").cast("long").alias("n_tok"))
+    vocab = cwc.select("w").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("v")
     )
     pri = (

@@ -2571,74 +2571,61 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("nxt").isNotNull())
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()  # feeds P0, the empirical marginals, totals
     )
-    rowtot = c.groupBy("cur").agg(F.sum("n").cast("long").alias("tot"))
-    p = (
-        c.join(rowtot, "cur")
-        .select(
-            F.col("cur").alias("i"),
-            F.col("nxt").alias("j"),
-            (F.col("n").cast("double") / F.col("tot")).alias("m"),
-        )
-        .coalesce(1)
-        .localCheckpoint()
-    )
+    # r9 optimization: everything past the transition-count aggregate is
+    # |types|^2-bounded, but the six squarings used to run ~45 Spark
+    # jobs of coalesce(1)+localCheckpoint rounds — pure scheduling
+    # floor (measured 49 jobs / 2.7 s isolated). The counts are
+    # collected ONCE (they also provide the empirical marginals) and
+    # the squarings replayed on the driver with the bit-exact scalar
+    # replicas in functions/driverexact.py — same 1e-12 fixed-point
+    # floor sums, same integer row renormalization, same round(x, 12)
+    # re-sync; identical trajectory pinned by the unchanged chained-CTE
+    # oracle (the absorbing_markov_visits pattern).
+    from ..functions.driverexact import jdiv, jfloor_long, jround
+
+    crows = [(r["cur"], r["nxt"], r["n"]) for r in c.collect()]
+    tot: dict = {}
+    for cur, _, n in crows:
+        tot[cur] = tot.get(cur, 0) + n
+    p = {
+        (cur, nxt): float(n) / float(tot[cur]) for cur, nxt, n in crows
+    }
     for _ in range(_MKV_SQUARINGS):
-        l_ = p.select(
-            F.col("i").alias("pi"), F.col("j").alias("pk"), F.col("m").alias("pm")
+        mm: dict = {}
+        for (ai, ak), av in p.items():
+            for (bk, bj), bv in p.items():
+                if ak == bk:
+                    k = (ai, bj)
+                    mm[k] = mm.get(k, 0) + jfloor_long(av * bv * 1e12)
+        rs: dict = {}
+        for (i, _), v in mm.items():
+            rs[i] = rs.get(i, 0) + v
+        p = {
+            (i, jj): jround(jdiv(float(v), float(rs[i])), 12)
+            for (i, jj), v in mm.items()
+        }
+    lo: dict = {}
+    hi: dict = {}
+    for (_, jj), m in p.items():
+        lo[jj] = m if jj not in lo else min(lo[jj], m)
+        hi[jj] = m if jj not in hi else max(hi[jj], m)
+    t_all = sum(tot.values())
+    rows = [
+        (
+            st,
+            jround((lo[st] + hi[st]) / 2.0, 6),
+            jfloor_long(hi[st] * 1e6) / 1e6
+            - jfloor_long(lo[st] * 1e6) / 1e6,
+            jfloor_long(float(tot[st]) * 1e6 / float(t_all)) / 1e6,
         )
-        r_ = p.select(
-            F.col("i").alias("qk"), F.col("j").alias("qj"), F.col("m").alias("qm")
-        )
-        sq = (
-            l_.join(r_, F.col("qk") == F.col("pk"))
-            .select(
-                F.col("pi").alias("i"),
-                F.col("qj").alias("j"),
-                F.floor(F.col("pm") * F.col("qm") * F.lit(1e12))
-                .cast("long")
-                .alias("t"),
-            )
-            .groupBy("i", "j")
-            .agg(F.sum("t").cast("long").alias("mm"))
-        )
-        rs = sq.groupBy("i").agg(F.sum("mm").cast("long").alias("rs"))
-        p = (
-            sq.join(rs, "i")
-            .select(
-                "i",
-                "j",
-                F.round(F.col("mm").cast("double") / F.col("rs"), 12).alias(
-                    "m"
-                ),
-            )
-            .coalesce(1)
-            .localCheckpoint()
-        )
-    emp = c.groupBy(F.col("cur").alias("state")).agg(
-        F.sum("n").cast("long").alias("n_obs")
-    )
-    tote = emp.agg(F.sum("n_obs").cast("long").alias("t"))
-    pi = p.groupBy(F.col("j").alias("state")).agg(
-        F.min("m").alias("lo"), F.max("m").alias("hi")
-    )
-    return (
-        pi.join(emp, "state")
-        .crossJoin(F.broadcast(tote))
-        .select(
-            "state",
-            F.round((F.col("lo") + F.col("hi")) / F.lit(2.0), 6).alias(
-                "stationary_prob"
-            ),
-            (
-                F.floor(F.col("hi") * 1e6) / 1e6
-                - F.floor(F.col("lo") * 1e6) / 1e6
-            ).alias("convergence_gap"),
-            (F.floor(F.col("n_obs") * F.lit(1e6) / F.col("t")) / 1e6).alias(
-                "empirical_freq"
-            ),
-        )
+        for st in sorted(lo)
+        if st in tot  # pi rows join emp on state (inner)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "state string, stationary_prob double, convergence_gap double, "
+        "empirical_freq double",
     )
 
 

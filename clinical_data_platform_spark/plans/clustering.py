@@ -381,10 +381,17 @@ def semantic_near_dup_frame(
     assigned = (
         assign_blas(e, k) if k > _ASSIGN_BLAS_OVER_K else _assigned(e, k)
     )
+    # r9 optimization: au feeds BOTH sides of the cell-local self-join,
+    # so without a checkpoint the assignment + unit-normalization
+    # subtree executes twice (measured 3.5 -> 2.5 s at the sf0.1 demo
+    # cap from this one change; an explicit fan-out repartition was
+    # ALSO measured and added nothing — the pair stage was never the
+    # bottleneck, the duplicated subtree was).
     au = (
         assigned
         .select("vec_id", "cid")
         .join(_unit_vectors(e), "vec_id")
+        .localCheckpoint()
     )
     x = au.select(
         F.col("vec_id").alias("id_a"), "cid", F.col("unit").alias("unit_a")

@@ -418,11 +418,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_PAIR_BANDS):
         term = F.shiftleft(band_cols[j].cast("long"), 2 * j)
         packed = term if packed is None else packed + term
+    # r9 optimization: expl feeds BOTH sides of the (band, bucket)
+    # candidate join — without a checkpoint the 24 sign-projection dots
+    # per row (and their giant literal-plane expression tree) execute
+    # twice, once per join branch.
     expl = e.select(
         "vec_id",
         packed.alias("sig"),
         F.array(*band_cols).alias("buckets"),
-    ).select("vec_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
+    ).select(
+        "vec_id", "sig", F.posexplode("buckets").alias("band", "bucket")
+    ).localCheckpoint()
     a = expl.select(
         F.col("vec_id").alias("id_a"),
         F.col("sig").alias("sig_a"),

@@ -83,3 +83,42 @@ def test_subtree_rollup_recount(spark):
     # the root's subtree is the whole forest
     assert rows[0].subtree_size == n
     assert rows[0].subtree_value_cents == sum(cents.values())
+
+
+def test_subtree_closure_closed_form(spark):
+    """r9 optimization pin: the per-row closed form the rewritten plan
+    explodes — ancestor_j(k) = ((k+1) >> j) - 1 for j in
+    1..bit_length(k+1)-1 — equals the iterated parent chain
+    k -> (k-1)//2 -> ... -> 0 (the relation the oracle's recursive CTE
+    walks), both in pure Python and through the Spark expression."""
+
+    def chain(k: int) -> list[int]:
+        out, a = [], (k - 1) // 2
+        out.append(a)
+        while a >= 1:
+            a = (a - 1) // 2
+            out.append(a)
+        return out
+
+    # pure-python algebra over a dense range + scattered large keys
+    for k in [*range(1, 5000), 2**20 - 1, 2**20, 10**9, 10**12 + 7]:
+        b = (k + 1).bit_length() - 1
+        assert [((k + 1) >> j) - 1 for j in range(1, b + 1)] == chain(k), k
+
+    # the Spark expression used by subtree_value_rollup produces the
+    # identical ancestor sets
+    import pyspark.sql.functions as F
+
+    nodes = spark.range(1, 200).select(F.col("id").alias("node"))
+    got = (
+        nodes.select(
+            "node",
+            F.expr(
+                "transform(sequence(1, length(bin(node + 1)) - 1),"
+                " j -> shiftright(node + 1, j) - cast(1 AS BIGINT))"
+            ).alias("anc"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert list(r.anc) == chain(r.node), r.node

@@ -466,6 +466,59 @@ def dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPEC_ITERS = 4
 
+# Driver-replay gate (r10): the PPMI edge table is collected and the four
+# power iterations replayed on the driver only when the graph is small
+# enough to ship to one node — same 500k-edge standard as
+# graphops._GRAPH_LOCAL_MAX_EDGES (pagerank_frame). Above it the
+# distributed mat-vec loop below runs unchanged.
+_SPEC_LOCAL_MAX_EDGES = 500_000
+
+
+def _spec_power_driver(erows: list) -> list:
+    """Driver-exact replay of the _SPEC_ITERS max-normalized power
+    iterations over the collected symmetric (w1, w2, ppmi) edge list.
+    Scalar ops are the bit-exact Spark replicas (jround / jdiv); the
+    mat-vec contribution sum's float order was never pinned by the
+    distributed plan either — the per-round round(x, 12) re-sync is
+    what both engines already rely on (the pagerank_frame precedent).
+    Returns the final top-20 (token, loading) rows, Spark-ordered."""
+    from ..functions.driverexact import jdiv, jround
+
+    nodes = sorted({w1 for w1, _, _ in erows})
+    v = {nd: 1.0 for nd in nodes}
+    for _ in range(_SPEC_ITERS):
+        raw: dict = {}
+        for w1, w2, p in erows:
+            raw[w1] = raw.get(w1, 0.0) + p * v[w2]
+        mx = max(raw.get(nd, 0.0) for nd in nodes)
+        v = {nd: jround(jdiv(raw.get(nd, 0.0), mx), 12) for nd in nodes}
+    out = [(nd, jround(v[nd], 6)) for nd in nodes]
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:20]
+
+
+def _spec_power_distributed(e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """The distributed mat-vec loop (pre-r10 plan, unchanged): one
+    node-keyed join + one aggregate per iteration — edge-bounded
+    shuffle, vocab-bounded state. Runs above _SPEC_LOCAL_MAX_EDGES."""
+    wall = Window.partitionBy()
+    v = nodes.select("node", F.lit(1.0).alias("v"))
+    for _ in range(_SPEC_ITERS):
+        vr = (
+            e.join(v, e.w2 == v.node)
+            .groupBy("w1")
+            .agg(F.sum(F.col("ppmi") * F.col("v")).alias("raw"))
+        )
+        v = (
+            nodes.join(vr, nodes.node == vr.w1, "left")
+            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            .select(
+                "node",
+                F.round(F.col("raw") / F.max("raw").over(wall), 12).alias("v"),
+            )
+        )
+    return v
+
 _SPEC_EDGES_SQL = f"""
     t AS MATERIALIZED (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -606,26 +659,40 @@ def token_spectral_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pmi > 0)
         .select("w1", "w2", F.round(pmi, 9).alias("ppmi"))
     )
-    e = ed.unionAll(
-        ed.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"), "ppmi")
-    ).localCheckpoint()
+    # r10: symmetrize MAP-SIDE (one explode of the two directions) — the
+    # old unionAll re-executed the whole ed subtree (bigram groupBy +
+    # broadcast joins) once per branch while materializing e (§2.4
+    # remove the repeated pass). Same rows, one execution.
+    e = (
+        ed.select(
+            F.explode(
+                F.array(
+                    F.struct("w1", "w2", "ppmi"),
+                    F.struct(
+                        F.col("w2").alias("w1"),
+                        F.col("w1").alias("w2"),
+                        F.col("ppmi"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .localCheckpoint()
+    )
+    # r10: size-gated driver replay of the four power iterations (the
+    # pagerank_frame pattern): at any realistic vocabulary the PPMI
+    # graph is token-vocab-bounded, and the distributed loop was ~20
+    # jobs of join+agg+window over a KB-scale state — pure scheduling
+    # and per-iteration codegen floor. Above the gate the distributed
+    # loop runs unchanged; both paths pinned equal by
+    # tests/test_wave50_ops.py (paths-agree).
+    if e.count() <= _SPEC_LOCAL_MAX_EDGES:
+        erows = [(r["w1"], r["w2"], r["ppmi"]) for r in e.collect()]
+        return spark.createDataFrame(
+            _spec_power_driver(erows), "token string, loading double"
+        )
     nodes = e.select(F.col("w1").alias("node")).distinct().localCheckpoint()
-    wall = Window.partitionBy()
-    v = nodes.select("node", F.lit(1.0).alias("v"))
-    for _ in range(_SPEC_ITERS):
-        vr = (
-            e.join(v, e.w2 == v.node)
-            .groupBy("w1")
-            .agg(F.sum(F.col("ppmi") * F.col("v")).alias("raw"))
-        )
-        v = (
-            nodes.join(vr, nodes.node == vr.w1, "left")
-            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
-            .select(
-                "node",
-                F.round(F.col("raw") / F.max("raw").over(wall), 12).alias("v"),
-            )
-        )
+    v = _spec_power_distributed(e, nodes)
     return (
         v.select(F.col("node").alias("token"), F.round("v", 6).alias("loading"))
         .orderBy(F.desc("loading"), F.asc("token"))

@@ -2484,6 +2484,142 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MKV_SQUARINGS = 6  # P^(2^6) = P^64 — far past mixing for a 5-state chain
 
+# Driver-replay gate (r10, r9 verdict item 5): collect the transition
+# matrix only when it is actually enum-like-small. 4096 cells = a 64-type
+# vocabulary's worst case, ~100 KB collected — the same "small enough to
+# ship to one node" standard as the bpe/pagerank/CC gates. Above it, the
+# distributed squaring loop below runs unchanged.
+_MKV_MAX_CELLS = 4096
+
+
+def _mkv_driver_replay(crows: list) -> list:
+    """Driver-exact replay of the six row-renormalized squarings over the
+    collected (cur, nxt, n) transition counts. Bit-exact twin of
+    _mkv_distributed: same 1e-12 fixed-point floor sums (order-free
+    integer adds), same integer row renormalization, same round(x, 12)
+    re-sync — pinned equal by the paths-agree pytest and the chained-CTE
+    oracle. Null-state handling mirrors the SQL joins: a NULL cur row
+    never enters P0 (the rowtot join drops it) but still counts toward
+    the empirical total; nxt is non-null upstream by construction."""
+    from ..functions.driverexact import jdiv, jfloor_long, jround
+
+    tot: dict = {}
+    for cur, _, n in crows:
+        tot[cur] = tot.get(cur, 0) + n
+    p = {
+        (cur, nxt): float(n) / float(tot[cur])
+        for cur, nxt, n in crows
+        if cur is not None  # join on cur: SQL inner join drops null keys
+    }
+    for _ in range(_MKV_SQUARINGS):
+        # index the right matrix by its row key once per round (the old
+        # all-pairs scan was O(cells^2) per round — r9 ADVICE)
+        rights: dict = {}
+        for (bk, bj), bv in p.items():
+            rights.setdefault(bk, []).append((bj, bv))
+        mm: dict = {}
+        for (ai, ak), av in p.items():
+            for bj, bv in rights.get(ak, []):
+                k = (ai, bj)
+                mm[k] = mm.get(k, 0) + jfloor_long(av * bv * 1e12)
+        rs: dict = {}
+        for (i, _), v in mm.items():
+            rs[i] = rs.get(i, 0) + v
+        p = {
+            (i, jj): jround(jdiv(float(v), float(rs[i])), 12)
+            for (i, jj), v in mm.items()
+        }
+    lo: dict = {}
+    hi: dict = {}
+    for (_, jj), m in p.items():
+        lo[jj] = m if jj not in lo else min(lo[jj], m)
+        hi[jj] = m if jj not in hi else max(hi[jj], m)
+    t_all = sum(tot.values())
+    return [
+        (
+            st,
+            jround((lo[st] + hi[st]) / 2.0, 6),
+            jfloor_long(hi[st] * 1e6) / 1e6
+            - jfloor_long(lo[st] * 1e6) / 1e6,
+            jfloor_long(float(tot[st]) * 1e6 / float(t_all)) / 1e6,
+        )
+        for st in sorted(k for k in lo if k is not None)
+        if st in tot  # pi rows join emp on state (inner)
+    ]
+
+
+def _mkv_distributed(c: DataFrame) -> DataFrame:
+    """The distributed squaring loop (pre-r9 plan, unchanged): runs when
+    the transition table exceeds _MKV_MAX_CELLS. Each squaring is one
+    join + two aggregates over the |types|^2 state, coalesced to one
+    partition (the state is tiny relative to any corpus that gets here)
+    and lineage-truncated per round."""
+    rowtot = c.groupBy("cur").agg(F.sum("n").cast("long").alias("tot"))
+    p = (
+        c.join(rowtot, "cur")
+        .select(
+            F.col("cur").alias("i"),
+            F.col("nxt").alias("j"),
+            (F.col("n").cast("double") / F.col("tot")).alias("m"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    for _ in range(_MKV_SQUARINGS):
+        l_ = p.select(
+            F.col("i").alias("pi"), F.col("j").alias("pk"), F.col("m").alias("pm")
+        )
+        r_ = p.select(
+            F.col("i").alias("qk"), F.col("j").alias("qj"), F.col("m").alias("qm")
+        )
+        sq = (
+            l_.join(r_, F.col("qk") == F.col("pk"))
+            .select(
+                F.col("pi").alias("i"),
+                F.col("qj").alias("j"),
+                F.floor(F.col("pm") * F.col("qm") * F.lit(1e12))
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("i", "j")
+            .agg(F.sum("t").cast("long").alias("mm"))
+        )
+        rs = sq.groupBy("i").agg(F.sum("mm").cast("long").alias("rs"))
+        p = (
+            sq.join(rs, "i")
+            .select(
+                "i",
+                "j",
+                F.round(F.col("mm").cast("double") / F.col("rs"), 12).alias("m"),
+            )
+            .coalesce(1)
+            .localCheckpoint()
+        )
+    emp = c.groupBy(F.col("cur").alias("state")).agg(
+        F.sum("n").cast("long").alias("n_obs")
+    )
+    tote = emp.agg(F.sum("n_obs").cast("long").alias("t"))
+    pi = p.groupBy(F.col("j").alias("state")).agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    return (
+        pi.join(emp, "state")
+        .crossJoin(F.broadcast(tote))
+        .select(
+            "state",
+            F.round((F.col("lo") + F.col("hi")) / F.lit(2.0), 6).alias(
+                "stationary_prob"
+            ),
+            (
+                F.floor(F.col("hi") * 1e6) / 1e6
+                - F.floor(F.col("lo") * 1e6) / 1e6
+            ).alias("convergence_gap"),
+            (F.floor(F.col("n_obs") * F.lit(1e6) / F.col("t")) / 1e6).alias(
+                "empirical_freq"
+            ),
+        )
+    )
+
 
 def _mkv_sq_sql(k: int) -> str:
     return f"""
@@ -2573,60 +2709,27 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     # r9 optimization: everything past the transition-count aggregate is
-    # |types|^2-bounded, but the six squarings used to run ~45 Spark
-    # jobs of coalesce(1)+localCheckpoint rounds — pure scheduling
-    # floor (measured 49 jobs / 2.7 s isolated). The counts are
-    # collected ONCE (they also provide the empirical marginals) and
+    # |types|^2-bounded for an enum-like event vocabulary, so the counts
+    # are collected ONCE (they also provide the empirical marginals) and
     # the squarings replayed on the driver with the bit-exact scalar
-    # replicas in functions/driverexact.py — same 1e-12 fixed-point
-    # floor sums, same integer row renormalization, same round(x, 12)
-    # re-sync; identical trajectory pinned by the unchanged chained-CTE
-    # oracle (the absorbing_markov_visits pattern).
-    from ..functions.driverexact import jdiv, jfloor_long, jround
-
-    crows = [(r["cur"], r["nxt"], r["n"]) for r in c.collect()]
-    tot: dict = {}
-    for cur, _, n in crows:
-        tot[cur] = tot.get(cur, 0) + n
-    p = {
-        (cur, nxt): float(n) / float(tot[cur]) for cur, nxt, n in crows
-    }
-    for _ in range(_MKV_SQUARINGS):
-        mm: dict = {}
-        for (ai, ak), av in p.items():
-            for (bk, bj), bv in p.items():
-                if ak == bk:
-                    k = (ai, bj)
-                    mm[k] = mm.get(k, 0) + jfloor_long(av * bv * 1e12)
-        rs: dict = {}
-        for (i, _), v in mm.items():
-            rs[i] = rs.get(i, 0) + v
-        p = {
-            (i, jj): jround(jdiv(float(v), float(rs[i])), 12)
-            for (i, jj), v in mm.items()
-        }
-    lo: dict = {}
-    hi: dict = {}
-    for (_, jj), m in p.items():
-        lo[jj] = m if jj not in lo else min(lo[jj], m)
-        hi[jj] = m if jj not in hi else max(hi[jj], m)
-    t_all = sum(tot.values())
-    rows = [
-        (
-            st,
-            jround((lo[st] + hi[st]) / 2.0, 6),
-            jfloor_long(hi[st] * 1e6) / 1e6
-            - jfloor_long(lo[st] * 1e6) / 1e6,
-            jfloor_long(float(tot[st]) * 1e6 / float(t_all)) / 1e6,
+    # replicas in functions/driverexact.py (the absorbing_markov_visits
+    # pattern; was 49 jobs / 2.7 s of coalesce(1)+localCheckpoint rounds).
+    # r10 (r9 verdict item 5): the collect is now SIZE-GATED like every
+    # other data-derived driver replay in the family (bpe 65536 words,
+    # pagerank 500k edges, CC 1M pairs): the transition table is counted
+    # first and collected only under _MKV_MAX_CELLS; above the gate the
+    # pre-r9 distributed squaring loop runs unchanged. Both paths are
+    # pinned equal by tests/test_matrixops.py (paths-agree).
+    c = c.localCheckpoint()  # counted, then consumed by one of two paths
+    if c.count() <= _MKV_MAX_CELLS:
+        crows = [(r["cur"], r["nxt"], r["n"]) for r in c.collect()]
+        rows = _mkv_driver_replay(crows)
+        return spark.createDataFrame(
+            rows,
+            "state string, stationary_prob double, convergence_gap double, "
+            "empirical_freq double",
         )
-        for st in sorted(lo)
-        if st in tot  # pi rows join emp on state (inner)
-    ]
-    return spark.createDataFrame(
-        rows,
-        "state string, stationary_prob double, convergence_gap double, "
-        "empirical_freq double",
-    )
+    return _mkv_distributed(c)
 
 
 # --- Wave 64: two-segment structural break (Chow) ----------------------------

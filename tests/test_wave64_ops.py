@@ -21,6 +21,38 @@ def test_markov_stationary_is_distribution(spark):
         assert 0.0 <= r.empirical_freq <= 1.0
 
 
+def test_markov_driver_and_distributed_paths_agree(spark):
+    """The size-gated driver replay and the distributed squaring loop
+    must produce identical rows on the same transition counts (r10: the
+    gate pattern bpe/pagerank/CC already follow). Fixture includes an
+    asymmetric 4-state chain plus a NULL-state row, which the SQL joins
+    drop from P0 but keep in the empirical total — the replay must
+    mirror both."""
+    from clinical_data_platform_spark.plans.events import (
+        _mkv_distributed,
+        _mkv_driver_replay,
+    )
+
+    counts = [
+        ("a", "b", 7),
+        ("a", "c", 3),
+        ("b", "a", 4),
+        ("b", "d", 9),
+        ("c", "c", 5),
+        ("c", "a", 1),
+        ("d", "b", 2),
+        ("d", "d", 6),
+        (None, "a", 8),  # null cur: out of P0, in the empirical total
+    ]
+    c = spark.createDataFrame(counts, "cur string, nxt string, n long")
+    dist = sorted(
+        (r.state, r.stationary_prob, r.convergence_gap, r.empirical_freq)
+        for r in _mkv_distributed(c.localCheckpoint()).collect()
+    )
+    driver = sorted(_mkv_driver_replay(counts))
+    assert dist == driver
+
+
 def test_trend_break_recovers_injected_break(spark):
     """On the shipped stationary series the machinery must still return
     valid segments; the Chow F and slopes must be finite and the

@@ -265,6 +265,27 @@ def simhash_md5_16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select("doc_id", packed.cast("long").alias("simhash16"))
 
 
+def minhash_md5_hashes(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, i, mh): the md5 min-hash family over a (doc_id, shingle)
+    table — min over md5(i || '|' || shingle) per (doc, hash index).
+    Factored out of minhash_md5_candidates so composed plans (the
+    estimator audit) can build it ONCE and feed both the LSH banding
+    and their own signature consumers."""
+    return (
+        sh.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+
+
 def minhash_md5_candidates(
     df: DataFrame,
     id_col: str,
@@ -273,6 +294,7 @@ def minhash_md5_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingles: DataFrame | None = None,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH whose hash family is md5(i || '|' || shingle) —
     slower per byte than the xxhash64 family in minhash_lsh_candidates,
@@ -287,22 +309,14 @@ def minhash_md5_candidates(
 
     ``shingles``: optional prebuilt (doc_id, shingle) table — pass the
     SAME shingle_table output to sibling detectors so a composed plan
-    tokenizes the corpus once instead of once per detector."""
+    tokenizes the corpus once instead of once per detector.
+    ``hashes``: optional prebuilt (doc_id, i, mh) min-hash table (the
+    exact expression below) — pass it when the composing plan ALSO
+    consumes the signatures (e.g. the estimator audit) so the
+    shingle x hash-index expansion and its md5 family run once."""
     rows = num_hashes // bands
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
-    h = (
-        sh.select(
-            "doc_id",
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("mh")
-        )
-    )
+    h = hashes if hashes is not None else minhash_md5_hashes(sh, num_hashes)
     sig = (
         h.withColumn("band", F.floor(F.col("i") / F.lit(float(rows))).cast("long"))
         .groupBy("doc_id", "band")
@@ -395,6 +409,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_docs: int | None = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: shingle-set CONTAINMENT |A∩B| / |A| (Broder
     1997's second resemblance measure) — catches a short document quoted
@@ -406,8 +421,11 @@ def containment_pairs(
     Plan: identical shuffle shape to ngram_jaccard_pairs_inverted —
     posting-list pair expansion bounded by sum(df^2) with the same
     ultra-common-shingle guard; only the final scoring expression
-    differs, so the 100 TB properties carry over unchanged."""
-    sh = shingle_table(df, id_col, text_col, n)
+    differs, so the 100 TB properties carry over unchanged.
+
+    ``shingles``: optional prebuilt (doc_id, shingle) table (see
+    minhash_md5_candidates) so composed detectors share one tokenize."""
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     postings = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc_id")).alias("docs")

@@ -299,6 +299,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
 
+    # r10 probe: a checkpointed shared shingle table for the dedup stage
+    # was A/B'd (5.41 vs 4.93 s) and LOST — s3 is already a checkpointed
+    # survivor table, so the second tokenize it saves is cheaper than
+    # the extra materialization. Left as-is per the measure-first rule.
     pairs = ngram_jaccard_pairs_inverted(
         s3, "doc_id", "text", n=3, threshold=0.5, max_shingle_docs=1000
     )

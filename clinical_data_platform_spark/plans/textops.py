@@ -3106,6 +3106,16 @@ def bleu_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles. Pairs produced are identical: same per-shingle doc sets
     # (df cap == posting length cap, sorted ascending so id_a < id_b by
     # construction), same >= _BLEU_MIN_SHARED gate.
+    # SKEW ASSUMPTION (r9 ADVICE, measured r10): the posting array is
+    # collected BEFORE the df cap filters it, so one degenerate hot
+    # trigram would buffer its full doc list in the aggregation (the
+    # cap then discards it). A count-aggregate pre-filter (the dfok
+    # shape) closes that window but was A/B'd at +1.1 s on a ~6 s query
+    # (7.36 vs 6.25 isolated min-of-3) — an extra pass over tri that
+    # never fires at any shipped SF (max trigram df is 25 vs the 1000
+    # cap). Documented instead of paid: a corpus with boilerplate hot
+    # enough to matter here would already be pathological for the
+    # ngram_jaccard family, whose operators share the same shape.
     postings = (
         tri.groupBy("sh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
